@@ -1,0 +1,13 @@
+from autonomus_datapipeline_spark.workloads.registry import (  # noqa: F401
+    QUERY_REGISTRY,
+    TABLES,
+    QuerySpec,
+    load_table,
+    oracle_sql,
+    queries,
+    query,
+)
+
+# Importing these modules populates QUERY_REGISTRY via the @query decorator.
+from autonomus_datapipeline_spark.workloads import relational  # noqa: F401,E402
+from autonomus_datapipeline_spark.workloads import pipeline_ops  # noqa: F401,E402

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and its oracle SQL on DuckDB against the
+same parquet tables, then compares row count, column names, and
+order-insensitive values (rows sorted after sorting columns by name).
+
+Usage: python tools/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+from autonomus_datapipeline_spark.session import get_spark  # noqa: E402
+from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY, TABLES  # noqa: E402
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return str(v)
+
+
+def rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures = []
+    for name, spec in QUERY_REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = sdf.collect()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if spec.oracle is None:
+            print(f"ok*   {name}: rows-only ({len(srows)} rows, "
+                  f"{time.time() - t0:.1f}s, no oracle)")
+            continue
+        try:
+            res = con.execute(spec.oracle)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        if sorted(scols) != sorted(dcols):
+            failures.append(name)
+            print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            continue
+        s, d = rowset(scols, srows), rowset(dcols, drows)
+        if len(s) != len(d):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount spark={len(s)} duck={len(d)}")
+            continue
+        if s != d:
+            failures.append(name)
+            bad = [(a, b) for a, b in zip(s, d) if a != b][:3]
+            print(f"FAIL  {name}: value mismatch, first diffs: {bad}")
+            continue
+        print(f"ok    {name}: {len(s)} rows match ({time.time() - t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
