@@ -1,0 +1,181 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference system has no dedup operator (its only incremental-correctness
+claim is Kafka offset exactly-once, reference: benchmarks/results/
+auto_pipeline_benchmark_paper.tex:165-166); these are the capability
+extensions a training-data pipeline needs at 100 TB (BASELINE.json north
+star).
+
+Design rules for scale:
+
+- Everything is expressed as explode → hash → aggregate → equi-join, i.e.
+  pure shuffle-parallel relational algebra. No pairwise O(n²) comparison ever
+  happens outside an LSH/blocking bucket.
+- All hashes are md5 hex (portable: identical in Spark, DuckDB, Python), and
+  "minimum hash" means lexicographic minimum of the hex string — this makes
+  every operator bit-deterministic and oracle-checkable, with no
+  engine-specific hash seeds.
+- Shingling is done with built-in array functions (split / sequence / slice /
+  transform), JVM-side in whole-stage codegen — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per duplicate group.
+
+    Hash-groupBy on the content key — one shuffle, map-side partial agg.
+    Returns (content md5, kept id, group size).
+    """
+    content = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in key_cols]))
+    return df.groupBy(content.alias("content_hash")).agg(
+        F.min(id_col).alias("kept_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def word_shingles(text: Column, n: int) -> Column:
+    """Distinct n-word shingles of a lowercased text column (JVM-side array ops)."""
+    toks = F.split(F.lower(text), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) rows, one per distinct shingle per document."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int
+) -> DataFrame:
+    """MinHash signature per doc: for seed s, min over shingles of
+    md5('<s>:'||shingle) — k independent permutations approximated by k
+    salted hashes, all computed in ONE aggregation (single shuffle)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """Band the signature, bucket-join on (band index, band hash).
+
+    The self-join is an equi-join on the banded hash — at 100 TB this
+    shuffles each side once on the bucket key and never materializes
+    non-colliding pairs. Returns (doc_a < doc_b, n_bands matched).
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signatures.select(
+        "doc_id", F.explode(bands).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    Shuffle-parallel: self-equi-join on the shingle (inverted index), count
+    intersections, join per-doc sizes. Pairs sharing nothing never appear —
+    the cost is Σ_shingle df(shingle)², the classic inverted-index bound, not
+    n². At 100 TB, hot shingles are capped upstream (drop shingles with
+    document frequency above a threshold — stopword-gram suppression).
+    """
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb")
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 32) -> DataFrame:
+    """SimHash fingerprint as an ``n_bits``-char bitstring per document.
+
+    Bit j comes from an independent salted hash (md5('<j>:'||token) — first
+    hex char ≥ '8' means 1), weighted by token frequency (tokens explode with
+    multiplicity). All n_bits sums happen in ONE aggregation — no per-bit
+    shuffle, no row blowup.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    high = list("89abcdef")
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("tok"))), 1, 1).isin(high),
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(n_bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    bitchars = [
+        F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(n_bits)
+    ]
+    return sums.select("doc_id", F.concat(*bitchars).alias("simhash"))

@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real pipelines carry image/audio/video as `binary` columns with metadata
+structs; the decode/feature-extract step runs in Arrow-batched pandas over
+``mapInPandas`` so each Python worker sees columnar batches, not rows.
+
+The image/audio libs are not in this container, so the actual codec call is
+STUBBED (`decode_image` raises NotImplementedError unless a fake decoder is
+requested); the Spark-side plumbing — schema, batch iteration, UDF signature,
+partition behavior — is real and tested. The deterministic fake decoder
+derives "features" from the payload's md5 so the whole path stays
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes int, payload_md5 string, "
+    "width int, height int, format string"
+)
+
+_FORMATS = ["png", "jpeg", "webp"]
+
+
+def to_payload(text: Column) -> Column:
+    """Model an opaque binary column (here: utf-8 bytes of the text)."""
+    return F.encode(text, "UTF-8")
+
+
+def decode_image(payload: bytes) -> dict:
+    """Codec stub — the real implementation needs PIL/ffmpeg, absent here."""
+    raise NotImplementedError(
+        "image/audio codecs are not available in this environment; "
+        "use fake_decode for deterministic tests"
+    )
+
+
+def fake_decode(payload: bytes) -> dict:
+    """Deterministic fake decoder: metadata derived from the payload md5.
+
+    width  = 1 + (ascii of md5 hex char 1) as pixels
+    height = 1 + (ascii of md5 hex char 2)
+    format = _FORMATS[ascii of md5 hex char 3 mod 3]
+    (Spec is mirrored in the oracle SQL via ascii(substr(md5(text), i, 1)).)
+    """
+    h = hashlib.md5(payload).hexdigest()
+    return {
+        "payload_md5": h,
+        "width": 1 + ord(h[0]),
+        "height": 1 + ord(h[1]),
+        "format": _FORMATS[ord(h[2]) % 3],
+    }
+
+
+def decode_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    use_fake: bool = True,
+) -> DataFrame:
+    """Arrow-batched decode: one pandas batch in, one metadata batch out.
+
+    At scale this is the pattern for any codec stage: binary in, small typed
+    struct out, no shuffle — pipeline it right after the scan so the heavy
+    payload column is dropped as early as possible.
+    """
+    decoder = fake_decode if use_fake else decode_image
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decoder(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
+                    "payload_md5": [m["payload_md5"] for m in metas],
+                    "width": [m["width"] for m in metas],
+                    "height": [m["height"] for m in metas],
+                    "format": [m["format"] for m in metas],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)

@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the 100 TB design brief:
+
+- **Exact brute-force cosine** (`cosine_topk`, `blocked_neardup_pairs`):
+  the correctness baseline. Dot products run JVM-side with an exact decimal
+  accumulator so results are bit-deterministic and oracle-checkable.
+- **LSH-bucketed ANN** (`rp_lsh_buckets` + `lsh_topk`): the scale path.
+  Random-hyperplane signatures computed in an Arrow-batched pandas UDF
+  (vectorized numpy matmul per batch), then candidates come from an equi-join
+  on the bucket — at 1000 executors this probes ~1/2^bits of the corpus per
+  query instead of all of it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# decimal(30,12): addition widens to (31,12) — still exact — and is re-cast
+# back each step; a (38,12) accumulator would force Spark to drop to scale 11
+# and lose exactness.
+_DEC = "decimal(30,12)"
+
+
+def dot_exact(a: Column, b: Column) -> Column:
+    """Exact (order-independent) dot product of two float arrays.
+
+    Per-element product in IEEE double (deterministic), snapped to decimal,
+    folded with exact decimal addition — identical in any engine and under
+    any parallelism. JVM-side higher-order functions; no Python.
+    """
+    prods = F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC))
+    return F.aggregate(prods, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC))
+
+
+def norm_sq_exact(a: Column) -> Column:
+    return dot_exact(a, a)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("norm_sq", norm_sq_exact(F.col(vec_col)).cast("double"))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: every query row scored against the corpus.
+
+    The query side is broadcast (queries ≪ corpus by construction), so the
+    corpus is scanned exactly once with no shuffle; the only shuffle is the
+    per-query top-k window. Deterministic tiebreak on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm_sq_exact(F.col(vec_col)).cast("double").alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm_sq_exact(F.col(vec_col)).cast("double").alias("c_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
+                / (F.sqrt("q_norm") * F.sqrt("c_norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def blocked_neardup_pairs(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking-key groups.
+
+    The block equi-join means only same-block pairs are materialized — the
+    blocking key (a cluster id, LSH bucket, shard…) bounds the quadratic term
+    to Σ block_size². One shuffle per side on the block key.
+    """
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.col(vec_col).alias("vec"),
+        norm_sq_exact(F.col(vec_col)).cast("double").alias("nsq"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.round(
+        dot_exact(F.col("a.vec"), F.col("b.vec")).cast("double")
+        / (F.sqrt(F.col("a.nsq")) * F.sqrt(F.col("b.nsq"))),
+        6,
+    )
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.blk").alias("block"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def rp_lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (the ANN scale path).
+
+    Arrow-batched pandas UDF: each batch is one numpy matmul against the
+    (n_bits × dim) hyperplane matrix — vectorized, no per-row Python. The
+    hyperplanes are derived deterministically from the seed so every executor
+    regenerates them identically (no broadcast needed for the matrix itself).
+    """
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    out_schema = schema + ", bucket int"
+
+    def add_bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_bits, dim))
+        weights = 1 << np.arange(n_bits)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(bucket=pd.Series([], dtype="int32"))
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy())
+            bits = (mat @ planes.T) > 0
+            pdf = pdf.copy()
+            pdf["bucket"] = (bits @ weights).astype("int32")
+            yield pdf
+
+    return df.mapInPandas(add_bucket, schema=out_schema)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: bucket both sides with the same hyperplanes, join on the
+    bucket, exact cosine re-rank within candidates.
+
+    vs brute force: candidates per query ≈ corpus / 2^n_bits (times recall
+    multiplier from multi-probe; single-probe here). The bucket join is a
+    plain equi-join → shuffle on a small int key, AQE-coalesced.
+    """
+    qb = rp_lsh_buckets(queries, dim, n_bits, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        "bucket",
+    )
+    cb = rp_lsh_buckets(corpus, dim, n_bits, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "bucket",
+    )
+    cos = F.round(
+        dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
+        / (
+            F.sqrt(norm_sq_exact(F.col("q_vec")).cast("double"))
+            * F.sqrt(norm_sq_exact(F.col("c_vec")).cast("double"))
+        ),
+        6,
+    )
+    scored = (
+        cb.join(qb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
