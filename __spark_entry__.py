@@ -19,14 +19,46 @@ from autonomus_datapipeline_spark import workloads
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    """Flagship: the full medallion engine end-to-end on sf0.001
+    (SURVEY.md §7.3 minimum slice).
 
-    The reference's canonical Gold-layer shape: join + grouped aggregation
-    (SURVEY.md §2.C C8, reference tex:138-139).
+    Ingests orders → Bronze (lineage columns, partitioned parquet), runs a
+    sandboxed Silver chain (C1 filter + C3 bucketing), then a Gold chain
+    (C8 broadcast join + aggregation), and returns the Gold DataFrame.
     """
-    return workloads.QUERY_REGISTRY["market_segment_revenue"].fn(
-        spark, "/root/testdata/sf0.001"
+    import tempfile
+
+    from autonomus_datapipeline_spark.catalog import Catalog
+    from autonomus_datapipeline_spark.engine import Pipeline
+
+    sf_dir = "/root/testdata/sf0.001"
+    warehouse = tempfile.mkdtemp(prefix="adp_flagship_")
+    pipe = Pipeline(spark, Catalog(warehouse), "flagship")
+    pipe.silver_chain.add_step(
+        "filter_bucket",
+        "from pyspark.sql import functions as F\n"
+        "def transform(df, spark):\n"
+        "    bucket = (F.when(F.col('o_totalprice') < 50000, 'small')\n"
+        "               .when(F.col('o_totalprice') < 150000, 'medium')\n"
+        "               .when(F.col('o_totalprice') < 300000, 'large')\n"
+        "               .otherwise('jumbo'))\n"
+        "    return (df.filter(F.col('o_orderstatus') != 'P')\n"
+        "              .withColumn('price_bucket', bucket))\n",
     )
+    pipe.gold_chain.add_step(
+        "segment_agg",
+        "from pyspark.sql import functions as F\n"
+        "def transform(df, spark):\n"
+        f"    cust = spark.read.parquet('{sf_dir}/customer.parquet')\n"
+        "    return (df.join(F.broadcast(cust),\n"
+        "                    df.o_custkey == cust.c_custkey)\n"
+        "              .groupBy('c_mktsegment', 'price_bucket')\n"
+        "              .agg(F.count('*').alias('n_orders'),\n"
+        "                   F.sum('o_totalprice').alias('total_price')))\n",
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    results = pipe.run_all(orders)
+    return spark.read.parquet(results["gold"].path)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

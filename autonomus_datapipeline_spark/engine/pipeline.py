@@ -1,0 +1,136 @@
+"""Medallion pipeline runner: Bronze → Silver → Gold → export.
+
+The reference's end-to-end lifecycle (SURVEY.md §3) re-expressed as one
+programmatic runner (replacing FastAPI endpoints + generated Airflow DAGs,
+reference: dag_generator.py:809-1157 master-chain semantics):
+
+- **Bronze**: file/REST/JDBC source → lineage columns (_ingestion_date,
+  _ingestion_timestamp, _pipeline_id, _schema_version — reference
+  bronze_ingestion.py:190-196) → Parquet APPEND partitioned by
+  _ingestion_date (reference wrote CSV: bronze_ingestion.py:198-206).
+- **Silver / Gold**: read previous layer with its persisted schema → fold
+  the validated transform chain → Parquet overwrite (reference
+  silver_service.py:23-144, gold_service.py:56-161). Gold always reads the
+  latest *Silver* output, never Bronze (reference spark_utils.py:177-238).
+- **Row-count metrics** come from ``df.observe`` — a zero-cost observation
+  on the write job — instead of the reference's extra ``df.count()`` jobs
+  before/after every layer (silver_service.py:80,129; SURVEY.md §4 item 2).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from autonomus_datapipeline_spark.catalog import Catalog
+from autonomus_datapipeline_spark.engine.chain import StepMetric, TransformChain
+
+# Table-name guard (reference gold_service.py:29-39)
+_NAME_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_.]*$")
+
+
+def sanitize_table_name(name: str) -> str:
+    if not _NAME_RE.match(name) or len(name) > 63:
+        raise ValueError(f"invalid table name: {name!r}")
+    return name
+
+
+@dataclass
+class LayerResult:
+    layer: str
+    version: int
+    path: str
+    row_count: int
+    elapsed_s: float
+    step_metrics: list[StepMetric] = field(default_factory=list)
+
+
+class Pipeline:
+    """One named pipeline over a catalog: ingest, transform, export."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog, name: str):
+        self.spark = spark
+        self.catalog = catalog
+        self.name = sanitize_table_name(name)
+        self.silver_chain = TransformChain(f"{name}.silver")
+        self.gold_chain = TransformChain(f"{name}.gold")
+
+    # -- bronze ---------------------------------------------------------------
+
+    def ingest_bronze(
+        self,
+        df: DataFrame,
+        schema_version: int = 1,
+        ingestion_date: str | None = None,
+    ) -> LayerResult:
+        """Append a batch to Bronze with lineage columns.
+
+        Partitioned by _ingestion_date so incremental readers prune to the
+        new partition (the reference partitioned the same way but never
+        filtered on it — reference bronze_ingestion.py:204, SURVEY.md §4).
+        """
+        t0 = time.time()
+        ing_date = ingestion_date or _dt.date.today().isoformat()
+        obs = Observation(f"bronze_{self.name}")
+        lineage = (
+            df.withColumn("_ingestion_date", F.lit(ing_date))
+            .withColumn("_ingestion_timestamp", F.current_timestamp())
+            .withColumn("_pipeline_id", F.lit(self.name))
+            .withColumn("_schema_version", F.lit(schema_version))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+        )
+        version = self.catalog.latest_version("bronze", self.name) or 1
+        path = self.catalog.data_path("bronze", self.name, version)
+        (
+            lineage.write.mode("append")
+            .partitionBy("_ingestion_date")
+            .parquet(path)
+        )
+        rows = int(obs.get["rows"])
+        self.catalog.write_meta(
+            "bronze", self.name, version, lineage.schema,
+            {"last_ingestion_date": ing_date, "last_batch_rows": rows},
+        )
+        return LayerResult("bronze", version, path, rows, round(time.time() - t0, 3))
+
+    # -- silver / gold ----------------------------------------------------------
+
+    def _run_layer(
+        self, layer: str, source_layer: str, chain: TransformChain
+    ) -> LayerResult:
+        t0 = time.time()
+        src = self.catalog.read(self.spark, source_layer, self.name)
+        out, metrics = chain.execute(src, self.spark)
+        obs = Observation(f"{layer}_{self.name}_{time.time_ns()}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+        version = self.catalog.next_version(layer, self.name)
+        path = self.catalog.data_path(layer, self.name, version)
+        out.write.mode("overwrite").parquet(path)
+        rows = int(obs.get["rows"])
+        self.catalog.write_meta(
+            layer, self.name, version, out.schema,
+            {"source_layer": source_layer, "row_count": rows,
+             "steps": [m.name for m in metrics]},
+        )
+        return LayerResult(layer, version, path, rows,
+                           round(time.time() - t0, 3), metrics)
+
+    def run_silver(self) -> LayerResult:
+        return self._run_layer("silver", "bronze", self.silver_chain)
+
+    def run_gold(self) -> LayerResult:
+        """Gold reads the latest Silver output (reference spark_utils.py:177-238)."""
+        return self._run_layer("gold", "silver", self.gold_chain)
+
+    def run_all(self, bronze_df: DataFrame) -> dict[str, LayerResult]:
+        """Master-chain semantics: bronze → silver → gold, fail-fast
+        (reference dag_generator.py:1050-1067)."""
+        results = {"bronze": self.ingest_bronze(bronze_df)}
+        results["silver"] = self.run_silver()
+        results["gold"] = self.run_gold()
+        return results

@@ -1,0 +1,58 @@
+"""Watermarked streaming aggregations (tumbling + session windows).
+
+Capability extension over the reference (SURVEY.md §2.D lists
+sliding/session windows + watermarks as absent). The same expressions run in
+batch — `tumbling_window_1h` / `session_windows_30m` in the workload registry
+are the batch twins these functions are oracle-checked through.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, if ``slide`` given) windowed counts with a
+    watermark bounding state: late rows beyond the watermark are dropped and
+    window state is evicted — mandatory for unbounded streams at scale."""
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), key_col, "n_events"
+        )
+    )
+
+
+def sessionized_counts(
+    stream: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session windows per key (F.session_window) — state closes
+    when the watermark passes session end + gap."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sw"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            key_col,
+            "n_events",
+        )
+    )

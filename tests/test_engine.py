@@ -1,0 +1,205 @@
+"""Engine core: validation, sandbox, transform chain, medallion pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from autonomus_datapipeline_spark.catalog import Catalog
+from autonomus_datapipeline_spark.engine import (
+    Pipeline,
+    TransformChain,
+    compile_transform,
+    dry_run,
+)
+from autonomus_datapipeline_spark.engine.pipeline import sanitize_table_name
+from autonomus_datapipeline_spark.engine.validation import (
+    TransformValidationError,
+    validate_transform_code,
+)
+
+VALID = """
+from pyspark.sql import functions as F
+
+def transform(df, spark):
+    return df.filter(F.col("o_orderstatus") != "P")
+"""
+
+BUCKET = """
+from pyspark.sql import functions as F
+
+def transform(df, spark):
+    bucket = (
+        F.when(F.col("o_totalprice") < 150000, "small").otherwise("large")
+    )
+    return df.withColumn("price_bucket", bucket)
+"""
+
+AGG = """
+from pyspark.sql import functions as F
+
+def transform(df, spark):
+    return df.groupBy("price_bucket").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+"""
+
+
+# -- validation ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "x = 1",  # no transform
+        "def transform(df, spark):\n    df.write.parquet('/x')\n    return df",
+        "import subprocess\ndef transform(df, spark):\n    return df",
+        "def transform(df, spark):\n    eval('1')\n    return df",
+        "def transform(df, spark):\n    open('/etc/passwd')\n    return df",
+        "def transform(df, spark):\n    return spark.read.json('/x')",
+        "def transform(df, spark:\n    return df",  # syntax error
+    ],
+)
+def test_validation_rejects(bad):
+    with pytest.raises(TransformValidationError):
+        validate_transform_code(bad)
+
+
+def test_validation_accepts_lookup_reads():
+    validate_transform_code(
+        "def transform(df, spark):\n"
+        "    ref = spark.read.csv('/data/routes.csv', header=True)\n"
+        "    return df.join(ref, 'FlightNo')\n"
+    )
+
+
+# -- sandbox -------------------------------------------------------------------
+
+
+def test_sandbox_blocks_disallowed_import():
+    fn_code = "import socket\ndef transform(df, spark):\n    return df"
+    with pytest.raises(ImportError):
+        compile_transform(fn_code)
+
+
+def test_sandbox_allows_whitelisted_modules():
+    code = (
+        "import math, re, json\n"
+        "from pyspark.sql import functions as F\n"
+        "def transform(df, spark):\n"
+        "    return df\n"
+    )
+    assert callable(compile_transform(code))
+
+
+def test_dry_run_reports_error_not_raises(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bad = (
+        "from pyspark.sql import functions as F\n"
+        "def transform(df, spark):\n"
+        "    return df.select('no_such_column')\n"
+    )
+    res = dry_run(bad, df, spark)
+    assert not res.ok and "no_such_column" in res.error
+
+
+def test_dry_run_ok(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    res = dry_run(VALID, df, spark)
+    assert res.ok
+    assert len(res.rows) <= 10
+    assert any(f["name"] == "o_orderkey" for f in res.output_schema)
+
+
+# -- chain ---------------------------------------------------------------------
+
+
+def test_chain_versioning_and_rollback():
+    chain = TransformChain("t")
+    chain.add_step("s1", VALID)
+    assert chain.steps["s1"].version == 1
+    chain.add_step("s1", BUCKET)
+    assert chain.steps["s1"].version == 2
+    chain.rollback("s1")
+    assert chain.steps["s1"].code == VALID
+    assert chain.steps["s1"].version == 3
+
+
+def test_chain_order_and_deactivate():
+    chain = TransformChain("t")
+    chain.add_step("a", VALID)
+    chain.add_step("b", BUCKET)
+    chain.reorder(["b", "a"])
+    assert [s.name for s in chain.active_steps()] == ["b", "a"]
+    chain.deactivate("b")
+    assert [s.name for s in chain.active_steps()] == ["a"]
+
+
+# -- pipeline e2e (SURVEY.md §7.3 minimum slice) --------------------------------
+
+
+def test_medallion_end_to_end(spark, sf_dir, tmp_path):
+    catalog = Catalog(str(tmp_path / "warehouse"))
+    pipe = Pipeline(spark, catalog, "orders_pipeline")
+    pipe.silver_chain.add_step("filter", VALID)
+    pipe.silver_chain.add_step("bucket", BUCKET)
+    pipe.gold_chain.add_step("agg", AGG)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dry = pipe.silver_chain.dry_run_all(orders, spark)
+    assert all(r.ok for r in dry.values())
+
+    results = pipe.run_all(orders)
+
+    assert results["bronze"].row_count == orders.count()
+    bronze = catalog.read(spark, "bronze", "orders_pipeline")
+    assert {"_ingestion_date", "_ingestion_timestamp", "_pipeline_id",
+            "_schema_version"} <= set(bronze.columns)
+
+    silver = catalog.read(spark, "silver", "orders_pipeline")
+    assert silver.filter("o_orderstatus = 'P'").count() == 0
+    assert "price_bucket" in silver.columns
+    assert results["silver"].row_count == silver.count()
+
+    gold = catalog.read(spark, "gold", "orders_pipeline")
+    assert set(gold.columns) == {"price_bucket", "n_orders", "total_price"}
+    assert results["gold"].row_count == gold.count() == 2
+
+    # bronze append: second batch lands in a new partition, count doubles
+    r2 = pipe.ingest_bronze(orders, ingestion_date="2026-01-02")
+    assert r2.row_count == orders.count()
+    assert catalog.read(spark, "bronze", "orders_pipeline").count() == 2 * orders.count()
+    # partition pruning on the lineage date column
+    assert (
+        catalog.read(spark, "bronze", "orders_pipeline")
+        .filter("_ingestion_date = '2026-01-02'")
+        .count()
+        == orders.count()
+    )
+
+
+def test_gold_reads_latest_silver_version(spark, sf_dir, tmp_path):
+    catalog = Catalog(str(tmp_path / "wh"))
+    pipe = Pipeline(spark, catalog, "p2")
+    pipe.silver_chain.add_step("filter", VALID)
+    pipe.gold_chain.add_step("agg_all",
+        "from pyspark.sql import functions as F\n"
+        "def transform(df, spark):\n"
+        "    return df.agg(F.count('*').alias('n'))\n")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pipe.ingest_bronze(orders)
+    pipe.run_silver()
+    pipe.silver_chain.add_step("filter", BUCKET)  # v2: no filter, adds bucket
+    pipe.run_silver()
+    assert catalog.latest_version("silver", "p2") == 2
+    gold = pipe.run_gold()
+    n = spark.read.parquet(gold.path).collect()[0]["n"]
+    assert n == orders.count()  # v2 silver (unfiltered) fed gold
+
+
+def test_sanitize_table_name():
+    assert sanitize_table_name("good_name") == "good_name"
+    with pytest.raises(ValueError):
+        sanitize_table_name("bad; drop table")
+    with pytest.raises(ValueError):
+        sanitize_table_name("x" * 64)

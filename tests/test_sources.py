@@ -1,0 +1,135 @@
+"""Sources: file discovery/union, REST pagination + data_key, JDBC options."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from autonomus_datapipeline_spark.sources import (
+    FileSource,
+    RestSource,
+    discover_files,
+    jdbc_reader_options,
+)
+from autonomus_datapipeline_spark.sources.rest import extract_data_key
+
+
+# -- files ---------------------------------------------------------------------
+
+
+def _write_csv(path, header, rows):
+    path.write_text("\n".join([header] + rows) + "\n")
+
+
+def test_discover_files_one_level(tmp_path):
+    _write_csv(tmp_path / "b.csv", "x", ["1"])
+    _write_csv(tmp_path / "a.csv", "x", ["2"])
+    sub = tmp_path / "nested"
+    sub.mkdir()
+    _write_csv(sub / "c.csv", "x", ["3"])
+    (tmp_path / "ignore.txt").write_text("nope")
+    files = discover_files(str(tmp_path), "csv")
+    assert [f.rsplit("/", 1)[1] for f in files] == ["a.csv", "b.csv", "c.csv"]
+
+
+def test_file_source_multi_csv(spark, tmp_path):
+    _write_csv(tmp_path / "a.csv", "id,name", ["1,alpha", "2,beta"])
+    _write_csv(tmp_path / "b.csv", "id,name", ["3,gamma"])
+    df = FileSource(str(tmp_path), "csv").read(spark)
+    assert df.count() == 3
+    assert set(df.columns) == {"id", "name"}
+
+
+def test_file_source_schema_drift_union(spark, tmp_path):
+    _write_csv(tmp_path / "a.csv", "id,name", ["1,alpha"])
+    _write_csv(tmp_path / "b.csv", "id,extra", ["2,zzz"])
+    df = FileSource(str(tmp_path), "csv").read(spark, allow_schema_drift=True)
+    assert set(df.columns) == {"id", "name", "extra"}
+    assert df.count() == 2
+    assert df.filter("name IS NULL").count() == 1
+
+
+def test_file_source_jsonl(spark, tmp_path):
+    p = tmp_path / "data.jsonl"
+    p.write_text("\n".join(json.dumps({"k": i, "v": f"s{i}"}) for i in range(5)))
+    df = FileSource(str(p), "json").read(spark)
+    assert df.count() == 5
+
+
+# -- rest ------------------------------------------------------------------------
+
+
+def test_extract_data_key_paths():
+    payload = {"query": {"recentchanges": [{"a": 1}, {"a": 2}]}}
+    assert extract_data_key(payload, "query.recentchanges") == [{"a": 1}, {"a": 2}]
+    nested = {"data": [{"items": [{"x": 1}]}]}
+    assert extract_data_key(nested, "data[0].items") == [{"x": 1}]
+    assert extract_data_key([{"a": 1}], None) == [{"a": 1}]
+    with pytest.raises(ValueError):
+        extract_data_key({"a": {"b": 1}}, "a.b")
+
+
+def test_rest_source_pagination_and_auth(spark):
+    calls = []
+
+    def fake_fetch(url, method, params, headers, auth, body):
+        calls.append((params.get("page"), headers.get("Authorization")))
+        page = params["page"]
+        n = 3 if page < 3 else 1  # last page short → stop
+        return {
+            "data": [{"id": (page - 1) * 3 + i, "v": f"p{page}"} for i in range(n)]
+        }
+
+    src = RestSource(
+        url="https://api.example.test/items",
+        data_key="data",
+        page_param="page",
+        page_size=3,
+        auth_type="bearer",
+        auth_password_or_token="tok123",
+        fetch_fn=fake_fetch,
+    )
+    records = src.fetch_records()
+    assert len(records) == 7  # 3 + 3 + 1
+    assert calls[0] == (1, "Bearer tok123")
+    assert [c[0] for c in calls] == [1, 2, 3]
+
+    df = src.read(spark)
+    assert df.count() == 7
+
+
+def test_rest_source_single_page_no_pagination():
+    src = RestSource(
+        url="u", fetch_fn=lambda *a: [{"x": 1}], data_key=None
+    )
+    assert src.fetch_records() == [{"x": 1}]
+
+
+# -- jdbc --------------------------------------------------------------------------
+
+
+def test_jdbc_options_partitioned():
+    opts = jdbc_reader_options(
+        url="jdbc:postgresql://h/db",
+        table="t",
+        user="u",
+        password="p",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=16,
+    )
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "16"
+
+
+def test_jdbc_options_validation():
+    with pytest.raises(ValueError):
+        jdbc_reader_options(url="u")  # neither table nor query
+    with pytest.raises(ValueError):
+        jdbc_reader_options(url="u", table="t", query="q")
+    with pytest.raises(ValueError):
+        jdbc_reader_options(url="u", query="q", partition_column="id")
+    with pytest.raises(ValueError):
+        jdbc_reader_options(url="u", table="t", partition_column="id")
