@@ -38,20 +38,43 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(text: Column, n: int) -> Column:
-    """Distinct n-word shingles of a lowercased text column (JVM-side array ops)."""
-    toks = F.split(F.lower(text), r"\s+")
+def word_shingles(toks: Column, n: int) -> Column:
+    """Distinct n-word shingles from a token-array column.
+
+    Two performance rules learned from profiling:
+    - ``F.get`` (O(1) element lookup) instead of ``F.slice`` — slice inside a
+      transform is O(L) per position → O(L²) per document.
+    - ``toks`` must be a materialized column reference, not an inline
+      ``split(...)`` expression: every ``F.get`` reference re-evaluates its
+      child, so an inlined split runs n+1 times per shingle position.
+    ``F.get`` returns NULL (skipped by concat_ws) past the end, matching a
+    clamped slice for texts shorter than n tokens.
+    """
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.get(toks, i + j - 1) for j in range(n)]
+            ),
+        )
     )
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """(id, shingle) rows, one per distinct shingle per document."""
-    return df.select(
+    """(id, shingle) rows, one per distinct shingle per document.
+
+    The tokenizing split lands in its own projection so Catalyst keeps it
+    evaluated once per row (CollapseProject refuses to inline expressions
+    referenced many times).
+    """
+    tk = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("tk"),
+    )
+    return tk.select(
+        "doc_id",
+        F.explode(word_shingles(F.col("tk"), n)).alias("shingle"),
     )
 
 
@@ -93,6 +116,11 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "doc_id", F.explode(bands).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_hash")
+    # The self-join would otherwise recompute the entire shingle→minhash
+    # subtree for each side. The banded table is docs × n_bands rows of
+    # hashes — tiny relative to the corpus — so materialize it once (the
+    # 100 TB analog: persist the signature table before pairing).
+    banded = banded.cache()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
