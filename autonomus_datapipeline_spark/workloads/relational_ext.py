@@ -1,0 +1,270 @@
+"""Extended relational coverage — SURVEY.md §2.D gap operators and the wider
+``pyspark.sql.functions`` surface the reference sanctions wholesale in its
+transform sandbox (reference: backend/app/services/sandbox.py:48-56 admits
+all of pyspark.sql.functions; ai_service.py:30-69).
+
+Semi/anti joins, pivot, CUBE, sliding event-time windows, the ranking-window
+family, string/date scalar functions, and approximate aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from autonomus_datapipeline_spark.workloads.registry import (
+    dsum,
+    load_table,
+    query,
+    sql_dsum,
+)
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "semi_anti_join_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN has_order THEN 1 END) AS n_with_orders,
+           COUNT(CASE WHEN NOT has_order THEN 1 END) AS n_without_orders
+    FROM (
+        SELECT c.c_mktsegment,
+               EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                   AS has_order
+        FROM customer c
+    ) t
+    GROUP BY c_mktsegment
+    """,
+)
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins (EXISTS / NOT EXISTS): customers with and
+    without orders per segment. The anti join is the workhorse of
+    blocklist-style dedup at scale (drop rows whose key appears in a
+    reject set) — one shuffle, no row duplication.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_with_orders"))
+    )
+    without = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_without_orders"))
+    )
+    return (
+        with_orders.join(without, "c_mktsegment", "full_outer")
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_status_counts",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (explicit values keep the plan
+    single-pass; unlisted-value pivot needs an extra distinct job)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["P", "O", "F"])
+        .count()
+        .select(
+            "c_mktsegment",
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cube_event_stats",
+    oracle=f"""
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM events
+    GROUP BY CUBE (event_type, CAST(EXTRACT(hour FROM ts) AS INT))
+    """,
+)
+def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour-of-day) — all four grouping sets in one
+    pass (§2.D gap operator; free in Spark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour_of_day", F.hour("ts"))
+        .cube("event_type", "hour_of_day")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding event-time windows
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sliding_window_6h_1h",
+    oracle="""
+    SELECT window_start, event_type, COUNT(*) AS n_events
+    FROM (
+        SELECT date_trunc('hour', ts) - k * INTERVAL '1 hour' AS window_start,
+               event_type
+        FROM events, range(0, 6) t(k)
+    ) w
+    GROUP BY 1, 2
+    """,
+)
+def sliding_window_6h_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (6h length, 1h slide): each event lands in
+    6 overlapping windows (§2.D — the reference has no sliding windows; the
+    same expression runs under Structured Streaming with a watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranking-window family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_ranking_suite",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           FIRST_VALUE(o_orderkey) OVER w AS biggest_order,
+           LEAD(o_orderkey, 1) OVER w AS next_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_ranking_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile / first_value / lead in one
+    window pass — the full ranking family over a single shuffle+sort."""
+    o = load_table(spark, sf_dir, "orders")
+    # Spark forbids explicit frames on ranking/offset functions; the framed
+    # window is only for first_value. Same shuffle+sort serves both.
+    wo = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.row_number().over(wo).alias("rn"),
+        F.rank().over(wo).alias("rnk"),
+        F.dense_rank().over(wo).alias("drnk"),
+        F.ntile(4).over(wo).alias("quartile"),
+        F.first("o_orderkey").over(wf).alias("biggest_order"),
+        F.lead("o_orderkey", 1).over(wo).alias("next_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# String / date scalar-function suite
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS pri_upper,
+           substr(o_orderpriority, 1, 1) AS pri_code,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded_key,
+           replace(o_orderpriority, '-', '_') AS pri_snake,
+           concat(o_orderstatus, ':', o_orderpriority) AS status_pri,
+           CAST(length(o_orderpriority) AS INT) AS pri_len,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS order_dow,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+    FROM orders
+    """,
+)
+def string_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/date function coverage (the sandbox whitelists ALL of
+    pyspark.sql.functions — this pins the everyday subset): upper, substr,
+    lpad, replace, concat, length, year/month/dayofweek extraction, date
+    arithmetic, month truncation. Pure codegen'd projection.
+
+    Note dow: Spark dayofweek is 1=Sunday; DuckDB EXTRACT(dow) is 0=Sunday —
+    normalized here to DuckDB's convention (dayofweek - 1).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded_key"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit("_")).alias("pri_snake"),
+        F.concat("o_orderstatus", F.lit(":"), "o_orderpriority").alias("status_pri"),
+        F.length("o_orderpriority").alias("pri_len"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates (rows-only: sketch outputs are engine-specific)
+# ---------------------------------------------------------------------------
+
+
+@query("approx_aggregates", oracle=None)
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) + approx_percentile — the 100 TB
+    default for distinct counts and quantiles (bounded error, one pass, no
+    sort). Rows-only check: sketch estimates are engine-specific by design;
+    the exact twins are `distinct_counts` / `quantity_percentiles`."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.percentile_approx("l_quantity", 0.5, 1000).alias("approx_median_qty"),
+        F.percentile_approx("l_extendedprice", 0.95, 1000).alias("approx_p95_price"),
+    )

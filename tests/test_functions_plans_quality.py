@@ -1,0 +1,180 @@
+"""UDF registry (test-case-gated), config-driven pipeline specs, DQ rules."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from autonomus_datapipeline_spark.catalog import Catalog
+from autonomus_datapipeline_spark.engine.quality import DQRule, evaluate_rules
+from autonomus_datapipeline_spark.functions import (
+    UdfRegistry,
+    category_bucket,
+    fahrenheit_to_celsius,
+)
+from autonomus_datapipeline_spark.functions.udf_registry import UdfTestFailure
+from autonomus_datapipeline_spark.plans import PipelineSpec, run_spec
+
+
+# -- column functions ----------------------------------------------------------
+
+
+def test_category_bucket_and_f2c(spark):
+    df = spark.createDataFrame([(10.0,), (45.0,), (75.0,), (212.0,)], ["v"])
+    out = df.select(
+        category_bucket(F.col("v"), [32.0, 100.0], ["cold", "warm", "hot"]).alias("b"),
+        F.round(fahrenheit_to_celsius(F.col("v")), 2).alias("c"),
+    ).collect()
+    assert [r["b"] for r in out] == ["cold", "warm", "warm", "hot"]
+    assert out[3]["c"] == 100.0
+
+
+# -- udf registry -----------------------------------------------------------------
+
+
+UDF_CODE = """
+def title_case(s):
+    if s is None:
+        return None
+    return " ".join(w[:1].upper() + w[1:] for w in s.split(" "))
+"""
+
+
+def test_udf_registration_with_passing_tests(spark):
+    reg = UdfRegistry()
+    reg.register(
+        "title_case",
+        UDF_CODE,
+        "string",
+        test_cases=[
+            {"input": ["hello world"], "expected_output": "Hello World"},
+            {"input": [None], "expected_output": None},
+        ],
+    )
+    assert reg.names() == ["title_case"]
+    df = spark.createDataFrame([("alpha beta",), ("gamma",)], ["t"])
+    out = df.select(reg.as_pandas_udf("title_case")("t").alias("x")).collect()
+    assert [r["x"] for r in out] == ["Alpha Beta", "Gamma"]
+
+    reg.register_with_spark(spark, "title_case")
+    got = spark.sql("SELECT title_case('one two') AS r").collect()[0]["r"]
+    assert got == "One Two"
+
+
+def test_udf_registration_rejects_failing_test():
+    reg = UdfRegistry()
+    with pytest.raises(UdfTestFailure):
+        reg.register(
+            "title_case",
+            UDF_CODE,
+            "string",
+            test_cases=[{"input": ["x y"], "expected_output": "WRONG"}],
+        )
+    assert reg.names() == []
+
+
+def test_udf_sandbox_applies():
+    reg = UdfRegistry()
+    with pytest.raises(ImportError):
+        reg.register("f", "import os\ndef f(x):\n    return x", "string")
+
+
+# -- config-driven pipeline spec ---------------------------------------------------
+
+
+def test_run_spec_end_to_end(spark, tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.csv").write_text("city,temp_f\nOslo,20\nCairo,95\n")
+    (src / "b.csv").write_text("city,temp_f\nQuito,60\n")
+    spec = {
+        "name": "weather",
+        "source": {"kind": "files", "path": str(src), "format": "csv"},
+        "silver": [
+            {
+                "name": "to_celsius",
+                "code": (
+                    "from pyspark.sql import functions as F\n"
+                    "def transform(df, spark):\n"
+                    "    return df.withColumn('temp_c',"
+                    " F.round((F.col('temp_f') - 32) * 5.0 / 9.0, 1))\n"
+                ),
+            }
+        ],
+        "gold": [
+            {
+                "name": "hot_cities",
+                "code": (
+                    "from pyspark.sql import functions as F\n"
+                    "def transform(df, spark):\n"
+                    "    return df.filter(F.col('temp_c') > 10)"
+                    ".select('city', 'temp_c')\n"
+                ),
+            }
+        ],
+    }
+    catalog = Catalog(str(tmp_path / "wh"))
+    results = run_spec(spark, catalog, spec)
+    assert results["bronze"].row_count == 3
+    gold = catalog.read(spark, "gold", "weather")
+    assert {r["city"] for r in gold.collect()} == {"Cairo", "Quito"}
+
+
+def test_spec_from_dict_roundtrip():
+    spec = PipelineSpec.from_dict(
+        {"name": "x", "source": {"kind": "files", "path": "/p"}}
+    )
+    assert spec.name == "x" and spec.silver == [] and spec.export is None
+
+
+# -- data quality --------------------------------------------------------------------
+
+
+def test_dq_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a@x.com", 10.0, dt.datetime(2026, 8, 13, 10, 0, 0)),
+            (2, None, 500.0, dt.datetime(2026, 8, 13, 10, 0, 0)),
+            (2, "bad-email", 50.0, dt.datetime(2020, 1, 1, 0, 0, 0)),
+        ],
+        ["id", "email", "value", "updated_at"],
+    )
+    rules = [
+        DQRule("email_present", "not_null", "email"),
+        DQRule("value_range", "in_range", "value", {"min": 0, "max": 100}),
+        DQRule("email_format", "matches_regex", "email", {"pattern": r"^[^@]+@[^@]+$"}),
+        DQRule("id_unique", "unique", "id"),
+        DQRule(
+            "fresh", "freshness", "updated_at", {"max_age_seconds": 86400 * 365}
+        ),
+    ]
+    now = dt.datetime(2026, 8, 13, 12, 0, 0, tzinfo=dt.timezone.utc)
+    res = {r.rule.name: r for r in evaluate_rules(df, rules, now=now)}
+
+    assert not res["email_present"].passed
+    assert res["email_present"].failure_count == 1
+    assert res["email_present"].failure_samples[0]["id"] == 2
+
+    assert not res["value_range"].passed and res["value_range"].failure_count == 1
+    assert not res["email_format"].passed and res["email_format"].failure_count == 2
+    assert not res["id_unique"].passed and res["id_unique"].failure_count == 1
+    assert not res["fresh"].passed and res["fresh"].failure_count == 1
+
+    ok = evaluate_rules(
+        df.filter("id = 1"),
+        [DQRule("v", "in_range", "value", {"min": 0, "max": 100})],
+    )
+    assert ok[0].passed and ok[0].failure_count == 0
+
+
+def test_dq_accepted_values(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    res = evaluate_rules(
+        orders,
+        [DQRule("status_domain", "accepted_values", "o_orderstatus",
+                {"values": ["P", "O", "F"]})],
+    )
+    assert res[0].passed
