@@ -44,11 +44,22 @@ class StepMetric:
 
 
 class TransformChain:
-    """Ordered, versioned chain of sandboxed transforms."""
+    """Ordered, versioned chain of sandboxed transforms.
 
-    def __init__(self, name: str):
+    Pass ``audit`` (an ``engine.audit.CodeAudit``) to persist every confirmed
+    and rolled-back code version with timestamped filenames — the reference's
+    generated-code audit trail (code_saver.py).
+    """
+
+    def __init__(self, name: str, audit=None):
         self.name = name
         self.steps: dict[str, TransformStep] = {}
+        self.audit = audit
+
+    def _audit(self, kind: str, step_name: str, code: str) -> None:
+        if self.audit is not None:
+            pipeline, _, layer = self.name.partition(".")
+            self.audit.save(pipeline, layer or "chain", step_name, kind, code)
 
     # -- authoring -----------------------------------------------------------
 
@@ -61,12 +72,13 @@ class TransformChain:
             step.code = code
             step.version += 1
             step.active = True
-            return step
-        step = TransformStep(
-            name=name, code=code,
-            order=order if order is not None else len(self.steps),
-        )
-        self.steps[name] = step
+        else:
+            step = TransformStep(
+                name=name, code=code,
+                order=order if order is not None else len(self.steps),
+            )
+            self.steps[name] = step
+        self._audit("confirmed", name, code)
         return step
 
     def rollback(self, name: str) -> TransformStep:
@@ -75,6 +87,7 @@ class TransformChain:
             raise ValueError(f"step {name!r} has no prior version")
         step.code = step.history.pop()
         step.version += 1
+        self._audit("rollback", name, step.code)
         return step
 
     def deactivate(self, name: str) -> None:

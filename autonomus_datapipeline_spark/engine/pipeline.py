@@ -53,12 +53,14 @@ class LayerResult:
 class Pipeline:
     """One named pipeline over a catalog: ingest, transform, export."""
 
-    def __init__(self, spark: SparkSession, catalog: Catalog, name: str):
+    def __init__(
+        self, spark: SparkSession, catalog: Catalog, name: str, audit=None
+    ):
         self.spark = spark
         self.catalog = catalog
         self.name = sanitize_table_name(name)
-        self.silver_chain = TransformChain(f"{name}.silver")
-        self.gold_chain = TransformChain(f"{name}.gold")
+        self.silver_chain = TransformChain(f"{name}.silver", audit=audit)
+        self.gold_chain = TransformChain(f"{name}.gold", audit=audit)
 
     # -- bronze ---------------------------------------------------------------
 

@@ -203,3 +203,29 @@ def test_sanitize_table_name():
         sanitize_table_name("bad; drop table")
     with pytest.raises(ValueError):
         sanitize_table_name("x" * 64)
+
+
+# -- audit trail + preview -------------------------------------------------------
+
+
+def test_code_audit_trail(tmp_path):
+    from autonomus_datapipeline_spark.engine.audit import CodeAudit
+
+    audit = CodeAudit(str(tmp_path / "audit"))
+    chain = TransformChain("pipe.silver", audit=audit)
+    chain.add_step("s1", VALID)
+    chain.add_step("s1", BUCKET)
+    chain.rollback("s1")
+    files = audit.history("pipe", "silver")
+    assert len(files) == 3
+    assert [f.split("_")[3] for f in files] == ["confirmed", "confirmed", "rollback"]
+
+
+def test_preview_json_safe(spark, sf_dir):
+    from autonomus_datapipeline_spark.engine.audit import preview
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = preview(df, n=5)
+    assert len(p["rows"]) == 5
+    assert isinstance(p["rows"][0]["o_orderdate"], str)  # ISO string, not datetime
+    assert any(f["name"] == "o_totalprice" for f in p["schema"])
