@@ -11,4 +11,5 @@ from autonomus_datapipeline_spark.workloads.registry import (  # noqa: F401
 # Importing these modules populates QUERY_REGISTRY via the @query decorator.
 from autonomus_datapipeline_spark.workloads import relational  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import relational_ext  # noqa: F401,E402
+from autonomus_datapipeline_spark.workloads import incremental_ops  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import pipeline_ops  # noqa: F401,E402

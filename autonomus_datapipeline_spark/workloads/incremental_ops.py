@@ -1,0 +1,167 @@
+"""Incremental / semi-structured / skew workload queries.
+
+Covers: JSON column extraction (events.props), SCD keep-latest dedup,
+correlated scalar subqueries, skew-salted aggregation (oracle proves exact
+equivalence with the plain plan), and CDC upsert merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from autonomus_datapipeline_spark.operators import cdc, skew
+from autonomus_datapipeline_spark.workloads.registry import (
+    load_table,
+    query,
+    sql_dsum,
+)
+
+
+@query(
+    "json_props_extract",
+    oracle=f"""
+    SELECT k_bucket,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'sum_value')}
+    FROM (
+        SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket, value
+        FROM events
+    ) t
+    GROUP BY k_bucket
+    """,
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column extraction (events.props is a JSON
+    string). get_json_object stays JVM-side; at scale prefer from_json with
+    an explicit schema once the shape is confirmed (single parse, typed
+    columns)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+        SELECT event_id, user_id, event_type, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-style dedup: keep the latest row per (user, event_type) — the
+    ordered variant of dropDuplicates (which is order-nondeterministic and
+    therefore unsuitable for versioned data). One shuffle + ranking window."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+@query(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           o_totalprice - cust_avg AS above_avg_by
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        FROM orders
+    ) t
+    WHERE o_totalprice > cust_avg
+    """,
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (each order vs its customer's average),
+    decorrelated into a window aggregate — one shuffle instead of a
+    self-join, which is how the pattern must run at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cust_avg = (
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("o_totalprice") - F.col("cust_avg")).alias("above_avg_by"),
+        )
+    )
+
+
+@query(
+    "salted_grouped_count",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase count over a genuinely hot key (5 event types ×
+    ~12k rows each): groupBy(key, salt) → groupBy(key). The oracle is the
+    PLAIN group-count — proving salting changes the physical plan, never the
+    answer."""
+    e = load_table(spark, sf_dir, "events")
+    return skew.salted_count(e, ["event_type"], n_salts=16)
+
+
+@query(
+    "upsert_latest_wins",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, is_update,
+               ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                  ORDER BY o_orderdate DESC, is_update DESC) AS rn
+        FROM (
+            SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate, 0 AS is_update
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey, 'U' AS o_orderstatus,
+                   o_totalprice * 1.1 AS o_totalprice,
+                   o_orderdate + INTERVAL '1 day' AS o_orderdate,
+                   1 AS is_update
+            FROM orders WHERE o_orderkey % 7 = 0
+        ) u
+    ) r WHERE rn = 1
+    """,
+)
+def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert merge: a synthetic updates batch (every 7th order, bumped
+    price ×1.1, +1 day) merged into the base — latest (order_col, update-flag)
+    wins per key. Union + one ranking window: single shuffle, no join."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.date_add(F.col("o_orderdate"), 1).cast("timestamp").alias("o_orderdate"),
+        )
+    )
+    merged = cdc.upsert_latest_wins(o, updates, ["o_orderkey"], ["o_orderdate"])
+    return merged.select("o_orderkey", "o_orderstatus", "o_totalprice")
