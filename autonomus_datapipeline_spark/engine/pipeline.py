@@ -100,6 +100,43 @@ class Pipeline:
         )
         return LayerResult("bronze", version, path, rows, round(time.time() - t0, 3))
 
+    def ingest_files(
+        self,
+        source,
+        schema=None,
+        schema_version: int = 1,
+        ingestion_date: str | None = None,
+    ) -> tuple[LayerResult, list[dict]]:
+        """Bronze-ingest a FileSource with per-file success/skip accounting
+        (reference bronze_ingestion.py:120-176: each file read individually,
+        failures skipped and reported, survivors unioned).
+
+        The per-file probe only touches metadata/first-bytes (schema read),
+        then all readable files go through ONE parallel multi-path scan —
+        not a driver-side union loop.
+        """
+        from pyspark.sql.utils import AnalysisException
+
+        reports: list[dict] = []
+        readable: list[str] = []
+        for f in source.file_list():
+            try:
+                probe = type(source)(path=f, fmt=source.fmt, options=dict(source.options))
+                _ = probe.read(self.spark, schema=schema).schema
+                readable.append(f)
+                reports.append({"file": f, "status": "ok"})
+            except (AnalysisException, Exception) as exc:  # noqa: BLE001
+                reports.append({"file": f, "status": "skipped", "error": str(exc)[:200]})
+        if not readable:
+            raise FileNotFoundError(f"no readable {source.fmt} files under {source.path}")
+        good = type(source)(
+            path=source.path, fmt=source.fmt,
+            options=dict(source.options), files=readable,
+        )
+        df = good.read(self.spark, schema=schema)
+        result = self.ingest_bronze(df, schema_version, ingestion_date)
+        return result, reports
+
     # -- silver / gold ----------------------------------------------------------
 
     def _run_layer(

@@ -70,6 +70,50 @@ def stream_dir_to_bronze(
     return writer.start()
 
 
+def stream_upsert_to_table(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    order_cols: list[str],
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming upsert: each micro-batch is CDC-merged (latest wins per
+    key) into a parquet table via foreachBatch.
+
+    foreachBatch is the escape hatch for sinks without native streaming
+    support; the merge itself is the engine's upsert operator, so batch and
+    streaming share one dedup semantics. The full-table rewrite per batch is
+    the honest parquet limitation — on a real deployment the same code
+    targets a Delta/Iceberg MERGE.
+    """
+    from autonomus_datapipeline_spark.operators.cdc import upsert_latest_wins
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            base = spark.read.parquet(table_path)
+            exists = True
+        except Exception:  # noqa: BLE001 — first batch: table absent
+            exists = False
+        if exists:
+            merged = upsert_latest_wins(base, batch_df, keys, order_cols)
+        else:
+            merged = upsert_latest_wins(
+                batch_df.limit(0), batch_df, keys, order_cols
+            )
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(table_path)
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def kafka_stream(
     spark: SparkSession,
     brokers: str,

@@ -133,3 +133,63 @@ def test_jdbc_options_validation():
         jdbc_reader_options(url="u", query="q", partition_column="id")
     with pytest.raises(ValueError):
         jdbc_reader_options(url="u", table="t", partition_column="id")
+
+
+# -- file-level schema detection ---------------------------------------------------
+
+
+def test_detect_file_schema(spark, tmp_path):
+    from autonomus_datapipeline_spark.inference.detect import detect_file_schema
+
+    _write_csv(tmp_path / "a.csv", "id,amount,flag,when",
+               ['1,"1,234",yes,2024-01-15', '2,"5,000",no,2024-02-20',
+                "3,17,y,2024-03-01"])
+    _write_csv(tmp_path / "b.csv", "id,amount,flag,when", ["4,99,n,2024-04-01"])
+    _write_csv(tmp_path / "drifted.csv", "id,other", ["5,x"])
+    res = detect_file_schema(spark, FileSource(str(tmp_path), "csv"))
+    types = {f.name: f.detected_type for f in res.fields}
+    assert types == {"id": "integer", "amount": "integer",
+                     "flag": "boolean", "when": "date"}
+    assert len(res.compatible_files) == 2
+    assert res.incompatible_files[0]["file"].endswith("drifted.csv")
+    assert 0 < res.confidence < 1
+
+
+def test_detect_records_schema():
+    from autonomus_datapipeline_spark.inference.detect import detect_records_schema
+
+    res = detect_records_schema(
+        [{"a": 1, "b": "x"}, {"a": 2, "b": "y", "c": True}]
+    )
+    types = {f.name: f.detected_type for f in res.fields}
+    assert types == {"a": "integer", "b": "string", "c": "boolean"}
+    assert res.sample_row_count == 2
+
+
+# -- per-file ingestion accounting ----------------------------------------------
+
+
+def test_ingest_files_skips_bad(spark, tmp_path):
+    from autonomus_datapipeline_spark.catalog import Catalog
+    from autonomus_datapipeline_spark.engine import Pipeline
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_csv(src / "good1.csv", "x,y", ["1,2", "3,4"])
+    _write_csv(src / "good2.csv", "x,y", ["5,6"])
+    bad = src / "bad.parquet"
+    bad.write_bytes(b"not a parquet file")
+
+    pipe = Pipeline(spark, Catalog(str(tmp_path / "wh")), "acct")
+    # parquet source pointed at a dir with one corrupt file: skipped, not fatal
+    result, reports = pipe.ingest_files(
+        FileSource(str(src), "csv")
+    )
+    assert result.row_count == 3
+    assert all(r["status"] == "ok" for r in reports)
+
+    from autonomus_datapipeline_spark.sources import FileSource as FS
+    import pytest as _pytest
+    pipe2 = Pipeline(spark, Catalog(str(tmp_path / "wh2")), "acct2")
+    with _pytest.raises(FileNotFoundError):
+        pipe2.ingest_files(FS(str(src), "parquet"))  # only the corrupt parquet

@@ -148,3 +148,37 @@ def test_stateful_running_user_stats(spark, tmp_path):
     }
     assert got[1] == (2, 15.0)
     assert got[2] == (1, 1.0)
+
+
+def test_stream_upsert_to_table(spark, tmp_path):
+    from autonomus_datapipeline_spark.streaming.ingest import stream_upsert_to_table
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("version", T.LongType()),
+    ])
+
+    _write_batch(src, "b1.json", [
+        {"k": 1, "v": "a", "version": 1},
+        {"k": 2, "v": "b", "version": 1},
+    ])
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = stream_upsert_to_table(stream, table, ckpt, ["k"], ["version"])
+    q.awaitTermination(60)
+    assert spark.read.parquet(table).count() == 2
+
+    # second batch: update k=1, insert k=3; k=1's older version must lose
+    _write_batch(src, "b2.json", [
+        {"k": 1, "v": "a2", "version": 2},
+        {"k": 3, "v": "c", "version": 1},
+    ])
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = stream_upsert_to_table(stream, table, ckpt, ["k"], ["version"])
+    q.awaitTermination(60)
+    got = {r["k"]: (r["v"], r["version"]) for r in spark.read.parquet(table).collect()}
+    assert got == {1: ("a2", 2), 2: ("b", 1), 3: ("c", 1)}
