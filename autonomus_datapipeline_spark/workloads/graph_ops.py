@@ -1,0 +1,166 @@
+"""Dedup-clustering workload queries: connected components over near-dup
+candidate pairs (iterative, oracle-checked via recursive CTE) and SimHash
+Hamming-neighbor candidates."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from autonomus_datapipeline_spark.operators import dedup, graph
+from autonomus_datapipeline_spark.workloads import pipeline_ops
+from autonomus_datapipeline_spark.workloads.registry import load_table, query
+
+# ---------------------------------------------------------------------------
+# Connected components over MinHash-LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def _cc_oracle() -> str:
+    # Reuse the minhash pair-generation SQL as CTEs, then transitive closure
+    # via a recursive CTE; component = min reachable node (incl. self).
+    mh_sql = pipeline_ops._minhash_oracle()
+    # strip the leading WITH and the final SELECT: rebuild with pairs as CTE
+    body = mh_sql.strip()
+    assert body.startswith("WITH")
+    with_part, select_part = body.split("SELECT a.doc_id AS doc_a", 1)
+    return f"""
+    {with_part.rstrip().replace("WITH", "WITH RECURSIVE", 1)},
+    pairs AS (
+        SELECT a.doc_id AS doc_a{select_part}
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+    )
+    SELECT node AS doc_id,
+           LEAST(node, MIN(r)) AS component_id
+    FROM reach GROUP BY node
+    """
+
+
+@query("dedup_connected_components", oracle=_cc_oracle())
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the MinHash-LSH candidate
+    graph — every doc in a component is a near-dup of the others;
+    component_id (min doc id) is the canonical representative to keep.
+
+    Iterative join-based min-label propagation (O(diameter) rounds, each a
+    distributed join+agg); oracled by a DuckDB recursive-CTE transitive
+    closure over the identical pair-generation SQL.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", pipeline_ops._MH_SHINGLE)
+    sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
+    pairs = dedup.lsh_candidate_pairs(sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS)
+    return graph.connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-neighbor candidates (block-LSH on the fingerprint)
+# ---------------------------------------------------------------------------
+
+_SH_BITS = 32
+_SH_BLOCKS = 4
+_SH_BLOCK_LEN = _SH_BITS // _SH_BLOCKS
+_SH_MAX_HAMMING = 10
+
+
+def _simhash_pairs_oracle() -> str:
+    sh_sql = pipeline_ops._simhash_oracle().strip()
+    # rsplit: the sums CTE also starts with "SELECT doc_id," — we want the
+    # final projection.
+    with_part, final = sh_sql.rsplit("SELECT doc_id,", 1)
+    hamming = " + ".join(
+        f"(CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(_SH_BITS)
+    )
+    blocks = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {b} AS block_idx, "
+        f"substr(simhash, {b * _SH_BLOCK_LEN + 1}, {_SH_BLOCK_LEN}) AS block FROM fp"
+        for b in range(_SH_BLOCKS)
+    )
+    return f"""
+    {with_part.rstrip()},
+    fp AS (SELECT doc_id, {final}),
+    blocks AS (
+        {blocks}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM blocks x JOIN blocks y
+          ON x.block_idx = y.block_idx AND x.block = y.block
+         AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST({hamming} AS INT) AS hamming
+        FROM cand c
+        JOIN fp a ON a.doc_id = c.doc_a
+        JOIN fp b ON b.doc_id = c.doc_b
+    ) t WHERE hamming <= {_SH_MAX_HAMMING}
+    """
+
+
+@query("simhash_hamming_pairs", oracle=_simhash_pairs_oracle())
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: block the 32-bit fingerprint into 4
+    8-bit substrings (any pair with Hamming ≤ 3 must share a block —
+    pigeonhole), equi-join on (block_idx, block), verify exact Hamming
+    distance (bit_count of XOR), keep ≤ 10.
+
+    Scale: candidate count is bounded by block-bucket occupancy; the verify
+    step is O(1) per candidate (integer XOR+popcount, no text touched).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = dedup.simhash(docs, "doc_id", "text", _SH_BITS).cache()
+    blocks = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.substring(
+                            "simhash", b * _SH_BLOCK_LEN + 1, _SH_BLOCK_LEN
+                        ).alias("block"),
+                    )
+                    for b in range(_SH_BLOCKS)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "blk.block_idx", "blk.block")
+    x, y = blocks.alias("x"), blocks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.block_idx") == F.col("y.block_idx"))
+            & (F.col("x.block") == F.col("y.block"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    to_long = lambda c: F.conv(c, 2, 10).cast("long")  # noqa: E731
+    hamming = F.bit_count(
+        to_long(F.col("sh_a")).bitwiseXOR(to_long(F.col("sh_b")))
+    ).cast("int")
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _SH_MAX_HAMMING)
+    )
