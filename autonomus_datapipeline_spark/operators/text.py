@@ -87,6 +87,48 @@ def normalized_fingerprint(text: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
+def winnowing_fingerprints(
+    df, id_col: str, text_col: str, k: int = 5, w: int = 8
+):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken style,
+    rolling-hash selection): hash every character k-gram, slide a window of
+    w consecutive hashes, keep each window's minimum, dedup per document.
+
+    Near-identical documents share most fingerprints even under local edits
+    — the plagiarism/dedup workhorse. Expressed relationally (explode +
+    window-min + distinct) so it shuffles once on doc_id and is
+    oracle-checkable; the hash is md5 of the k-gram (portable), the window
+    min is the lexicographic min.
+    """
+    from pyspark.sql.window import Window
+
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("t"),
+        (F.length(text_col) - (k - 1)).alias("n_grams"),
+    ).filter(F.length("t") >= k)
+    grams = chars.select(
+        "doc_id",
+        "n_grams",
+        F.posexplode(
+            F.expr(f"transform(sequence(1, length(t) - {k - 1}), i -> substring(t, i, {k}))")
+        ).alias("pos", "gram"),
+    ).select("doc_id", "n_grams", "pos", F.md5("gram").alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.select(
+            "doc_id",
+            "n_grams",
+            "pos",
+            F.min("h").over(win).alias("fingerprint"),
+        )
+        # only full windows: pos is 0-based, window covers [pos, pos+w-1]
+        .filter(F.col("pos") <= F.col("n_grams") - w)
+        .select("doc_id", "fingerprint")
+        .distinct()
+    )
+
+
 def sorted_token_fingerprint(text: Column) -> Column:
     """md5 of the sorted distinct token multiset (OpenRefine-style key
     collision fingerprint): catches token-order shuffles."""

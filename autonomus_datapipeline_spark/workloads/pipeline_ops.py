@@ -437,6 +437,47 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WK, _WW = 5, 8
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               length(text) - {_WK - 1} AS n_grams,
+               i - 1 AS pos,
+               md5(substr(text, CAST(i AS INT), {_WK})) AS h
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, length(text) - {_WK - 1} + 1)) AS i
+            FROM documents WHERE length(text) >= {_WK}
+        ) g
+    ),
+    mins AS (
+        SELECT doc_id, n_grams, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {_WW - 1} FOLLOWING)
+                   AS fingerprint
+        FROM grams
+    )
+    SELECT DISTINCT doc_id, fingerprint
+    FROM mins WHERE pos <= n_grams - {_WW}
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (k=5 char-grams, window w=8):
+    every window of 8 consecutive k-gram hashes contributes its minimum;
+    the distinct set per doc is robust to local edits — the
+    plagiarism-detection / fuzzy-dedup fingerprint.
+
+    Scale: explode + one windowed min + distinct — one shuffle on doc_id
+    plus the dedup shuffle; selection keeps ~2/w of grams.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnowing_fingerprints(docs, "doc_id", "text", _WK, _WW)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary-column plumbing
 # ---------------------------------------------------------------------------
