@@ -72,9 +72,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # timestamp_micros yields a session-TZ-dependent LTZ; pin the session
+        # to UTC for the conversion and land on TIMESTAMP_NTZ so every
+        # downstream truncation/window is timezone-free (and matches DuckDB's
+        # naive TIMESTAMP semantics) regardless of the caller's session TZ.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
