@@ -51,12 +51,13 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
+        # 1-hop: pull the minimum label from graph neighbors
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        hop = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
@@ -64,6 +65,24 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
                 (F.col("nmin") < F.col("label")).alias("_changed"),
+            )
+        )
+        # pointer jumping: follow my label's label (path compression) —
+        # halves remaining path lengths, so total rounds are O(log diameter)
+        # instead of O(diameter)
+        parent = hop.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            hop.join(parent, hop.label == parent.pnode, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
+                (
+                    F.col("_changed") | (F.col("plabel") < F.col("label"))
+                ).alias("_changed"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)

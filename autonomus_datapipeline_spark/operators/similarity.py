@@ -70,16 +70,39 @@ def cosine_topk(
         F.col(vec_col).alias("c_vec"),
         norm_sq_exact(F.col(vec_col)).cast("double").alias("c_norm"),
     )
-    scored = (
+    denom = F.sqrt("q_norm") * F.sqrt("c_norm")
+    # Phase 1: cheap double-fold cosine for every pair, rank, and keep only
+    # pairs that could possibly make the exact top-k. The exact cosine is
+    # rounded to 1e-6 with an id tiebreak, and |fast − exact| < 1e-10, so any
+    # pair within (kth fast value − 2e-6) provably covers every candidate
+    # whose rounded exact value could tie or beat the kth. ~k survivors per
+    # query reach the expensive exact-decimal scoring.
+    fast = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
-            "cosine",
-            F.round(
-                dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
-                / (F.sqrt("q_norm") * F.sqrt("c_norm")),
-                6,
-            ),
+            "cos_fast", dot_fast(F.col("q_vec"), F.col("c_vec")) / denom
         )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_fast"), F.asc("neighbor_id")
+    )
+    ranked = fast.withColumn("rk_fast", F.row_number().over(wf))
+    kth = ranked.filter(F.col("rk_fast") == k).select(
+        "query_id", F.col("cos_fast").alias("kth_fast")
+    )
+    survivors = (
+        ranked.join(F.broadcast(kth), "query_id", "left")
+        .filter(
+            (F.col("rk_fast") <= k)
+            | (F.col("cos_fast") >= F.coalesce(F.col("kth_fast"), F.lit(float("-inf"))) - 2e-6)
+        )
+    )
+    # Phase 2: exact decimal scoring defines the output values and ranks.
+    scored = survivors.withColumn(
+        "cosine",
+        F.round(
+            dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double") / denom, 6
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

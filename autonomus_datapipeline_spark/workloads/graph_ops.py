@@ -158,9 +158,11 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hamming = F.bit_count(
         to_long(F.col("sh_a")).bitwiseXOR(to_long(F.col("sh_b")))
     ).cast("int")
+    # fp is doc-count-sized (tiny next to the candidate pairs) → broadcast
+    # both verify joins so candidates never shuffle.
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
+        cand.join(F.broadcast(fa), "doc_a")
+        .join(F.broadcast(fb), "doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SH_MAX_HAMMING)
     )
