@@ -252,6 +252,46 @@ def string_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Array / higher-order function suite (SURVEY §1.2 capability extension:
+# the reference downgraded complex values to strings; Spark has native
+# ArrayType + higher-order functions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "array_functions_suite",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
+           CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sum_all,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[64] AS DOUBLE) AS last_val
+    FROM (SELECT vec_id, embedding, unnest(embedding) AS e FROM embeddings) t
+    GROUP BY vec_id, embedding
+    """,
+)
+def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native array-column operations (size / element_at / filter / exact
+    fold) — the complex-type support the reference lacked (it stringified
+    lists, SURVEY §1.2). All higher-order functions run JVM-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dec_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double").cast("decimal(30,12)")),
+        F.lit(0).cast("decimal(30,12)"),
+        lambda acc, x: (acc + x).cast("decimal(30,12)"),
+    ).cast("double")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        dec_sum.alias("sum_all"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", 64).cast("double").alias("last_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Approximate aggregates (rows-only: sketch outputs are engine-specific)
 # ---------------------------------------------------------------------------
 

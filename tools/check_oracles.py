@@ -36,9 +36,22 @@ def rowset(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle-check")
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    if vanilla:
+        # replicate the driver: a stock session with none of our confs
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("oracle-check-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
