@@ -13,4 +13,5 @@ from autonomus_datapipeline_spark.workloads import relational  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import relational_ext  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import incremental_ops  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import graph_ops  # noqa: F401,E402
+from autonomus_datapipeline_spark.workloads import text_ops2  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import pipeline_ops  # noqa: F401,E402

@@ -1,0 +1,202 @@
+"""Second batch of training-data text operators: cleaning/masking,
+repetition scoring, deterministic content-hash splits, and a non-equi range
+join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from autonomus_datapipeline_spark.workloads.pipeline_ops import _sql_shingles
+from autonomus_datapipeline_spark.workloads.registry import load_table, query
+
+# ---------------------------------------------------------------------------
+# Text cleaning / masking (regexp pipeline — codegen'd, scan-speed)
+# ---------------------------------------------------------------------------
+
+_URL_RE = r"https?://[^\s]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@query(
+    "text_cleaning",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(text),
+               '{_URL_RE}', '<URL>', 'g'),
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '[0-9]+', '<NUM>', 'g'),
+               '\\s+', ' ', 'g')) AS cleaned,
+           CAST(length(text) - length(regexp_replace(text, '{_URL_RE}', '', 'g'))
+                AS INT) AS url_chars,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS INT) AS n_digits
+    FROM documents
+    """,
+)
+def text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data text normalization: lowercase, URL/email/number masking,
+    whitespace collapse — plus masked-content counters. Pure regexp
+    projection; at 100 TB this is the scan-fused first stage of every text
+    pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower("text"), _URL_RE, "<URL>"),
+                    _EMAIL_RE,
+                    "<EMAIL>",
+                ),
+                r"[0-9]+",
+                "<NUM>",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        (F.length("text") - F.length(F.regexp_replace("text", _URL_RE, ""))).alias(
+            "url_chars"
+        ),
+        (F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))).alias(
+            "n_digits"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (dup n-gram ratio — boilerplate/spam signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "repetition_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+                  FROM documents),
+    all_sh AS (
+        SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS shingle
+        FROM (
+            SELECT doc_id, tk,
+                   unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i
+            FROM toks
+        ) u
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_ngrams,
+           COUNT(DISTINCT shingle) AS n_distinct,
+           1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*) AS repetition_ratio
+    FROM all_sh GROUP BY doc_id
+    """,
+)
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram ratio per document (1 − distinct/total word
+    trigrams) — the standard boilerplate/spam repetition signal. One explode
+    + one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("tk")
+    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size("tk") - 2, F.lit(1)))
+    sh = tk.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", F.get("tk", i - 1), F.get("tk", i), F.get("tk", i + 1)
+                ),
+            )
+        ).alias("shingle"),
+    )
+    return sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_ngrams"),
+        F.countDistinct("shingle").alias("n_distinct"),
+        (1.0 - F.countDistinct("shingle") / F.count("*")).alias("repetition_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic content-hash train/val/test split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "content_hash_split",
+    oracle="""
+    SELECT lang, split, COUNT(*) AS n_docs FROM (
+        SELECT lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT lang,
+                   (ascii(substr(md5(text), 1, 1)) * 256
+                    + ascii(substr(md5(text), 2, 1))) % 100 AS bucket
+            FROM documents
+        ) b
+    ) s
+    GROUP BY lang, split
+    """,
+)
+def content_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment from the content hash
+    (md5-derived bucket mod 100 → 80/10/10): membership is a pure function
+    of the text, so it is stable across runs, engines, and re-shards — the
+    only sane way to split 100 TB corpora. No shuffle except the audit
+    count."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5("text")
+    bucket = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("lang", split.alias("split")).groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Non-equi range join (value bands)
+# ---------------------------------------------------------------------------
+
+_BANDS = [(0.0, 100.0, "low"), (100.0, 250.0, "mid"), (250.0, 400.0, "high"),
+          (400.0, 1e9, "extreme")]
+
+
+@query(
+    "range_join_value_bands",
+    oracle=f"""
+    WITH bands(lo, hi, band) AS (
+        VALUES {", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _BANDS)}
+    )
+    SELECT band, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a small bands dimension. Scale rule:
+    non-equi joins have no hash path — the small side MUST broadcast
+    (BroadcastNestedLoopJoin); a shuffle nested-loop over two big sides is
+    never acceptable. Band dimensions are always tiny, so this is free."""
+    e = load_table(spark, sf_dir, "events")
+    bands = e.sparkSession.createDataFrame(_BANDS, ["lo", "hi", "band"])
+    return (
+        e.join(
+            F.broadcast(bands),
+            (e.value >= bands.lo) & (e.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+    )
