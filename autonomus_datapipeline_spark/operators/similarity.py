@@ -199,7 +199,12 @@ def ivf_topk(
         F.col(vec_col).alias("c_vec"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(corpus_vec)
+    # maxIter=5: IVF cells only need rough Voronoi structure, not converged
+    # centroids — recall is insensitive to late iterations and training cost
+    # dominates this operator.
+    model = KMeans(k=n_clusters, seed=seed, maxIter=5, featuresCol="features").fit(
+        corpus_vec
+    )
     assigned = model.transform(corpus_vec).select(
         "neighbor_id", "c_vec", F.col("prediction").alias("cell")
     )

@@ -1,0 +1,68 @@
+"""Physical-plan regression guards: the scale properties we claim
+(pushdown, broadcast, no cartesian products) asserted on the actual plans —
+so a refactor that silently loses them fails CI, not the 100 TB run."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    df = QUERY_REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q1_pushes_shipdate_filter(spark, sf_dir):
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", plan)
+
+
+def test_q1_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    read = re.search(r"ReadSchema: struct<([^>]*)", plan).group(1)
+    assert "l_orderkey" not in read  # unused columns never leave the scan
+
+
+def test_lookup_join_broadcasts_dimension(spark, sf_dir):
+    plan = plan_of(spark, "brand_quantity_lookup", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_segment_revenue_broadcasts_customer(spark, sf_dir):
+    plan = plan_of(spark, "market_segment_revenue", sf_dir)
+    assert "BroadcastExchange" in plan
+
+
+def test_neardup_has_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "embedding_neardup_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_has_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "ngram_jaccard_top_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "top_orders_by_revenue", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_broadcasts_bands(spark, sf_dir):
+    plan = plan_of(spark, "range_join_value_bands", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["text_quality_scores", "unit_convert_anomaly", "content_hash_split"]
+)
+def test_narrow_text_ops_have_no_join_exchange(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
+    assert "Join" not in plan  # pure scan-speed projections (agg exchange ok)
