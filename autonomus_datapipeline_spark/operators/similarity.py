@@ -199,12 +199,13 @@ def ivf_topk(
         F.col(vec_col).alias("c_vec"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
-    # maxIter=5: IVF cells only need rough Voronoi structure, not converged
-    # centroids — recall is insensitive to late iterations and training cost
-    # dominates this operator.
-    model = KMeans(k=n_clusters, seed=seed, maxIter=5, featuresCol="features").fit(
-        corpus_vec
-    )
+    # IVF cells only need rough Voronoi structure, not converged centroids:
+    # random init + few iterations (k-means|| initialization alone costs more
+    # jobs than the whole training at this budget; recall is insensitive).
+    corpus_vec = corpus_vec.cache()
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=5, initMode="random", featuresCol="features"
+    ).fit(corpus_vec)
     assigned = model.transform(corpus_vec).select(
         "neighbor_id", "c_vec", F.col("prediction").alias("cell")
     )

@@ -296,12 +296,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the clustered scale path next to the LSH one. Rows-only: cluster
     assignments are model-derived, not SQL-expressible.
 
-    Measured recall@5 vs the exact baseline at sf0.01: 0.62 while scanning
-    3/16 of the corpus (the test embeddings are near-random — real clustered
+    Measured recall@5 vs the exact baseline at sf0.01: 0.64 while scanning
+    5/16 of the corpus (the test embeddings are near-random — real clustered
     embeddings fare far better at the same probe count)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(
-        emb.filter(F.col("vec_id") < 10), emb, _ANN_K, n_clusters=16, n_probe=3
+        emb.filter(F.col("vec_id") < 10), emb, _ANN_K, n_clusters=16, n_probe=5
     )
 
 
