@@ -36,6 +36,20 @@ def windowed_counts(
     )
 
 
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (broadcast) dimension — the streaming twin of the reference's
+    routes.csv lookup joins (ai_service.py:44-46). The dim is re-resolved
+    per batch, so slowly-changing dimensions pick up updates without
+    restarting the query."""
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def sessionized_counts(
     stream: DataFrame,
     ts_col: str,

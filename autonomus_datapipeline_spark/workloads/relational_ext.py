@@ -292,6 +292,61 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Statistical aggregates, deterministic (moments via exact decimal sums)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_correlation",
+    oracle="""
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           sy / n AS mean_price,
+           sqrt((n * syy - sy * sy) / (n * (n - 1))) AS stddev_price
+    FROM (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    ) m
+    """,
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + mean + sample stddev per group, built from
+    exact-decimal moment sums combined in double arithmetic — deterministic
+    under any parallelism (built-in corr()/stddev() are summation-order
+    dependent and engine-divergent). One aggregation pass for all moments.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    d = lambda c: c.cast("decimal(38,6)")  # noqa: E731
+    qty, price = F.col("l_quantity"), F.col("l_extendedprice")
+    m = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(d(qty)).cast("double").alias("sx"),
+        F.sum(d(price)).cast("double").alias("sy"),
+        F.sum(d(qty * qty)).cast("double").alias("sxx"),
+        F.sum(d(price * price)).cast("double").alias("syy"),
+        F.sum(d(qty * price)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        ((n * sxy - sx * sy)
+         / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+         ).alias("corr_qty_price"),
+        (sy / n).alias("mean_price"),
+        F.sqrt((n * syy - sy * sy) / (n * (n - 1))).alias("stddev_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Approximate aggregates (rows-only: sketch outputs are engine-specific)
 # ---------------------------------------------------------------------------
 

@@ -182,3 +182,30 @@ def test_stream_upsert_to_table(spark, tmp_path):
     q.awaitTermination(60)
     got = {r["k"]: (r["v"], r["version"]) for r in spark.read.parquet(table).collect()}
     assert got == {1: ("a2", 2), 2: ("b", 1), 3: ("c", 1)}
+
+
+def test_enrich_with_static(spark, tmp_path):
+    from autonomus_datapipeline_spark.streaming import aggregations
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(src, "b.json", [
+        {"sensor_id": "s1", "temperature": 1.0, "ts": "2024-01-01T00:00:00"},
+        {"sensor_id": "s9", "temperature": 2.0, "ts": "2024-01-01T00:01:00"},
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    dim = spark.createDataFrame(
+        [("s1", "lab"), ("s2", "roof")], ["sensor_id", "location"]
+    )
+    out = aggregations.enrich_with_static(stream, dim, "sensor_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["sensor_id"]: r["location"]
+           for r in spark.sql("select * from enriched").collect()}
+    assert got == {"s1": "lab", "s9": None}
