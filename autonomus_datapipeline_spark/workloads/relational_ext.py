@@ -292,6 +292,81 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Histogram (fixed-width buckets, portable arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT bucket,
+           bucket * CAST(25.0 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT CAST(least(floor(value / CAST(25.0 AS DOUBLE)), 19) AS INT) AS bucket
+        FROM events
+    ) t
+    GROUP BY bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (20 buckets of 25.0, top bucket clamps the
+    tail) via portable floor arithmetic — the one-pass distribution profile
+    every DQ/EDA layer needs; map-side combine collapses rows to 20 groups
+    before the shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("int")
+    return (
+        e.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_events"))
+        .select("bucket", (F.col("bucket") * 25.0).alias("bucket_lo"), "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "null_safe_join",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, nullif(event_type, 'error') AS etype FROM events
+    ),
+    d AS (
+        SELECT DISTINCT nullif(event_type, 'error') AS etype,
+               coalesce(nullif(event_type, 'error'), '<null>') AS label
+        FROM events
+    )
+    SELECT label, COUNT(*) AS n_events
+    FROM e JOIN d ON e.etype IS NOT DISTINCT FROM d.etype
+    GROUP BY label
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark `eqNullSafe` ≡ SQL IS NOT DISTINCT
+    FROM): NULL keys match each other instead of dropping — required when a
+    'missing' category is itself a join key (here 'error' is nulled out and
+    still joins to its dimension row)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.nullif("event_type", F.lit("error")).alias("etype")
+    )
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(F.nullif("event_type", F.lit("error")).alias("etype"))
+        .distinct()
+        .withColumn("label", F.coalesce("etype", F.lit("<null>")))
+    )
+    return (
+        e.join(F.broadcast(d), e.etype.eqNullSafe(d.etype))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Statistical aggregates, deterministic (moments via exact decimal sums)
 # ---------------------------------------------------------------------------
 
