@@ -74,6 +74,32 @@ class RestSource:
     page_size: int = 500
     max_pages: int = 100
     fetch_fn: Callable[..., Any] | None = None
+    # TTL response cache — the reference's declared-but-unbuilt api_cache
+    # table (db/init.sql:275-289). Keyed on url+method+params; auth never
+    # enters the key or the cache file.
+    cache_dir: str | None = None
+    cache_ttl_s: float = 300.0
+
+    def _cached_fetch(self, fetch, url, method, params, headers, auth, body):
+        import hashlib
+        import json as _json
+        import os
+        import time
+
+        if self.cache_dir is None:
+            return fetch(url, method, params, headers, auth, body)
+        key = hashlib.md5(
+            _json.dumps([url, method, sorted(params.items())], default=str).encode()
+        ).hexdigest()
+        path = os.path.join(self.cache_dir, f"{key}.json")
+        if os.path.exists(path) and time.time() - os.path.getmtime(path) < self.cache_ttl_s:
+            with open(path) as fh:
+                return _json.load(fh)
+        payload = fetch(url, method, params, headers, auth, body)
+        os.makedirs(self.cache_dir, exist_ok=True)
+        with open(path, "w") as fh:
+            _json.dump(payload, fh)
+        return payload
 
     def _headers_and_auth(self) -> tuple[dict, tuple[str, str] | None]:
         headers = dict(self.headers)
@@ -94,7 +120,9 @@ class RestSource:
                 params[self.page_param] = (
                     page + 1 if self.page_mode == "page" else page * self.page_size
                 )
-            payload = fetch(self.url, self.method, params, headers, auth, self.body)
+            payload = self._cached_fetch(
+                fetch, self.url, self.method, params, headers, auth, self.body
+            )
             batch = extract_data_key(payload, self.data_key)
             records.extend(batch)
             if not self.page_param or len(batch) < self.page_size:

@@ -36,6 +36,30 @@ def windowed_counts(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "1 hour",
+    lower: str = "interval 0 seconds",
+    upper: str = "interval 10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: right rows within
+    [left_ts − upper … left_ts − lower] of a matching key. Both sides carry
+    watermarks so the state store evicts rows once they can no longer match
+    — unbounded-state stream joins are never acceptable at scale."""
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(upper))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") - F.expr(lower))
+    )
+    return lw.join(rw, cond)
+
+
 def enrich_with_static(
     stream: DataFrame,
     dim: DataFrame,

@@ -193,3 +193,22 @@ def test_ingest_files_skips_bad(spark, tmp_path):
     pipe2 = Pipeline(spark, Catalog(str(tmp_path / "wh2")), "acct2")
     with _pytest.raises(FileNotFoundError):
         pipe2.ingest_files(FS(str(src), "parquet"))  # only the corrupt parquet
+
+
+def test_rest_cache_ttl(tmp_path):
+    calls = []
+
+    def fake_fetch(url, method, params, headers, auth, body):
+        calls.append(1)
+        return {"data": [{"x": 1}]}
+
+    src = RestSource(
+        url="u", data_key="data", fetch_fn=fake_fetch,
+        cache_dir=str(tmp_path / "cache"), cache_ttl_s=3600,
+    )
+    assert src.fetch_records() == [{"x": 1}]
+    assert src.fetch_records() == [{"x": 1}]  # served from cache
+    assert len(calls) == 1
+    src.cache_ttl_s = 0  # expired → refetch
+    assert src.fetch_records() == [{"x": 1}]
+    assert len(calls) == 2

@@ -209,3 +209,44 @@ def test_enrich_with_static(spark, tmp_path):
     got = {r["sensor_id"]: r["location"]
            for r in spark.sql("select * from enriched").collect()}
     assert got == {"s1": "lab", "s9": None}
+
+
+def test_interval_join_streams(spark, tmp_path):
+    from autonomus_datapipeline_spark.streaming.aggregations import (
+        interval_join_streams,
+    )
+
+    clicks_dir = tmp_path / "clicks"
+    views_dir = tmp_path / "views"
+    clicks_dir.mkdir(); views_dir.mkdir()
+    click_schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("click_ts", T.TimestampType()),
+    ])
+    view_schema = T.StructType([
+        T.StructField("user", T.StringType()),
+        T.StructField("view_ts", T.TimestampType()),
+        T.StructField("page", T.StringType()),
+    ])
+    _write_batch(clicks_dir, "c.json", [
+        {"user": "u1", "click_ts": "2024-01-01T00:05:00"},
+        {"user": "u2", "click_ts": "2024-01-01T02:00:00"},
+    ])
+    _write_batch(views_dir, "v.json", [
+        {"user": "u1", "view_ts": "2024-01-01T00:01:00", "page": "home"},   # 4 min before u1 click → match
+        {"user": "u1", "view_ts": "2024-01-01T00:04:30", "page": "item"},   # 30s before → match
+        {"user": "u2", "view_ts": "2024-01-01T00:00:00", "page": "home"},   # 2h before u2 click → no match
+    ])
+    clicks = spark.readStream.schema(click_schema).json(str(clicks_dir))
+    views = spark.readStream.schema(view_schema).json(str(views_dir))
+    joined = interval_join_streams(
+        clicks, views, "user", "click_ts", "view_ts",
+        upper="interval 10 minutes",
+    ).select("l.user", "page")
+    q = (
+        joined.writeStream.format("memory").queryName("ij")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    rows = {(r["user"], r["page"]) for r in spark.sql("select * from ij").collect()}
+    assert rows == {("u1", "home"), ("u1", "item")}
