@@ -86,7 +86,20 @@ class Pipeline:
             .withColumn("_schema_version", F.lit(schema_version))
             .observe(obs, F.count(F.lit(1)).alias("rows"))
         )
+        # Schema evolution (SURVEY §7.4): appending a drifted schema into an
+        # existing version would silently corrupt the persisted contract —
+        # instead a drifted batch opens a NEW bronze version directory (the
+        # reference's "re-detection bumps the version" semantics,
+        # routers/schemas.py:126-173). read_bronze_history() unions versions.
         version = self.catalog.latest_version("bronze", self.name) or 1
+        existing = self.catalog.versions("bronze", self.name)
+        if existing:
+            prev = self.catalog.schema_of("bronze", self.name, version)
+            incoming_names = [(f.name, f.dataType.simpleString())
+                              for f in lineage.schema.fields]
+            prev_names = [(f.name, f.dataType.simpleString()) for f in prev.fields]
+            if sorted(incoming_names) != sorted(prev_names):
+                version += 1
         path = self.catalog.data_path("bronze", self.name, version)
         (
             lineage.write.mode("append")
@@ -99,6 +112,19 @@ class Pipeline:
             {"last_ingestion_date": ing_date, "last_batch_rows": rows},
         )
         return LayerResult("bronze", version, path, rows, round(time.time() - t0, 3))
+
+    def read_bronze_history(self) -> DataFrame:
+        """Union ALL bronze schema versions by name (missing columns null) —
+        the cross-version reader for consumers that want full history after
+        schema evolution (A9 unionByName semantics applied across versions)."""
+        versions = self.catalog.versions("bronze", self.name)
+        if not versions:
+            raise FileNotFoundError(f"no bronze table for pipeline {self.name!r}")
+        dfs = [self.catalog.read(self.spark, "bronze", self.name, v) for v in versions]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     def ingest_files(
         self,

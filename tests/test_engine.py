@@ -229,3 +229,30 @@ def test_preview_json_safe(spark, sf_dir):
     assert len(p["rows"]) == 5
     assert isinstance(p["rows"][0]["o_orderdate"], str)  # ISO string, not datetime
     assert any(f["name"] == "o_totalprice" for f in p["schema"])
+
+
+def test_bronze_schema_evolution(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    catalog = Catalog(str(tmp_path / "wh"))
+    pipe = Pipeline(spark, catalog, "evolving")
+    v1 = spark.createDataFrame([(1, "a")], ["id", "name"])
+    r1 = pipe.ingest_bronze(v1, ingestion_date="2026-01-01")
+    assert r1.version == 1
+
+    # same schema → same version (append)
+    r1b = pipe.ingest_bronze(v1, ingestion_date="2026-01-02")
+    assert r1b.version == 1
+    assert catalog.read(spark, "bronze", "evolving").count() == 2
+
+    # drifted schema (new column) → version bump, old version untouched
+    v2 = spark.createDataFrame([(2, "b", 9.5)], ["id", "name", "score"])
+    r2 = pipe.ingest_bronze(v2, ingestion_date="2026-01-03")
+    assert r2.version == 2
+    assert catalog.read(spark, "bronze", "evolving", 1).count() == 2
+    assert catalog.read(spark, "bronze", "evolving", 2).count() == 1
+
+    hist = pipe.read_bronze_history()
+    assert hist.count() == 3
+    assert "score" in hist.columns
+    assert hist.filter(F.col("score").isNull()).count() == 2
