@@ -78,10 +78,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # naive TIMESTAMP semantics) regardless of the caller's session TZ.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        )
+        # idempotent: derived copies of the table may already carry a
+        # converted timestamp column
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
