@@ -137,17 +137,34 @@ def lsh_candidate_pairs(
     )
 
 
+def cap_document_frequency(shingles: DataFrame, max_df: int) -> DataFrame:
+    """Drop shingles appearing in more than ``max_df`` documents — the
+    stopword-gram suppression that bounds the inverted-index join at scale
+    (a shingle with df=d contributes d² join rows; hot grams carry no
+    similarity signal). One count-aggregation + a semi join."""
+    rare = (
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    return shingles.join(rare, "shingle", "left_semi")
+
+
 def ngram_jaccard_pairs(
-    shingles: DataFrame, min_jaccard: float = 0.0
+    shingles: DataFrame, min_jaccard: float = 0.0, max_df: int | None = None
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
 
     Shuffle-parallel: self-equi-join on the shingle (inverted index), count
     intersections, join per-doc sizes. Pairs sharing nothing never appear —
     the cost is Σ_shingle df(shingle)², the classic inverted-index bound, not
-    n². At 100 TB, hot shingles are capped upstream (drop shingles with
-    document frequency above a threshold — stopword-gram suppression).
+    n². ``max_df`` engages :func:`cap_document_frequency` (Jaccard is then
+    computed over the retained shingle sets — both sides of any oracle must
+    apply the same cap).
     """
+    if max_df is not None:
+        shingles = cap_document_frequency(shingles, max_df)
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (

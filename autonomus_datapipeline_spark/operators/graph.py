@@ -20,6 +20,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def keep_representatives(
+    df: DataFrame, components: DataFrame, id_col: str
+) -> DataFrame:
+    """Apply dedup clustering: drop every row whose id belongs to a
+    component but is not its canonical (minimum-id) representative.
+    One broadcast-able anti join — components are near-dup clusters, tiny
+    next to the corpus."""
+    non_reps = components.filter(F.col("node") != F.col("component_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(non_reps, id_col, "left_anti")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

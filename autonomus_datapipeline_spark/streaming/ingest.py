@@ -132,6 +132,16 @@ def kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
+    return parse_kafka_records(raw, value_schema)
+
+
+def parse_kafka_records(
+    raw: DataFrame, value_schema: T.StructType | None = None
+) -> DataFrame:
+    """Kafka record parsing, factored out so it is testable on any DataFrame
+    with the kafka source shape (topic/partition/offset/timestamp/value):
+    metadata columns renamed to the reference's _kafka_* names and the JSON
+    value parsed against an explicit schema (single from_json pass)."""
     out = raw.select(
         F.col("topic").alias("_kafka_topic"),
         F.col("partition").alias("_kafka_partition"),

@@ -64,6 +64,52 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_apply_oracle() -> str:
+    cc = _cc_oracle().strip()
+    with_part, final = cc.rsplit("SELECT node AS doc_id,", 1)
+    return f"""
+    {with_part.rstrip()}
+    , comp AS (
+        SELECT node AS doc_id, {final}
+    )
+    SELECT lang,
+           COUNT(CASE WHEN c.component_id IS NULL OR c.component_id = d.doc_id
+                      THEN 1 END) AS n_kept,
+           COUNT(CASE WHEN c.component_id IS NOT NULL AND c.component_id <> d.doc_id
+                      THEN 1 END) AS n_dropped
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    GROUP BY lang
+    """
+
+
+@query("dedup_apply_minhash", oracle=_dedup_apply_oracle())
+def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline applied: MinHash-LSH candidates → connected
+    components → drop every non-representative member; per-language
+    kept/dropped accounting. This is the operator a user actually runs over
+    a corpus — candidates and clusters are its internals."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", pipeline_ops._MH_SHINGLE)
+    sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
+    pairs = dedup.lsh_candidate_pairs(sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS)
+    comp = graph.connected_components(pairs, "doc_a", "doc_b")
+    kept = graph.keep_representatives(docs, comp, "doc_id")
+    kept_counts = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    dropped_counts = (
+        docs.join(kept.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    return (
+        kept_counts.join(dropped_counts, "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash Hamming-neighbor candidates (block-LSH on the fingerprint)
 # ---------------------------------------------------------------------------

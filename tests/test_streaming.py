@@ -250,3 +250,21 @@ def test_interval_join_streams(spark, tmp_path):
     q.awaitTermination(60)
     rows = {(r["user"], r["page"]) for r in spark.sql("select * from ij").collect()}
     assert rows == {("u1", "home"), ("u1", "item")}
+
+
+def test_parse_kafka_records_static(spark):
+    from autonomus_datapipeline_spark.streaming.ingest import parse_kafka_records
+
+    raw = spark.createDataFrame(
+        [("sensor-readings", 0, 12, "2024-01-01T00:00:00",
+          '{"sensor_id": "s1", "temperature": 71.5}')],
+        ["topic", "partition", "offset", "timestamp", "value"],
+    )
+    schema = T.StructType([
+        T.StructField("sensor_id", T.StringType()),
+        T.StructField("temperature", T.DoubleType()),
+    ])
+    out = parse_kafka_records(raw, schema).collect()[0]
+    assert out["sensor_id"] == "s1" and out["temperature"] == 71.5
+    assert out["_kafka_topic"] == "sensor-readings"
+    assert out["_kafka_offset"] == 12
