@@ -59,6 +59,44 @@ def fake_decode(payload: bytes) -> dict:
     }
 
 
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    use_fake: bool = True,
+) -> DataFrame:
+    """Frame sampling: one binary 'video' payload in → N frame rows out.
+
+    Demonstrates the 1→N mapInPandas shape (row expansion inside an Arrow
+    batch — no explode of materialized frames through the JVM). The real
+    frame extractor (ffmpeg) is stubbed; the deterministic fake emits
+    1 + (payload_bytes mod 4) frames whose ids are md5(payload_md5 || '/i'),
+    so the whole path stays oracle-checkable.
+    """
+    if not use_fake:
+        raise NotImplementedError("ffmpeg is not available in this environment")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                h = hashlib.md5(b).hexdigest()
+                n_frames = 1 + (len(b) % 4)
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(f"{h}/{i}".encode()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def decode_features(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -502,6 +502,30 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(i AS INT) AS frame_idx,
+           md5(md5(text) || '/' || CAST(i AS VARCHAR)) AS frame_md5
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, 1 + strlen(text) % 4)) AS i
+        FROM documents
+    ) t
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary 'video' payloads: 1 payload → N frame rows
+    expanded inside the Arrow batch (mapInPandas), codec stubbed behind a
+    deterministic fake (frame count = 1 + bytes mod 4, frame id =
+    md5(payload_md5 || '/idx'))."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", multimodal.to_payload(F.col("text")).alias("payload")
+    )
+    return multimodal.sample_frames(docs)
+
+
+@query(
     "multimodal_decode_features",
     oracle="""
     SELECT doc_id,

@@ -292,6 +292,34 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Array aggregation (collect_set → sorted array)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "array_agg_order_years",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT)))
+               AS order_years,
+           CAST(len(list(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT))) AS INT)
+               AS n_years
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def array_agg_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: distinct order years per customer as a SORTED
+    array (collect_set is unordered — always sort before emitting an array
+    that anything downstream compares or hashes)."""
+    o = load_table(spark, sf_dir, "orders")
+    years = F.sort_array(F.collect_set(F.year("o_orderdate")))
+    return o.groupBy("o_custkey").agg(
+        years.alias("order_years"),
+        F.size(F.collect_set(F.year("o_orderdate"))).alias("n_years"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Histogram (fixed-width buckets, portable arithmetic)
 # ---------------------------------------------------------------------------
 
