@@ -64,6 +64,56 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ED_PREFIX = 40
+
+
+def _edit_distance_oracle() -> str:
+    mh = pipeline_ops._minhash_oracle().strip()
+    with_part, select_part = mh.split("SELECT a.doc_id AS doc_a", 1)
+    return f"""
+    {with_part.rstrip()},
+    pairs AS (
+        SELECT a.doc_id AS doc_a{select_part}
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(levenshtein(substr(da.text, 1, {_ED_PREFIX}),
+                            substr(db.text, 1, {_ED_PREFIX})) AS INT) AS edit_distance
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    """
+
+
+@query("edit_distance_pairs", oracle=_edit_distance_oracle())
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein verification of LSH candidate pairs (on a 40-char prefix
+    — edit distance is O(len²) per pair, so at scale it only ever runs on
+    LSH-bounded candidates over bounded prefixes, never pairwise on full
+    texts)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, _ED_PREFIX).alias("prefix")
+    )
+    sh = dedup.shingle_table(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text",
+        pipeline_ops._MH_SHINGLE,
+    )
+    sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS
+    ).select("doc_a", "doc_b")
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    return (
+        pairs.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pa", "pb").cast("int").alias("edit_distance"),
+        )
+    )
+
+
 def _dedup_apply_oracle() -> str:
     cc = _cc_oracle().strip()
     with_part, final = cc.rsplit("SELECT node AS doc_id,", 1)
