@@ -127,6 +127,76 @@ def salted_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "zscore_normalize",
+    oracle="""
+    SELECT event_id,
+           (value - mu) / sigma AS value_z
+    FROM (
+        SELECT event_id, value,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                   / COUNT(*) OVER w AS mu,
+               sqrt((COUNT(*) OVER w
+                     * CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                     - CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                       * CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE))
+                    / (CAST(COUNT(*) OVER w AS DOUBLE) * (COUNT(*) OVER w - 1)))
+                   AS sigma
+        FROM events
+        WINDOW w AS (PARTITION BY event_type)
+    ) t
+    """,
+)
+def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score feature normalization ((x − μ)/σ within
+    event_type), with μ/σ built from exact-decimal moment sums so every row
+    is engine-identical. One window pass over the group — the standard ML
+    feature-scaling shape, no collect of per-group stats to the driver."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    sxx = (
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+    )
+    mu = sx / n
+    sigma = F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1)))
+    return e.select(
+        "event_id", ((F.col("value") - mu) / sigma).alias("value_z")
+    )
+
+
+@query(
+    "categorical_encode",
+    oracle="""
+    WITH ids AS (
+        SELECT event_type,
+               CAST(DENSE_RANK() OVER (ORDER BY event_type) - 1 AS INT) AS type_id
+        FROM (SELECT DISTINCT event_type FROM events) d
+    )
+    SELECT e.event_id, e.event_type, ids.type_id
+    FROM events e JOIN ids USING (event_type)
+    """,
+)
+def categorical_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical label encoding: category → contiguous int id via
+    dense_rank over the SORTED distinct values (deterministic, unlike
+    hash-based or first-seen encoders), broadcast-joined back — the
+    distributed StringIndexer shape."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("event_type")
+    ids = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("type_id", (F.dense_rank().over(w) - 1).cast("int"))
+    )
+    return e.join(F.broadcast(ids), "event_type").select(
+        "event_id", "event_type", "type_id"
+    )
+
+
+@query(
     "upsert_latest_wins",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice
