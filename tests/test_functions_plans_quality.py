@@ -178,3 +178,34 @@ def test_dq_accepted_values(spark, sf_dir):
                 {"values": ["P", "O", "F"]})],
     )
     assert res[0].passed
+
+
+# -- CLI surface -------------------------------------------------------------------
+
+
+def test_cli_run_spec_subprocess(tmp_path):
+    import json as _json
+    import subprocess
+    import sys
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "d.csv").write_text("k,v\n1,5\n2,6\n")
+    spec = {
+        "name": "cli_demo",
+        "source": {"kind": "files", "path": str(src), "format": "csv"},
+        "gold": [{"name": "agg", "code": (
+            "from pyspark.sql import functions as F\n"
+            "def transform(df, spark):\n"
+            "    return df.agg(F.sum('v').alias('total'))\n")}],
+    }
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(_json.dumps(spec))
+    proc = subprocess.run(
+        [sys.executable, "-m", "autonomus_datapipeline_spark", "run-spec",
+         str(spec_path), "--warehouse", str(tmp_path / "wh")],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = _json.loads(proc.stdout[proc.stdout.index("{"):])
+    assert out["gold"]["row_count"] == 1
