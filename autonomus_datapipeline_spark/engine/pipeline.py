@@ -69,14 +69,31 @@ class Pipeline:
         df: DataFrame,
         schema_version: int = 1,
         ingestion_date: str | None = None,
+        batch_id: str | None = None,
     ) -> LayerResult:
         """Append a batch to Bronze with lineage columns.
 
         Partitioned by _ingestion_date so incremental readers prune to the
         new partition (the reference partitioned the same way but never
         filtered on it — reference bronze_ingestion.py:204, SURVEY.md §4).
+
+        ``batch_id`` makes the append idempotent: a batch id already recorded
+        in the version's metadata is skipped (row_count=0 result) — the batch
+        twin of the streaming checkpoint's exactly-once re-run behavior, so
+        orchestrator retries never double-ingest.
         """
         t0 = time.time()
+        if batch_id is not None:
+            v = self.catalog.latest_version("bronze", self.name)
+            if v is not None:
+                seen = self.catalog.read_meta("bronze", self.name, v).get(
+                    "ingested_batch_ids", []
+                )
+                if batch_id in seen:
+                    return LayerResult(
+                        "bronze", v, self.catalog.data_path("bronze", self.name, v),
+                        0, round(time.time() - t0, 3),
+                    )
         ing_date = ingestion_date or _dt.date.today().isoformat()
         obs = Observation(f"bronze_{self.name}")
         lineage = (
@@ -107,9 +124,20 @@ class Pipeline:
             .parquet(path)
         )
         rows = int(obs.get["rows"])
+        prior_ids: list[str] = []
+        if version in self.catalog.versions("bronze", self.name):
+            try:
+                prior_ids = self.catalog.read_meta("bronze", self.name, version).get(
+                    "ingested_batch_ids", []
+                )
+            except FileNotFoundError:
+                prior_ids = []
+        if batch_id is not None:
+            prior_ids = [*prior_ids, batch_id]
         self.catalog.write_meta(
             "bronze", self.name, version, lineage.schema,
-            {"last_ingestion_date": ing_date, "last_batch_rows": rows},
+            {"last_ingestion_date": ing_date, "last_batch_rows": rows,
+             "ingested_batch_ids": prior_ids},
         )
         return LayerResult("bronze", version, path, rows, round(time.time() - t0, 3))
 

@@ -55,6 +55,9 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # zstd: ~30% smaller than snappy at similar scan speed — at 100 TB
+        # the storage/IO saving dominates the marginal encode cost
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -36,6 +36,21 @@ def windowed_counts(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen within
+    the watermark horizon (dropDuplicatesWithinWatermark). State is bounded
+    by the watermark — the at-scale contract for dedup-on-ingest (a key
+    recurring after the horizon is a new row by definition)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

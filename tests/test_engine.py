@@ -256,3 +256,19 @@ def test_bronze_schema_evolution(spark, tmp_path):
     assert hist.count() == 3
     assert "score" in hist.columns
     assert hist.filter(F.col("score").isNull()).count() == 2
+
+
+def test_bronze_idempotent_batch_ids(spark, tmp_path):
+    catalog = Catalog(str(tmp_path / "wh"))
+    pipe = Pipeline(spark, catalog, "idem")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    r1 = pipe.ingest_bronze(df, batch_id="batch-001")
+    assert r1.row_count == 2
+    # orchestrator retry with the same batch id → no-op
+    r2 = pipe.ingest_bronze(df, batch_id="batch-001")
+    assert r2.row_count == 0
+    assert catalog.read(spark, "bronze", "idem").count() == 2
+    # a new batch id ingests
+    r3 = pipe.ingest_bronze(df, batch_id="batch-002")
+    assert r3.row_count == 2
+    assert catalog.read(spark, "bronze", "idem").count() == 4

@@ -268,3 +268,24 @@ def test_parse_kafka_records_static(spark):
     assert out["sensor_id"] == "s1" and out["temperature"] == 71.5
     assert out["_kafka_topic"] == "sensor-readings"
     assert out["_kafka_offset"] == 12
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from autonomus_datapipeline_spark.streaming.aggregations import stream_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_batch(src, "b.json", [
+        {"sensor_id": "s1", "temperature": 1.0, "ts": "2024-01-01T00:00:00"},
+        {"sensor_id": "s1", "temperature": 1.0, "ts": "2024-01-01T00:00:30"},  # dup key
+        {"sensor_id": "s2", "temperature": 2.0, "ts": "2024-01-01T00:01:00"},
+    ])
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    deduped = stream_dedup(stream, ["sensor_id"], "ts")
+    q = (
+        deduped.writeStream.format("memory").queryName("sdd")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("select sensor_id from sdd").collect()
+    assert sorted(r["sensor_id"] for r in rows) == ["s1", "s2"]
