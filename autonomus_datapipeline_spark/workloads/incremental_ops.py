@@ -127,6 +127,76 @@ def salted_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "timeseries_gap_fill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS mn, date_trunc('hour', MAX(ts)) AS mx
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS hour_ts
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               {sql_dsum('value', 'sum_value')}
+        FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+        SELECT t.event_type, g.hour_ts, h.sum_value
+        FROM grid g CROSS JOIN types t
+        LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hour_ts = g.hour_ts
+    )
+    SELECT event_type, hour_ts,
+           LAST_VALUE(sum_value IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour_ts
+               ROWS UNBOUNDED PRECEDING) AS value_ffill,
+           sum_value IS NULL AS is_gap
+    FROM joined
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: project hourly sums onto a dense hour grid
+    (min→max) per series and forward-fill gaps (last non-null over the
+    ordered window).
+
+    Scale: the grid is generated (sequence/explode — rows ∝ series × hours,
+    never a data shuffle) and the fill is one ordered window per series key;
+    no driver-side loops, no per-gap lookups.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("mn", "mx", F.expr("interval 1 hour"))
+        ).alias("hour_ts")
+    )
+    types = e.select("event_type").distinct()
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"))
+    joined = (
+        grid.crossJoin(F.broadcast(types))
+        .join(hourly, ["event_type", "hour_ts"], "left")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        "hour_ts",
+        F.last("sum_value", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("sum_value").isNull().alias("is_gap"),
+    )
+
+
+@query(
     "zscore_normalize",
     oracle="""
     SELECT event_id,

@@ -209,3 +209,18 @@ def test_cli_run_spec_subprocess(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = _json.loads(proc.stdout[proc.stdout.index("{"):])
     assert out["gold"]["row_count"] == 1
+
+
+def test_time_delay_seconds(spark):
+    import datetime as _dt
+
+    from autonomus_datapipeline_spark.functions import time_delay_seconds
+
+    df = spark.createDataFrame(
+        [(_dt.datetime(2024, 1, 1, 10, 0, 0), _dt.datetime(2024, 1, 1, 10, 30, 45))],
+        ["scheduled", "actual"],
+    )
+    out = df.select(
+        time_delay_seconds(F.col("actual"), F.col("scheduled")).alias("d")
+    ).collect()[0]["d"]
+    assert out == 30 * 60 + 45
