@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from autonomus_datapipeline_spark.workloads.pipeline_ops import _sql_shingles
 from autonomus_datapipeline_spark.workloads.registry import load_table, query
@@ -117,6 +118,115 @@ def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_ngrams"),
         F.countDistinct("shingle").alias("n_distinct"),
         (1.0 - F.countDistinct("shingle") / F.count("*")).alias("repetition_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: token rarity + TF-IDF keywords
+# ---------------------------------------------------------------------------
+
+_TOK_CTE = f"""
+    toks AS (
+        SELECT doc_id, unnest({{toks_expr}}) AS tok FROM documents
+    ),
+    vocab AS (
+        SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS df
+        FROM toks GROUP BY tok
+    )
+""".format(toks_expr=r"regexp_split_to_array(lower(text), '\s+')")
+
+
+@query(
+    "token_rarity_scores",
+    oracle=f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CAST(cnt AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS mean_token_freq,
+           MIN(cnt) AS rarest_token_freq,
+           CAST(SUM(CASE WHEN cnt < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+    FROM toks JOIN vocab USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level rarity scoring: each document scored by the corpus
+    frequency of its tokens (mean/min/rare-count) — the log-free twin of
+    unigram-LM perplexity scoring, used to flag gibberish (rare-heavy) and
+    boilerplate (common-heavy) docs.
+
+    Scale: one vocabulary aggregation (map-side combined), broadcast back —
+    the vocabulary is Zipf-small relative to the corpus.
+    """
+    e = load_table(spark, sf_dir, "documents")
+    toks = e.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("cnt"), F.countDistinct("doc_id").alias("df")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (F.sum(F.col("cnt").cast("decimal(38,6)")).cast("double") / F.count("*"))
+            .alias("mean_token_freq"),
+            F.min("cnt").alias("rarest_token_freq"),
+            F.sum(F.when(F.col("cnt") < 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_rare"),
+        )
+    )
+
+
+@query(
+    "tfidf_top_keywords",
+    oracle=f"""
+    WITH {_TOK_CTE},
+    n_docs AS (SELECT COUNT(*) AS d FROM documents),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               CAST(tf.tf AS DOUBLE) * (SELECT d FROM n_docs) / vocab.df AS score
+        FROM tf JOIN vocab USING (tok)
+    )
+    SELECT doc_id, tok, score, rk FROM (
+        SELECT doc_id, tok, score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, tok) AS INT) AS rk
+        FROM scored
+    ) r WHERE rk <= 3
+    """,
+)
+def tfidf_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (log-free rational form tf × D/df, which is
+    rank-equivalent to classic tf·idf and engine-exact): top-3 scoring
+    tokens per document with deterministic tiebreak.
+
+    Scale: term-frequency agg + broadcast vocabulary + per-doc top-k window
+    — the standard distributed TF-IDF shape with no driver-side vocabulary.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    scored = tf.join(F.broadcast(vocab), "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf").cast("double") * n_docs / F.col("df")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "score", "rk")
     )
 
 
