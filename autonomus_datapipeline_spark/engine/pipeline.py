@@ -84,11 +84,17 @@ class Pipeline:
         """
         t0 = time.time()
         if batch_id is not None:
-            v = self.catalog.latest_version("bronze", self.name)
-            if v is not None:
-                seen = self.catalog.read_meta("bronze", self.name, v).get(
-                    "ingested_batch_ids", []
-                )
+            # Check against the UNION of batch ids across ALL bronze versions:
+            # schema drift opens a new version directory, and a retried batch
+            # recorded under an earlier version must still be skipped (else
+            # read_bronze_history() double-counts it).
+            for v in self.catalog.versions("bronze", self.name):
+                try:
+                    seen = self.catalog.read_meta("bronze", self.name, v).get(
+                        "ingested_batch_ids", []
+                    )
+                except FileNotFoundError:
+                    continue
                 if batch_id in seen:
                     return LayerResult(
                         "bronze", v, self.catalog.data_path("bronze", self.name, v),
@@ -154,12 +160,18 @@ class Pipeline:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
+    # Above this many files the per-file schema probe (one driver round-trip
+    # each) is skipped by default — at 10^5 files sequential probes dominate
+    # wall-clock while contributing only accounting detail.
+    PROBE_FILE_LIMIT = 256
+
     def ingest_files(
         self,
         source,
         schema=None,
         schema_version: int = 1,
         ingestion_date: str | None = None,
+        per_file_accounting: bool | None = None,
     ) -> tuple[LayerResult, list[dict]]:
         """Bronze-ingest a FileSource with per-file success/skip accounting
         (reference bronze_ingestion.py:120-176: each file read individually,
@@ -168,12 +180,31 @@ class Pipeline:
         The per-file probe only touches metadata/first-bytes (schema read),
         then all readable files go through ONE parallel multi-path scan —
         not a driver-side union loop.
+
+        ``per_file_accounting``: True forces the probe, False skips it; None
+        (default) auto-disables above :attr:`PROBE_FILE_LIMIT` files. With the
+        probe skipped, unreadable files surface at scan time (Spark's
+        ``ignoreCorruptFiles`` can be passed via source options) and the
+        report carries one summary row instead of one per file.
         """
         from pyspark.sql.utils import AnalysisException
 
+        files = source.file_list()
+        if per_file_accounting is None:
+            per_file_accounting = len(files) <= self.PROBE_FILE_LIMIT
+
         reports: list[dict] = []
+        if not per_file_accounting:
+            reports.append({
+                "status": "batch", "n_files": len(files),
+                "note": "per-file probe skipped above PROBE_FILE_LIMIT",
+            })
+            df = source.read(self.spark, schema=schema)
+            result = self.ingest_bronze(df, schema_version, ingestion_date)
+            return result, reports
+
         readable: list[str] = []
-        for f in source.file_list():
+        for f in files:
             try:
                 probe = type(source)(path=f, fmt=source.fmt, options=dict(source.options))
                 _ = probe.read(self.spark, schema=schema).schema

@@ -55,7 +55,10 @@ _SAFE_BUILTIN_NAMES = [
 
 
 def _safe_import(name: str, *args: Any, **kwargs: Any):
-    if not name.startswith(ALLOWED_IMPORT_PREFIXES):
+    # Match whole dotted-module segments, not raw string prefixes: a bare
+    # startswith would let "requests" ride in on the "re" prefix (and
+    # "resource", "jsonpickle", "stringprep", ... likewise).
+    if not any(name == p or name.startswith(p + ".") for p in ALLOWED_IMPORT_PREFIXES):
         raise ImportError(f"import of {name!r} is not allowed in transforms")
     return _builtins.__import__(name, *args, **kwargs)
 

@@ -25,13 +25,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _null_safe_key(key_cols: list[str]) -> Column:
+    """Prefix-free null-safe content key over ``key_cols``.
+
+    A plain ``concat_ws`` skips NULLs — ('a', NULL) and (NULL, 'a') would
+    hash identically — and an embedded separator byte could collide across
+    column boundaries. Encode each column as ``'n'`` (NULL) or
+    ``'v' || md5(value)`` (fixed 33 chars), which is prefix-free and
+    unambiguous to decode, then md5 the concatenation.
+    """
+    parts = [
+        F.when(F.col(c).isNull(), F.lit("n")).otherwise(
+            F.concat(F.lit("v"), F.md5(F.col(c).cast("string")))
+        )
+        for c in key_cols
+    ]
+    return F.md5(F.concat(*parts))
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup: keep the lowest-id row per duplicate group.
 
     Hash-groupBy on the content key — one shuffle, map-side partial agg.
-    Returns (content md5, kept id, group size).
+    Returns (content md5, kept id, group size). The key is null-safe and
+    separator-collision-free (see :func:`_null_safe_key`).
     """
-    content = F.md5(F.concat_ws("\x1f", *[F.col(c) for c in key_cols]))
+    content = _null_safe_key(key_cols)
     return df.groupBy(content.alias("content_hash")).agg(
         F.min(id_col).alias("kept_id"),
         F.count("*").alias("n_copies"),

@@ -78,7 +78,10 @@ class FileSource:
         if not files:
             raise FileNotFoundError(f"no {self.fmt} files under {self.path}")
         if not allow_schema_drift:
-            return getattr(self._reader(spark, schema), self.fmt)(files)
+            # .format().load(list) — the one multi-path entry point that is
+            # uniform across formats (DataFrameReader.parquet() is varargs and
+            # silently mishandles a list argument).
+            return self._reader(spark, schema).format(self.fmt).load(files)
         dfs = [getattr(self._reader(spark, schema), self.fmt)(f) for f in files]
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs

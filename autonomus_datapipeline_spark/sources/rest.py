@@ -75,10 +75,21 @@ class RestSource:
     max_pages: int = 100
     fetch_fn: Callable[..., Any] | None = None
     # TTL response cache — the reference's declared-but-unbuilt api_cache
-    # table (db/init.sql:275-289). Keyed on url+method+params; auth never
+    # table (db/init.sql:275-289). Keyed on url+method+params+body plus an
+    # auth *fingerprint* (never the credential itself), so two POSTs with
+    # different bodies — or the same request under different credentials —
+    # can never serve each other's cached payloads. Plaintext auth never
     # enters the key or the cache file.
     cache_dir: str | None = None
     cache_ttl_s: float = 300.0
+
+    def _auth_fingerprint(self) -> str:
+        import hashlib
+
+        material = "|".join(
+            str(x) for x in (self.auth_type, self.auth_user, self.auth_password_or_token)
+        )
+        return hashlib.sha256(material.encode()).hexdigest()[:16]
 
     def _cached_fetch(self, fetch, url, method, params, headers, auth, body):
         import hashlib
@@ -89,7 +100,10 @@ class RestSource:
         if self.cache_dir is None:
             return fetch(url, method, params, headers, auth, body)
         key = hashlib.md5(
-            _json.dumps([url, method, sorted(params.items())], default=str).encode()
+            _json.dumps(
+                [url, method, sorted(params.items()), body, self._auth_fingerprint()],
+                default=str,
+            ).encode()
         ).hexdigest()
         path = os.path.join(self.cache_dir, f"{key}.json")
         if os.path.exists(path) and time.time() - os.path.getmtime(path) < self.cache_ttl_s:

@@ -48,17 +48,19 @@ def _sql_shingles(n: int) -> str:
 @query(
     "dedup_exact",
     oracle="""
-    SELECT md5(text) AS content_hash,
+    SELECT md5(CASE WHEN text IS NULL THEN 'n' ELSE 'v' || md5(text) END)
+               AS content_hash,
            MIN(doc_id) AS kept_id,
            COUNT(*) AS n_copies
     FROM documents GROUP BY 1
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact deduplication: md5 content hash → keep lowest doc_id.
+    """Exact deduplication: null-safe md5 content hash → keep lowest doc_id.
 
     Scale: one hash-shuffle; the md5 is computed map-side and the groupBy
-    partially aggregates before the exchange.
+    partially aggregates before the exchange. The oracle mirrors the
+    prefix-free null-safe key encoding ('n' | 'v'||md5(col)).
     """
     docs = load_table(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs, ["text"], "doc_id")

@@ -71,19 +71,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TimestampType — a narrow, codegen'd projection with zero scan overhead.
     """
     if name == "events":
+        # Without this flag Spark cannot read a TIMESTAMP(NANOS) parquet
+        # column at all (hard AnalysisException), so setting it session-wide
+        # turns an error into a long — it cannot change the semantics of any
+        # query that worked without it. The session time zone is NOT touched:
+        # the nanos→NTZ conversion below is built from an NTZ epoch literal
+        # via timestampadd, which is session-TZ-independent by construction.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros yields a session-TZ-dependent LTZ; pin the session
-        # to UTC for the conversion and land on TIMESTAMP_NTZ so every
-        # downstream truncation/window is timezone-free (and matches DuckDB's
-        # naive TIMESTAMP semantics) regardless of the caller's session TZ.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         # idempotent: derived copies of the table may already carry a
         # converted timestamp column
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts",
-                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
             )
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

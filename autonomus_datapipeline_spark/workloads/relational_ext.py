@@ -300,8 +300,9 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_order_years",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT)))
-               AS order_years,
+           array_to_string(
+               list_sort(list(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT))),
+               ',') AS order_years_csv,
            CAST(len(list(DISTINCT CAST(EXTRACT(year FROM o_orderdate) AS INT))) AS INT)
                AS n_years
     FROM orders GROUP BY o_custkey
@@ -310,11 +311,17 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_agg_order_years(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: distinct order years per customer as a SORTED
     array (collect_set is unordered — always sort before emitting an array
-    that anything downstream compares or hashes)."""
+    that anything downstream compares or hashes).
+
+    The sorted array is emitted in a portable scalar form
+    (``concat_ws(",", ...)``) so downstream row-hash comparators that cannot
+    hash list cells (e.g. pandas-based canonicalizers) still get a hard
+    value check; the array itself stays available upstream of the select.
+    """
     o = load_table(spark, sf_dir, "orders")
     years = F.sort_array(F.collect_set(F.year("o_orderdate")))
     return o.groupBy("o_custkey").agg(
-        years.alias("order_years"),
+        F.concat_ws(",", years).alias("order_years_csv"),
         F.size(F.collect_set(F.year("o_orderdate"))).alias("n_years"),
     )
 

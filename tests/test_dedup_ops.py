@@ -7,6 +7,25 @@ from pyspark.sql import functions as F
 from autonomus_datapipeline_spark.operators import dedup, graph
 
 
+def test_exact_dedup_null_safe_keys(spark):
+    # ('a', NULL) vs (NULL, 'a') must hash to DIFFERENT groups, and an
+    # embedded separator-ish byte must not collide across column boundaries.
+    df = spark.createDataFrame(
+        [
+            (1, "a", None),
+            (2, None, "a"),
+            (3, "a\x1fb", "c"),
+            (4, "a", "b\x1fc"),
+            (5, "a", None),  # true duplicate of row 1
+        ],
+        ["id", "c1", "c2"],
+    )
+    out = dedup.exact_dedup(df, ["c1", "c2"], "id").collect()
+    assert len(out) == 4  # rows 1&5 merge; 2, 3, 4 all distinct
+    merged = [r for r in out if r["n_copies"] == 2]
+    assert len(merged) == 1 and merged[0]["kept_id"] == 1
+
+
 def test_cap_document_frequency(spark):
     docs = spark.createDataFrame(
         [(i, "common common " + f"unique{i} token{i}") for i in range(6)],

@@ -82,6 +82,16 @@ def test_sandbox_blocks_disallowed_import():
         compile_transform(fn_code)
 
 
+@pytest.mark.parametrize("mod", ["requests", "resource", "jsonpickle", "stringprep"])
+def test_sandbox_blocks_prefix_riding_imports(mod):
+    # 'requests' must not ride in on the 're' prefix (nor 'resource',
+    # 'jsonpickle' on 'json', 'stringprep' on 'string') — whitelist matching
+    # is per whole dotted segment.
+    fn_code = f"import {mod}\ndef transform(df, spark):\n    return df"
+    with pytest.raises(ImportError):
+        compile_transform(fn_code)
+
+
 def test_sandbox_allows_whitelisted_modules():
     code = (
         "import math, re, json\n"
@@ -272,3 +282,62 @@ def test_bronze_idempotent_batch_ids(spark, tmp_path):
     r3 = pipe.ingest_bronze(df, batch_id="batch-002")
     assert r3.row_count == 2
     assert catalog.read(spark, "bronze", "idem").count() == 4
+
+
+def test_bronze_idempotency_survives_schema_drift(spark, tmp_path):
+    # A retried batch id recorded under an EARLIER bronze version must still
+    # be skipped after schema drift opened a new version directory.
+    catalog = Catalog(str(tmp_path / "wh"))
+    pipe = Pipeline(spark, catalog, "idemdrift")
+    v1 = spark.createDataFrame([(1, "a")], ["id", "v"])
+    assert pipe.ingest_bronze(v1, batch_id="b1").row_count == 1
+    # drifted schema → version 2
+    v2 = spark.createDataFrame([(2, "b", 1.5)], ["id", "v", "score"])
+    r2 = pipe.ingest_bronze(v2, batch_id="b2")
+    assert r2.version == 2
+    # retry of b1 (recorded under version 1) must be a no-op
+    assert pipe.ingest_bronze(v1, batch_id="b1").row_count == 0
+    assert pipe.read_bronze_history().count() == 2
+
+
+def test_ingest_files_batch_mode_skips_per_file_probe(spark, tmp_path):
+    # Above PROBE_FILE_LIMIT (or with per_file_accounting=False) the driver
+    # must not issue one schema probe per file — one summary report row, one
+    # multi-path scan.
+    from autonomus_datapipeline_spark.sources import FileSource
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    tbl = pa.table({"id": [1, 2], "v": ["a", "b"]})
+    for i in range(3):
+        pq.write_table(tbl, str(src_dir / f"part{i}.parquet"))
+    pipe = Pipeline(spark, Catalog(str(tmp_path / "wh")), "bulk")
+    result, reports = pipe.ingest_files(
+        FileSource(str(src_dir), "parquet"), per_file_accounting=False
+    )
+    assert result.row_count == 6
+    assert len(reports) == 1 and reports[0]["status"] == "batch"
+    assert reports[0]["n_files"] == 3
+
+
+def test_load_table_events_does_not_mutate_session_tz(spark, sf_dir):
+    from autonomus_datapipeline_spark.workloads.registry import load_table
+
+    before = spark.conf.get("spark.sql.session.timeZone", None)
+    df = load_table(spark, sf_dir, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    assert spark.conf.get("spark.sql.session.timeZone", None) == before
+    # and the conversion itself is session-TZ-independent
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        tokyo_first = load_table(spark, sf_dir, "events").orderBy("ts").first()["ts"]
+    finally:
+        if before is None:
+            spark.conf.unset("spark.sql.session.timeZone")
+        else:
+            spark.conf.set("spark.sql.session.timeZone", before)
+    utc_first = load_table(spark, sf_dir, "events").orderBy("ts").first()["ts"]
+    assert tokyo_first == utc_first

@@ -212,3 +212,29 @@ def test_rest_cache_ttl(tmp_path):
     src.cache_ttl_s = 0  # expired → refetch
     assert src.fetch_records() == [{"x": 1}]
     assert len(calls) == 2
+
+
+def test_rest_cache_key_includes_body_and_auth(tmp_path):
+    # Two POSTs with different bodies — or the same request under different
+    # credentials — must not serve each other's cached payloads.
+    def make_fetch(tag, calls):
+        def fetch(url, method, params, headers, auth, body):
+            calls.append(1)
+            return {"data": [{"who": tag}]}
+        return fetch
+
+    cache = str(tmp_path / "cache")
+    calls_a, calls_b, calls_c = [], [], []
+    a = RestSource(url="u", method="POST", body={"q": 1}, data_key="data",
+                   fetch_fn=make_fetch("a", calls_a), cache_dir=cache)
+    b = RestSource(url="u", method="POST", body={"q": 2}, data_key="data",
+                   fetch_fn=make_fetch("b", calls_b), cache_dir=cache)
+    c = RestSource(url="u", method="POST", body={"q": 1}, data_key="data",
+                   auth_type="bearer", auth_password_or_token="tok-c",
+                   fetch_fn=make_fetch("c", calls_c), cache_dir=cache)
+    assert a.fetch_records() == [{"who": "a"}]
+    assert b.fetch_records() == [{"who": "b"}]     # different body → own entry
+    assert c.fetch_records() == [{"who": "c"}]     # different auth → own entry
+    assert len(calls_a) == len(calls_b) == len(calls_c) == 1
+    assert a.fetch_records() == [{"who": "a"}]     # still cached per-identity
+    assert len(calls_a) == 1
