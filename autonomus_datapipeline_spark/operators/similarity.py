@@ -256,6 +256,191 @@ def ivf_topk(
     )
 
 
+def md5_hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random-hyperplane matrix derived from md5 — portable by
+    construction: any engine (or an oracle SQL string) can embed the exact
+    same literals, so LSH buckets become engine-reproducible.
+
+    Each weight is ``((md5int % 1024) - 512 + 0.5) / 1024`` — an odd multiple
+    of 2^-11 in [-0.5, 0.5), exactly representable in binary floating point,
+    so its shortest-roundtrip decimal repr parses back to the identical
+    double everywhere.
+    """
+    import hashlib
+
+    return [
+        [
+            (
+                (int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:8], 16) % 1024)
+                - 512
+                + 0.5
+            )
+            / 1024.0
+            for d in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def portable_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """RP-LSH bucket id as a JVM column expression over literal hyperplanes.
+
+    Bit j is the sign of the EXACT-decimal dot product with plane j, so the
+    bucket assignment is bit-identical across engines and partitionings —
+    the property that makes :func:`lsh_topk_portable` oracle-checkable. All
+    n_bits dots are evaluated in one codegen'd projection.
+    """
+    total = F.lit(0)
+    for j, row in enumerate(planes):
+        plane = F.array(*[F.lit(w) for w in row])
+        bit = F.when(dot_exact(vec_col, plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        total = total + bit
+    return total.cast("int")
+
+
+def lsh_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic twin of :func:`lsh_topk`: same bucket-join + Hamming-1
+    multi-probe + exact re-rank shape, but hyperplanes are md5-derived
+    literals and bucket signs use exact decimal dots — fully replayable in
+    ANSI SQL, so the whole ANN path gets a hard oracle check (the numpy
+    variant keeps the high-dim scale role; this one proves the semantics).
+    """
+    n_bits = len(planes)
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        portable_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    qb = qb.select(
+        "query_id",
+        "q_vec",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+            )
+        ).alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        portable_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    cos = F.round(
+        dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
+        / (
+            F.sqrt(norm_sq_exact(F.col("q_vec")).cast("double"))
+            * F.sqrt(norm_sq_exact(F.col("c_vec")).cast("double"))
+        ),
+        6,
+    )
+    scored = (
+        cb.join(qb, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def dist_sq_exact(a: Column, b: Column) -> Column:
+    """Exact (order-independent) squared Euclidean distance.
+
+    Per-element (x−y)² stays in IEEE double — deterministic for given
+    inputs in any engine — then snaps to decimal and sums exactly, so cell
+    assignments that compare these distances are engine-reproducible.
+    """
+    sq = F.zip_with(
+        a,
+        b,
+        lambda x, y: ((x.cast("double") - y.cast("double"))
+                      * (x.cast("double") - y.cast("double"))).cast(_DEC),
+    )
+    return F.aggregate(sq, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC))
+
+
+def ivf_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    n_probe: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic IVF twin of :func:`ivf_topk`: seed centroids are the
+    ``n_cells`` corpus vectors with the smallest md5(id) — a deterministic
+    pseudo-random sample any engine can reproduce — and assignments use
+    exact-decimal distances. Same probe + exact-re-rank semantics as the
+    KMeans path, but fully oracle-checkable.
+
+    Scale: seed pick compiles to TakeOrderedAndProject (no global sort);
+    the 16-row seed table is broadcast against one corpus scan; per-query
+    candidate work is ~n_probe/n_cells of the corpus.
+    """
+    seeds = (
+        corpus.select(
+            F.col(id_col).alias("cell_id"),
+            F.col(vec_col).alias("cvec"),
+            F.md5(F.col(id_col).cast("string")).alias("ck"),
+        )
+        .orderBy("ck", "cell_id")
+        .limit(n_cells)
+        .drop("ck")
+    )
+    d2 = dist_sq_exact(F.col("vec"), F.col("cvec"))
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell_id"))
+    )
+
+    def nearest_cells(df: DataFrame, n: int) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+            .crossJoin(F.broadcast(seeds))
+            .withColumn("d2", d2)
+            .withColumn("rn", rn)
+            .filter(F.col("rn") <= n)
+            .select("id", "vec", "cell_id")
+        )
+
+    assigned = nearest_cells(corpus, 1).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell_id"
+    )
+    probes = nearest_cells(queries, n_probe).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "cell_id"
+    )
+    cos = F.round(
+        dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
+        / (
+            F.sqrt(norm_sq_exact(F.col("q_vec")).cast("double"))
+            * F.sqrt(norm_sq_exact(F.col("c_vec")).cast("double"))
+        ),
+        6,
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def rp_lsh_buckets(
     df: DataFrame,
     dim: int,

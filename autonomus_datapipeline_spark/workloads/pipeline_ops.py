@@ -163,6 +163,50 @@ def ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_JAC_TOPK)
 
 
+_JAC_MAX_DF = 25
+
+
+@query(
+    "ngram_jaccard_capped",
+    oracle=f"""
+    WITH {_sql_shingles(_JAC_SHINGLE)},
+    rare AS (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= {_JAC_MAX_DF}
+    ),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT {_JAC_TOPK}
+    """,
+)
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-shaped n-gram Jaccard: document-frequency cap engaged
+    (max_df={25}), so stopword shingles with df=d never contribute d² rows to
+    the inverted-index join. This — not the uncapped variant — is the plan
+    you run at 100 TB; Jaccard is computed over the retained shingle sets on
+    BOTH sides (operator and oracle apply the identical cap).
+
+    Scale: one extra count-agg + semi-join before the pair join; the cap
+    bounds the join to Σ min(df, max_df)².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", _JAC_SHINGLE)
+    pairs = dedup.ngram_jaccard_pairs(sh, max_df=_JAC_MAX_DF)
+    return pairs.orderBy(
+        F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b")
+    ).limit(_JAC_TOPK)
+
+
 # ---------------------------------------------------------------------------
 # SimHash fingerprints
 # ---------------------------------------------------------------------------
@@ -294,9 +338,11 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("ann_ivf_topk", oracle=None)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: KMeans cells (MLlib, fixed seed) + 3-probe exact re-rank —
-    the clustered scale path next to the LSH one. Rows-only: cluster
-    assignments are model-derived, not SQL-expressible.
+    """IVF ANN: KMeans cells (MLlib, fixed seed) + 5-probe exact re-rank —
+    the clustered scale path next to the LSH one. Rows-only: KMeans cluster
+    assignments are DATA-dependent (the one genuinely non-SQL-replayable
+    piece) — the deterministic-seed twin `ann_ivf_portable_topk` carries the
+    hard oracle check for the IVF probe/re-rank semantics.
 
     Measured recall@5 vs the exact baseline at sf0.01: 0.64 while scanning
     5/16 of the corpus (the test embeddings are near-random — real clustered
@@ -307,21 +353,256 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_topk", oracle=None)
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via random-hyperplane LSH buckets (numpy pandas-UDF
-    signatures, equi-join on bucket with Hamming-1 multi-probe, exact
-    re-rank inside the candidates).
+# -- deterministic, oracle-replayable ANN twins ------------------------------
+#
+# The hyperplanes are md5-derived double literals generated by the same
+# Python code that builds the oracle SQL, and every dot/distance goes through
+# the exact-decimal accumulator — so LSH buckets, IVF cell assignments,
+# candidate sets, and re-ranked top-k are bit-identical between Spark and
+# DuckDB. This is what turns the ANN family from "rows-only" into hard
+# value-checked queries.
 
-    Rows-only check: recall vs the exact baseline is inherently approximate.
-    Measured recall@5 at sf0.01: 0.20 scanning ≈(n_bits+1)/2^n_bits ≈ 11% of
-    the corpus — near-random test vectors are angular LSH's worst case; the
-    IVF path probes proportionally more and reaches 0.62 (see ann_ivf_topk).
+_ANN_BITS = 6
+_ANN_SEED = 42
+_ANN_PLANES = similarity.md5_hyperplanes(_DIM, _ANN_BITS, _ANN_SEED)
+_IVF_CELLS = 16
+_IVF_PROBE = 5
+
+
+def _sql_planes_cte() -> str:
+    rows = ",".join(
+        f"({j},{d + 1},{w!r})"
+        for j, row in enumerate(_ANN_PLANES)
+        for d, w in enumerate(row)
+    )
+    return f"planes(j, p, w) AS (VALUES {rows})"
+
+
+def _sql_lsh_cand_cte() -> str:
+    """CTEs: buckets (all vectors) → multi-probe query buckets → lsh_cand."""
+    probe_vals = ",".join(f"({f})" for f in [0, *[1 << i for i in range(_ANN_BITS)]])
+    return f"""
+    plane_dots AS (
+        SELECT e.vec_id, pl.j,
+               SUM(CAST(CAST(e.embedding[pl.p] AS DOUBLE) * pl.w
+                        AS DECIMAL(38,12))) AS dot
+        FROM embeddings e, planes pl
+        GROUP BY 1, 2
+    ),
+    buckets AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dot >= 0 THEN (1 << j) ELSE 0 END) AS INT)
+                   AS bucket
+        FROM plane_dots GROUP BY 1
+    ),
+    qprobe AS (
+        SELECT b.vec_id AS query_id, xor(b.bucket, fl.f) AS bucket
+        FROM buckets b, (VALUES {probe_vals}) fl(f)
+        WHERE b.vec_id < 10
+    ),
+    lsh_cand AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id
+        FROM qprobe q JOIN buckets c ON c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id
+    )"""
+
+
+def _sql_ivf_cand_cte() -> str:
+    """CTEs: md5-sampled seed centroids → exact-decimal cell assignment →
+    n_probe nearest cells per query → ivf_cand."""
+    return f"""
+    seeds AS (
+        SELECT vec_id AS cell_id, embedding AS cvec
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVF_CELLS}
+    ),
+    cell_dist AS (
+        SELECT e.vec_id, s.cell_id,
+               SUM(CAST((CAST(e.embedding[t.p] AS DOUBLE) - CAST(s.cvec[t.p] AS DOUBLE))
+                        * (CAST(e.embedding[t.p] AS DOUBLE) - CAST(s.cvec[t.p] AS DOUBLE))
+                        AS DECIMAL(38,12))) AS d2
+        FROM embeddings e, seeds s, range(1, {_DIM + 1}) t(p)
+        GROUP BY 1, 2
+    ),
+    assigned AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT vec_id, cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell_id) AS rn
+            FROM cell_dist
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, cell_id FROM (
+            SELECT vec_id, cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell_id) AS rn
+            FROM cell_dist WHERE vec_id < 10
+        ) WHERE rn <= {_IVF_PROBE}
+    ),
+    ivf_cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+        WHERE a.vec_id <> p.query_id
+    )"""
+
+
+_SQL_EXACT_CAND_CTE = """
+    exact_cand AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id
+    )"""
+
+
+def _sql_rerank_cte(cand_rel: str, out_rel: str) -> str:
+    """Exact-decimal cosine re-rank of a (query_id, neighbor_id) candidate
+    relation into top-k rows (query_id, neighbor_id, cosine, rk)."""
+    return f"""
+    {out_rel}_dots AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               CAST({_DOT} AS DOUBLE) AS dot
+        FROM {cand_rel} cd
+        JOIN embeddings a ON a.vec_id = cd.query_id
+        JOIN embeddings b ON b.vec_id = cd.neighbor_id,
+             range(1, {_DIM + 1}) t(p)
+        GROUP BY 1, 2
+    ),
+    {out_rel} AS (
+        SELECT query_id, neighbor_id, cosine, rk FROM (
+            SELECT query_id, neighbor_id,
+                   ROUND(dot / (sqrt(nq.nsq) * sqrt(nc.nsq)), 6) AS cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY ROUND(dot / (sqrt(nq.nsq) * sqrt(nc.nsq)), 6) DESC,
+                                neighbor_id) AS INT) AS rk
+            FROM {out_rel}_dots
+            JOIN norms nq ON nq.vec_id = query_id
+            JOIN norms nc ON nc.vec_id = neighbor_id
+        ) s WHERE rk <= {_ANN_K}
+    )"""
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_sql_planes_cte()},
+    {_NORM_CTE},
+    {_sql_lsh_cand_cte()},
+    {_sql_rerank_cte("lsh_cand", "lsh_topk")}
+    SELECT query_id, neighbor_id, cosine, rk FROM lsh_topk
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets with Hamming-1
+    multi-probe and exact cosine re-rank inside the candidate set.
+
+    Fully oracle-checked: the hyperplanes are md5-derived literals shared
+    with the oracle SQL and bucket signs come from exact-decimal dots, so
+    the candidate sets (and therefore the approximate answer itself) are
+    engine-reproducible. The numpy pandas-UDF variant
+    (`operators/similarity.py:rp_lsh_buckets`) remains the high-dim scale
+    path and is covered by unit tests.
+
+    Scale: candidates per query ≈ corpus × (n_bits+1)/2^n_bits ≈ 11%; the
+    bucket join is a plain int equi-join, AQE-coalesced.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(
-        emb.filter(F.col("vec_id") < 10), emb, _ANN_K, _DIM, n_bits=6
+    return similarity.lsh_topk_portable(
+        emb.filter(F.col("vec_id") < 10), emb, _ANN_K, _ANN_PLANES
     )
+
+
+@query(
+    "ann_ivf_portable_topk",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    {_sql_ivf_cand_cte()},
+    {_sql_rerank_cte("ivf_cand", "ivf_topk")}
+    SELECT query_id, neighbor_id, cosine, rk FROM ivf_topk
+    """,
+)
+def ann_ivf_portable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with deterministic md5-sampled seed centroids (no trained
+    model): assign every vector to its nearest of 16 seed vectors via
+    exact-decimal distances, probe the 5 nearest cells per query, exact
+    cosine re-rank inside them. Same probe/re-rank semantics as the KMeans
+    path (`ann_ivf_topk`) but fully SQL-replayable — this is the hard
+    correctness check for the IVF machinery.
+
+    Scale: seed selection is a global top-16 (TakeOrdered, no full sort);
+    assignment is a broadcast of 16 centroids against one corpus scan;
+    per-query work is n_probe/n_cells of the corpus.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk_portable(
+        emb.filter(F.col("vec_id") < 10), emb, _ANN_K,
+        n_cells=_IVF_CELLS, n_probe=_IVF_PROBE,
+    )
+
+
+@query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH {_sql_planes_cte()},
+    {_NORM_CTE},
+    {_sql_lsh_cand_cte()},
+    {_sql_ivf_cand_cte()},
+    {_SQL_EXACT_CAND_CTE},
+    {_sql_rerank_cte("lsh_cand", "lsh_topk")},
+    {_sql_rerank_cte("ivf_cand", "ivf_topk")},
+    {_sql_rerank_cte("exact_cand", "exact_topk")}
+    SELECT method, query_id, k, n_hits,
+           CAST(n_hits AS DOUBLE) / k AS recall
+    FROM (
+        SELECT 'rp_lsh' AS method, e.query_id, {_ANN_K} AS k,
+               CAST(COUNT(ap.neighbor_id) AS INT) AS n_hits
+        FROM exact_topk e
+        LEFT JOIN lsh_topk ap
+          ON ap.query_id = e.query_id AND ap.neighbor_id = e.neighbor_id
+        GROUP BY 2
+        UNION ALL
+        SELECT 'ivf_seed' AS method, e.query_id, {_ANN_K} AS k,
+               CAST(COUNT(ap.neighbor_id) AS INT) AS n_hits
+        FROM exact_topk e
+        LEFT JOIN ivf_topk ap
+          ON ap.query_id = e.query_id AND ap.neighbor_id = e.neighbor_id
+        GROUP BY 2
+    ) r
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of both deterministic ANN paths against the exact
+    brute-force baseline, computed INSIDE Spark as a join + agg — and,
+    because both ANN sides are engine-reproducible, fully value-checked by
+    the oracle replaying all three pipelines in SQL. This bounds the
+    'approximate by design' queries with a hard invariant instead of a
+    rows-only check.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(q, emb, _ANN_K).select("query_id", "neighbor_id")
+    reports = []
+    for method, approx in (
+        ("rp_lsh", similarity.lsh_topk_portable(q, emb, _ANN_K, _ANN_PLANES)),
+        ("ivf_seed", similarity.ivf_topk_portable(
+            q, emb, _ANN_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)),
+    ):
+        hits = approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+        rep = (
+            exact.join(hits, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("hit").cast("int").alias("n_hits"))
+            .select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.lit(_ANN_K).alias("k"),
+                "n_hits",
+                (F.col("n_hits") / _ANN_K).alias("recall"),
+            )
+        )
+        reports.append(rep)
+    return reports[0].unionByName(reports[1])
 
 
 # ---------------------------------------------------------------------------

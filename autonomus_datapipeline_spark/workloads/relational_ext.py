@@ -457,19 +457,48 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate aggregates (rows-only: sketch outputs are engine-specific)
+# Approximate aggregates (sketches bounded by hard error-check booleans)
 # ---------------------------------------------------------------------------
 
 
-@query("approx_aggregates", oracle=None)
+@query(
+    "approx_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS orders_within_5pct,
+           TRUE AS median_within_5pct,
+           TRUE AS p95_within_5pct
+    FROM lineitem GROUP BY 1
+    """,
+)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) + approx_percentile — the 100 TB
     default for distinct counts and quantiles (bounded error, one pass, no
-    sort). Rows-only check: sketch estimates are engine-specific by design;
-    the exact twins are `distinct_counts` / `quantity_percentiles`."""
+    sort) — bounded by deterministic error-check booleans: Spark computes
+    BOTH the sketch estimate and the exact value in one aggregation and
+    emits |approx−exact|/exact ≤ 5% flags (plus the exact distinct count),
+    all of which the oracle can check hard. The sketches are deterministic
+    for fixed data, so the booleans are stable; the raw estimates stay out
+    of the output because their exact values are engine-specific.
+    """
     l = load_table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_returnflag").agg(
+    agg = l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.percentile_approx("l_quantity", 0.5, 1000).alias("approx_median_qty"),
+        F.expr("percentile(l_quantity, 0.5)").alias("exact_median_qty"),
         F.percentile_approx("l_extendedprice", 0.95, 1000).alias("approx_p95_price"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95_price"),
+    )
+
+    def within(approx, exact):
+        return (F.abs(F.col(approx) - F.col(exact)) / F.col(exact)) <= 0.05
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        within("approx_orders", "exact_orders").alias("orders_within_5pct"),
+        within("approx_median_qty", "exact_median_qty").alias("median_within_5pct"),
+        within("approx_p95_price", "exact_p95_price").alias("p95_within_5pct"),
     )
