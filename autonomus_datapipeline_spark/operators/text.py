@@ -100,32 +100,31 @@ def winnowing_fingerprints(
     oracle-checkable; the hash is md5 of the k-gram (portable), the window
     min is the lexicographic min.
     """
-    from pyspark.sql.window import Window
-
-    chars = df.select(
+    # All array-side, no explode of grams and no per-doc window sort: the
+    # gram-hash array is built once per document (its own projection, and
+    # referenced twice below, so CollapseProject cannot inline it into every
+    # window evaluation), then each window minimum is array_min over an
+    # O(w) slice — O(n·w) work per doc with w constant, vs the previous
+    # posexplode + orderBy(pos) window sort (the one superlinear op in the
+    # round-1 scale probe). array_distinct dedups in-array, so the whole
+    # operator is a shuffle-free narrow pipeline.
+    hashes = df.filter(F.length(F.col(text_col)) >= k + w - 1).select(  # ≥ 1 full window
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("t"),
-        (F.length(text_col) - (k - 1)).alias("n_grams"),
-    ).filter(F.length("t") >= k)
-    grams = chars.select(
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {k - 1}),"
+            f" i -> md5(substring({text_col}, i, {k})))"
+        ).alias("hs"),
+    )
+    return hashes.select(
         "doc_id",
-        "n_grams",
-        F.posexplode(
-            F.expr(f"transform(sequence(1, length(t) - {k - 1}), i -> substring(t, i, {k}))")
-        ).alias("pos", "gram"),
-    ).select("doc_id", "n_grams", "pos", F.md5("gram").alias("h"))
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    return (
-        grams.select(
-            "doc_id",
-            "n_grams",
-            "pos",
-            F.min("h").over(win).alias("fingerprint"),
-        )
-        # only full windows: pos is 0-based, window covers [pos, pos+w-1]
-        .filter(F.col("pos") <= F.col("n_grams") - w)
-        .select("doc_id", "fingerprint")
-        .distinct()
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, size(hs) - {w - 1}),"
+                    f" p -> array_min(slice(hs, p, {w})))"
+                )
+            )
+        ).alias("fingerprint"),
     )
 
 

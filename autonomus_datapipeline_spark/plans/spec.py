@@ -69,6 +69,25 @@ def _read_source(spark: SparkSession, source: dict[str, Any]) -> DataFrame:
     raise ValueError(f"unknown source kind: {kind!r}")
 
 
+def _build_pipeline(
+    spark: SparkSession, catalog: Catalog, spec: PipelineSpec
+) -> Pipeline:
+    pipe = Pipeline(spark, catalog, spec.name)
+    for step in spec.silver:
+        pipe.silver_chain.add_step(step["name"], step["code"])
+    for step in spec.gold:
+        pipe.gold_chain.add_step(step["name"], step["code"])
+    return pipe
+
+
+def _run_export(spark: SparkSession, catalog: Catalog, spec: PipelineSpec) -> None:
+    exp = dict(spec.export or {})
+    if exp.pop("kind") != "jdbc":
+        raise ValueError("only jdbc export is supported")
+    gold_df = catalog.read(spark, "gold", spec.name)
+    write_jdbc(gold_df, **exp)
+
+
 def run_spec(
     spark: SparkSession,
     catalog: Catalog,
@@ -77,16 +96,47 @@ def run_spec(
     """Interpret a spec: source → bronze → silver → gold [→ export]."""
     if isinstance(spec, dict):
         spec = PipelineSpec.from_dict(spec)
-    pipe = Pipeline(spark, catalog, spec.name)
-    for step in spec.silver:
-        pipe.silver_chain.add_step(step["name"], step["code"])
-    for step in spec.gold:
-        pipe.gold_chain.add_step(step["name"], step["code"])
+    pipe = _build_pipeline(spark, catalog, spec)
     results = pipe.run_all(_read_source(spark, spec.source))
     if spec.export:
-        exp = dict(spec.export)
-        if exp.pop("kind") != "jdbc":
-            raise ValueError("only jdbc export is supported")
-        gold_df = catalog.read(spark, "gold", spec.name)
-        write_jdbc(gold_df, **exp)
+        _run_export(spark, catalog, spec)
     return results
+
+
+def run_layer_task(
+    layer: str,
+    spec: dict[str, Any],
+    warehouse: str,
+    batch_id: str | None = None,
+) -> dict[str, Any]:
+    """Single-layer task entry point for external orchestrators (the
+    callable the generated Airflow DAG's PythonOperators invoke — reference
+    dag_generator.py:809-1157 renders one Airflow task per layer the same
+    way). Each invocation builds its own SparkSession/catalog, so tasks are
+    independently retryable; ``batch_id`` (Airflow's run_id) makes bronze
+    retries idempotent via the catalog's ingested-batch ledger.
+    """
+    from autonomus_datapipeline_spark.session import get_spark
+
+    s = PipelineSpec.from_dict(spec)
+    spark = get_spark(f"{s.name}_{layer}")
+    catalog = Catalog(warehouse)
+    pipe = _build_pipeline(spark, catalog, s)
+    if layer == "bronze":
+        result = pipe.ingest_bronze(_read_source(spark, s.source), batch_id=batch_id)
+    elif layer == "silver":
+        result = pipe.run_silver()
+    elif layer == "gold":
+        result = pipe.run_gold()
+    elif layer == "export":
+        _run_export(spark, catalog, s)
+        return {"layer": "export", "ok": True}
+    else:
+        raise ValueError(f"unknown layer: {layer!r}")
+    return {
+        "layer": result.layer,
+        "version": result.version,
+        "path": result.path,
+        "row_count": result.row_count,
+        "elapsed_s": result.elapsed_s,
+    }
