@@ -1,0 +1,498 @@
+"""Training-data curation operators: PII redaction, deterministic stratified
+sampling, Gopher-style quality filtering, benchmark-contamination checks,
+incremental (cross-snapshot) dedup, sequence-length profiling and packing.
+
+These are the corpus-curation steps a 100 TB LLM-data pipeline runs between
+raw ingestion and tokenization. Every query is a pure DataFrame plan (no
+Python row callbacks) with a DuckDB oracle mirrored from the same constants,
+so determinism holds across engines and partitionings.
+
+Reference parity note: the reference engine (sairam030/autonomus_datapipeline)
+has no curation surface at all — these extend the §2.D capability envelope the
+same way the dedup/ANN family does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from autonomus_datapipeline_spark.workloads.pipeline_ops import _sql_shingles, _TOKS
+from autonomus_datapipeline_spark.workloads.registry import load_table, query
+
+# ---------------------------------------------------------------------------
+# PII redaction (regexp scrub — the compliance pass every corpus needs)
+# ---------------------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+_PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def _count_re(col: str, pat: str) -> str:
+    """DuckDB fragment: number of matches of pat in col."""
+    return f"CAST(len(regexp_extract_all({col}, '{pat}')) AS INT)"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g') AS redacted,
+           {_count_re('text', _PII_EMAIL)} AS n_emails,
+           {_count_re('text', _PII_IPV4)} AS n_ips,
+           CASE WHEN regexp_matches(text, '{_PII_EMAIL}')
+                  OR regexp_matches(text, '{_PII_IPV4}')
+                  OR regexp_matches(text, '{_PII_PHONE}')
+                THEN TRUE ELSE FALSE END AS has_pii
+    FROM documents
+    """,
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: mask emails, IPv4 addresses and phone-shaped digit runs,
+    and count what was masked. Pure regexp projection — codegen'd, fuses
+    into the scan; at 100 TB this runs at parquet-read speed with zero
+    shuffle. Order of masking matters (email before IP before phone) and is
+    identical in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all("text", F.lit(_PII_IPV4), F.lit(0)))
+    has_pii = (
+        F.col("text").rlike(_PII_EMAIL)
+        | F.col("text").rlike(_PII_IPV4)
+        | F.col("text").rlike(_PII_PHONE)
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        has_pii.alias("has_pii"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (hash-threshold, no RNG state)
+# ---------------------------------------------------------------------------
+
+# Keep a document iff the first hex digit of md5(doc_id) falls in the accept
+# set: 4/16 digits -> a deterministic ~25% sample, uniform within every
+# stratum because md5 is independent of lang/source. Engine-portable (md5 is
+# bit-identical in Spark and DuckDB), reproducible across runs/partitions,
+# and requires NO shuffle for the sample itself — only the verification agg.
+_SAMPLE_HEX = ("0", "1", "2", "3")
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang, doc_id FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+              IN ('{"','".join(_SAMPLE_HEX)}')
+    )
+    SELECT d.lang,
+           COUNT(DISTINCT d.doc_id) AS n_total,
+           COUNT(DISTINCT s.doc_id) AS n_sampled,
+           CAST(min(s.doc_id) AS BIGINT) AS min_sampled_id
+    FROM documents d LEFT JOIN s ON d.lang = s.lang AND d.doc_id = s.doc_id
+    GROUP BY d.lang
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~25% per-language sample via an md5-hash threshold (no
+    RNG, no seed state, no sampleBy). The accept decision is a map-side
+    projection — at 100 TB the sample is a filter fused into the scan; this
+    query additionally aggregates per-stratum acceptance counts so the gate
+    can value-check the exact membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    accept = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        *_SAMPLE_HEX
+    )
+    flagged = docs.select(
+        "lang", "doc_id", F.when(accept, F.col("doc_id")).alias("sampled_id")
+    )
+    return flagged.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_total"),
+        F.countDistinct("sampled_id").alias("n_sampled"),
+        F.min("sampled_id").alias("min_sampled_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality filter chain
+# ---------------------------------------------------------------------------
+
+_QF_MIN_WORDS = 20
+_QF_MAX_WORDS = 100_000
+_QF_MIN_MWL = 2.0  # mean word length bounds
+_QF_MAX_MWL = 12.0
+_QF_STOPWORDS = ("the", "a", "of", "and", "to")
+_QF_MIN_STOP_HITS = 1
+
+
+@query(
+    "quality_filter_chain",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_TOKS} AS tk FROM documents
+    ), m AS (
+        SELECT doc_id, lang,
+               len(tk) AS n_words,
+               CAST(len(array_to_string(tk, '')) AS DOUBLE) / len(tk)
+                   AS mean_word_len,
+               len(list_intersect(tk,
+                   ['{"','".join(_QF_STOPWORDS)}'])) AS stop_hits
+        FROM t
+    )
+    SELECT doc_id, lang, CAST(n_words AS INT) AS n_words,
+           mean_word_len,
+           n_words BETWEEN {_QF_MIN_WORDS} AND {_QF_MAX_WORDS} AS ok_length,
+           mean_word_len BETWEEN {_QF_MIN_MWL} AND {_QF_MAX_MWL} AS ok_word_len,
+           stop_hits >= {_QF_MIN_STOP_HITS} AS ok_stopwords,
+           (n_words BETWEEN {_QF_MIN_WORDS} AND {_QF_MAX_WORDS})
+               AND (mean_word_len BETWEEN {_QF_MIN_MWL} AND {_QF_MAX_MWL})
+               AND stop_hits >= {_QF_MIN_STOP_HITS} AS keep
+    FROM m
+    """,
+)
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate: word-count bounds, mean word
+    length bounds, stopword presence — emitted as per-rule booleans plus the
+    combined keep flag (so the rejection *reason* survives for audit).
+    Everything is array built-ins over one tokenization — no shuffle, no
+    Python; at 100 TB this is a scan-fused filter. The keep flag uses
+    distinct stopword HITS (list_intersect semantics) so a doc repeating one
+    stopword can't fake diversity."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), r"\s+")
+    t = docs.select("doc_id", "lang", tk.alias("tk"))
+    n_words = F.size("tk")
+    mean_wl = F.length(F.array_join("tk", "")).cast("double") / F.size("tk")
+    stop_hits = F.size(
+        F.array_intersect("tk", F.array(*[F.lit(s) for s in _QF_STOPWORDS]))
+    )
+    m = t.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_hits.alias("stop_hits"),
+    )
+    ok_length = F.col("n_words").between(_QF_MIN_WORDS, _QF_MAX_WORDS)
+    ok_wl = F.col("mean_word_len").between(_QF_MIN_MWL, _QF_MAX_MWL)
+    ok_stop = F.col("stop_hits") >= _QF_MIN_STOP_HITS
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "mean_word_len",
+        ok_length.alias("ok_length"),
+        ok_wl.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_length & ok_wl & ok_stop).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination check (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 5  # word n-gram size
+# Eval set: docs whose md5(doc_id) starts with '0' (~1/16 of the corpus) —
+# stands in for a benchmark/eval corpus; deterministic and SF-stable.
+_EVAL_HEX = "0"
+
+
+@query(
+    "contamination_ngram_overlap",
+    oracle=f"""
+    WITH {_sql_shingles(_CONTAM_N)},
+    eval_docs AS (
+        SELECT doc_id FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '{_EVAL_HEX}'
+    ),
+    eval_sh AS (
+        SELECT DISTINCT sh.shingle FROM sh
+        JOIN eval_docs e ON sh.doc_id = e.doc_id
+    ),
+    train_sh AS (
+        SELECT sh.doc_id, sh.shingle FROM sh
+        WHERE sh.doc_id NOT IN (SELECT doc_id FROM eval_docs)
+    ),
+    per_doc AS (
+        SELECT t.doc_id,
+               COUNT(*) AS n_grams,
+               COUNT(e.shingle) AS n_contaminated
+        FROM train_sh t LEFT JOIN eval_sh e ON t.shingle = e.shingle
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_contaminated AS BIGINT) AS n_contaminated,
+           CAST(n_contaminated AS DOUBLE) / n_grams AS contamination_ratio,
+           n_contaminated > 0 AS contaminated
+    FROM per_doc
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: distinct word 5-grams of every training
+    document are probed against the eval set's 5-gram vocabulary (held-out
+    slice selected by md5(doc_id)); emits per-doc overlap counts, ratio, and
+    the contaminated flag.
+
+    Scale shape: the eval-side vocabulary is small relative to the corpus
+    (benchmarks are MBs, corpora are TBs) → Spark broadcasts it, making the
+    probe a map-side hash lookup with ONE shuffle for the per-doc agg. No
+    all-pairs comparison anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size("tk") - (_CONTAM_N - 1), F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.get("tk", i + j - 1) for j in range(_CONTAM_N)]
+            ),
+        )
+    )
+    sh = docs.select("doc_id", tk.alias("tk")).select(
+        "doc_id", F.explode(grams).alias("shingle")
+    )
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == _EVAL_HEX
+    eval_ids = docs.select("doc_id").where(is_eval)
+    eval_sh = (
+        sh.join(F.broadcast(eval_ids), "doc_id").select("shingle").distinct()
+    )
+    train_sh = sh.join(F.broadcast(eval_ids), "doc_id", "left_anti")
+    per_doc = (
+        train_sh.join(
+            F.broadcast(eval_sh.withColumn("hit", F.lit(1))), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        (F.col("n_contaminated").cast("double") / F.col("n_grams")).alias(
+            "contamination_ratio"
+        ),
+        (F.col("n_contaminated") > 0).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup: new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "incremental_dedup_new_batch",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+               doc_id % 2 = 0 AS in_corpus
+        FROM documents
+    ),
+    corpus_hashes AS (SELECT DISTINCT h FROM hashed WHERE in_corpus),
+    batch AS (SELECT doc_id, h FROM hashed WHERE NOT in_corpus),
+    survivors AS (
+        SELECT b.doc_id, b.h,
+               ROW_NUMBER() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
+        FROM batch b
+        WHERE b.h NOT IN (SELECT h FROM corpus_hashes)
+    )
+    SELECT doc_id, h AS content_hash FROM survivors WHERE rn = 1
+    """,
+)
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup: a new batch (odd doc_ids, standing in for
+    today's crawl) is deduplicated against the existing corpus (even
+    doc_ids) by whitespace-normalized content hash, then within itself
+    (keep lowest doc_id). This is the daily-incremental shape of exact
+    dedup: instead of re-hashing the whole corpus, the corpus side is just
+    its hash column (stored once, scanned narrow).
+
+    Scale: anti-join on the hash — corpus hashes are 16 bytes/doc so even a
+    10-billion-doc corpus is ~160 GB, a standard shuffled anti-join (NOT
+    broadcast); the within-batch dedup is one window over the same shuffle
+    key, so both steps share a single hash partitioning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    hashed = docs.select(
+        "doc_id", h.alias("h"), (F.col("doc_id") % 2 == 0).alias("in_corpus")
+    )
+    corpus_hashes = hashed.where("in_corpus").select("h").distinct()
+    batch = hashed.where(~F.col("in_corpus")).select("doc_id", "h")
+    fresh = batch.join(corpus_hashes, "h", "left_anti")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("doc_id", F.col("h").alias("content_hash"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length profile (token histogram in power-of-two buckets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_length_histogram",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    )
+    SELECT CAST(floor(log2(n_tokens)) AS INT) AS log2_bucket,
+           CAST(power(2, floor(log2(n_tokens))) AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM t WHERE n_tokens > 0
+    GROUP BY 1, 2
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length profile: documents bucketed by floor(log2(token
+    count)) — the histogram that sizes context-window packing and flags
+    truncation loss before tokenization. Map-side combine collapses to
+    ~30 groups before the shuffle regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower("text"), r"\s+"))
+    t = docs.select(n_tokens.alias("n_tokens")).where("n_tokens > 0")
+    bucket = F.floor(F.log2("n_tokens")).cast("int")
+    return (
+        t.groupBy(bucket.alias("log2_bucket"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
+        .select(
+            "log2_bucket",
+            F.pow(F.lit(2.0), F.col("log2_bucket")).cast("bigint").alias("bucket_lo"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sequence packing (context-window bin assignment)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256  # tokens per context window (toy-sized for the test corpus)
+_PACK_WORKERS = 8  # parallel packer streams
+
+
+@query(
+    "sequence_packing_bins",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(doc_id % {_PACK_WORKERS} AS INT) AS packer,
+               CAST(len({_TOKS}) AS INT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, packer, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY packer ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT doc_id, packer, n_tokens,
+           CAST(floor((cum - n_tokens) / {_PACK_BUDGET}.0) AS INT) AS bin_id
+    FROM c
+    """,
+)
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic context-window packing: documents are sharded into
+    {_PACK_WORKERS} independent packer streams (hash of doc_id), each stream
+    assigns bins by running token count over doc_id order — bin_id =
+    floor(start_offset / budget). Greedy first-fit is order-dependent and
+    unscalable (global sequential state); offset packing is embarrassingly
+    parallel: each packer's cumsum is an independent window, so adding
+    packers scales out with zero cross-talk, and the assignment is
+    reproducible run-to-run (the property training-data sharding actually
+    needs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower("text"), r"\s+"))
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_WORKERS).cast("int").alias("packer"),
+        n_tokens.cast("int").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("packer")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return c.select(
+        "doc_id",
+        "packer",
+        "n_tokens",
+        F.floor((F.col("cum") - F.col("n_tokens")) / float(_PACK_BUDGET))
+        .cast("int")
+        .alias("bin_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster size distribution (dedup yield report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_size_stats",
+    oracle="""
+    WITH clusters AS (
+        SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+               COUNT(*) AS cluster_size
+        FROM documents GROUP BY 1
+    )
+    SELECT cluster_size, n_clusters,
+           CAST(cluster_size AS BIGINT) * n_clusters AS n_docs,
+           (cluster_size - 1) * n_clusters AS n_removable
+    FROM (
+        SELECT CAST(cluster_size AS INT) AS cluster_size, COUNT(*) AS n_clusters
+        FROM clusters GROUP BY 1
+    ) g
+    """,
+)
+def dedup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup yield report: distribution of exact-duplicate cluster sizes and
+    how many documents dedup would remove at each size — the number a data
+    team checks before paying for a full dedup pass. Two cheap aggregations
+    over the same hash key (the second input is |distinct hashes| rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    clusters = docs.groupBy(h.alias("h")).agg(F.count("*").alias("cluster_size"))
+    return (
+        clusters.groupBy(F.col("cluster_size").cast("int").alias("cluster_size"))
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size").cast("bigint") * F.col("n_clusters")).alias(
+                "n_docs"
+            ),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_removable"),
+        )
+    )

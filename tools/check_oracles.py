@@ -71,6 +71,20 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
             continue
+        # Driver-compat guard: the driver canonicalizes through pandas, which
+        # cannot hash/sort list- or dict-typed cells (round-1 failure mode of
+        # array_agg_order_years) — flag any such output column as a failure
+        # even though our own str()-based comparison would survive it.
+        if srows:
+            bad_cols = [
+                c for i, c in enumerate(scols)
+                if isinstance(srows[0][i], (list, tuple, dict, set, bytearray))
+            ]
+            if bad_cols:
+                failures.append(name)
+                print(f"FAIL  {name}: unhashable driver-side cell type in "
+                      f"columns {bad_cols} (pandas canonicalizer would crash)")
+                continue
         if spec.oracle is None:
             print(f"ok*   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time() - t0:.1f}s, no oracle)")
