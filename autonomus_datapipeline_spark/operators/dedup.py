@@ -100,14 +100,24 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int
 ) -> DataFrame:
-    """MinHash signature per doc: for seed s, min over shingles of
-    md5('<s>:'||shingle) — k independent permutations approximated by k
-    salted hashes, all computed in ONE aggregation (single shuffle)."""
+    """MinHash signature per doc: k independent permutations approximated by
+    hash slicing — each salted md5 yields FOUR independent 32-bit hash values
+    (disjoint 8-hex-char slices of its 128 output bits), so k permutations
+    cost ceil(k/4) md5 evaluations per shingle instead of k. mh_s =
+    MIN(substr(md5('<s//4>:'||shingle), (s%4)*8+1, 8)). All mins in ONE
+    aggregation (single shuffle); 32-bit values keep collision odds
+    ~2^-32 per shingle pair — negligible against LSH band widths."""
+    groups = (n_hashes + 3) // 4
+    salted = [
+        F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle"))).alias(f"h{g}")
+        for g in range(groups)
+    ]
+    hashed = shingles.select("doc_id", *salted)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"mh{s}")
+        F.min(F.substring(f"h{s // 4}", (s % 4) * 8 + 1, 8)).alias(f"mh{s}")
         for s in range(n_hashes)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -218,22 +228,23 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 32) -> DataFrame:
     """SimHash fingerprint as an ``n_bits``-char bitstring per document.
 
-    Bit j comes from an independent salted hash (md5('<j>:'||token) — first
-    hex char ≥ '8' means 1), weighted by token frequency (tokens explode with
-    multiplicity). All n_bits sums happen in ONE aggregation — no per-bit
-    shuffle, no row blowup.
+    Bit j is the high bit of hex char j of ONE md5 per token (md5's 128
+    output bits are independent, so 32 hex-char high-bits are 32 independent
+    hash bits — no need for n_bits salted hashes per token). Weighted by
+    token frequency (tokens explode with multiplicity). All n_bits sums
+    happen in ONE aggregation — no per-bit shuffle, no row blowup, exactly
+    one md5 evaluation per token.
     """
+    if n_bits > 32:
+        raise ValueError("single-md5 simhash supports at most 32 bits")
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    )
+    ).select("doc_id", F.md5("tok").alias("h"))
     high = list("89abcdef")
     bit_sums = [
         F.sum(
-            F.when(
-                F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("tok"))), 1, 1).isin(high),
-                1,
-            ).otherwise(-1)
+            F.when(F.substring("h", j + 1, 1).isin(high), 1).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(n_bits)
     ]

@@ -50,6 +50,14 @@ def connected_components(
     """
     if n_partitions is None:
         n_partitions = 8
+    # The candidate-pair graph is orders of magnitude smaller than the
+    # corpus, but every per-round join would still inherit the session's
+    # corpus-sized spark.sql.shuffle.partitions — per-task overhead × rounds
+    # dominates at that width. Scope the conf to the loop (saved/restored,
+    # never a lasting session mutation).
+    # Materialize the symmetric edge list FIRST, at the session's full
+    # shuffle width — its lineage is the whole upstream candidate-generation
+    # chain (shingles → signatures → LSH join), which is corpus-scale work.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -57,6 +65,20 @@ def connected_components(
         .repartition(n_partitions, "a")
         .localCheckpoint(eager=True)
     )
+    spark = edges.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
+    try:
+        return _cc_loop(sym, max_iter)
+    finally:
+        if prev_parts is None:
+            spark.conf.unset("spark.sql.shuffle.partitions")
+        else:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cc_loop(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Label-propagation loop over a materialized symmetric edge list."""
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -98,8 +120,13 @@ def connected_components(
                 ).alias("_changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        # Lazy checkpoint: the convergence count below is the first action,
+        # so it materializes the checkpoint as a side effect — one job per
+        # round instead of two (eager checkpoint + count). The count is NOT
+        # limit(1): it must touch every partition so the checkpoint is fully
+        # materialized, otherwise lineage chains across rounds.
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break

@@ -143,20 +143,17 @@ def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
     pairs = dedup.lsh_candidate_pairs(sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS)
     comp = graph.connected_components(pairs, "doc_a", "doc_b")
-    kept = graph.keep_representatives(docs, comp, "doc_id")
-    kept_counts = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
-    dropped_counts = (
-        docs.join(kept.select("doc_id"), "doc_id", "left_anti")
-        .groupBy("lang")
-        .agg(F.count("*").alias("n_dropped"))
+    # Single-pass accounting: one broadcast left join flags each doc as
+    # kept/dropped, one aggregation counts both — instead of materializing
+    # the kept set and anti-joining the corpus against it twice.
+    non_reps = (
+        comp.filter(F.col("node") != F.col("component_id"))
+        .select(F.col("node").alias("doc_id"), F.lit(True).alias("dropped"))
     )
-    return (
-        kept_counts.join(dropped_counts, "lang", "full_outer")
-        .select(
-            "lang",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-        )
+    flagged = docs.join(F.broadcast(non_reps), "doc_id", "left")
+    return flagged.groupBy("lang").agg(
+        F.count(F.when(F.col("dropped").isNull(), 1)).alias("n_kept"),
+        F.count("dropped").alias("n_dropped"),
     )
 
 

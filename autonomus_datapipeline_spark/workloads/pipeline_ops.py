@@ -77,8 +77,11 @@ _MH_SHINGLE = 2     # word bigrams
 
 
 def _minhash_oracle() -> str:
+    # Mirrors operators/dedup.py:minhash_signatures — four 32-bit hash
+    # values per salted md5 (disjoint 8-hex-char slices).
     mins = ",\n               ".join(
-        f"MIN(md5('{s}:' || shingle)) AS mh{s}" for s in range(_MH_K)
+        f"MIN(substr(md5('{s // 4}:' || shingle), {(s % 4) * 8 + 1}, 8)) AS mh{s}"
+        for s in range(_MH_K)
     )
     band_selects = "\n        UNION ALL ".join(
         "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM mh".format(
@@ -215,8 +218,10 @@ _SIMHASH_BITS = 32
 
 
 def _simhash_oracle() -> str:
+    # Mirrors operators/dedup.py:simhash — bit j is the high bit of hex
+    # char j of ONE md5 per token.
     sums = ",\n               ".join(
-        f"SUM(CASE WHEN substr(md5('{j}:' || tok), 1, 1) IN {_HIGH_HEX} "
+        f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN {_HIGH_HEX} "
         f"THEN 1 ELSE -1 END) AS b{j}"
         for j in range(_SIMHASH_BITS)
     )
@@ -225,7 +230,7 @@ def _simhash_oracle() -> str:
     )
     return f"""
     WITH toks AS (
-        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        SELECT doc_id, md5(unnest({_TOKS})) AS h FROM documents
     ),
     sums AS (
         SELECT doc_id,
