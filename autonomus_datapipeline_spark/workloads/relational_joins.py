@@ -1,0 +1,275 @@
+"""Deep multi-join relational workloads (TPC-H Q5/Q7/Q14 shapes) and
+embedding-column analytics.
+
+The join queries exercise the planner paths that matter most at 100 TB:
+dimension broadcast chains (region→nation→customer/supplier are KBs–MBs
+next to a TBs fact table), join reordering, and conditional aggregation
+over a joined fact. The embedding queries profile an `array<float>` column
+with exact-decimal reductions so the numbers are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from autonomus_datapipeline_spark.workloads.registry import (
+    davg,
+    dsum,
+    load_table,
+    query,
+    sql_davg,
+    sql_dsum,
+)
+
+_REVENUE = "l_extendedprice * (1.0 - l_discount)"
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape: local supplier volume (customer and supplier in the same nation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {sql_dsum(_REVENUE, "revenue")},
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_nationkey = s.s_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue shipped by suppliers located in the
+    customer's own nation. Five-way join where every non-fact side
+    (orders keys, customer, supplier, nation) is dimension-sized →
+    Spark broadcasts the dims and the only corpus-scale shuffle is
+    lineitem⋈orders; the same-nation predicate is applied as a join-time
+    filter, never materializing cross-nation rows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(revenue, "revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: cross-nation trade volume by year
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "trade_volume_pairs",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation,
+           sn.n_name AS supp_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+           {sql_dsum(_REVENUE, "revenue")}
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def trade_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: international trade volume between every
+    (customer nation, supplier nation) pair per ship year. Same broadcast
+    dimension chain as Q5 but with TWO independent nation lookups (aliased
+    broadcast joins) and an inequality predicate — the group key is
+    dimension² × years, still tiny, so map-side partial aggregation
+    collapses the fact table before the final shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nations = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = nations.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nations.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue share (conditional aggregation over a join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "promo_revenue_ratio",
+    oracle=f"""
+    SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+           {sql_dsum(f"CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REVENUE} ELSE 0.0 END", "promo_revenue")},
+           {sql_dsum(_REVENUE, "total_revenue")},
+           CAST(SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REVENUE} ELSE 0.0 END
+                    AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST({_REVENUE} AS DECIMAL(38,6))) AS DOUBLE)
+             AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from promo-typed parts per ship
+    year. Part is a broadcast dim; the CASE folds into the partial
+    aggregate, so the fact table is read once and reduced map-side —
+    the canonical conditional-aggregation-over-join pattern."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(0.0)
+    dec = "decimal(38,6)"
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            dsum(promo, "promo_revenue"),
+            dsum(revenue, "total_revenue"),
+            (
+                F.sum(promo.cast(dec)).cast("double")
+                / F.sum(revenue.cast(dec)).cast("double")
+            ).alias("promo_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-column analytics: norm profile per label
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH norms AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           {sql_davg("l2", "avg_norm")},
+           MIN(l2) AS min_norm,
+           MAX(l2) AS max_norm
+    FROM norms GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene profile: per-label L2-norm count/avg/min/max —
+    the check that catches unnormalized or degenerate vectors before any
+    similarity pass. The norm is a JVM higher-order `aggregate` over the
+    float array (per-row IEEE, deterministic), reduced with exact-decimal
+    avg; no explode, no shuffle beyond the label agg."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = e.select("label", F.sqrt(sq).alias("l2"))
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        davg("l2", "avg_norm"),
+        F.min("l2").alias("min_norm"),
+        F.max("l2").alias("max_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid geometry (exact-decimal per-dimension means)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroid_dist",
+    oracle="""
+    WITH dims AS (
+        SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        FROM embeddings,
+             LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    label_cent AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+        FROM dims GROUP BY label, pos
+    ),
+    global_cent AS (
+        SELECT pos,
+               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS g
+        FROM dims GROUP BY pos
+    )
+    SELECT l.label,
+           sqrt(CAST(SUM(CAST((l.c - g.g) * (l.c - g.g) AS DECIMAL(38,12)))
+                AS DOUBLE)) AS dist_to_global
+    FROM label_cent l JOIN global_cent g ON l.pos = g.pos
+    GROUP BY l.label
+    """,
+)
+def embedding_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-geometry report: L2 distance from each label's centroid to
+    the global centroid. Centroids are per-dimension means computed with
+    exact-decimal sums (order-free → engine-portable); the dimension
+    explode is bounded by n_vectors × dim and both aggregations collapse to
+    |labels| × dim rows, so the final join is trivially broadcast.
+
+    This is the drift/imbalance diagnostic for embedding spaces (e.g.
+    detecting that one source's vectors sit far from the corpus center)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select("label", "pos", F.col("xf").cast("double").alias("x"))
+    dec = "decimal(38,12)"
+    label_cent = dims.groupBy("label", "pos").agg(
+        (F.sum(F.col("x").cast(dec)).cast("double") / F.count("*")).alias("c")
+    )
+    global_cent = dims.groupBy("pos").agg(
+        (F.sum(F.col("x").cast(dec)).cast("double") / F.count("*")).alias("g")
+    )
+    diff2 = (F.col("c") - F.col("g")) * (F.col("c") - F.col("g"))
+    return (
+        label_cent.join(F.broadcast(global_cent), "pos")
+        .groupBy("label")
+        .agg(
+            F.sqrt(F.sum(diff2.cast(dec)).cast("double")).alias("dist_to_global")
+        )
+    )
