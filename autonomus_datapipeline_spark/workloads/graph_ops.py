@@ -259,3 +259,92 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SH_MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup with exact-dedup-first collapse (the 100 TB-shaped plan)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_dedup_first_oracle() -> str:
+    pairs_sql = _simhash_pairs_oracle().strip()
+    # Source the fingerprint pipeline at the representative set instead of
+    # the raw table: prepend the reps CTE and retarget the toks CTE.
+    assert pairs_sql.startswith("WITH ")
+    body = pairs_sql[len("WITH "):].replace("FROM documents", "FROM reps", 1)
+    return f"""
+    WITH reps AS (
+        SELECT MIN(doc_id) AS doc_id,
+               MIN(text) AS text,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ),
+    {body}
+    """
+
+
+@query("simhash_hamming_dedup_first", oracle=_simhash_dedup_first_oracle())
+def simhash_hamming_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates with the exact-dedup collapse FIRST:
+    identical (whitespace-normalized) documents are reduced to one
+    representative before fingerprinting, then the banded Hamming join runs
+    over distinct content only.
+
+    This is the production ordering at 100 TB: a heavily duplicated corpus
+    makes every block bucket quadratic in the copy count (the uncollapsed
+    twin measured a 100× candidate blow-up on a 10×-duplicated corpus in
+    SCALE_PROBE.md), while after collapse the candidate count depends only
+    on DISTINCT content — duplication changes nothing by construction.
+    Exact copies are already handled by the collapse itself; the Hamming
+    pairs that remain are the genuinely-near (not identical) ones.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm_hash = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    reps = (
+        docs.groupBy(norm_hash.alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .drop("_h")
+    )
+    fp = dedup.simhash(reps, "doc_id", "text", _SH_BITS).localCheckpoint(eager=True)
+    blocks = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.substring(
+                            "simhash", b * _SH_BLOCK_LEN + 1, _SH_BLOCK_LEN
+                        ).alias("block"),
+                    )
+                    for b in range(_SH_BLOCKS)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "blk.block_idx", "blk.block")
+    x, y = blocks.alias("x"), blocks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.block_idx") == F.col("y.block_idx"))
+            & (F.col("x.block") == F.col("y.block"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    to_long = lambda c: F.conv(c, 2, 10).cast("long")  # noqa: E731
+    hamming = F.bit_count(
+        to_long(F.col("sh_a")).bitwiseXOR(to_long(F.col("sh_b")))
+    ).cast("int")
+    return (
+        cand.join(F.broadcast(fa), "doc_a")
+        .join(F.broadcast(fb), "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _SH_MAX_HAMMING)
+    )

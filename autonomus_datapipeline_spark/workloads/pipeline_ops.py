@@ -217,9 +217,10 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 32
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(source: str = "documents") -> str:
     # Mirrors operators/dedup.py:simhash — bit j is the high bit of hex
-    # char j of ONE md5 per token.
+    # char j of ONE md5 per token. ``source`` lets callers fingerprint a
+    # CTE (e.g. exact-dedup representatives) instead of the raw table.
     sums = ",\n               ".join(
         f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN {_HIGH_HEX} "
         f"THEN 1 ELSE -1 END) AS b{j}"
@@ -230,7 +231,7 @@ def _simhash_oracle() -> str:
     )
     return f"""
     WITH toks AS (
-        SELECT doc_id, md5(unnest({_TOKS})) AS h FROM documents
+        SELECT doc_id, md5(unnest({_TOKS})) AS h FROM {source}
     ),
     sums AS (
         SELECT doc_id,

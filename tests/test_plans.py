@@ -66,3 +66,42 @@ def test_range_join_broadcasts_bands(spark, sf_dir):
 def test_narrow_text_ops_have_no_join_exchange(spark, sf_dir, name):
     plan = plan_of(spark, name, sf_dir)
     assert "Join" not in plan  # pure scan-speed projections (agg exchange ok)
+
+
+def test_q5_broadcasts_all_dimensions(spark, sf_dir):
+    # Q5 shape: the only non-broadcast join allowed is lineitem⋈orders —
+    # customer, supplier and nation must all arrive via BroadcastExchange.
+    plan = plan_of(spark, "local_supplier_volume", sf_dir)
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q7_dual_nation_broadcast(spark, sf_dir):
+    plan = plan_of(spark, "trade_volume_pairs", sf_dir)
+    assert plan.count("BroadcastExchange") >= 4  # c, s, cn, sn
+    assert "CartesianProduct" not in plan
+
+
+def test_promo_ratio_broadcasts_part(spark, sf_dir):
+    plan = plan_of(spark, "promo_revenue_ratio", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_dir):
+    plan = plan_of(spark, "contamination_ngram_overlap", sf_dir)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["pii_redaction", "quality_filter_chain", "token_length_histogram"]
+)
+def test_curation_scan_ops_have_no_join(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
+    assert "Join" not in plan
+
+
+def test_embedding_norms_have_no_explode(spark, sf_dir):
+    # L2 norms go through higher-order array functions, not posexplode.
+    plan = plan_of(spark, "embedding_norm_stats", sf_dir)
+    assert "Generate" not in plan
