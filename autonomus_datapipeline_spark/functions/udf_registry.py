@@ -21,7 +21,7 @@ from typing import Any, Callable
 
 import pandas as pd
 from pyspark.sql import SparkSession
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import PandasUDFType, pandas_udf, udtf
 
 from autonomus_datapipeline_spark.engine.sandbox import _safe_builtins
 
@@ -100,3 +100,71 @@ class UdfRegistry:
     def register_with_spark(self, spark: SparkSession, name: str) -> None:
         """Expose to spark.sql as a named function."""
         spark.udf.register(name, self.as_pandas_udf(name))
+
+    def as_grouped_agg_udf(self, name: str):
+        """Materialize as a grouped-aggregate pandas UDF (UDAF): the
+        registered function receives whole pandas Series per group and
+        returns one scalar. Arrow ships each group's columns as a batch, so
+        the Python tax is paid once per GROUP, not per row — the only UDAF
+        shape that survives 100 TB. The function must be insensitive to
+        within-group row order (Spark does not guarantee one) to stay
+        deterministic; order-free formulations (sort inside, or symmetric
+        reductions) satisfy this.
+
+        The reference's user_functions table declared UDAF registration but
+        nothing consumed it (db/init.sql:209-220); this is the working form.
+        """
+        uf = self.get(name)
+        fn = uf.fn
+
+        @pandas_udf(uf.output_type, PandasUDFType.GROUPED_AGG)
+        def _agg(*cols: pd.Series):
+            return fn(*cols)
+
+        return _agg
+
+    def register_table_function(
+        self, name: str, code: str, return_schema: str,
+        test_cases: list[dict] | None = None,
+    ):
+        """Register + materialize a UDTF (table function): ``code`` defines a
+        generator ``def {name}(*args)`` yielding output tuples; it is
+        sandbox-compiled, test-case-gated (expected_output is the full list
+        of yielded tuples), wrapped in a UDTF class and registered with
+        ``spark.udtf`` by :meth:`register_udtf_with_spark`. UDTFs evaluate
+        per input row in Python — a slow path by construction; they exist
+        for 1→N expansions the relational operators can't express, never for
+        bulk transforms.
+        """
+        env: dict[str, Any] = {"__builtins__": _safe_builtins()}
+        exec(compile(code, f"<udtf:{name}>", "exec"), env)  # noqa: S102 — sandboxed
+        fn = env.get(name)
+        if not callable(fn):
+            raise ValueError(f"code must define `def {name}(...)`")
+        for i, case in enumerate(test_cases or []):
+            got = [tuple(r) for r in fn(*case["input"])]
+            want = [tuple(r) for r in case["expected_output"]]
+            if got != want:
+                raise UdfTestFailure(
+                    f"test case {i} failed: {name}(*{case['input']!r}) = "
+                    f"{got!r}, expected {want!r}"
+                )
+        uf = UserFunction(name, code, return_schema, fn, list(test_cases or []))
+        self._functions[name] = uf
+        return uf
+
+    def as_udtf(self, name: str):
+        """Materialize a registered table function as a Spark UDTF class."""
+        uf = self.get(name)
+        fn = uf.fn
+
+        class _TableFn:
+            def eval(self, *args):
+                yield from fn(*args)
+
+        return udtf(_TableFn, returnType=uf.output_type)
+
+    def register_udtf_with_spark(self, spark: SparkSession, name: str) -> None:
+        """Expose a registered table function to SQL: ``name(...)`` becomes
+        callable in a FROM/LATERAL position."""
+        spark.udtf.register(name, self.as_udtf(name))

@@ -254,3 +254,97 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 32) -> Data
         for j in range(n_bits)
     ]
     return sums.select("doc_id", F.concat(*bitchars).alias("simhash"))
+
+
+def strip_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Exact duplicated-span removal (ExactSubstr-style dedup, relationally).
+
+    Removes every word that lies inside an ``n``-word span occurring more
+    than once in the corpus (across documents or repeated within one) — the
+    span-level dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", re-expressed as shuffle-parallel relational
+    algebra instead of a suffix array:
+
+    1. positional n-gram hashes per document (array-side, one md5 per
+       position, whole-stage codegen);
+    2. one global count-aggregation finds grams with count > 1;
+    3. occurrences of duplicated grams expand to covered word positions
+       (``sequence(pos, pos+n-1)`` — bounded ×n blowup on dup rows only);
+    4. an anti-join drops covered words; per-doc ordered re-assembly via
+       ``array_sort(collect_list(struct(pos, word)))``.
+
+    No pairwise comparison, no suffix structure, no driver-side state: the
+    cost is O(tokens) shuffle for the gram count plus O(dup_occurrences × n)
+    for coverage — at 100 TB every step is a hash shuffle Catalyst plans as
+    partial-agg + exchange. Deterministic set logic end-to-end (md5 grams,
+    unique positions), so the result is engine-exact and oracle-checkable.
+
+    Returns (doc_id, n_words, n_kept, n_removed, kept_text); docs shorter
+    than ``n`` words contribute no grams and pass through unchanged.
+    """
+    tk = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("tk"),
+    )
+    gh_arr = F.when(
+        F.size("tk") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("tk") - n + 1, F.lit(1))),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[F.get("tk", i + j - 1) for j in range(n)])
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = tk.select("doc_id", F.posexplode(gh_arr).alias("p0", "gh")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "gh"
+    )
+    # The gram table feeds both the duplicate count and the occurrence join;
+    # materialize once (100 TB analog: persist the gram table, it is hashes
+    # not text).
+    grams = grams.cache()
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("gh")
+    )
+    occ = grams.join(dup, "gh", "left_semi")
+    cover = (
+        occ.select(
+            "doc_id",
+            F.explode(F.sequence("pos", F.col("pos") + n - 1)).alias("cpos"),
+        )
+        .distinct()
+        .withColumnRenamed("doc_id", "c_doc_id")
+    )
+    words = tk.select(
+        "doc_id", F.posexplode("tk").alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "word")
+    kept = words.join(
+        cover,
+        (words["doc_id"] == cover["c_doc_id"]) & (words["pos"] == cover["cpos"]),
+        "left_anti",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    return (
+        tk.select("doc_id", F.size("tk").alias("n_words"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+        )
+    )

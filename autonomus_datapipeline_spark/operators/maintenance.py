@@ -1,0 +1,122 @@
+"""Storage-maintenance operators: zone-map file skipping and small-file
+compaction.
+
+The reference engine writes plain parquet and rescans it wholesale (its
+pipeline layer has no file-statistics or compaction surface); at 100 TB both
+operations are mandatory housekeeping:
+
+- **Zone maps** (per-file min/max statistics) let a query skip files whose
+  value range cannot match its predicate — the manifest-level analog of
+  parquet row-group statistics, and the mechanism behind Delta/Iceberg data
+  skipping. The manifest is metadata (one row per file, ~10^5 rows at
+  100 TB), so a driver-side prune over it is bounded and is exactly how
+  table formats plan scans; the data itself never leaves executors.
+- **Compaction** bounds the small-file problem: streaming/incremental
+  ingestion produces files far below the optimal scan size, and scan tasks,
+  footer reads, and driver file listings all scale with file COUNT, not
+  bytes. Rewriting to ~target-size files restores full-speed scans.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def file_zone_map(df: DataFrame, stat_col: str) -> DataFrame:
+    """Per-file min/max of ``stat_col`` for a file-backed DataFrame.
+
+    One distributed scan, grouped on ``input_file_name`` — at ingest time
+    this would be computed incrementally per written file (or read straight
+    from parquet footers); a one-pass scan stands in for both here and is
+    itself manifest-sized output.
+    """
+    return df.groupBy(F.input_file_name().alias("path")).agg(
+        F.min(stat_col).alias("lo"), F.max(stat_col).alias("hi")
+    )
+
+
+def prune_files(zone_rows, lo, hi) -> list[str]:
+    """File paths whose [lo, hi] zone intersects the query range [lo, hi).
+
+    ``zone_rows`` is the collected zone-map manifest (bounded metadata, one
+    row per file). Skipping is conservative: a file is kept whenever its
+    range could contain a matching row.
+    """
+    return [r["path"] for r in zone_rows if r["hi"] >= lo and r["lo"] < hi]
+
+
+def parquet_file_sizes(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(path, bytes) for every parquet data file under ``path``.
+
+    Uses the Hadoop FileSystem API via the JVM gateway, so it works on any
+    scheme Spark can read (local, HDFS, object stores), not just local
+    disk.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        status = it.next()
+        p = status.getPath()
+        if p.getName().endswith(".parquet"):
+            out.append((p.toString(), status.getLen()))
+    return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Rewrite ``src`` parquet into ~``target_file_bytes`` files at ``dst``.
+
+    File count is derived from actual on-disk bytes (not row counts), so a
+    corpus of 10^5 drip-fed stream files becomes ceil(total/target) scan-
+    sized files in one distributed rewrite. Returns before/after stats.
+    """
+    sizes = parquet_file_sizes(spark, src)
+    total = sum(s for _, s in sizes)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(src).repartition(n_out).write.mode("overwrite").parquet(dst)
+    return {
+        "files_before": len(sizes),
+        "files_after": len(parquet_file_sizes(spark, dst)),
+        "bytes_before": total,
+        "target_files": n_out,
+    }
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    mode: str = "overwrite",
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` hash-bucketed (and sorted) on ``bucket_col``.
+
+    Bucketing pre-shuffles the data ON DISK: two tables bucketed on the same
+    key with the same bucket count equi-join with ZERO exchange (and zero
+    sort, if sorted) — the pay-once-join-many layout for 100 TB fact tables
+    that are repeatedly joined on the same key.
+    """
+    writer = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str | list[str]
+) -> DataFrame:
+    """Equi-join two bucketed tables; Catalyst elides the shuffle when both
+    sides are bucketed on the join key with equal bucket counts."""
+    return spark.table(left_table).join(spark.table(right_table), on)

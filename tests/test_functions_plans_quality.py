@@ -313,3 +313,49 @@ def test_time_delay_seconds(spark):
         time_delay_seconds(F.col("actual"), F.col("scheduled")).alias("d")
     ).collect()[0]["d"]
     assert out == 30 * 60 + 45
+
+
+def test_udaf_grouped_agg_through_registry(spark):
+    reg = UdfRegistry()
+    reg.register(
+        "lo_med",
+        "def lo_med(v):\n    s = sorted(list(v))\n    return float(s[(len(s) - 1) // 2])\n",
+        "double",
+        test_cases=[{"input": [[4.0, 1.0, 3.0, 2.0]], "expected_output": 2.0}],
+    )
+    med = reg.as_grouped_agg_udf("lo_med")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("a", 5.0), ("b", 2.0)], ["k", "v"]
+    )
+    got = {r.k: r.m for r in df.groupBy("k").agg(med("v").alias("m")).collect()}
+    assert got == {"a": 5.0, "b": 2.0}
+
+
+def test_udtf_registration_and_sql(spark):
+    reg = UdfRegistry()
+    code = (
+        "def split_pairs(s):\n"
+        "    for p in s.split(','):\n"
+        "        k, v = p.split('=')\n"
+        "        yield (k, int(v))\n"
+    )
+    reg.register_table_function(
+        "split_pairs",
+        code,
+        "k: string, v: int",
+        test_cases=[{"input": ["a=1,b=2"], "expected_output": [("a", 1), ("b", 2)]}],
+    )
+    reg.register_udtf_with_spark(spark, "split_pairs")
+    rows = spark.sql("SELECT * FROM split_pairs('x=7,y=9')").collect()
+    assert [(r.k, r.v) for r in rows] == [("x", 7), ("y", 9)]
+
+
+def test_udtf_failing_test_case_rejected():
+    reg = UdfRegistry()
+    with pytest.raises(UdfTestFailure):
+        reg.register_table_function(
+            "g",
+            "def g(x):\n    yield (x + 1,)\n",
+            "y: int",
+            test_cases=[{"input": [1], "expected_output": [(99,)]}],
+        )

@@ -1,0 +1,59 @@
+"""Storage-maintenance operators: zone-map skipping actually skips files,
+compaction actually shrinks file counts without losing rows, and bucketed
+tables join with zero exchange — asserted on real files and real plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from autonomus_datapipeline_spark.operators import maintenance as mnt
+
+
+def test_compact_parquet_shrinks_file_count(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    spark.range(10_000).withColumn("v", F.col("id") * 2).repartition(32).write.parquet(
+        src
+    )
+    stats = mnt.compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 32
+    assert stats["files_after"] == 1
+    out = spark.read.parquet(dst)
+    assert out.count() == 10_000
+    assert out.agg(F.sum("v")).first()[0] == 10_000 * 9_999  # sum 2*i, i<10000
+
+
+def test_zone_map_prunes_files_and_keeps_answers(spark, tmp_path):
+    path = str(tmp_path / "zm")
+    spark.range(1_000).withColumn("k", F.col("id")).repartitionByRange(
+        10, "k"
+    ).write.parquet(path)
+    back = spark.read.parquet(path)
+    zones = mnt.file_zone_map(back, "k").collect()
+    keep = mnt.prune_files(zones, 0, 100)  # query range [0, 100)
+    # skipping must actually skip: 10 range files over 0..999, ~1 overlaps
+    assert 0 < len(keep) < len(zones)
+    got = (
+        spark.read.parquet(*keep)
+        .filter((F.col("k") >= 0) & (F.col("k") < 100))
+        .count()
+    )
+    assert got == 100
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(1_000).select((F.col("id") % 100).alias("k"), F.col("id").alias("va"))
+        b = spark.range(500).select((F.col("id") % 100).alias("k"), F.col("id").alias("vb"))
+        mnt.write_bucketed(a, "t_bkt_a", "k", 4)
+        mnt.write_bucketed(b, "t_bkt_b", "k", 4)
+        joined = mnt.bucketed_join(spark, "t_bkt_a", "t_bkt_b", "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # bucketing pre-paid the shuffle on disk
+        # 100 distinct keys, 10 left rows x 5 right rows each
+        assert joined.count() == 5_000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
