@@ -164,7 +164,12 @@ def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SH_BITS = 32
 _SH_BLOCKS = 4
 _SH_BLOCK_LEN = _SH_BITS // _SH_BLOCKS
-_SH_MAX_HAMMING = 10
+# ≤ _SH_BLOCKS - 1 so the banded join is EXACT by pigeonhole: a pair within
+# this Hamming distance cannot differ in all 4 blocks, so it always shares
+# one and is always found. (At 10 the result was only candidate-limited —
+# and on a similar-text corpus half of all pairs passed: 6M output rows at
+# sf0.1. Google's production simhash dedup uses ≤3 on 64 bits.)
+_SH_MAX_HAMMING = 3
 
 
 def _simhash_pairs_oracle() -> str:
@@ -209,7 +214,8 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: block the 32-bit fingerprint into 4
     8-bit substrings (any pair with Hamming ≤ 3 must share a block —
     pigeonhole), equi-join on (block_idx, block), verify exact Hamming
-    distance (bit_count of XOR), keep ≤ 10.
+    distance (bit_count of XOR), keep ≤ 3 — so the banded join is exact,
+    not best-effort: every qualifying pair is guaranteed found.
 
     Scale: candidate count is bounded by block-bucket occupancy; the verify
     step is O(1) per candidate (integer XOR+popcount, no text touched).
