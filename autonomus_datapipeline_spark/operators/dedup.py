@@ -228,23 +228,37 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 32) -> DataFrame:
     """SimHash fingerprint as an ``n_bits``-char bitstring per document.
 
-    Bit j is the high bit of hex char j of ONE md5 per token (md5's 128
-    output bits are independent, so 32 hex-char high-bits are 32 independent
-    hash bits — no need for n_bits salted hashes per token). Weighted by
-    token frequency (tokens explode with multiplicity). All n_bits sums
-    happen in ONE aggregation — no per-bit shuffle, no row blowup, exactly
-    one md5 evaluation per token.
+    Bit j is the high bit of hex char j%32 of md5 number j//32 per token
+    (md5's 128 output bits are independent, so each md5 yields 32
+    independent hash bits; bits 32-63 come from a second, salted md5 —
+    ``md5('1:'||tok)``). Weighted by token frequency (tokens explode with
+    multiplicity). All n_bits sums happen in ONE aggregation — no per-bit
+    shuffle, no row blowup, ceil(n_bits/32) md5 evaluations per token.
+
+    Fingerprint width is a scale knob: near-dup banding on b-bit blocks has
+    2^b bucket values, so the 64-bit/16-bit-block configuration keeps
+    bucket occupancy ~corpus/65536 where the 32-bit/8-bit one saturates at
+    256 buckets (quadratic bucket joins long before 100 TB).
     """
-    if n_bits > 32:
-        raise ValueError("single-md5 simhash supports at most 32 bits")
+    groups = (n_bits + 31) // 32
+    hashes = [
+        (
+            F.md5("tok")
+            if g == 0
+            else F.md5(F.concat(F.lit(f"{g}:"), F.col("tok")))
+        ).alias(f"h{g}")
+        for g in range(groups)
+    ]
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    ).select("doc_id", F.md5("tok").alias("h"))
+    ).select("doc_id", *hashes)
     high = list("89abcdef")
     bit_sums = [
         F.sum(
-            F.when(F.substring("h", j + 1, 1).isin(high), 1).otherwise(-1)
+            F.when(
+                F.substring(f"h{j // 32}", (j % 32) + 1, 1).isin(high), 1
+            ).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(n_bits)
     ]

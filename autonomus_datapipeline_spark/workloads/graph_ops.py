@@ -161,22 +161,53 @@ def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash Hamming-neighbor candidates (block-LSH on the fingerprint)
 # ---------------------------------------------------------------------------
 
-_SH_BITS = 32
+# 64-bit fingerprint, 16-bit blocks: the banding bucket space (2^16) must
+# exceed corpus size or every bucket goes quadratic — the 32-bit/8-bit
+# configuration saturates at 256 bucket values (at sf0.1 it produced 425K
+# candidate pairs from 5000 docs; at 100 TB it would be the bottleneck).
+_SH_BITS = 64
 _SH_BLOCKS = 4
 _SH_BLOCK_LEN = _SH_BITS // _SH_BLOCKS
 # ≤ _SH_BLOCKS - 1 so the banded join is EXACT by pigeonhole: a pair within
 # this Hamming distance cannot differ in all 4 blocks, so it always shares
-# one and is always found. (At 10 the result was only candidate-limited —
-# and on a similar-text corpus half of all pairs passed: 6M output rows at
-# sf0.1. Google's production simhash dedup uses ≤3 on 64 bits.)
+# one and is always found. (Google's production simhash dedup likewise uses
+# ≤3 on 64 bits.)
 _SH_MAX_HAMMING = 3
 
 
-def _simhash_pairs_oracle() -> str:
-    sh_sql = pipeline_ops._simhash_oracle().strip()
-    # rsplit: the sums CTE also starts with "SELECT doc_id," — we want the
-    # final projection.
-    with_part, final = sh_sql.rsplit("SELECT doc_id,", 1)
+def _sh_fp_cte(source: str) -> str:
+    """CTE chain producing fp(doc_id, simhash) — the exact SQL mirror of
+    operators/dedup.simhash at ``_SH_BITS`` bits (hash group g is
+    ``md5(tok)`` for g=0 and ``md5('g:'||tok)`` beyond)."""
+    groups = (_SH_BITS + 31) // 32
+    hash_cols = ", ".join(
+        ("md5(tok) AS h0" if g == 0 else f"md5('{g}:' || tok) AS h{g}")
+        for g in range(groups)
+    )
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN substr(h{j // 32}, {(j % 32) + 1}, 1) IN "
+        f"{pipeline_ops._HIGH_HEX} THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(_SH_BITS)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(_SH_BITS)
+    )
+    return f"""
+    toks AS (
+        SELECT doc_id, {hash_cols}
+        FROM (SELECT doc_id, unnest({pipeline_ops._TOKS}) AS tok
+              FROM {source}) u
+    ),
+    sums AS (
+        SELECT doc_id,
+               {sums}
+        FROM toks GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, {bits} AS simhash FROM sums)
+    """
+
+
+def _simhash_pairs_oracle(source: str = "documents") -> str:
     hamming = " + ".join(
         f"(CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) "
         f"THEN 1 ELSE 0 END)"
@@ -188,8 +219,7 @@ def _simhash_pairs_oracle() -> str:
         for b in range(_SH_BLOCKS)
     )
     return f"""
-    {with_part.rstrip()},
-    fp AS (SELECT doc_id, {final}),
+    WITH {_sh_fp_cte(source).strip()},
     blocks AS (
         {blocks}
     ),
@@ -209,20 +239,9 @@ def _simhash_pairs_oracle() -> str:
     """
 
 
-@query("simhash_hamming_pairs", oracle=_simhash_pairs_oracle())
-def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: block the 32-bit fingerprint into 4
-    8-bit substrings (any pair with Hamming ≤ 3 must share a block —
-    pigeonhole), equi-join on (block_idx, block), verify exact Hamming
-    distance (bit_count of XOR), keep ≤ 3 — so the banded join is exact,
-    not best-effort: every qualifying pair is guaranteed found.
-
-    Scale: candidate count is bounded by block-bucket occupancy; the verify
-    step is O(1) per candidate (integer XOR+popcount, no text touched).
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    fp = dedup.simhash(docs, "doc_id", "text", _SH_BITS).cache()
-    blocks = fp.select(
+def _sh_blocked(fp: DataFrame) -> DataFrame:
+    """(doc_id, block_idx, block) — the banding explode of a fingerprint."""
+    return fp.select(
         "doc_id",
         F.explode(
             F.array(
@@ -238,6 +257,28 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("blk"),
     ).select("doc_id", "blk.block_idx", "blk.block")
+
+
+def _sh_hamming(sh_a, sh_b):
+    """Exact Hamming distance between two bitstring fingerprints, computed
+    32 bits at a time: ``conv(bits, 2, 10)`` of a full 64-bit string can
+    exceed signed-long range (→ NULL), so each 32-bit half XORs within a
+    long safely."""
+    total = F.lit(0)
+    for off in range(0, _SH_BITS, 32):
+        width = min(32, _SH_BITS - off)
+        ha = F.conv(F.substring(sh_a, off + 1, width), 2, 10).cast("long")
+        hb = F.conv(F.substring(sh_b, off + 1, width), 2, 10).cast("long")
+        total = total + F.bit_count(ha.bitwiseXOR(hb))
+    return total.cast("int")
+
+
+def _sh_banded_hamming_pairs(fp: DataFrame) -> DataFrame:
+    """Banded candidate join + exact verify shared by both simhash queries.
+    ``fp`` must already be materialized (cache/localCheckpoint) — the
+    banding feeds a self-join that would otherwise recompute the whole
+    fingerprint subtree per side."""
+    blocks = _sh_blocked(fp)
     x, y = blocks.alias("x"), blocks.alias("y")
     cand = (
         x.join(
@@ -253,18 +294,36 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    to_long = lambda c: F.conv(c, 2, 10).cast("long")  # noqa: E731
-    hamming = F.bit_count(
-        to_long(F.col("sh_a")).bitwiseXOR(to_long(F.col("sh_b")))
-    ).cast("int")
     # fp is doc-count-sized (tiny next to the candidate pairs) → broadcast
     # both verify joins so candidates never shuffle.
     return (
         cand.join(F.broadcast(fa), "doc_a")
         .join(F.broadcast(fb), "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select(
+            "doc_a", "doc_b", _sh_hamming(F.col("sh_a"), F.col("sh_b")).alias("hamming")
+        )
         .filter(F.col("hamming") <= _SH_MAX_HAMMING)
     )
+
+
+@query("simhash_hamming_pairs", oracle=_simhash_pairs_oracle())
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: block the 64-bit fingerprint into 4 16-bit
+    substrings (any pair with Hamming ≤ 3 must share a block — pigeonhole,
+    so the banded join is exact, not best-effort), equi-join on
+    (block_idx, block), verify exact Hamming distance (XOR+popcount per
+    32-bit half), keep ≤ 3.
+
+    Scale: candidate count is bounded by block-bucket occupancy — 2^16
+    bucket values per band keeps buckets sparse far beyond this corpus;
+    the verify step is O(1) per candidate (no text touched).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Eager localCheckpoint, not cache(): a lazily-cached fingerprint is
+    # computed concurrently by both sides of the banding self-join before
+    # the cache fills (measured ~2× slower at sf0.1).
+    fp = dedup.simhash(docs, "doc_id", "text", _SH_BITS).localCheckpoint(eager=True)
+    return _sh_banded_hamming_pairs(fp)
 
 
 # ---------------------------------------------------------------------------
@@ -273,11 +332,8 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_dedup_first_oracle() -> str:
-    pairs_sql = _simhash_pairs_oracle().strip()
-    # Source the fingerprint pipeline at the representative set instead of
-    # the raw table: prepend the reps CTE and retarget the toks CTE.
+    pairs_sql = _simhash_pairs_oracle(source="reps").strip()
     assert pairs_sql.startswith("WITH ")
-    body = pairs_sql[len("WITH "):].replace("FROM documents", "FROM reps", 1)
     return f"""
     WITH reps AS (
         SELECT MIN(doc_id) AS doc_id,
@@ -286,7 +342,7 @@ def _simhash_dedup_first_oracle() -> str:
         FROM documents
         GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
     ),
-    {body}
+    {pairs_sql[len("WITH "):]}
     """
 
 
@@ -313,44 +369,4 @@ def simhash_hamming_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_h")
     )
     fp = dedup.simhash(reps, "doc_id", "text", _SH_BITS).localCheckpoint(eager=True)
-    blocks = fp.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block_idx"),
-                        F.substring(
-                            "simhash", b * _SH_BLOCK_LEN + 1, _SH_BLOCK_LEN
-                        ).alias("block"),
-                    )
-                    for b in range(_SH_BLOCKS)
-                ]
-            )
-        ).alias("blk"),
-    ).select("doc_id", "blk.block_idx", "blk.block")
-    x, y = blocks.alias("x"), blocks.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.block_idx") == F.col("y.block_idx"))
-            & (F.col("x.block") == F.col("y.block"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    to_long = lambda c: F.conv(c, 2, 10).cast("long")  # noqa: E731
-    hamming = F.bit_count(
-        to_long(F.col("sh_a")).bitwiseXOR(to_long(F.col("sh_b")))
-    ).cast("int")
-    return (
-        cand.join(F.broadcast(fa), "doc_a")
-        .join(F.broadcast(fb), "doc_b")
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _SH_MAX_HAMMING)
-    )
+    return _sh_banded_hamming_pairs(fp)
