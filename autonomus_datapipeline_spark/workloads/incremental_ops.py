@@ -305,3 +305,54 @@ def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = cdc.upsert_latest_wins(o, updates, ["o_orderkey"], ["o_orderdate"])
     return merged.select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregation: mergeable partial-aggregate state
+# ---------------------------------------------------------------------------
+
+_IAGG_SPLIT = "2024-01-15 00:00:00"
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup via mergeable partial-aggregate state: history
+    (ts < split) is reduced to per-user (decimal partial sum, count) state —
+    what a production pipeline PERSISTS — and the new batch (ts ≥ split) is
+    reduced the same way; merging is a re-aggregation of two state tables,
+    never a rescan of history. The oracle aggregates everything flat, so
+    the gate proves merge(state, delta) == full recompute exactly (decimal
+    partials are order- and grouping-free).
+
+    At 100 TB this is THE aggregation pattern: sum/count/min/max (and
+    sketches) are re-aggregatable, so daily state + daily delta replaces
+    full-history scans; the same algebra is what map-side partial
+    aggregation exploits inside a single job."""
+    split = F.lit(_IAGG_SPLIT).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("psum"),
+            F.count(F.lit(1)).alias("pcnt"),
+        )
+
+    state = partial(ev.filter(F.col("ts") < split))
+    delta = partial(ev.filter(F.col("ts") >= split))
+    return (
+        state.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("psum").cast("double").alias("total_value"),
+            F.sum("pcnt").alias("n_events"),
+        )
+    )
