@@ -58,3 +58,38 @@ def test_keep_representatives(spark):
     )
     kept = graph.keep_representatives(docs, comp, "doc_id")
     assert {r["doc_id"] for r in kept.collect()} == {0, 1, 3, 4}  # 2 dropped
+
+
+def test_strip_duplicated_spans_semantics(spark):
+    shared = "a b c d e f g h"  # the duplicated 8-word span
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} x y z"),          # span at pos 1-8 -> keep x y z
+            (2, f"q r {shared} w"),          # span at pos 3-10 -> keep q r w
+            (3, "short doc only"),           # < 8 words: no grams, untouched
+            (4, f"{shared} {shared}"),       # internal repeat: all covered
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.strip_duplicated_spans(docs, "doc_id", "text", n=8).collect()
+    }
+    assert (out[1].kept_text, out[1].n_removed) == ("x y z", 8)
+    assert (out[2].kept_text, out[2].n_removed) == ("q r w", 8)
+    assert (out[3].kept_text, out[3].n_removed) == ("short doc only", 0)
+    assert (out[4].kept_text, out[4].n_kept) == ("", 0)
+
+
+def test_simhash_64_bits_and_hamming_exactness(spark):
+    # Identical texts -> identical 64-char fingerprints; the banded query
+    # machinery is exercised by the oracle tests, this guards the width and
+    # the multi-hash bit derivation.
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "wholly other words")],
+        ["doc_id", "text"],
+    )
+    fp = {r.doc_id: r.simhash for r in dedup.simhash(df, "doc_id", "text", 64).collect()}
+    assert len(fp[1]) == 64 and set(fp[1]) <= {"0", "1"}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
