@@ -105,3 +105,14 @@ def test_embedding_norms_have_no_explode(spark, sf_dir):
     # L2 norms go through higher-order array functions, not posexplode.
     plan = plan_of(spark, "embedding_norm_stats", sf_dir)
     assert "Generate" not in plan
+
+
+def test_dup_span_strip_has_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, "dup_span_strip", sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_text_query_broadcasts_dimension(spark, sf_dir):
+    plan = plan_of(spark, "sql_text_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
