@@ -43,9 +43,15 @@ def prune_files(zone_rows, lo, hi) -> list[str]:
 
     ``zone_rows`` is the collected zone-map manifest (bounded metadata, one
     row per file). Skipping is conservative: a file is kept whenever its
-    range could contain a matching row.
+    range could contain a matching row — including files with NULL stats
+    (an all-NULL column yields no min/max; such a file cannot be proven
+    non-matching).
     """
-    return [r["path"] for r in zone_rows if r["hi"] >= lo and r["lo"] < hi]
+    return [
+        r["path"]
+        for r in zone_rows
+        if r["lo"] is None or r["hi"] is None or (r["hi"] >= lo and r["lo"] < hi)
+    ]
 
 
 def parquet_file_sizes(spark: SparkSession, path: str) -> list[tuple[str, int]]:
@@ -80,7 +86,11 @@ def compact_parquet(
     File count is derived from actual on-disk bytes (not row counts), so a
     corpus of 10^5 drip-fed stream files becomes ceil(total/target) scan-
     sized files in one distributed rewrite. Returns before/after stats.
+    ``dst`` must differ from ``src``: Spark cannot overwrite a path it is
+    reading (swap directories after the rewrite instead).
     """
+    if src.rstrip("/") == dst.rstrip("/"):
+        raise ValueError("compact_parquet requires dst != src (write then swap)")
     sizes = parquet_file_sizes(spark, src)
     total = sum(s for _, s in sizes)
     n_out = max(1, math.ceil(total / target_file_bytes))

@@ -57,3 +57,19 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_prune_keeps_files_with_null_stats():
+    zones = [
+        {"path": "a", "lo": 1, "hi": 5},
+        {"path": "b", "lo": None, "hi": None},  # all-NULL stat column
+        {"path": "c", "lo": 50, "hi": 60},
+    ]
+    assert mnt.prune_files(zones, 0, 10) == ["a", "b"]
+
+
+def test_compact_rejects_in_place_rewrite(spark, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dst != src"):
+        mnt.compact_parquet(spark, str(tmp_path / "x"), str(tmp_path / "x/"))
