@@ -103,6 +103,29 @@ def compact_parquet(
     }
 
 
+def promote_directory(spark: SparkSession, staged: str, target: str) -> str:
+    """Promote a staged rewrite over ``target`` via two FileSystem renames
+    (the compact-then-swap step): the previous ``target`` is moved aside to
+    ``<target>__replaced`` (returned, for deferred deletion once no reader
+    can still hold its file list) and ``staged`` takes its place. Renames
+    are metadata operations on HDFS-like filesystems; on object stores a
+    table format's metadata commit replaces this.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    staged_p = jvm.org.apache.hadoop.fs.Path(staged)
+    target_p = jvm.org.apache.hadoop.fs.Path(target)
+    fs = target_p.getFileSystem(conf)
+    aside = jvm.org.apache.hadoop.fs.Path(target + "__replaced")
+    if fs.exists(aside):
+        fs.delete(aside, True)
+    if fs.exists(target_p) and not fs.rename(target_p, aside):
+        raise IOError(f"could not move {target} aside")
+    if not fs.rename(staged_p, target_p):
+        raise IOError(f"could not promote {staged} to {target}")
+    return str(aside.toString())
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

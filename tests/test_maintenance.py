@@ -73,3 +73,15 @@ def test_compact_rejects_in_place_rewrite(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="dst != src"):
         mnt.compact_parquet(spark, str(tmp_path / "x"), str(tmp_path / "x/"))
+
+
+def test_compact_then_promote_swaps_directories(spark, tmp_path):
+    target, staged = str(tmp_path / "t"), str(tmp_path / "staged")
+    spark.range(1_000).repartition(16).write.parquet(target)
+    mnt.compact_parquet(spark, target, staged, target_file_bytes=1 << 30)
+    aside = mnt.promote_directory(spark, staged, target)
+    out = spark.read.parquet(target)
+    assert out.count() == 1_000
+    assert len(mnt.parquet_file_sizes(spark, target)) == 1
+    # the replaced data is parked, not destroyed
+    assert spark.read.parquet(aside).count() == 1_000
