@@ -21,7 +21,7 @@ from typing import Any, Callable
 
 import pandas as pd
 from pyspark.sql import SparkSession
-from pyspark.sql.functions import PandasUDFType, pandas_udf, udtf
+from pyspark.sql.functions import pandas_udf, udtf
 
 from autonomus_datapipeline_spark.engine.sandbox import _safe_builtins
 
@@ -43,6 +43,27 @@ class UdfTestFailure(ValueError):
     pass
 
 
+def _compile_and_gate(name, code, tag, test_cases, canon):
+    """Sandbox-compile ``def {name}(...)`` and run its declared test cases;
+    the single gate both the scalar-UDF and UDTF registration paths go
+    through (``canon`` normalizes actual/expected outputs for comparison —
+    identity for scalars, list-of-tuples for table functions)."""
+    env: dict[str, Any] = {"__builtins__": _safe_builtins()}
+    exec(compile(code, f"<{tag}:{name}>", "exec"), env)  # noqa: S102 — sandboxed
+    fn = env.get(name)
+    if not callable(fn):
+        raise ValueError(f"code must define `def {name}(...)`")
+    for i, case in enumerate(test_cases or []):
+        got = canon(fn(*case["input"]))
+        want = canon(case["expected_output"])
+        if got != want:
+            raise UdfTestFailure(
+                f"test case {i} failed: {name}(*{case['input']!r}) = "
+                f"{got!r}, expected {want!r}"
+            )
+    return fn
+
+
 class UdfRegistry:
     def __init__(self) -> None:
         self._functions: dict[str, UserFunction] = {}
@@ -62,18 +83,7 @@ class UdfRegistry:
         """
         if output_type not in ALLOWED_OUTPUT_TYPES:
             raise ValueError(f"output_type must be one of {sorted(ALLOWED_OUTPUT_TYPES)}")
-        env: dict[str, Any] = {"__builtins__": _safe_builtins()}
-        exec(compile(code, f"<udf:{name}>", "exec"), env)  # noqa: S102 — sandboxed
-        fn = env.get(name)
-        if not callable(fn):
-            raise ValueError(f"code must define `def {name}(...)`")
-        for i, case in enumerate(test_cases or []):
-            got = fn(*case["input"])
-            if got != case["expected_output"]:
-                raise UdfTestFailure(
-                    f"test case {i} failed: {name}(*{case['input']!r}) = "
-                    f"{got!r}, expected {case['expected_output']!r}"
-                )
+        fn = _compile_and_gate(name, code, "udf", test_cases, lambda got: got)
         uf = UserFunction(name, code, output_type, fn, list(test_cases or []))
         self._functions[name] = uf
         return uf
@@ -117,8 +127,10 @@ class UdfRegistry:
         uf = self.get(name)
         fn = uf.fn
 
-        @pandas_udf(uf.output_type, PandasUDFType.GROUPED_AGG)
-        def _agg(*cols: pd.Series):
+        # Type-hint form (Series... -> scalar == grouped agg): the
+        # PandasUDFType enum is deprecated and warns on every call.
+        @pandas_udf(uf.output_type)
+        def _agg(*cols: pd.Series) -> float:
             return fn(*cols)
 
         return _agg
@@ -136,19 +148,9 @@ class UdfRegistry:
         for 1→N expansions the relational operators can't express, never for
         bulk transforms.
         """
-        env: dict[str, Any] = {"__builtins__": _safe_builtins()}
-        exec(compile(code, f"<udtf:{name}>", "exec"), env)  # noqa: S102 — sandboxed
-        fn = env.get(name)
-        if not callable(fn):
-            raise ValueError(f"code must define `def {name}(...)`")
-        for i, case in enumerate(test_cases or []):
-            got = [tuple(r) for r in fn(*case["input"])]
-            want = [tuple(r) for r in case["expected_output"]]
-            if got != want:
-                raise UdfTestFailure(
-                    f"test case {i} failed: {name}(*{case['input']!r}) = "
-                    f"{got!r}, expected {want!r}"
-                )
+        fn = _compile_and_gate(
+            name, code, "udtf", test_cases, lambda got: [tuple(r) for r in got]
+        )
         uf = UserFunction(name, code, return_schema, fn, list(test_cases or []))
         self._functions[name] = uf
         return uf

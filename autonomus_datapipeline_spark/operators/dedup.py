@@ -315,9 +315,11 @@ def strip_duplicated_spans(
         "doc_id", (F.col("p0") + 1).alias("pos"), "gh"
     )
     # The gram table feeds both the duplicate count and the occurrence join;
-    # materialize once (100 TB analog: persist the gram table, it is hashes
-    # not text).
-    grams = grams.cache()
+    # materialize EAGERLY once (a lazy cache consumed by two branches of the
+    # same job is computed concurrently by both before it fills — measured
+    # ~2× slower on the simhash twin). 100 TB analog: persist the gram
+    # table, it is hashes not text.
+    grams = grams.localCheckpoint(eager=True)
     dup = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -20,6 +20,7 @@ operations are mandatory housekeeping:
 from __future__ import annotations
 
 import math
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -87,9 +88,27 @@ def compact_parquet(
     corpus of 10^5 drip-fed stream files becomes ceil(total/target) scan-
     sized files in one distributed rewrite. Returns before/after stats.
     ``dst`` must differ from ``src``: Spark cannot overwrite a path it is
-    reading (swap directories after the rewrite instead).
+    reading (use :func:`promote_directory` after the rewrite instead). The
+    guard compares fully-qualified resolved paths, so aliases like
+    ``dir/../dir`` or a ``file:`` prefix cannot sneak an in-place rewrite
+    past it.
     """
-    if src.rstrip("/") == dst.rstrip("/"):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+
+    def _qualified(p: str) -> tuple[str, str, str]:
+        # makeQualified pins scheme+authority; normpath collapses '..'/'.'
+        # segments Hadoop Path keeps verbatim.
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        fs = hp.getFileSystem(conf)
+        uri = fs.makeQualified(hp).toUri()
+        return (
+            uri.getScheme() or "",
+            uri.getAuthority() or "",
+            posixpath.normpath(uri.getPath() or "/"),
+        )
+
+    if _qualified(src) == _qualified(dst):
         raise ValueError("compact_parquet requires dst != src (write then swap)")
     sizes = parquet_file_sizes(spark, src)
     total = sum(s for _, s in sizes)
@@ -116,13 +135,21 @@ def promote_directory(spark: SparkSession, staged: str, target: str) -> str:
     staged_p = jvm.org.apache.hadoop.fs.Path(staged)
     target_p = jvm.org.apache.hadoop.fs.Path(target)
     fs = target_p.getFileSystem(conf)
+    # Validate the staged side BEFORE touching target: a typo'd staged path
+    # must not leave the live directory moved aside with nothing promoted.
+    if not fs.exists(staged_p):
+        raise IOError(f"staged path {staged} does not exist; target untouched")
     aside = jvm.org.apache.hadoop.fs.Path(target + "__replaced")
     if fs.exists(aside):
         fs.delete(aside, True)
-    if fs.exists(target_p) and not fs.rename(target_p, aside):
+    moved_aside = fs.exists(target_p)
+    if moved_aside and not fs.rename(target_p, aside):
         raise IOError(f"could not move {target} aside")
     if not fs.rename(staged_p, target_p):
-        raise IOError(f"could not promote {staged} to {target}")
+        # roll the previous data back into place before failing
+        if moved_aside:
+            fs.rename(aside, target_p)
+        raise IOError(f"could not promote {staged} to {target}; target restored")
     return str(aside.toString())
 
 

@@ -175,38 +175,6 @@ _SH_BLOCK_LEN = _SH_BITS // _SH_BLOCKS
 _SH_MAX_HAMMING = 3
 
 
-def _sh_fp_cte(source: str) -> str:
-    """CTE chain producing fp(doc_id, simhash) — the exact SQL mirror of
-    operators/dedup.simhash at ``_SH_BITS`` bits (hash group g is
-    ``md5(tok)`` for g=0 and ``md5('g:'||tok)`` beyond)."""
-    groups = (_SH_BITS + 31) // 32
-    hash_cols = ", ".join(
-        ("md5(tok) AS h0" if g == 0 else f"md5('{g}:' || tok) AS h{g}")
-        for g in range(groups)
-    )
-    sums = ",\n               ".join(
-        f"SUM(CASE WHEN substr(h{j // 32}, {(j % 32) + 1}, 1) IN "
-        f"{pipeline_ops._HIGH_HEX} THEN 1 ELSE -1 END) AS b{j}"
-        for j in range(_SH_BITS)
-    )
-    bits = " || ".join(
-        f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(_SH_BITS)
-    )
-    return f"""
-    toks AS (
-        SELECT doc_id, {hash_cols}
-        FROM (SELECT doc_id, unnest({pipeline_ops._TOKS}) AS tok
-              FROM {source}) u
-    ),
-    sums AS (
-        SELECT doc_id,
-               {sums}
-        FROM toks GROUP BY doc_id
-    ),
-    fp AS (SELECT doc_id, {bits} AS simhash FROM sums)
-    """
-
-
 def _simhash_pairs_oracle(source: str = "documents") -> str:
     hamming = " + ".join(
         f"(CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) "
@@ -219,7 +187,7 @@ def _simhash_pairs_oracle(source: str = "documents") -> str:
         for b in range(_SH_BLOCKS)
     )
     return f"""
-    WITH {_sh_fp_cte(source).strip()},
+    WITH {pipeline_ops._simhash_cte(_SH_BITS, source).strip()},
     blocks AS (
         {blocks}
     ),

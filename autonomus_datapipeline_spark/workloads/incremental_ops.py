@@ -346,7 +346,10 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("pcnt"),
         )
 
-    state = partial(ev.filter(F.col("ts") < split))
+    # NULL ts fails both predicates and would silently vanish from the
+    # merge while the oracle's flat COUNT(*) keeps it — bucket NULLs into
+    # state so every row lands in exactly one partial.
+    state = partial(ev.filter((F.col("ts") < split) | F.col("ts").isNull()))
     delta = partial(ev.filter(F.col("ts") >= split))
     return (
         state.unionByName(delta)

@@ -217,28 +217,46 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BITS = 32
 
 
-def _simhash_oracle(source: str = "documents") -> str:
-    # Mirrors operators/dedup.py:simhash — bit j is the high bit of hex
-    # char j of ONE md5 per token. ``source`` lets callers fingerprint a
-    # CTE (e.g. exact-dedup representatives) instead of the raw table.
+def _simhash_cte(n_bits: int = _SIMHASH_BITS, source: str = "documents") -> str:
+    """CTE chain producing fp(doc_id, simhash) — the single SQL mirror of
+    operators/dedup.simhash at any width (hash group g is ``md5(tok)`` for
+    g=0 and ``md5('g:'||tok)`` beyond; bit j is the high bit of hex char
+    j%32 of group j//32). ``source`` lets callers fingerprint a CTE (e.g.
+    exact-dedup representatives) instead of the raw table. Keep this the
+    ONLY oracle-side formulation: every simhash consumer (fingerprints,
+    Hamming pairs, dedup-first) must mirror the identical bit derivation.
+    """
+    groups = (n_bits + 31) // 32
+    hash_cols = ", ".join(
+        ("md5(tok) AS h0" if g == 0 else f"md5('{g}:' || tok) AS h{g}")
+        for g in range(groups)
+    )
     sums = ",\n               ".join(
-        f"SUM(CASE WHEN substr(h, {j + 1}, 1) IN {_HIGH_HEX} "
+        f"SUM(CASE WHEN substr(h{j // 32}, {(j % 32) + 1}, 1) IN {_HIGH_HEX} "
         f"THEN 1 ELSE -1 END) AS b{j}"
-        for j in range(_SIMHASH_BITS)
+        for j in range(n_bits)
     )
     bits = " || ".join(
-        f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(_SIMHASH_BITS)
+        f"(CASE WHEN b{j} > 0 THEN '1' ELSE '0' END)" for j in range(n_bits)
     )
     return f"""
-    WITH toks AS (
-        SELECT doc_id, md5(unnest({_TOKS})) AS h FROM {source}
+    toks AS (
+        SELECT doc_id, {hash_cols}
+        FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM {source}) u
     ),
     sums AS (
         SELECT doc_id,
                {sums}
         FROM toks GROUP BY doc_id
-    )
-    SELECT doc_id, {bits} AS simhash FROM sums
+    ),
+    fp AS (SELECT doc_id, {bits} AS simhash FROM sums)
+    """
+
+
+def _simhash_oracle(source: str = "documents") -> str:
+    return f"""
+    WITH {_simhash_cte(_SIMHASH_BITS, source).strip()}
+    SELECT doc_id, simhash FROM fp
     """
 
 
