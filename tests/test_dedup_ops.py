@@ -93,3 +93,47 @@ def test_simhash_64_bits_and_hamming_exactness(spark):
     assert len(fp[1]) == 64 and set(fp[1]) <= {"0", "1"}
     assert fp[1] == fp[2]
     assert fp[1] != fp[3]
+
+
+def test_strip_duplicated_spans_matches_reference_model(spark):
+    # Seeded random corpus from a tiny vocabulary (forces span collisions),
+    # checked exactly against an independent pure-Python model — a third
+    # formulation alongside the Spark plan and the DuckDB oracle.
+    import re
+    from collections import Counter
+    from random import Random
+
+    rnd = Random(7)
+    vocab = ["red", "blue", "green", "ox", "owl", "yak"]
+    n = 5
+    docs = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(3, 30))))
+        for i in range(40)
+    ]
+
+    def model(rows):
+        toks = {i: re.split(r"\s+", t.lower()) for i, t in rows}
+        grams = Counter()
+        occs = []
+        for i, ws in toks.items():
+            for p in range(len(ws) - n + 1):
+                g = tuple(ws[p : p + n])
+                grams[g] += 1
+                occs.append((i, p, g))
+        covered = set()
+        for i, p, g in occs:
+            if grams[g] > 1:
+                covered.update((i, q) for q in range(p, p + n))
+        out = {}
+        for i, ws in toks.items():
+            kept = [w for q, w in enumerate(ws) if (i, q) not in covered]
+            out[i] = (len(ws), len(kept), len(ws) - len(kept), " ".join(kept))
+        return out
+
+    expected = model(docs)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_words, r.n_kept, r.n_removed, r.kept_text)
+        for r in dedup.strip_duplicated_spans(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == expected
