@@ -85,3 +85,40 @@ def test_compact_then_promote_swaps_directories(spark, tmp_path):
     assert len(mnt.parquet_file_sizes(spark, target)) == 1
     # the replaced data is parked, not destroyed
     assert spark.read.parquet(aside).count() == 1_000
+
+
+def test_ingest_compact_promote_zonemap_lifecycle(spark, tmp_path):
+    """The storage lifecycle end-to-end: drip-fed appends accumulate small
+    files -> compact to scan-sized files -> promote atomically -> zone-map
+    pruning answers a range query from the compacted layout, exactly."""
+    live = str(tmp_path / "events")
+    # 12 drip appends of 500 rows each, one file apiece (a stream's output)
+    for batch in range(12):
+        (
+            spark.range(batch * 500, (batch + 1) * 500)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(live)
+        )
+    assert len(mnt.parquet_file_sizes(spark, live)) >= 12
+
+    staged = str(tmp_path / "events_compact")
+    stats = mnt.compact_parquet(spark, live, staged, target_file_bytes=1 << 30)
+    assert stats["files_after"] == 1
+    mnt.promote_directory(spark, staged, live)
+    assert len(mnt.parquet_file_sizes(spark, live)) == 1
+
+    # The compacted single file still zone-prunes correctly (trivially kept)
+    # and the data survived both rewrites bit-for-bit.
+    back = spark.read.parquet(live)
+    zones = mnt.file_zone_map(back, "k").collect()
+    keep = mnt.prune_files(zones, 1000, 2000)
+    got = (
+        spark.read.parquet(*keep)
+        .filter((F.col("k") >= 1000) & (F.col("k") < 2000))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .first()
+    )
+    assert got.n == 1000
+    assert got.s == sum(i % 7 for i in range(1000, 2000))
