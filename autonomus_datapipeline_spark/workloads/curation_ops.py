@@ -108,7 +108,7 @@ _SAMPLE_HEX = ("0", "1", "2", "3")
            COUNT(DISTINCT d.doc_id) AS n_total,
            COUNT(DISTINCT s.doc_id) AS n_sampled,
            CAST(min(s.doc_id) AS BIGINT) AS min_sampled_id
-    FROM documents d LEFT JOIN s ON d.lang = s.lang AND d.doc_id = s.doc_id
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
     GROUP BY d.lang
     """,
 )
@@ -319,7 +319,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT b.doc_id, b.h,
                ROW_NUMBER() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
         FROM batch b
-        WHERE b.h NOT IN (SELECT h FROM corpus_hashes)
+        ANTI JOIN corpus_hashes c ON b.h = c.h
     )
     SELECT doc_id, h AS content_hash FROM survivors WHERE rn = 1
     """,

@@ -143,14 +143,17 @@ def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
     pairs = dedup.lsh_candidate_pairs(sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS)
     comp = graph.connected_components(pairs, "doc_a", "doc_b")
-    # Single-pass accounting: one broadcast left join flags each doc as
-    # kept/dropped, one aggregation counts both — instead of materializing
-    # the kept set and anti-joining the corpus against it twice.
+    # Single-pass accounting: one left join flags each doc as kept/dropped,
+    # one aggregation counts both — instead of materializing the kept set
+    # and anti-joining the corpus against it twice. No broadcast hint:
+    # non_reps scales with the number of DUPLICATED documents (most of a
+    # crawl corpus in the worst case), so the planner must stay free to
+    # pick a shuffled join when the dup set is large.
     non_reps = (
         comp.filter(F.col("node") != F.col("component_id"))
         .select(F.col("node").alias("doc_id"), F.lit(True).alias("dropped"))
     )
-    flagged = docs.join(F.broadcast(non_reps), "doc_id", "left")
+    flagged = docs.join(non_reps, "doc_id", "left")
     return flagged.groupBy("lang").agg(
         F.count(F.when(F.col("dropped").isNull(), 1)).alias("n_kept"),
         F.count("dropped").alias("n_dropped"),
@@ -305,7 +308,7 @@ def _simhash_dedup_first_oracle() -> str:
     return f"""
     WITH reps AS (
         SELECT MIN(doc_id) AS doc_id,
-               MIN(text) AS text,
+               min_by(text, doc_id) AS text,
                COUNT(*) AS n_copies
         FROM documents
         GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
@@ -333,7 +336,10 @@ def simhash_hamming_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_hash = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
     reps = (
         docs.groupBy(norm_hash.alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        # min_by: the representative keeps ITS OWN text — an independent
+        # MIN(text) could pair the kept doc_id with another member's
+        # (only normalization-equal) text and fingerprint the wrong string
+        .agg(F.min("doc_id").alias("doc_id"), F.min_by("text", "doc_id").alias("text"))
         .drop("_h")
     )
     fp = dedup.simhash(reps, "doc_id", "text", _SH_BITS).localCheckpoint(eager=True)

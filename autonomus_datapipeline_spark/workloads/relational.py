@@ -662,7 +662,18 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_session.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"),
         F.sum("n").cast("bigint").alias("n_events"),
-        F.sum(F.unix_timestamp("t1") - F.unix_timestamp("t0"))
+        # timestampdiff over second-truncated endpoints: boundary-crossing
+        # counting (= DuckDB date_diff('second')), in pure NTZ arithmetic.
+        # unix_timestamp matches the boundary semantics but converts
+        # NTZ->LTZ through the session time zone (DST-dependent spans on a
+        # non-UTC driver); raw timestampdiff is TZ-free but counts FULL
+        # elapsed seconds (off by one across sub-second phases).
+        F.sum(
+            F.expr(
+                "timestampdiff(SECOND, date_trunc('second', t0),"
+                " date_trunc('second', t1))"
+            )
+        )
         .cast("bigint")
         .alias("total_span_s"),
     )

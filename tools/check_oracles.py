@@ -75,16 +75,19 @@ def main() -> int:
         # cannot hash/sort list- or dict-typed cells (round-1 failure mode of
         # array_agg_order_years) — flag any such output column as a failure
         # even though our own str()-based comparison would survive it.
-        if srows:
-            bad_cols = [
-                c for i, c in enumerate(scols)
-                if isinstance(srows[0][i], (list, tuple, dict, set, bytearray))
-            ]
-            if bad_cols:
-                failures.append(name)
-                print(f"FAIL  {name}: unhashable driver-side cell type in "
-                      f"columns {bad_cols} (pandas canonicalizer would crash)")
-                continue
+        # Checked on the SCHEMA, not the first row: a column that is NULL in
+        # row 0 but list-typed later would slip a row-based probe.
+        bad_cols = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+            or f.dataType.typeName() == "binary"
+        ]
+        if bad_cols:
+            failures.append(name)
+            print(f"FAIL  {name}: complex-typed output column(s) {bad_cols} "
+                  f"(driver's pandas canonicalizer would crash)")
+            continue
         if spec.oracle is None:
             print(f"ok*   {name}: rows-only ({len(srows)} rows, "
                   f"{time.time() - t0:.1f}s, no oracle)")
