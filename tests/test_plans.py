@@ -116,3 +116,28 @@ def test_sql_text_query_broadcasts_dimension(spark, sf_dir):
     plan = plan_of(spark, "sql_text_revenue", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# Whole-registry sweep: no query may plan a CartesianProduct. Excluded:
+# queries whose construction has side effects (zonemap writes a layout,
+# ann_* fit models) — their plan shapes are guarded by their own tests or
+# are model-derived.
+_SWEEP_EXCLUDE = {
+    "zonemap_pruned_scan",
+    "ann_ivf_topk",
+    "ann_ivf_portable_topk",
+    "ann_lsh_topk",
+    "ann_recall_report",
+}
+
+
+@pytest.mark.parametrize(
+    "name", [q for q in QUERY_REGISTRY if q not in _SWEEP_EXCLUDE]
+)
+def test_no_cartesian_product_anywhere(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
+    if "CartesianProduct" in plan:
+        # The three known broadcast-tiny intentional cross joins compile to
+        # BroadcastNestedLoopJoin, not CartesianProduct — anything else is a
+        # regression.
+        raise AssertionError(f"{name} plans a CartesianProduct")
