@@ -1,4 +1,7 @@
-"""File sources: CSV / JSON / Parquet directories with schema-tolerant union.
+"""File sources: CSV / JSON / Parquet / ORC / XML directories with
+schema-tolerant union. (Avro stays unsupported: its data-source module is an
+external jar the sandbox cannot fetch — same environment gap as the Kafka
+connector, documented in NOTES_BUILD.md.)
 
 Reference semantics re-expressed Spark-first:
 
@@ -24,7 +27,13 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-EXTENSIONS = {"csv": ["*.csv"], "json": ["*.json", "*.jsonl"], "parquet": ["*.parquet"]}
+EXTENSIONS = {
+    "csv": ["*.csv"],
+    "json": ["*.json", "*.jsonl"],
+    "parquet": ["*.parquet"],
+    "orc": ["*.orc"],
+    "xml": ["*.xml"],
+}
 
 
 def discover_files(directory: str, fmt: str) -> list[str]:
@@ -42,7 +51,7 @@ class FileSource:
     """A directory (or explicit file list) of one format."""
 
     path: str
-    fmt: str = "csv"  # csv | json | parquet
+    fmt: str = "csv"  # csv | json | parquet | orc | xml
     options: dict[str, str] = field(default_factory=dict)
     files: list[str] | None = None
 
@@ -56,6 +65,9 @@ class FileSource:
     def _reader(self, spark: SparkSession, schema: T.StructType | None):
         reader = spark.read
         opts = {"header": "true", **self.options} if self.fmt == "csv" else dict(self.options)
+        if self.fmt == "xml":
+            # Spark 4 ships XML natively; a row tag is mandatory for reads.
+            opts.setdefault("rowTag", "row")
         if schema is not None:
             reader = reader.schema(schema)
         elif self.fmt == "csv":

@@ -57,6 +57,49 @@ def test_file_source_jsonl(spark, tmp_path):
     assert df.count() == 5
 
 
+def test_file_source_orc(spark, tmp_path):
+    src = tmp_path / "orc_data"
+    spark.range(6).selectExpr("id", "id * 3 AS v").write.orc(str(src))
+    df = FileSource(str(src), "orc").read(spark)
+    assert df.count() == 6
+    assert set(df.columns) == {"id", "v"}
+
+
+def test_file_source_orc_drift_union(spark, tmp_path):
+    spark.range(2).selectExpr("id", "id AS a").coalesce(1).write.orc(
+        str(tmp_path / "one")
+    )
+    spark.range(2).selectExpr("id", "id AS b").coalesce(1).write.orc(
+        str(tmp_path / "two")
+    )
+    import glob as _glob
+
+    files = sorted(
+        _glob.glob(str(tmp_path / "*" / "*.orc"))
+    )
+    df = FileSource(str(tmp_path), "orc", files=files).read(
+        spark, allow_schema_drift=True
+    )
+    assert set(df.columns) == {"id", "a", "b"}
+    assert df.count() == 4
+
+
+def test_file_source_xml_roundtrip(spark, tmp_path):
+    src = tmp_path / "xml_data"
+    (
+        spark.range(4)
+        .selectExpr("id", "concat('n', id) AS name")
+        .coalesce(1)
+        .write.format("xml")
+        .option("rootTag", "rows")
+        .option("rowTag", "row")
+        .save(str(src))
+    )
+    df = FileSource(str(src), "xml").read(spark)
+    assert df.count() == 4
+    assert set(df.columns) == {"id", "name"}
+
+
 # -- rest ------------------------------------------------------------------------
 
 
