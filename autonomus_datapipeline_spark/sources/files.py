@@ -25,6 +25,7 @@ from dataclasses import dataclass, field
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 EXTENSIONS = {
@@ -98,3 +99,34 @@ class FileSource:
         return reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
         )
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, pattern: str = "*"
+) -> DataFrame:
+    """Directory of opaque blobs → (path, modificationTime, length, content)
+    via Spark's native ``binaryFile`` source — the ingestion end of the
+    multimodal pipeline (operators/multimodal.py): content is the binary
+    payload column the mapInPandas decoders consume. The scan parallelizes
+    across files and never materializes payloads on the driver.
+    """
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, whole_files: bool = True
+) -> DataFrame:
+    """Raw-text corpus ingestion: one row per FILE (wholetext — a document
+    per file, the common crawl-dump layout) or one row per LINE. Returns
+    (doc_path, text); downstream text operators key on the path until an
+    id is assigned."""
+    # NB: .text()'s own wholetext kwarg overrides any reader-level
+    # .option("wholetext", ...) — the kwarg is the only form that applies.
+    return spark.read.text(path, wholetext=whole_files).select(
+        F.input_file_name().alias("doc_path"),
+        F.col("value").alias("text"),
+    )

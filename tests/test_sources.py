@@ -281,3 +281,44 @@ def test_rest_cache_key_includes_body_and_auth(tmp_path):
     assert len(calls_a) == len(calls_b) == len(calls_c) == 1
     assert a.fetch_records() == [{"who": "a"}]     # still cached per-identity
     assert len(calls_a) == 1
+
+
+def test_binary_file_source_feeds_multimodal_decode(spark, tmp_path):
+    from autonomus_datapipeline_spark.operators import multimodal
+    from autonomus_datapipeline_spark.sources.files import read_binary_files
+
+    blob_dir = tmp_path / "blobs"
+    blob_dir.mkdir()
+    payloads = {f"img_{i}.bin": bytes([i] * (10 + i)) for i in range(4)}
+    for fname, data in payloads.items():
+        (blob_dir / fname).write_bytes(data)
+
+    from pyspark.sql import functions as F
+
+    df = read_binary_files(spark, str(blob_dir), "*.bin")
+    assert df.count() == 4
+    assert {"path", "content", "length"} <= set(df.columns)
+
+    # end-to-end: binary scan -> mapInPandas fake decode
+    import hashlib
+
+    with_ids = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    feats = multimodal.decode_features(with_ids, "doc_id", "payload", use_fake=True)
+    got = {r.payload_md5 for r in feats.collect()}
+    want = {hashlib.md5(d).hexdigest() for d in payloads.values()}
+    assert got == want
+
+
+def test_text_corpus_wholetext(spark, tmp_path):
+    from autonomus_datapipeline_spark.sources.files import read_text_corpus
+
+    corpus = tmp_path / "docs"
+    corpus.mkdir()
+    (corpus / "a.txt").write_text("alpha beta\ngamma")
+    (corpus / "b.txt").write_text("delta")
+    df = read_text_corpus(spark, str(corpus))
+    rows = {r.doc_path.rsplit("/", 1)[1]: r.text for r in df.collect()}
+    assert rows == {"a.txt": "alpha beta\ngamma", "b.txt": "delta"}
