@@ -441,6 +441,73 @@ def ivf_topk_portable(
     )
 
 
+def ivf_topk_frozen(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    centroids: list[list[float]],
+    n_probe: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN against a *frozen* codebook: assign every vector to its
+    nearest centroid literal (exact-decimal distances), probe the
+    ``n_probe`` nearest cells per query, exact cosine re-rank inside them.
+
+    This is the production shape of :func:`ivf_topk`: the coarse quantizer
+    is trained offline on a sample (tools/fit_ivf_centroids.py runs the
+    same KMeans configuration), frozen, and shipped as literals — so the
+    query itself is deterministic and SQL-oracle-checkable, and at 100 TB
+    the codebook is a 16-row broadcast against one corpus scan with no
+    training jobs in the query path.
+    """
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell_id int, cvec array<double>",
+    )
+    d2 = dist_sq_exact(F.col("vec"), F.col("cvec"))
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell_id"))
+    )
+
+    def nearest_cells(df: DataFrame, n: int) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+            .crossJoin(F.broadcast(cent))
+            .withColumn("d2", d2)
+            .withColumn("rn", rn)
+            .filter(F.col("rn") <= n)
+            .select("id", "vec", "cell_id")
+        )
+
+    assigned = nearest_cells(corpus, 1).select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell_id"
+    )
+    probes = nearest_cells(queries, n_probe).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "cell_id"
+    )
+    cos = F.round(
+        dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
+        / (
+            F.sqrt(norm_sq_exact(F.col("q_vec")).cast("double"))
+            * F.sqrt(norm_sq_exact(F.col("c_vec")).cast("double"))
+        ),
+        6,
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def rp_lsh_buckets(
     df: DataFrame,
     dim: int,

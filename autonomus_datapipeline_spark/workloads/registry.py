@@ -131,14 +131,52 @@ def sql_davg(expr: str, alias: str) -> str:
 # Driver contract surface
 # ---------------------------------------------------------------------------
 
+# Queries that already have a fully-green (rows+schema+hash) row in a driver
+# CORRECTNESS_r*.json snapshot. The driver's correctness file caps at 50 rows
+# taken in queries() iteration order, so we emit *unproven* queries first and
+# park the already-proven ones at the back of the dict. Newly-registered
+# queries are unproven by definition and therefore also land in the front
+# block (in registration order, after the older unproven ones).
+_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        # CORRECTNESS_r02.json: hash_match == true (49 rows).
+        "ann_lsh_topk", "approx_aggregates", "array_agg_order_years",
+        "array_functions_suite", "asof_join_last_order",
+        "brand_quantity_lookup", "categorical_encode", "cube_event_stats",
+        "customer_set_ops", "dedup_exact", "dedup_keep_latest",
+        "distinct_counts", "embedding_cosine_topk", "embedding_neardup_pairs",
+        "event_type_hourly_stats", "events_hourly_user_counts",
+        "incremental_agg_merge", "json_props_extract", "lag_value_diff",
+        "market_segment_revenue", "minhash_lsh_pairs", "nation_region_rollup",
+        "ngram_jaccard_capped", "ngram_jaccard_top_pairs", "null_safe_join",
+        "order_priority_bucket", "orders_above_customer_avg",
+        "pivot_status_counts", "q1_pricing_summary", "quantity_percentiles",
+        "running_customer_spend", "salted_grouped_count",
+        "semi_anti_join_customers", "session_windows_30m", "ship_delay_bucket",
+        "simhash_fingerprints", "sliding_window_6h_1h", "stats_correlation",
+        "string_date_functions", "timeseries_gap_fill",
+        "top_orders_by_revenue", "topk_users_per_hour", "tumbling_window_1h",
+        "union_missing_columns", "unit_convert_anomaly", "upsert_latest_wins",
+        "value_histogram", "window_ranking_suite", "zscore_normalize",
+    }
+)
+
+
+def _contract_order() -> list[str]:
+    """Registry names, driver-unproven first (stable within each block)."""
+    names = list(QUERY_REGISTRY)
+    return [n for n in names if n not in _DRIVER_VERIFIED] + [
+        n for n in names if n in _DRIVER_VERIFIED
+    ]
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in QUERY_REGISTRY.items()}
+    return {name: QUERY_REGISTRY[name].fn for name in _contract_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle
-        for name, spec in QUERY_REGISTRY.items()
-        if spec.oracle is not None
+        name: QUERY_REGISTRY[name].oracle
+        for name in _contract_order()
+        if QUERY_REGISTRY[name].oracle is not None
     }
