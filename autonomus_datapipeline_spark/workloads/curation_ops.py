@@ -362,10 +362,10 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_length_histogram",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
     )
-    SELECT CAST(floor(log2(n_tokens)) AS INT) AS log2_bucket,
-           CAST(power(2, floor(log2(n_tokens))) AS BIGINT) AS bucket_lo,
+    SELECT CAST(length(bin(n_tokens)) - 1 AS INT) AS log2_bucket,
+           CAST(1::BIGINT << (length(bin(n_tokens)) - 1) AS BIGINT) AS bucket_lo,
            COUNT(*) AS n_docs,
            SUM(n_tokens) AS total_tokens
     FROM t WHERE n_tokens > 0
@@ -376,17 +376,22 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-length profile: documents bucketed by floor(log2(token
     count)) — the histogram that sizes context-window packing and flags
     truncation loss before tokenization. Map-side combine collapses to
-    ~30 groups before the shuffle regardless of corpus size."""
+    ~30 groups before the shuffle regardless of corpus size.
+
+    Float-free by construction: the bucket is the integer bit-length of the
+    token count (``length(bin(n)) - 1``) and the bucket floor is a left
+    shift — no ``log2``/``pow`` on either engine, so no libm rounding can
+    drift the hash at exact powers of two (the r3 driver-env failure mode)."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.lower("text"), r"\s+"))
+    n_tokens = F.size(F.split(F.lower("text"), r"\s+")).cast("bigint")
     t = docs.select(n_tokens.alias("n_tokens")).where("n_tokens > 0")
-    bucket = F.floor(F.log2("n_tokens")).cast("int")
+    bucket = (F.length(F.bin("n_tokens")) - 1).cast("int")
     return (
         t.groupBy(bucket.alias("log2_bucket"))
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("total_tokens"))
         .select(
             "log2_bucket",
-            F.pow(F.lit(2.0), F.col("log2_bucket")).cast("bigint").alias("bucket_lo"),
+            F.expr("CAST(shiftleft(1L, log2_bucket) AS BIGINT)").alias("bucket_lo"),
             "n_docs",
             "total_tokens",
         )

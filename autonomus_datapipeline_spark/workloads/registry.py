@@ -139,6 +139,22 @@ def sql_davg(expr: str, alias: str) -> str:
 # block (in registration order, after the older unproven ones).
 _DRIVER_VERIFIED: frozenset[str] = frozenset(
     {
+        # CORRECTNESS_r03.json: hash_match == true (48 rows).
+        "ann_ivf_portable_topk", "ann_recall_report",
+        "contamination_ngram_overlap", "content_hash_split",
+        "dedup_apply_minhash", "dedup_cluster_size_stats",
+        "dedup_connected_components", "doc_fingerprints", "dup_span_strip",
+        "edit_distance_pairs", "embedding_centroid_dist",
+        "embedding_norm_stats", "incremental_dedup_new_batch",
+        "lang_id_stopword_voting", "local_supplier_volume",
+        "multimodal_decode_features", "multimodal_frame_sample",
+        "pii_redaction", "promo_revenue_ratio", "quality_filter_chain",
+        "range_join_value_bands", "repetition_scores",
+        "sequence_packing_bins", "simhash_hamming_dedup_first",
+        "simhash_hamming_pairs", "sql_text_revenue", "stratified_sample",
+        "text_cleaning", "text_quality_scores", "tfidf_top_keywords",
+        "token_count_regex", "token_rarity_scores", "trade_volume_pairs",
+        "udaf_group_median", "winnowing_fingerprints", "zonemap_pruned_scan",
         # CORRECTNESS_r02.json: hash_match == true (49 rows).
         "ann_lsh_topk", "approx_aggregates", "array_agg_order_years",
         "array_functions_suite", "asof_join_last_order",

@@ -124,8 +124,8 @@ def test_sql_text_query_broadcasts_dimension(spark, sf_dir):
 # are model-derived.
 _SWEEP_EXCLUDE = {
     "zonemap_pruned_scan",
-    "ann_ivf_topk",
     "ann_ivf_portable_topk",
+    "ann_ivf_frozen_topk",
     "ann_lsh_topk",
     "ann_recall_report",
 }

@@ -1,0 +1,73 @@
+"""Similarity operator units: trained IVF (library path) and frozen IVF.
+
+The registered query `ann_ivf_frozen_topk` carries the oracle check for the
+frozen-codebook path; the trained KMeans path (`similarity.ivf_topk`) is the
+online-training variant kept as library code — these tests pin its contract
+so retiring its registry entry does not orphan it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from autonomus_datapipeline_spark.operators import similarity
+
+# Two tight clusters far apart: vectors 0-3 near +e1, vectors 10-13 near +e2.
+_DIM = 4
+
+
+def _clustered_df(spark):
+    rows = []
+    for i, eps in zip(range(4), (0.00, 0.01, 0.02, 0.03)):
+        rows.append((i, [1.0, eps, 0.0, 0.0]))
+    for i, eps in zip(range(10, 14), (0.00, 0.01, 0.02, 0.03)):
+        rows.append((i, [eps, 1.0, 0.0, 0.0]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_ivf_topk_trained_finds_cluster_neighbors(spark):
+    emb = _clustered_df(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.ivf_topk(q, emb, k=3, n_clusters=2, n_probe=1).collect()
+    assert [r["rk"] for r in out] == [1, 2, 3]
+    # with 1 probe on 2 well-separated cells, all neighbors come from the
+    # query's own cluster
+    assert {r["neighbor_id"] for r in out} == {1, 2, 3}
+    assert all(r["cosine"] > 0.99 for r in out)
+
+
+def test_ivf_topk_frozen_matches_hand_centroids(spark):
+    emb = _clustered_df(spark)
+    q = emb.filter(F.col("vec_id").isin(0, 10))
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = similarity.ivf_topk_frozen(
+        q, emb, k=3, centroids=centroids, n_probe=1
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert by_q[0] == {1, 2, 3}
+    assert by_q[10] == {11, 12, 13}
+
+
+def test_ivf_frozen_probe_widening_reaches_other_cell(spark):
+    emb = _clustered_df(spark)
+    q = emb.filter(F.col("vec_id") == 0)
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    out = similarity.ivf_topk_frozen(
+        q, emb, k=7, centroids=centroids, n_probe=2
+    ).collect()
+    # 2 probes cover both cells → all 7 other vectors are candidates
+    assert {r["neighbor_id"] for r in out} == {1, 2, 3, 10, 11, 12, 13}
+
+
+def test_frozen_codebook_module_shape():
+    from autonomus_datapipeline_spark.workloads._ivf_centroids import IVF_CENTROIDS
+
+    assert len(IVF_CENTROIDS) == 16
+    assert all(len(c) == 64 for c in IVF_CENTROIDS)
+    # literals must round-trip: repr() parses back to the identical double
+    for c in IVF_CENTROIDS[:2]:
+        for w in c:
+            assert float(repr(w)) == w
