@@ -63,53 +63,15 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_sq_exact(F.col(vec_col)).cast("double").alias("q_norm"),
+        norm_sq_exact(F.col(vec_col)).cast("double").alias("q_nsq"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm_sq_exact(F.col(vec_col)).cast("double").alias("c_norm"),
+        norm_sq_exact(F.col(vec_col)).cast("double").alias("c_nsq"),
     )
-    denom = F.sqrt("q_norm") * F.sqrt("c_norm")
-    # Phase 1: cheap double-fold cosine for every pair, rank, and keep only
-    # pairs that could possibly make the exact top-k. The exact cosine is
-    # rounded to 1e-6 with an id tiebreak, and |fast − exact| < 1e-10, so any
-    # pair within (kth fast value − 2e-6) provably covers every candidate
-    # whose rounded exact value could tie or beat the kth. ~k survivors per
-    # query reach the expensive exact-decimal scoring.
-    fast = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cos_fast", dot_fast(F.col("q_vec"), F.col("c_vec")) / denom
-        )
-    )
-    wf = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_fast"), F.asc("neighbor_id")
-    )
-    ranked = fast.withColumn("rk_fast", F.row_number().over(wf))
-    kth = ranked.filter(F.col("rk_fast") == k).select(
-        "query_id", F.col("cos_fast").alias("kth_fast")
-    )
-    survivors = (
-        ranked.join(F.broadcast(kth), "query_id", "left")
-        .filter(
-            (F.col("rk_fast") <= k)
-            | (F.col("cos_fast") >= F.coalesce(F.col("kth_fast"), F.lit(float("-inf"))) - 2e-6)
-        )
-    )
-    # Phase 2: exact decimal scoring defines the output values and ranks.
-    scored = survivors.withColumn(
-        "cosine",
-        F.round(
-            dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double") / denom, 6
-        ),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rk")
-    )
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    return exact_topk_rerank(pairs, k)
 
 
 def dot_fast(a: Column, b: Column) -> Column:
@@ -127,6 +89,71 @@ def dot_fast(a: Column, b: Column) -> Column:
 # this margin; pairs below (threshold - margin) cannot reach the threshold
 # under exact arithmetic, so prefiltering with it never changes the result.
 _PREFILTER_MARGIN = 1e-6
+
+# Same idea for squared distances: |double fold − decimal fold| is bounded by
+# dim × (snap error 5e-13 + fp error) ≈ 1e-10 at unit-scale vectors; 1e-8
+# gives >100× headroom while admitting ~zero extra survivors.
+_D2_MARGIN = 1e-8
+
+
+def dist_sq_fast(a: Column, b: Column) -> Column:
+    """Plain double-fold squared Euclidean distance — the cheap prefilter
+    twin of :func:`dist_sq_exact`; never used for output-defining order."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def exact_topk_rerank(pairs: DataFrame, k: int) -> DataFrame:
+    """Two-phase exact top-k over candidate pairs.
+
+    ``pairs`` carries (query_id, neighbor_id, q_vec, c_vec, q_nsq, c_nsq)
+    with the norms² already computed ONCE per vector (exact decimal, cast to
+    double) — never per pair. Phase 1 scores every pair with the cheap
+    double-fold cosine and keeps only pairs that could reach the exact
+    top-k: the kth-best fast value per query (a second window over the same
+    partitioning — no extra shuffle, no driver round-trip) minus a margin
+    that provably covers |fast − exact| plus the 1e-6 output rounding.
+    Phase 2 runs the expensive exact-decimal dot only on the ~k survivors
+    per query; its rounded value and (cosine desc, neighbor_id) order define
+    the output, so the result is identical to scoring every pair exactly.
+    """
+    denom = F.sqrt("q_nsq") * F.sqrt("c_nsq")
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_fast"), F.asc("neighbor_id")
+    )
+    wq = Window.partitionBy("query_id")
+    ranked = (
+        pairs.withColumn(
+            "cos_fast", dot_fast(F.col("q_vec"), F.col("c_vec")) / denom
+        )
+        .withColumn("rk_fast", F.row_number().over(wf))
+        .withColumn(
+            "kth_fast",
+            F.min(F.when(F.col("rk_fast") <= k, F.col("cos_fast"))).over(wq),
+        )
+    )
+    survivors = ranked.filter(
+        (F.col("rk_fast") <= k)
+        | (F.col("cos_fast") >= F.col("kth_fast") - 2 * _PREFILTER_MARGIN)
+    )
+    scored = survivors.withColumn(
+        "cosine",
+        F.round(dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double") / denom, 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
 
 
 def blocked_neardup_pairs(
@@ -192,7 +219,7 @@ def ivf_topk(
     n_probe/n_clusters of the corpus. Recall grows with n_probe.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     corpus_vec = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -207,7 +234,10 @@ def ivf_topk(
         k=n_clusters, seed=seed, maxIter=5, initMode="random", featuresCol="features"
     ).fit(corpus_vec)
     assigned = model.transform(corpus_vec).select(
-        "neighbor_id", "c_vec", F.col("prediction").alias("cell")
+        "neighbor_id",
+        "c_vec",
+        norm_sq_exact(F.col("c_vec")).cast("double").alias("c_nsq"),
+        F.col("prediction").alias("cell"),
     )
     # Centroid table is tiny → literal cross join + rank to pick the
     # n_probe nearest cells per query.
@@ -233,27 +263,17 @@ def ivf_topk(
         .withColumn("c_dist", dist)
         .withColumn("c_rank", F.row_number().over(wq))
         .filter(F.col("c_rank") <= n_probe)
-        .select("query_id", "q_vec", "cell")
+        .select(
+            "query_id",
+            "q_vec",
+            norm_sq_exact(F.col("q_vec")).cast("double").alias("q_nsq"),
+            "cell",
+        )
     )
-    cos = F.round(
-        dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
-        / (
-            F.sqrt(norm_sq_exact(F.col("q_vec")).cast("double"))
-            * F.sqrt(norm_sq_exact(F.col("c_vec")).cast("double"))
-        ),
-        6,
+    pairs = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
-    scored = (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rk")
-    )
+    return exact_topk_rerank(pairs, k)
 
 
 def md5_hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
@@ -289,11 +309,27 @@ def portable_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     bucket assignment is bit-identical across engines and partitionings —
     the property that makes :func:`lsh_topk_portable` oracle-checkable. All
     n_bits dots are evaluated in one codegen'd projection.
+
+    Two-phase per bit: the cheap double-fold dot decides the sign whenever
+    it is more than _PREFILTER_MARGIN away from zero (|fast − exact| is
+    orders of magnitude below that), and only near-zero dots — a measure-
+    zero sliver of real data — fall through to the exact decimal fold, so
+    the expensive arithmetic almost never runs while the assignment stays
+    bit-identical to the all-exact oracle.
     """
     total = F.lit(0)
     for j, row in enumerate(planes):
         plane = F.array(*[F.lit(w) for w in row])
-        bit = F.when(dot_exact(vec_col, plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fast = dot_fast(vec_col, plane)
+        bit = (
+            F.when(fast > _PREFILTER_MARGIN, F.lit(1 << j))
+            .when(fast < -_PREFILTER_MARGIN, F.lit(0))
+            .otherwise(
+                F.when(dot_exact(vec_col, plane) >= 0, F.lit(1 << j)).otherwise(
+                    F.lit(0)
+                )
+            )
+        )
         total = total + bit
     return total.cast("int")
 
@@ -316,11 +352,13 @@ def lsh_topk_portable(
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        norm_sq_exact(F.col(vec_col)).cast("double").alias("q_nsq"),
         portable_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     qb = qb.select(
         "query_id",
         "q_vec",
+        "q_nsq",
         F.explode(
             F.array(
                 F.col("bucket"),
@@ -331,27 +369,11 @@ def lsh_topk_portable(
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        norm_sq_exact(F.col(vec_col)).cast("double").alias("c_nsq"),
         portable_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    cos = F.round(
-        dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
-        / (
-            F.sqrt(norm_sq_exact(F.col("q_vec")).cast("double"))
-            * F.sqrt(norm_sq_exact(F.col("c_vec")).cast("double"))
-        ),
-        6,
-    )
-    scored = (
-        cb.join(qb, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rk")
-    )
+    pairs = cb.join(qb, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    return exact_topk_rerank(pairs, k)
 
 
 def dist_sq_exact(a: Column, b: Column) -> Column:
@@ -370,6 +392,76 @@ def dist_sq_exact(a: Column, b: Column) -> Column:
     return F.aggregate(sq, F.lit(0).cast(_DEC), lambda acc, x: (acc + x).cast(_DEC))
 
 
+def nearest_cells_exact(
+    df: DataFrame, cent: DataFrame, n: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """The ``n`` exactly-nearest centroids per vector, computed two-phase.
+
+    ``cent`` is a broadcast-sized (cell_id, cvec) table. Phase 1 ranks every
+    (vector, cell) pair by the cheap double-fold distance and keeps, per
+    vector, the top-n plus anything within _D2_MARGIN of the nth fast value
+    (a second window over the same partitioning — no extra shuffle); that
+    margin provably covers |fast − exact|, so the survivors contain every
+    cell the exact order could pick. Phase 2 runs the exact-decimal
+    distance — the output-defining order — only on those ~n survivors per
+    vector instead of all |cent| cells.
+    """
+    d2f = dist_sq_fast(F.col("vec"), F.col("cvec"))
+    wf = Window.partitionBy("id").orderBy(F.asc("d2f"), F.asc("cell_id"))
+    wp = Window.partitionBy("id")
+    ranked = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("d2f", d2f)
+        .withColumn("rnf", F.row_number().over(wf))
+        .withColumn(
+            "nth_f", F.max(F.when(F.col("rnf") <= n, F.col("d2f"))).over(wp)
+        )
+    )
+    survivors = ranked.filter(
+        (F.col("rnf") <= n) | (F.col("d2f") <= F.col("nth_f") + _D2_MARGIN)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell_id"))
+    )
+    return (
+        survivors.withColumn("d2", dist_sq_exact(F.col("vec"), F.col("cvec")))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= n)
+        .select("id", "vec", "cell_id")
+    )
+
+
+def _ivf_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    cent: DataFrame,
+    n_probe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared IVF probe + re-rank: assign the corpus to its nearest cell,
+    probe the ``n_probe`` nearest cells per query, exact-cosine re-rank
+    (two-phase) inside the probed cells."""
+    assigned = nearest_cells_exact(corpus, cent, 1, vec_col, id_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("c_vec"),
+        norm_sq_exact(F.col("vec")).cast("double").alias("c_nsq"),
+        "cell_id",
+    )
+    probes = nearest_cells_exact(queries, cent, n_probe, vec_col, id_col).select(
+        F.col("id").alias("query_id"),
+        F.col("vec").alias("q_vec"),
+        norm_sq_exact(F.col("vec")).cast("double").alias("q_nsq"),
+        "cell_id",
+    )
+    pairs = assigned.join(F.broadcast(probes), "cell_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    return exact_topk_rerank(pairs, k)
+
+
 def ivf_topk_portable(
     queries: DataFrame,
     corpus: DataFrame,
@@ -382,8 +474,9 @@ def ivf_topk_portable(
     """Deterministic IVF twin of :func:`ivf_topk`: seed centroids are the
     ``n_cells`` corpus vectors with the smallest md5(id) — a deterministic
     pseudo-random sample any engine can reproduce — and assignments use
-    exact-decimal distances. Same probe + exact-re-rank semantics as the
-    KMeans path, but fully oracle-checkable.
+    exact-decimal distances (two-phase: double prefilter, decimal decides).
+    Same probe + exact-re-rank semantics as the KMeans path, but fully
+    oracle-checkable.
 
     Scale: seed pick compiles to TakeOrderedAndProject (no global sort);
     the 16-row seed table is broadcast against one corpus scan; per-query
@@ -399,46 +492,7 @@ def ivf_topk_portable(
         .limit(n_cells)
         .drop("ck")
     )
-    d2 = dist_sq_exact(F.col("vec"), F.col("cvec"))
-    rn = F.row_number().over(
-        Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell_id"))
-    )
-
-    def nearest_cells(df: DataFrame, n: int) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-            .crossJoin(F.broadcast(seeds))
-            .withColumn("d2", d2)
-            .withColumn("rn", rn)
-            .filter(F.col("rn") <= n)
-            .select("id", "vec", "cell_id")
-        )
-
-    assigned = nearest_cells(corpus, 1).select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell_id"
-    )
-    probes = nearest_cells(queries, n_probe).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "cell_id"
-    )
-    cos = F.round(
-        dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
-        / (
-            F.sqrt(norm_sq_exact(F.col("q_vec")).cast("double"))
-            * F.sqrt(norm_sq_exact(F.col("c_vec")).cast("double"))
-        ),
-        6,
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), "cell_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rk")
-    )
+    return _ivf_search(queries, corpus, k, seeds, n_probe, vec_col, id_col)
 
 
 def ivf_topk_frozen(
@@ -466,46 +520,7 @@ def ivf_topk_frozen(
         [(i, c) for i, c in enumerate(centroids)],
         "cell_id int, cvec array<double>",
     )
-    d2 = dist_sq_exact(F.col("vec"), F.col("cvec"))
-    rn = F.row_number().over(
-        Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell_id"))
-    )
-
-    def nearest_cells(df: DataFrame, n: int) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-            .crossJoin(F.broadcast(cent))
-            .withColumn("d2", d2)
-            .withColumn("rn", rn)
-            .filter(F.col("rn") <= n)
-            .select("id", "vec", "cell_id")
-        )
-
-    assigned = nearest_cells(corpus, 1).select(
-        F.col("id").alias("neighbor_id"), F.col("vec").alias("c_vec"), "cell_id"
-    )
-    probes = nearest_cells(queries, n_probe).select(
-        F.col("id").alias("query_id"), F.col("vec").alias("q_vec"), "cell_id"
-    )
-    cos = F.round(
-        dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
-        / (
-            F.sqrt(norm_sq_exact(F.col("q_vec")).cast("double"))
-            * F.sqrt(norm_sq_exact(F.col("c_vec")).cast("double"))
-        ),
-        6,
-    )
-    scored = (
-        assigned.join(F.broadcast(probes), "cell_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rk")
-    )
+    return _ivf_search(queries, corpus, k, cent, n_probe, vec_col, id_col)
 
 
 def rp_lsh_buckets(

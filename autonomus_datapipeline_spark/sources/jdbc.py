@@ -8,8 +8,11 @@ data source does both natively and distributes the write across executors;
 mode mapping preserves the reference's replace/append/fail semantics
 (gold_service.py:200-217).
 
-No JDBC driver/database exists in this container; the option-building logic
-is pure and unit-tested, the read/write calls are thin pass-throughs.
+Verified LIVE against embedded Apache Derby (the Derby jars ship inside the
+Spark distribution): tests/test_sources.py round-trips replace/append/fail
+modes, a 4-way partitioned parallel read, and a pushed-down aggregation
+query through this exact code path. Production Postgres differs only in URL
+and driver jar.
 """
 
 from __future__ import annotations

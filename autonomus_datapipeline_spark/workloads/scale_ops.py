@@ -10,9 +10,6 @@ value-exactly.
 from __future__ import annotations
 
 import datetime
-import hashlib
-import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,33 +50,35 @@ _ZM_HI_SQL = "1997-01-01 00:00:00"
 )
 def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1996 monthly revenue computed through manifest-level data skipping:
-    lineitem is laid out range-partitioned on ship date, a per-file min/max
-    zone map is built (operators/maintenance.file_zone_map), and the scan
-    reads ONLY files whose zone intersects the predicate — the Delta/Iceberg
-    skipping mechanism on plain parquet. The prune happens over the
-    manifest (one row per file — bounded metadata, the same listing the
-    driver already holds), never over data rows; correctness does not
-    depend on the layout because the zone map is computed from the actual
-    written files. The final aggregation additionally re-applies the
-    predicate, so skipping is a pure I/O optimization, invisible in the
-    result."""
+    a per-file min/max zone map over the table's OWN files is built
+    (operators/maintenance.file_zone_map) and the scan reads ONLY files
+    whose zone intersects the predicate — the Delta/Iceberg skipping
+    mechanism on plain parquet. The prune happens over the manifest (one
+    row per file — bounded metadata, the same listing the driver already
+    holds), never over data rows; correctness does not depend on the
+    layout because the zone map is computed from the actual files, and the
+    final aggregation re-applies the predicate, so skipping is a pure I/O
+    optimization, invisible in the result.
+
+    How many files the prune removes depends on the table's physical
+    layout; producing a skip-friendly layout (repartitionByRange on the
+    filter column) is a MAINTENANCE operation, not part of the query —
+    tests/test_maintenance.py builds such a layout and asserts files are
+    actually skipped. Earlier revisions wrote that layout lazily inside
+    this query, which billed a full lineitem rewrite to the first
+    invocation per environment (the r3 bench regression)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_extendedprice", "l_discount"
     )
-    # One range-partitioned layout per source dir, reused across invocations
-    # (oracle gate, bench, scale probe) instead of leaking a fresh full copy
-    # of lineitem into /tmp per call. Cannot be deleted eagerly: the
-    # returned DataFrame reads these files lazily.
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        "zonemap_lineitem_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
-    )
-    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
-        li.repartitionByRange(8, "l_shipdate").write.mode("overwrite").parquet(tmp)
-    laid_out = spark.read.parquet(tmp)
-    zones = file_zone_map(laid_out, "l_shipdate").collect()
+    zones = file_zone_map(li, "l_shipdate").collect()
     keep = prune_files(zones, _ZM_LO, _ZM_HI)
-    pruned = spark.read.parquet(*keep) if keep else laid_out.limit(0)
+    pruned = (
+        spark.read.parquet(*keep).select(
+            "l_shipdate", "l_extendedprice", "l_discount"
+        )
+        if keep
+        else li.limit(0)
+    )
     # String-literal casts parse in the SESSION time zone (pinned UTC) —
     # F.lit(datetime) would convert through the driver's LOCAL zone and
     # shift both boundaries on a non-UTC driver while the oracle stays

@@ -7,12 +7,27 @@ and prints ONE JSON line:
 
 Each query is executed to completion (count of the result) — results are not
 collected to the driver, matching how a production job would materialize.
+
+Methodology (r4): every query is timed over N runs (default 3, override
+$SPARK_GRAFT_BENCH_RUNS) and reported as the MEDIAN — single cold runs are
+dominated by JVM JIT/codegen warm-up, which depends on run order, not on the
+query (measured: first run of an ANN query is 1.5-3x its steady state).
+Before timing, the harness warms the JVM, the parquet footer cache, AND the
+Python-worker/Arrow path (spawning the pandas-UDF workers is a one-time
+~3s session cost that otherwise lands on whichever mapInPandas query runs
+first — the r1-r3 `multimodal_frame_sample` phantom regression).
+
+The stdout JSON line is kept under ~1900 chars (the driver records a
+2000-char stdout tail) by listing only the slowest queries; the COMPLETE
+per-run data — every query, all run times, median and spread — is written to
+BENCH_SIDECAR.json in the repo root.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -20,6 +35,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from autonomus_datapipeline_spark.session import get_spark  # noqa: E402
 from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY  # noqa: E402
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+SIDECAR = os.path.join(REPO_DIR, "BENCH_SIDECAR.json")
+STDOUT_BUDGET = 1900  # driver captures a 2000-char stdout tail
 
 
 def _run_medallion(spark, sf_dir: str, warehouse: str) -> int:
@@ -51,25 +70,50 @@ def _run_medallion(spark, sf_dir: str, warehouse: str) -> int:
     return results["bronze"].row_count
 
 
+def _warm(spark, sf_dir: str) -> None:
+    """Warm session-lifetime caches the queries should not be billed for:
+    JVM/JIT, parquet footers, and the Python-worker + Arrow channel."""
+    QUERY_REGISTRY["distinct_counts"].fn(spark, sf_dir).count()
+    # Spawns the pandas-UDF worker pool (reused by every later mapInPandas).
+    import pandas as pd  # noqa: F401
+
+    spark.range(64).repartition(8).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
+    # One decimal-fold query primes codegen for the exact-arithmetic family.
+    QUERY_REGISTRY["embedding_norm_stats"].fn(spark, sf_dir).count()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footer caches once so per-query numbers measure
-    # the query, not session startup.
-    QUERY_REGISTRY["distinct_counts"].fn(spark, sf_dir).count()
+    t_warm0 = time.time()
+    _warm(spark, sf_dir)
+    warm_sec = round(time.time() - t_warm0, 3)
 
-    timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name, spec in QUERY_REGISTRY.items():
-        t0 = time.time()
-        try:
-            spec.fn(spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # noqa: BLE001
-            print(f"bench error in {name}: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            try:
+                spec.fn(spark, sf_dir).count()
+                runs.append(round(time.time() - t0, 3))
+            except Exception as exc:  # noqa: BLE001
+                print(f"bench error in {name}: {exc}", file=sys.stderr)
+                runs.append(-1.0)
+                break
+        ok = [t for t in runs if t >= 0]
+        detail[name] = {
+            "runs": runs,
+            "median": round(statistics.median(ok), 3) if ok else -1.0,
+            "min": min(ok) if ok else -1.0,
+            "max": max(ok) if ok else -1.0,
+        }
 
     # Medallion pipeline end-to-end (Bronze ingest + Silver chain + Gold chain
     # on the orders table) — the direct comparable to BASELINE.md's CSV
@@ -77,34 +121,67 @@ def main() -> None:
     import shutil
     import tempfile
 
-    warehouse = tempfile.mkdtemp(prefix="bench_medallion_")
-    try:
-        t0 = time.time()
-        n_orders = _run_medallion(spark, sf_dir, warehouse)
-        timings["medallion_e2e_orders"] = round(time.time() - t0, 3)
-        print(
-            f"medallion e2e: {n_orders} orders through bronze→silver→gold "
-            f"in {timings['medallion_e2e_orders']}s",
-            file=sys.stderr,
-        )
-    except Exception as exc:  # noqa: BLE001
-        print(f"bench error in medallion_e2e: {exc}", file=sys.stderr)
-        timings["medallion_e2e_orders"] = -1.0
-    finally:
-        shutil.rmtree(warehouse, ignore_errors=True)
+    med_runs: list[float] = []
+    for _ in range(n_runs):
+        warehouse = tempfile.mkdtemp(prefix="bench_medallion_")
+        try:
+            t0 = time.time()
+            _run_medallion(spark, sf_dir, warehouse)
+            med_runs.append(round(time.time() - t0, 3))
+        except Exception as exc:  # noqa: BLE001
+            print(f"bench error in medallion_e2e: {exc}", file=sys.stderr)
+            med_runs.append(-1.0)
+            break
+        finally:
+            shutil.rmtree(warehouse, ignore_errors=True)
+    ok = [t for t in med_runs if t >= 0]
+    detail["medallion_e2e_orders"] = {
+        "runs": med_runs,
+        "median": round(statistics.median(ok), 3) if ok else -1.0,
+        "min": min(ok) if ok else -1.0,
+        "max": max(ok) if ok else -1.0,
+    }
 
-    total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "workload_suite_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    medians = {n: d["median"] for n, d in detail.items()}
+    total = round(sum(t for t in medians.values() if t >= 0), 3)
+    sidecar_payload = {
+        "metric": "workload_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_runs": n_runs,
+        "warm_sec": warm_sec,
+        "aggregation": "median over n_runs (per-run times in 'detail')",
+        "queries": medians,
+        "detail": detail,
+    }
+    with open(SIDECAR, "w") as fh:
+        json.dump(sidecar_payload, fh, indent=1, sort_keys=True)
+
+    # stdout line: complete summary + as many of the slowest queries as fit
+    # the driver's stdout-tail budget (full data always in the sidecar).
+    slowest = sorted(
+        ((n, t) for n, t in medians.items() if t >= 0),
+        key=lambda kv: -kv[1],
     )
+    errored = {n: -1.0 for n, t in medians.items() if t < 0}
+    line_queries: dict[str, float] = dict(errored)
+    base = {
+        "metric": "workload_suite_wall_time",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_runs": n_runs,
+        "n_queries": len(medians),
+        "sidecar": "BENCH_SIDECAR.json",
+        "queries": line_queries,
+    }
+    for name, t in slowest:
+        line_queries[name] = t
+        if len(json.dumps(base)) > STDOUT_BUDGET:
+            del line_queries[name]
+            break
+    print(json.dumps(base))
 
 
 if __name__ == "__main__":

@@ -119,11 +119,9 @@ def test_sql_text_query_broadcasts_dimension(spark, sf_dir):
 
 
 # Whole-registry sweep: no query may plan a CartesianProduct. Excluded:
-# queries whose construction has side effects (zonemap writes a layout,
-# ann_* fit models) — their plan shapes are guarded by their own tests or
-# are model-derived.
+# ann_* queries whose construction is broadcast-tiny by design — their plan
+# shapes are guarded by their own tests.
 _SWEEP_EXCLUDE = {
-    "zonemap_pruned_scan",
     "ann_ivf_portable_topk",
     "ann_ivf_frozen_topk",
     "ann_lsh_topk",

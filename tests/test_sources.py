@@ -322,3 +322,81 @@ def test_text_corpus_wholetext(spark, tmp_path):
     df = read_text_corpus(spark, str(corpus))
     rows = {r.doc_path.rsplit("/", 1)[1]: r.text for r in df.collect()}
     assert rows == {"a.txt": "alpha beta\ngamma", "b.txt": "delta"}
+
+
+# -- jdbc: LIVE round-trip against embedded Derby ---------------------------------
+#
+# The sandbox has no Postgres, but the Derby jars SHIP WITH Spark
+# (pyspark/jars/derby-*.jar), so the real JDBC read/write path — executor-side
+# INSERTs, mode mapping, partitioned parallel reads — runs live against an
+# embedded on-disk database. This closes the reference-parity gap for the
+# Postgres Gold export (reference gold_service.py:168-254): same Spark code,
+# different URL in production.
+
+
+def test_jdbc_live_roundtrip_modes(spark, tmp_path):
+    from autonomus_datapipeline_spark.sources.jdbc import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+
+    write_jdbc(df, url, "gold_t", mode="replace")
+    # Derby uppercases unquoted identifiers; compare case-insensitively.
+    back = read_jdbc(spark, url=url, table="gold_t")
+    assert sorted(r[0] for r in back.select(back.columns[0]).collect()) == [1, 2]
+
+    # append adds rows
+    write_jdbc(df, url, "gold_t", mode="append")
+    assert read_jdbc(spark, url=url, table="gold_t").count() == 4
+
+    # replace overwrites
+    write_jdbc(df, url, "gold_t", mode="replace")
+    assert read_jdbc(spark, url=url, table="gold_t").count() == 2
+
+    # fail refuses to touch an existing table
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        write_jdbc(df, url, "gold_t", mode="fail")
+    assert read_jdbc(spark, url=url, table="gold_t").count() == 2
+
+
+def test_jdbc_live_partitioned_parallel_read(spark, tmp_path):
+    from autonomus_datapipeline_spark.sources.jdbc import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db2;create=true"
+    df = spark.range(0, 100).selectExpr("id", "id * 2 as doubled")
+    write_jdbc(df, url, "big_t", mode="replace")
+
+    back = read_jdbc(
+        spark,
+        url=url,
+        table="big_t",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=100,
+        num_partitions=4,
+    )
+    # the ranged read really splits into 4 parallel scans...
+    assert back.rdd.getNumPartitions() == 4
+    # ...and loses/dupes nothing across the range boundaries
+    assert back.count() == 100
+    assert back.agg({"doubled": "sum"}).collect()[0][0] == sum(2 * i for i in range(100))
+
+
+def test_jdbc_live_query_pushdown(spark, tmp_path):
+    from autonomus_datapipeline_spark.sources.jdbc import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db3;create=true"
+    df = spark.range(0, 50).selectExpr("id", "id % 5 as grp")
+    write_jdbc(df, url, "q_t", mode="replace")
+    # Quoted aliases: Spark's column pruning re-quotes names case-sensitively,
+    # while Derby uppercases unquoted identifiers — the production pattern for
+    # any case-folding backend.
+    agg = read_jdbc(
+        spark,
+        url=url,
+        query='select "grp", count(*) as "n" from q_t group by "grp"',
+    )
+    got = {int(r[0]): int(r[1]) for r in agg.collect()}
+    assert got == {g: 10 for g in range(5)}
