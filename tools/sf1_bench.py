@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""sf1 headline benchmark: the measured 10×-data point behind the 100×
+scaling claims.
+
+Builds /tmp/sf1 — a 10× derivation of the driver's sf0.1 parquet (never
+written into /root/testdata): id columns shifted per copy so key and join
+cardinalities scale realistically, and document TEXTS perturbed per copy
+(deterministic vowel/consonant rotation) so the corpus grows 10× WITHOUT
+fabricating a 10-way duplicate cluster for every doc — the duplicated-corpus
+stress case is measured separately by tools/scale_probe.py.
+
+Measures the four headline operators (q1 scan+agg, broadcast join+agg,
+MinHash LSH dedup, medallion e2e pipeline) with bench.py's methodology
+(median of 3 runs after warm-up), appends the table to SCALE_PROBE.md and
+writes BENCH_SF1.json.
+
+Usage: python tools/sf1_bench.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from autonomus_datapipeline_spark.session import get_spark  # noqa: E402
+from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY  # noqa: E402
+from autonomus_datapipeline_spark.workloads.registry import load_table  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+SF1 = "/tmp/sf1"
+COPIES = 10
+N_RUNS = 3
+
+SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+STATIC = ["region", "nation", "supplier", "part"]
+
+# Per-copy deterministic text perturbation: rotate these letters by the copy
+# index. Copy 0 is the identity, so the sf0.1 corpus is a subset; other
+# copies keep realistic token statistics but share almost no shingles with
+# their source doc.
+_ROT = "aeiounrst"
+
+
+def _rot_alpha(i: int) -> str:
+    k = i % len(_ROT)
+    return _ROT[k:] + _ROT[:k]
+
+
+def build_sf1(spark) -> None:
+    os.makedirs(SF1, exist_ok=True)
+    for table, id_cols in SHIFTS.items():
+        out = f"{SF1}/{table}.parquet"
+        if os.path.exists(out):
+            continue
+        df = load_table(spark, BASE, table)
+        n = df.count()
+        shift = 10 ** math.ceil(math.log10(max(n * 10, 10)))
+        copies = []
+        for i in range(COPIES):
+            c = df
+            for col in id_cols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * shift))
+            if table == "documents":
+                c = c.withColumn("text", F.translate("text", _ROT, _rot_alpha(i)))
+            copies.append(c)
+        merged = copies[0]
+        for c in copies[1:]:
+            merged = merged.unionByName(c)
+        merged.write.mode("overwrite").parquet(out)
+        print(f"built {table}: {n} -> {n * COPIES} rows", file=sys.stderr)
+    for table in STATIC:
+        out = f"{SF1}/{table}.parquet"
+        if not os.path.exists(out):
+            load_table(spark, BASE, table).write.mode("overwrite").parquet(out)
+
+
+def _medallion(spark, sf_dir: str) -> int:
+    from bench import _run_medallion
+
+    warehouse = tempfile.mkdtemp(prefix="sf1_medallion_")
+    try:
+        return _run_medallion(spark, sf_dir, warehouse)
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "market_segment_revenue",
+    "minhash_lsh_pairs",
+    "medallion_e2e_orders",
+]
+
+
+def _time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    runs = []
+    n_rows = -1
+    for _ in range(N_RUNS):
+        t0 = time.time()
+        if name == "medallion_e2e_orders":
+            n_rows = _medallion(spark, sf_dir)
+        else:
+            n_rows = QUERY_REGISTRY[name].fn(spark, sf_dir).count()
+        runs.append(time.time() - t0)
+    return statistics.median(runs), n_rows
+
+
+def main() -> None:
+    spark = get_spark("sf1-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_sf1(spark)
+    # warm (bench.py methodology): JVM + footers + python workers
+    QUERY_REGISTRY["distinct_counts"].fn(spark, BASE).count()
+    spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id long").count()
+
+    results = []
+    for name in HEADLINE:
+        t1, n1 = _time_query(spark, name, BASE)
+        t10, n10 = _time_query(spark, name, SF1)
+        factor = round(t10 / t1, 2) if t1 > 0 else float("nan")
+        results.append({
+            "query": name,
+            "rows_sf01": n1,
+            "sec_sf01": round(t1, 2),
+            "rows_sf1": n10,
+            "sec_sf1": round(t10, 2),
+            "factor": factor,
+        })
+        print(f"{name}: sf0.1 {t1:.2f}s ({n1}) | sf1 {t10:.2f}s ({n10}) "
+              f"| factor {factor}", file=sys.stderr)
+
+    with open("BENCH_SF1.json", "w") as fh:
+        json.dump({
+            "metric": "sf1_headline_median_sec",
+            "n_runs": N_RUNS,
+            "sf1_dir": SF1,
+            "results": results,
+        }, fh, indent=1)
+
+    lines = [
+        "",
+        "## sf1 headline measurement (tools/sf1_bench.py)",
+        "",
+        "10× data with a NON-duplicated documents corpus (per-copy vowel/",
+        "consonant rotation keeps token statistics but breaks cross-copy",
+        "shingle overlap) — the fair linear-scaling point; the duplicated",
+        "corpus above is the dup-cluster stress case. Medians of "
+        f"{N_RUNS} runs",
+        "after warm-up (bench.py methodology). Reference baseline for the",
+        "medallion row: 218 s at 500K rows e2e (BASELINE.md Table 3); here",
+        "1.5M orders run the same bronze→silver→gold chain.",
+        "",
+        "| query | rows @sf0.1 | s @sf0.1 | rows @sf1 | s @sf1 | factor |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['query']} | {r['rows_sf01']} | {r['sec_sf01']} "
+            f"| {r['rows_sf1']} | {r['sec_sf1']} | {r['factor']} |"
+        )
+    with open("SCALE_PROBE.md", "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("wrote BENCH_SF1.json and appended SCALE_PROBE.md")
+
+
+if __name__ == "__main__":
+    main()
