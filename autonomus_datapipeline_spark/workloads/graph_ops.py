@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from autonomus_datapipeline_spark.operators import dedup, graph
+from autonomus_datapipeline_spark.operators import dedup, graph, multimodal
 from autonomus_datapipeline_spark.workloads import pipeline_ops
 from autonomus_datapipeline_spark.workloads.registry import load_table, query
 
@@ -178,7 +178,9 @@ _SH_BLOCK_LEN = _SH_BITS // _SH_BLOCKS
 _SH_MAX_HAMMING = 3
 
 
-def _simhash_pairs_oracle(source: str = "documents") -> str:
+def _banded_pairs_sql() -> str:
+    """Band → candidate → Hamming-verify SQL over an `fp(doc_id, simhash)`
+    CTE — shared by every banded-fingerprint near-dup oracle."""
     hamming = " + ".join(
         f"(CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) "
         f"THEN 1 ELSE 0 END)"
@@ -190,7 +192,6 @@ def _simhash_pairs_oracle(source: str = "documents") -> str:
         for b in range(_SH_BLOCKS)
     )
     return f"""
-    WITH {pipeline_ops._simhash_cte(_SH_BITS, source).strip()},
     blocks AS (
         {blocks}
     ),
@@ -207,6 +208,13 @@ def _simhash_pairs_oracle(source: str = "documents") -> str:
         JOIN fp a ON a.doc_id = c.doc_a
         JOIN fp b ON b.doc_id = c.doc_b
     ) t WHERE hamming <= {_SH_MAX_HAMMING}
+    """
+
+
+def _simhash_pairs_oracle(source: str = "documents") -> str:
+    return f"""
+    WITH {pipeline_ops._simhash_cte(_SH_BITS, source).strip()},
+    {_banded_pairs_sql()}
     """
 
 
@@ -230,16 +238,21 @@ def _sh_blocked(fp: DataFrame) -> DataFrame:
     ).select("doc_id", "blk.block_idx", "blk.block")
 
 
-def _sh_hamming(sh_a, sh_b):
-    """Exact Hamming distance between two bitstring fingerprints, computed
-    32 bits at a time: ``conv(bits, 2, 10)`` of a full 64-bit string can
-    exceed signed-long range (→ NULL), so each 32-bit half XORs within a
-    long safely."""
+def _sh_halves(sh) -> list:
+    """The fingerprint bitstring as 32-bit longs: ``conv(bits, 2, 10)`` of a
+    full 64-bit string can exceed signed-long range (→ NULL), so each 32-bit
+    half converts separately. Evaluated ONCE per document — the per-candidate
+    Hamming verify then XORs plain longs instead of re-parsing bitstrings
+    (the candidate set is ~100× the doc count on near-dup-heavy corpora)."""
+    return [
+        F.conv(F.substring(sh, off + 1, min(32, _SH_BITS - off)), 2, 10).cast("long")
+        for off in range(0, _SH_BITS, 32)
+    ]
+
+
+def _sh_hamming_longs(a_halves: list, b_halves: list):
     total = F.lit(0)
-    for off in range(0, _SH_BITS, 32):
-        width = min(32, _SH_BITS - off)
-        ha = F.conv(F.substring(sh_a, off + 1, width), 2, 10).cast("long")
-        hb = F.conv(F.substring(sh_b, off + 1, width), 2, 10).cast("long")
+    for ha, hb in zip(a_halves, b_halves):
         total = total + F.bit_count(ha.bitwiseXOR(hb))
     return total.cast("int")
 
@@ -263,16 +276,25 @@ def _sh_banded_hamming_pairs(fp: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    n_halves = len(_sh_halves(F.col("simhash")))
+    fa = fp.select(
+        F.col("doc_id").alias("doc_a"),
+        *[h.alias(f"a{i}") for i, h in enumerate(_sh_halves(F.col("simhash")))],
+    )
+    fb = fp.select(
+        F.col("doc_id").alias("doc_b"),
+        *[h.alias(f"b{i}") for i, h in enumerate(_sh_halves(F.col("simhash")))],
+    )
     # fp is doc-count-sized (tiny next to the candidate pairs) → broadcast
     # both verify joins so candidates never shuffle.
+    hamming = _sh_hamming_longs(
+        [F.col(f"a{i}") for i in range(n_halves)],
+        [F.col(f"b{i}") for i in range(n_halves)],
+    )
     return (
         cand.join(F.broadcast(fa), "doc_a")
         .join(F.broadcast(fb), "doc_b")
-        .select(
-            "doc_a", "doc_b", _sh_hamming(F.col("sh_a"), F.col("sh_b")).alias("hamming")
-        )
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SH_MAX_HAMMING)
     )
 
@@ -344,3 +366,173 @@ def simhash_hamming_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     fp = dedup.simhash(reps, "doc_id", "text", _SH_BITS).localCheckpoint(eager=True)
     return _sh_banded_hamming_pairs(fp)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal payload near-dup (positional fingerprint over binary payloads)
+# ---------------------------------------------------------------------------
+
+
+_PFP_GRAM = 8  # bytes per gram
+_PFP_PROBES = 10  # probe payloads: doc_id < 10
+
+
+_PFP_CORRUPT = "~X~"  # bytes appended to build probe payloads
+
+
+def _payload_fp_cte(name: str, source: str) -> str:
+    """``name``(doc_id, simhash) CTE set: winnowed byte-aligned payload gram
+    minima over ``source`` (a relation providing doc_id + text) — the SQL
+    replay of operators/multimodal.payload_fingerprint (text bytes stand in
+    for the binary payload, as in the other multimodal queries)."""
+    p = name
+    return f"""{p}_hxt AS (
+        SELECT doc_id, hex(text) AS h,
+               greatest(length(hex(text)) // 2 - {_PFP_GRAM - 1}, 1) AS n_kpos
+        FROM {source}
+    ),
+    {p}_g2 AS (
+        SELECT doc_id, gh,
+               CAST(((strpos('0123456789abcdef', substr(gh, 1, 1)) - 1) % 4) * 16
+                    + (strpos('0123456789abcdef', substr(gh, 2, 1)) - 1) AS INT)
+                   AS w
+        FROM (
+            SELECT doc_id,
+                   md5(substr(h, CAST(2 * k + 1 AS INT), {2 * _PFP_GRAM})) AS gh
+            FROM (SELECT doc_id, h, n_kpos,
+                         unnest(range(0, n_kpos, 2)) AS k
+                  FROM {p}_hxt) u
+        ) g
+    ),
+    {p}_wmin AS (
+        SELECT doc_id, w, min(gh) AS m FROM {p}_g2 GROUP BY 1, 2
+    ),
+    {p}_fbits AS (
+        SELECT d.doc_id, t.j,
+               CASE WHEN wm.m IS NOT NULL
+                     AND substr(wm.m, 32, 1) IN ('8','9','a','b','c','d','e','f')
+                    THEN '1' ELSE '0' END AS bit
+        FROM (SELECT doc_id FROM {p}_hxt) d
+        CROSS JOIN range(0, {_SH_BITS}) t(j)
+        LEFT JOIN {p}_wmin wm ON wm.doc_id = d.doc_id AND wm.w = t.j
+    ),
+    {p} AS (
+        SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+        FROM {p}_fbits GROUP BY doc_id
+    )"""
+
+
+def _payload_probe_pairs_sql() -> str:
+    """Probe-side banded lookup (pfp against fp) + Hamming verify."""
+    hamming = " + ".join(
+        f"(CASE WHEN substr(a.simhash, {i + 1}, 1) <> substr(b.simhash, {i + 1}, 1) "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(_SH_BITS)
+    )
+
+    def blocks(rel: str) -> str:
+        return "\n        UNION ALL ".join(
+            f"SELECT doc_id, {b} AS block_idx, "
+            f"substr(simhash, {b * _SH_BLOCK_LEN + 1}, {_SH_BLOCK_LEN}) AS block "
+            f"FROM {rel}"
+            for b in range(_SH_BLOCKS)
+        )
+
+    return f"""
+    cblocks AS (
+        {blocks("fp")}
+    ),
+    pblocks AS (
+        {blocks("pfp")}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS probe_id, y.doc_id AS doc_id
+        FROM pblocks x JOIN cblocks y
+          ON x.block_idx = y.block_idx AND x.block = y.block
+    )
+    SELECT probe_id, doc_id, hamming FROM (
+        SELECT c.probe_id, c.doc_id,
+               CAST({hamming} AS INT) AS hamming
+        FROM cand c
+        JOIN pfp a ON a.doc_id = c.probe_id
+        JOIN fp b ON b.doc_id = c.doc_id
+    ) t WHERE hamming <= {_SH_MAX_HAMMING}
+    """
+
+
+@query(
+    "multimodal_payload_neardup",
+    oracle=f"""
+    WITH {_payload_fp_cte("fp", "documents")},
+    {_payload_fp_cte("pfp", f"(SELECT doc_id, text || '{_PFP_CORRUPT}' AS text "
+                            f"FROM documents WHERE doc_id < {_PFP_PROBES})")},
+    {_payload_probe_pairs_sql()}
+    """,
+)
+def multimodal_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-copy lookup over opaque BINARY payloads (trace known image/audio
+    assets through a corpus without decoding them): every corpus payload
+    gets a shift-robust winnowed byte-gram fingerprint
+    (multimodal.payload_fingerprint); the probe set — here, CORRUPTED copies
+    of 10 corpus payloads (bytes appended, so every probe has a byte-shifted
+    true source the lookup must find) — is fingerprinted the same way and
+    matched through the banded-Hamming machinery: 16-bit blocks,
+    pigeonhole-exact candidate join, long-XOR popcount verify, Hamming ≤ 3.
+
+    Probe-set shape, not all-pairs: tracing a bounded probe set keeps
+    candidates at |probes| × bucket-occupancy — the production shape for
+    "find every near-copy of THESE assets" at 100 TB. Corpus-wide near-dup
+    CLUSTERING belongs to the text-level operators (simhash/minhash).
+
+    Scale: fingerprinting is one md5 per payload byte + a 64-way
+    conditional-min agg (map-side combined); the probe join touches only
+    buckets a probe occupies.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id", multimodal.to_payload(F.col("text")).alias("payload")
+    )
+    probes_src = docs.filter(F.col("doc_id") < _PFP_PROBES).select(
+        "doc_id",
+        multimodal.to_payload(F.concat(F.col("text"), F.lit(_PFP_CORRUPT))).alias(
+            "payload"
+        ),
+    )
+    fp = multimodal.payload_fingerprint(corpus, gram=_PFP_GRAM).localCheckpoint(
+        eager=True
+    )
+    pfp = multimodal.payload_fingerprint(probes_src, gram=_PFP_GRAM).localCheckpoint(
+        eager=True
+    )
+    cand = (
+        _sh_blocked(pfp)
+        .alias("x")
+        .join(
+            _sh_blocked(fp).alias("y"),
+            (F.col("x.block_idx") == F.col("y.block_idx"))
+            & (F.col("x.block") == F.col("y.block")),
+        )
+        .select(
+            F.col("x.doc_id").alias("probe_id"), F.col("y.doc_id").alias("doc_id")
+        )
+        .distinct()
+    )
+    n_halves = len(_sh_halves(F.col("simhash")))
+    fa = pfp.select(
+        F.col("doc_id").alias("probe_id"),
+        *[h.alias(f"a{i}") for i, h in enumerate(_sh_halves(F.col("simhash")))],
+    )
+    fb = fp.select(
+        "doc_id",
+        *[h.alias(f"b{i}") for i, h in enumerate(_sh_halves(F.col("simhash")))],
+    )
+    hamming = _sh_hamming_longs(
+        [F.col(f"a{i}") for i in range(n_halves)],
+        [F.col(f"b{i}") for i in range(n_halves)],
+    )
+    return (
+        cand.join(F.broadcast(fa), "probe_id")
+        .join(F.broadcast(fb), "doc_id")
+        .select("probe_id", "doc_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _SH_MAX_HAMMING)
+    )

@@ -273,3 +273,74 @@ def embedding_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum(diff2.cast(dec)).cast("double")).alias("dist_to_global")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization audit (embedding-store scale path)
+# ---------------------------------------------------------------------------
+
+_QDIM = 64  # embedding dimensionality of the test tables
+
+
+@query(
+    "embedding_int8_quantization",
+    oracle=f"""
+    WITH q AS (
+        SELECT e.vec_id,
+               CAST(e.embedding[t.p] AS DOUBLE) AS x,
+               floor(least(greatest(CAST(e.embedding[t.p] AS DOUBLE), -1.0), 1.0)
+                     * 127 + 0.5) AS qv
+        FROM embeddings e, range(1, {_QDIM + 1}) t(p)
+    )
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN x < -1.0 OR x > 1.0 THEN 1 ELSE 0 END) AS INT)
+               AS n_clipped,
+           ROUND(MAX(abs(x - qv / 127.0)), 6) AS max_abs_err,
+           ROUND(CAST(SUM(CAST((x - qv / 127.0) * (x - qv / 127.0)
+                               AS DECIMAL(38,12))) AS DOUBLE) / {_QDIM}, 9)
+               AS mse
+    FROM q GROUP BY vec_id
+    """,
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit: quantize each embedding to 127-scale
+    ints (floor(x*127 + 0.5) — floor-of-shifted, so tie behavior is
+    identical on every engine, unlike round()) with clipping to [-1, 1],
+    and report per-vector reconstruction error (clipped-element count, max
+    abs error, MSE). This is the go/no-go report before switching an
+    embedding store to int8 — 4× memory and bandwidth at 100 TB.
+
+    Scale: pure JVM higher-order array math (transform/zip_with/aggregate)
+    fused into the scan projection — no explode, no shuffle except the
+    final vec_id-grouped... none at all: the whole report is per-row."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform("embedding", lambda v: v.cast("double"))
+    qv = F.transform(
+        xd,
+        lambda v: F.floor(
+            F.least(F.greatest(v, F.lit(-1.0)), F.lit(1.0)) * 127 + F.lit(0.5)
+        ),
+    )
+    err = F.zip_with(xd, qv, lambda x, q: x - q / F.lit(127.0))
+    n_clipped = F.aggregate(
+        xd,
+        F.lit(0),
+        lambda acc, v: acc
+        + F.when((v < -1.0) | (v > 1.0), F.lit(1)).otherwise(F.lit(0)),
+    ).cast("int")
+    max_abs_err = F.round(F.array_max(F.transform(err, F.abs)), 6)
+    mse = F.round(
+        F.aggregate(
+            F.transform(err, lambda d: (d * d).cast("decimal(30,12)")),
+            F.lit(0).cast("decimal(30,12)"),
+            lambda acc, v: (acc + v).cast("decimal(30,12)"),
+        ).cast("double")
+        / _QDIM,
+        9,
+    )
+    return e.select(
+        "vec_id",
+        n_clipped.alias("n_clipped"),
+        max_abs_err.alias("max_abs_err"),
+        mse.alias("mse"),
+    )

@@ -310,3 +310,76 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary / Zipf statistics (tokenizer-training prep)
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOP = 100
+
+
+@query(
+    "vocab_zipf_stats",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS doc_freq
+        FROM toks WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+        SELECT token, n, doc_freq,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS rank,
+               SUM(n) OVER () AS total,
+               SUM(n) OVER (ORDER BY n DESC, token ROWS UNBOUNDED PRECEDING)
+                   AS cum
+        FROM counts
+    )
+    SELECT token, n, doc_freq, rank,
+           ROUND(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+    FROM ranked WHERE rank <= {_VOCAB_TOP}
+    """,
+)
+def vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with Zipf statistics: per-token total count,
+    document frequency, frequency rank, and cumulative corpus coverage —
+    the table a tokenizer-training (BPE/unigram) run starts from, and the
+    coverage curve that picks a vocab size.
+
+    Scale: one shuffle to the token counts (map-side combined); the window
+    functions run over the AGGREGATED vocabulary, which is orders of
+    magnitude smaller than the corpus (the unpartitioned window is
+    vocab-sized by construction, never corpus-sized — for a 10^7-type
+    vocabulary the rank/cumsum step is still a single-partition
+    metadata-scale sort, and cum_share is integer math until one final
+    division)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where("token <> ''")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    order = [F.desc("n"), F.asc("token")]
+    w_rank = Window.orderBy(*order)
+    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.partitionBy()
+    ranked = counts.select(
+        "token",
+        "n",
+        "doc_freq",
+        F.row_number().over(w_rank).cast("int").alias("rank"),
+        F.sum("n").over(w_tot).alias("total"),
+        F.sum("n").over(w_cum).alias("cum"),
+    )
+    return ranked.where(F.col("rank") <= _VOCAB_TOP).select(
+        "token",
+        "n",
+        "doc_freq",
+        "rank",
+        F.round(F.col("cum").cast("double") / F.col("total"), 6).alias("cum_share"),
+    )

@@ -137,3 +137,27 @@ def test_strip_duplicated_spans_matches_reference_model(spark):
         for r in dedup.strip_duplicated_spans(df, "doc_id", "text", n=n).collect()
     }
     assert got == expected
+
+
+def test_payload_fingerprint_shift_robust(spark):
+    """A length-CHANGING local edit must flip only a few fingerprint bits
+    (the winnowed-min selection survives byte shifts); an unrelated payload
+    must differ in many."""
+    from autonomus_datapipeline_spark.operators import multimodal
+
+    base = ("the quick brown fox jumps over the lazy dog " * 30).encode()
+    edited = base.replace(b"jumps", b"leaps", 1)          # shorter by 1 byte
+    other = ("completely different content with other words " * 30).encode()
+    df = spark.createDataFrame(
+        [(0, bytearray(base)), (1, bytearray(edited)), (2, bytearray(other))],
+        "doc_id bigint, payload binary",
+    )
+    fp = {r["doc_id"]: r["simhash"]
+          for r in multimodal.payload_fingerprint(df).collect()}
+    assert len(fp[0]) == 64 and set(fp[0]) <= {"0", "1"}
+
+    def hamming(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    assert hamming(fp[0], fp[1]) <= 3       # near-dup despite the byte shift
+    assert hamming(fp[0], fp[2]) > 10       # unrelated content far away
