@@ -359,3 +359,59 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pcnt").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history build (validity intervals from a change stream)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_user_value_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value, ts, event_id,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, value, ts, event_id FROM ordered
+        WHERE value IS DISTINCT FROM prev
+    )
+    SELECT user_id, value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from a change stream: per key
+    (user_id), no-op updates are collapsed (null-safe change detection
+    against the previous value) and each surviving version gets a
+    [valid_from, valid_to) interval via lead(), with the open-ended row
+    flagged current — the classic warehouse history build, the batch twin
+    of the CDC upsert operator.
+
+    Scale: two window passes over the SAME (user_id; ts, event_id)
+    partitioning — one shuffle total; no self-join, no global sort.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.withColumn("prev", F.lag("value").over(w))
+        .filter(~F.col("value").eqNullSafe(F.col("prev")))
+        .select("user_id", "value", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )

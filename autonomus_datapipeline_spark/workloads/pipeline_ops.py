@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from autonomus_datapipeline_spark.operators import dedup, multimodal, similarity, text
 from autonomus_datapipeline_spark.workloads._ivf_centroids import IVF_CENTROIDS
@@ -926,3 +927,73 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", multimodal.to_payload(F.col("text")).alias("payload")
     )
     return multimodal.decode_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# Quality-threshold pruning (exact global percentile without a global sort)
+# ---------------------------------------------------------------------------
+
+_QF_NUM = 1  # drop the bottom _QF_NUM/_QF_DEN of the corpus by quality
+_QF_DEN = 5
+
+
+def _quality_score_sql() -> str:
+    """The composite quality_score expression over the t(doc_id, text, tk)
+    CTE — same spec as text_quality_scores."""
+    return f"""ROUND(least(1.0, len(tk) / 150.0) * 0.5
+                 + ROUND(CAST({_stop_list_sql('en')} AS DOUBLE) / len(tk), 4) * 0.25
+                 + least(1.0, ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+                                    / len(tk), 4) / 8.0) * 0.25,
+                 4)"""
+
+
+@query(
+    "quality_threshold_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+    scored AS (SELECT doc_id, {_quality_score_sql()} AS quality_score FROM t),
+    hist AS (SELECT quality_score AS v, COUNT(*) AS c FROM scored GROUP BY 1),
+    cum AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+            FROM hist),
+    thr AS (SELECT MIN(v) AS t FROM cum
+            WHERE cum * {_QF_DEN} >= (SELECT COUNT(*) FROM scored) * {_QF_NUM})
+    SELECT doc_id, quality_score,
+           quality_score >= (SELECT t FROM thr) AS kept
+    FROM scored
+    """,
+)
+def quality_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold corpus pruning: drop documents strictly below the
+    exact 20th-percentile quality value (ties at the threshold are kept).
+
+    The exact global percentile is computed WITHOUT a global row sort: the
+    quality score is quantized (round 4), so a value histogram is at most
+    ~10^4 rows regardless of corpus size — groupBy(score) with map-side
+    combine, a histogram-sized cumulative window, and one broadcast
+    threshold back against the corpus. Integer cross-multiplication
+    (cum*5 >= N*1) avoids the 0.2*N float trap (0.2 is not binary-exact;
+    ceil(0.2*500) = 101 on some libms). This is the scale-correct shape for
+    ANY exact quantile over a quantized metric; approx_percentile exists
+    for the unquantized case (approx_aggregates query).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    feats = text.quality_features(F.col("text"))
+    scored = docs.select(
+        "doc_id", feats["quality_score"].alias("quality_score")
+    )
+    hist = scored.groupBy(F.col("quality_score").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("v", F.sum("c").over(w).alias("cum"))
+    total = scored.agg(F.count(F.lit(1)).alias("n"))
+    thr = (
+        cum.crossJoin(F.broadcast(total))
+        .filter(F.col("cum") * _QF_DEN >= F.col("n") * _QF_NUM)
+        .agg(F.min("v").alias("t"))
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "quality_score",
+        (F.col("quality_score") >= F.col("t")).alias("kept"),
+    )
