@@ -181,19 +181,54 @@ def blocked_neardup_pairs(
         F.col(vec_col).alias("vec"),
         norm_sq_exact(F.col(vec_col)).cast("double").alias("nsq"),
     )
-    a, b = v.alias("a"), v.alias("b")
-    denom = F.sqrt(F.col("a.nsq")) * F.sqrt(F.col("b.nsq"))
-    cos_fast = dot_fast(F.col("a.vec"), F.col("b.vec")) / denom
+    # Phase 1 — vectorized prefilter: one Arrow batch per block, one numpy
+    # matmul for ALL pair cosines in it (the JVM higher-order fold is
+    # interpreted per element; the matmul is ~100× cheaper per pair). Only
+    # (id_a, id_b) survivors above (threshold − margin) leave Python. The
+    # assumption a block fits one worker is the operator's contract — the
+    # blocking key bounds Σ block² — and matches the oracle's block join.
+    blk_type = dict(v.dtypes)["blk"]
+    id_type = dict(v.dtypes)["id"]
+    lo = threshold - _PREFILTER_MARGIN
+
+    def find_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"blk": pdf["blk"][:0], "id_a": pdf["id"][:0],
+                                 "id_b": pdf["id"][:0]})
+        m = np.stack(pdf["vec"].to_numpy()).astype("float64")
+        nsq = pdf["nsq"].to_numpy(dtype="float64")
+        cos = (m @ m.T) / np.sqrt(np.outer(nsq, nsq))
+        iu, ju = np.triu_indices(n, 1)
+        keep = cos[iu, ju] >= lo
+        ids = pdf["id"].to_numpy()
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame({
+            "blk": pdf["blk"].iloc[:1].repeat(len(ia)).reset_index(drop=True),
+            "id_a": np.minimum(ia, ib),
+            "id_b": np.maximum(ia, ib),
+        })
+
+    cand = v.groupBy("blk").applyInPandas(
+        find_pairs, schema=f"blk {blk_type}, id_a {id_type}, id_b {id_type}"
+    )
+    # Phase 2 — exact decimal scoring defines the output values.
+    va = v.select(F.col("id").alias("id_a"), F.col("vec").alias("va"),
+                  F.col("nsq").alias("na"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+                  F.col("nsq").alias("nb"))
     cos_exact = F.round(
-        dot_exact(F.col("a.vec"), F.col("b.vec")).cast("double") / denom, 6
+        dot_exact(F.col("va"), F.col("vb")).cast("double")
+        / (F.sqrt("na") * F.sqrt("nb")),
+        6,
     )
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .filter(cos_fast >= threshold - _PREFILTER_MARGIN)
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.blk").alias("block"),
+            "id_a",
+            "id_b",
+            F.col("blk").alias("block"),
             cos_exact.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
