@@ -501,3 +501,135 @@ def dedup_cluster_size_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias("n_removable"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (long-doc → overlapping training chunks)
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 64   # tokens per chunk
+_CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = 16)
+
+
+@query(
+    "doc_chunking_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS tk, CAST(len({_TOKS}) AS BIGINT) AS n
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, tk, n,
+               unnest(range(0, greatest(1,
+                   (n - {_CHUNK_LEN - _CHUNK_STRIDE} + {_CHUNK_STRIDE - 1})
+                       // {_CHUNK_STRIDE}))) AS c
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(c AS INT) AS chunk_idx,
+           CAST(least({_CHUNK_LEN}, n - c * {_CHUNK_STRIDE}) AS INT)
+               AS n_chunk_tokens,
+           array_to_string(tk[c * {_CHUNK_STRIDE} + 1
+                             : c * {_CHUNK_STRIDE} + {_CHUNK_LEN}], ' ')
+               AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunking_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into {64}-token chunks
+    at stride {48} (16-token overlap so no span is ever cut without context)
+    — the pretokenization step that turns variable-length documents into
+    model-window-sized training rows. Chunk count per doc is
+    max(1, ceil((n - overlap) / stride)), all integer math.
+
+    Scale: pure array arithmetic in one projection + a bounded explode
+    (output rows ≈ corpus tokens / stride); no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    overlap = _CHUNK_LEN - _CHUNK_STRIDE
+    t = docs.select(
+        "doc_id",
+        F.split(F.lower("text"), r"\s+").alias("tk"),
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("n"),
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.expr(f"CAST((n - {overlap} + {_CHUNK_STRIDE - 1}) div {_CHUNK_STRIDE} AS BIGINT)"),
+    )
+    c = t.select(
+        "doc_id", "tk", "n",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("_", "c"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("c").cast("int").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK_LEN), F.col("n") - F.col("c") * _CHUNK_STRIDE)
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice(F.col("tk"), F.col("c") * _CHUNK_STRIDE + 1, _CHUNK_LEN), " "
+        ).alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted corpus mixing (per-source deterministic sampling rates)
+# ---------------------------------------------------------------------------
+
+# Per-source keep rates (percent) — the data-mixing recipe. Generated from
+# the source index so oracle and engine share the exact literal table.
+_MIX_RATES = [(f"src{i}", 20 + (7 * i) % 75) for i in range(20)]
+_MIX_DEFAULT = 50
+
+
+@query(
+    "corpus_mix_sampling",
+    oracle=f"""
+    WITH rates(source, rate_pct) AS (
+        VALUES {", ".join(f"('{s}', {r})" for s, r in _MIX_RATES)}
+    ),
+    b AS (
+        SELECT d.source,
+               COALESCE(r.rate_pct, {_MIX_DEFAULT}) AS rate_pct,
+               (ascii(substr(md5(d.text), 1, 1)) * 256
+                + ascii(substr(md5(d.text), 2, 1))) % 100 AS bucket
+        FROM documents d LEFT JOIN rates r ON r.source = d.source
+    )
+    SELECT source, CAST(rate_pct AS INT) AS rate_pct,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM b GROUP BY 1, 2
+    """,
+)
+def corpus_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing: each source gets a target keep-rate (the
+    data-mixing recipe — upweight curated sources, downsample crawl) and
+    documents are kept by a deterministic content-hash bucket below the
+    rate, so the mix is reproducible row-for-row across runs, engines, and
+    partitionings (same ascii-of-md5 bucketing as content_hash_split).
+    Reports per-source totals and kept counts.
+
+    Scale: the rates table is a broadcast literal; bucketing is a codegen'd
+    projection; one aggregation — the same plan at 20 sources or 20,000."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = docs.sparkSession.createDataFrame(
+        _MIX_RATES, "source string, rate_pct int"
+    )
+    bucket = (
+        F.ascii(F.substring(F.md5("text"), 1, 1)) * 256
+        + F.ascii(F.substring(F.md5("text"), 2, 1))
+    ) % 100
+    b = (
+        docs.join(F.broadcast(rates), "source", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("rate_pct"), F.lit(_MIX_DEFAULT)).alias("rate_pct"),
+            bucket.alias("bucket"),
+        )
+    )
+    return b.groupBy("source", "rate_pct").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("bucket") < F.col("rate_pct"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
