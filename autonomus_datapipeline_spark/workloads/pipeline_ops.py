@@ -512,9 +512,10 @@ _SQL_EXACT_CAND_CTE = """
     )"""
 
 
-def _sql_rerank_cte(cand_rel: str, out_rel: str) -> str:
+def _sql_rerank_cte(cand_rel: str, out_rel: str, k: int | None = None) -> str:
     """Exact-decimal cosine re-rank of a (query_id, neighbor_id) candidate
     relation into top-k rows (query_id, neighbor_id, cosine, rk)."""
+    k = _ANN_K if k is None else k
     return f"""
     {out_rel}_dots AS (
         SELECT cd.query_id, cd.neighbor_id,
@@ -536,7 +537,7 @@ def _sql_rerank_cte(cand_rel: str, out_rel: str) -> str:
             FROM {out_rel}_dots
             JOIN norms nq ON nq.vec_id = query_id
             JOIN norms nc ON nc.vec_id = neighbor_id
-        ) s WHERE rk <= {_ANN_K}
+        ) s WHERE rk <= {k}
     )"""
 
 
@@ -697,6 +698,41 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         reports.append(rep)
     return reports[0].unionByName(reports[1])
+
+
+# -- contrastive-training pair mining ----------------------------------------
+
+_HNM_POS = 5   # top-k treated as positives
+_HNM_NEG = 10  # hard negatives: the next _HNM_NEG ranks
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    {_SQL_EXACT_CAND_CTE},
+    {_sql_rerank_cte("exact_cand", "hnm_topk", k=_HNM_POS + _HNM_NEG)}
+    SELECT query_id, neighbor_id, cosine, rk
+    FROM hnm_topk WHERE rk > {_HNM_POS}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    {_HNM_NEG} corpus vectors ranked JUST BELOW the top-{_HNM_POS}
+    positives by exact cosine — similar enough to be informative negatives,
+    dissimilar enough (by rank) to not be false negatives. This is the
+    standard dense-retriever / embedding-model training recipe.
+
+    Scale: identical plan to the exact top-k (broadcast anchors, one corpus
+    scan, two-phase fast/exact scoring); the rank window costs nothing
+    beyond mining top-(pos+neg) instead of top-pos. At 100 TB the anchor
+    side is the batch being trained on, corpus-side ANN (LSH/IVF twins)
+    replaces the exact scan for candidate generation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    topk = similarity.cosine_topk(q, emb, _HNM_POS + _HNM_NEG)
+    return topk.filter(F.col("rk") > _HNM_POS)
 
 
 # ---------------------------------------------------------------------------
