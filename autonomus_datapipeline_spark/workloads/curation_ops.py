@@ -633,3 +633,69 @@ def corpus_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group exact quantiles (grouped value-histogram method)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouped_token_quantiles",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ),
+    hist AS (SELECT lang, n_tokens AS v, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    cum AS (
+        SELECT lang, v, c,
+               SUM(c) OVER (PARTITION BY lang ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY lang) AS n
+        FROM hist
+    )
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN 2 * cum >= n THEN v END) AS BIGINT)
+               AS median_tokens,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN v END) AS BIGINT)
+               AS p90_tokens
+    FROM cum GROUP BY lang
+    """,
+)
+def grouped_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-count median and p90 WITHOUT approx sketches
+    or per-group sorts: the value histogram per group (token counts are
+    small integers — bounded domain), a grouped cumulative window, and
+    integer cross-multiplied rank cuts (2*cum ≥ n; 10*cum ≥ 9n). The
+    grouped twin of quality_threshold_filter's global-quantile trick — per
+    group the histogram is domain-bounded, so the window input is
+    metadata-scale at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    hist = t.groupBy("lang", F.col("n_tokens").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("lang").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cum.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("median_tokens"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("p90_tokens"),
+    )

@@ -700,6 +700,65 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reports[0].unionByName(reports[1])
 
 
+@query(
+    "ann_mrr_report",
+    oracle=f"""
+    WITH {_sql_planes_cte()},
+    {_NORM_CTE},
+    {_sql_lsh_cand_cte()},
+    {_sql_ivf_cand_cte()},
+    {_SQL_EXACT_CAND_CTE},
+    {_sql_rerank_cte("lsh_cand", "lsh_topk")},
+    {_sql_rerank_cte("ivf_cand", "ivf_topk")},
+    {_sql_rerank_cte("exact_cand", "exact_top1", k=1)}
+    SELECT method, query_id,
+           ROUND(COALESCE(MAX(1.0 / rr_rk), 0.0), 6) AS rr
+    FROM (
+        SELECT 'rp_lsh' AS method, e.query_id, ap.rk AS rr_rk
+        FROM exact_top1 e
+        LEFT JOIN lsh_topk ap
+          ON ap.query_id = e.query_id AND ap.neighbor_id = e.neighbor_id
+        UNION ALL
+        SELECT 'ivf_seed' AS method, e.query_id, ap.rk AS rr_rk
+        FROM exact_top1 e
+        LEFT JOIN ivf_topk ap
+          ON ap.query_id = e.query_id AND ap.neighbor_id = e.neighbor_id
+    ) r
+    GROUP BY 1, 2
+    """,
+)
+def ann_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRR@{_ANN_K} of both deterministic ANN paths: per query, the
+    reciprocal rank at which the EXACT nearest neighbor appears in the
+    approximate top-{_ANN_K} (0 when missed) — the rank-sensitive
+    complement to ann_recall_report's set-overlap recall, and the metric
+    retrieval evaluations actually report. Fully value-checked: both ANN
+    sides and the exact top-1 are engine-reproducible.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact1 = similarity.cosine_topk(q, emb, 1).select("query_id", "neighbor_id")
+    reports = []
+    for method, approx in (
+        ("rp_lsh", similarity.lsh_topk_portable(q, emb, _ANN_K, _ANN_PLANES)),
+        ("ivf_seed", similarity.ivf_topk_portable(
+            q, emb, _ANN_K, n_cells=_IVF_CELLS, n_probe=_IVF_PROBE)),
+    ):
+        hits = approx.select("query_id", "neighbor_id", "rk")
+        rep = (
+            exact1.join(hits, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.round(
+                    F.coalesce(F.max(1.0 / F.col("rk")), F.lit(0.0)), 6
+                ).alias("rr")
+            )
+            .select(F.lit(method).alias("method"), "query_id", "rr")
+        )
+        reports.append(rep)
+    return reports[0].unionByName(reports[1])
+
+
 # -- contrastive-training pair mining ----------------------------------------
 
 _HNM_POS = 5   # top-k treated as positives
