@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 import posixpath
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -37,6 +37,31 @@ def file_zone_map(df: DataFrame, stat_col: str) -> DataFrame:
     return df.groupBy(F.input_file_name().alias("path")).agg(
         F.min(stat_col).alias("lo"), F.max(stat_col).alias("hi")
     )
+
+
+def prune_manifest(zones: DataFrame, lo, hi) -> DataFrame:
+    """Distributed zone-map prune: filter the manifest DataFrame to the
+    paths whose [lo, hi] zone intersects the query range [lo, hi).
+
+    The per-file stats never leave the executors — only the surviving path
+    column is returned. At 100 TB (millions of files) the manifest is a
+    table, not a driver list; the caller collects the *pruned* path set
+    (strictly smaller, typically ~predicate-selectivity × file count),
+    which is the bounded scan-planning step every table format (Delta,
+    Iceberg) performs on the driver.
+
+    ``lo``/``hi`` may be Columns (e.g. a string literal cast to timestamp,
+    which parses in the pinned session zone) or plain Python values.
+    Conservative like :func:`prune_files`: NULL-stat files are kept.
+    """
+    lo = lo if isinstance(lo, Column) else F.lit(lo)
+    hi = hi if isinstance(hi, Column) else F.lit(hi)
+    keep = (
+        F.col("lo").isNull()
+        | F.col("hi").isNull()
+        | ((F.col("hi") >= lo) & (F.col("lo") < hi))
+    )
+    return zones.filter(keep).select("path")
 
 
 def prune_files(zone_rows, lo, hi) -> list[str]:

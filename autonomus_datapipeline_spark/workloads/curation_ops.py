@@ -367,7 +367,7 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(length(bin(n_tokens)) - 1 AS INT) AS log2_bucket,
            CAST(1::BIGINT << (length(bin(n_tokens)) - 1) AS BIGINT) AS bucket_lo,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM t WHERE n_tokens > 0
     GROUP BY 1, 2
     """,

@@ -103,9 +103,11 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_a", "doc_b")
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("pa"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("pb"))
+    # da/db carry a 40-char prefix for EVERY corpus document — shuffled
+    # join, never broadcast (corpus-sized side; see _sh_banded_hamming_pairs).
     return (
-        pairs.join(F.broadcast(da), "doc_a")
-        .join(F.broadcast(db), "doc_b")
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -285,15 +287,18 @@ def _sh_banded_hamming_pairs(fp: DataFrame) -> DataFrame:
         F.col("doc_id").alias("doc_b"),
         *[h.alias(f"b{i}") for i, h in enumerate(_sh_halves(F.col("simhash")))],
     )
-    # fp is doc-count-sized (tiny next to the candidate pairs) → broadcast
-    # both verify joins so candidates never shuffle.
+    # fa/fb are corpus-sized: at 10B docs a broadcast here is a 100 GB+
+    # driver/executor OOM, so the verify re-attach must be a shuffled join
+    # on the id (AQE picks SMJ/shuffled-hash; both sides hash-partition on
+    # the join key, candidates shuffle once per side — linear, not a
+    # replicated copy of the corpus on every executor).
     hamming = _sh_hamming_longs(
         [F.col(f"a{i}") for i in range(n_halves)],
         [F.col(f"b{i}") for i in range(n_halves)],
     )
     return (
-        cand.join(F.broadcast(fa), "doc_a")
-        .join(F.broadcast(fb), "doc_b")
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SH_MAX_HAMMING)
     )
@@ -530,9 +535,12 @@ def multimodal_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col(f"a{i}") for i in range(n_halves)],
         [F.col(f"b{i}") for i in range(n_halves)],
     )
+    # fa is the bounded probe set → broadcast is correct; fb is the full
+    # corpus fingerprint table → must stay a shuffled join (corpus-sized
+    # broadcasts OOM at 100 TB).
     return (
         cand.join(F.broadcast(fa), "probe_id")
-        .join(F.broadcast(fb), "doc_id")
+        .join(fb, "doc_id")
         .select("probe_id", "doc_id", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SH_MAX_HAMMING)
     )

@@ -9,15 +9,13 @@ value-exactly.
 
 from __future__ import annotations
 
-import datetime
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from autonomus_datapipeline_spark.operators.dedup import strip_duplicated_spans
 from autonomus_datapipeline_spark.operators.maintenance import (
     file_zone_map,
-    prune_files,
+    prune_manifest,
 )
 from autonomus_datapipeline_spark.workloads.registry import (
     dsum,
@@ -30,8 +28,6 @@ from autonomus_datapipeline_spark.workloads.registry import (
 # Zone-map pruned scan (manifest-level data skipping)
 # ---------------------------------------------------------------------------
 
-_ZM_LO = datetime.datetime(1996, 1, 1)
-_ZM_HI = datetime.datetime(1997, 1, 1)  # exclusive
 _ZM_LO_SQL = "1996-01-01 00:00:00"
 _ZM_HI_SQL = "1997-01-01 00:00:00"
 
@@ -70,8 +66,18 @@ def zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_shipdate", "l_extendedprice", "l_discount"
     )
-    zones = file_zone_map(li, "l_shipdate").collect()
-    keep = prune_files(zones, _ZM_LO, _ZM_HI)
+    # Distributed prune: the manifest stays a DataFrame (per-file stats
+    # never hit the driver); only the SURVIVING path strings are collected
+    # — the bounded scan-planning step Delta/Iceberg also perform
+    # driver-side. String-literal timestamp bounds parse in the pinned
+    # session zone (see in_range below).
+    zones = file_zone_map(li, "l_shipdate")
+    kept = prune_manifest(
+        zones,
+        F.lit(_ZM_LO_SQL).cast("timestamp"),
+        F.lit(_ZM_HI_SQL).cast("timestamp"),
+    )
+    keep = [r.path for r in kept.collect()]
     pruned = (
         spark.read.parquet(*keep).select(
             "l_shipdate", "l_extendedprice", "l_discount"

@@ -122,3 +122,27 @@ def test_ingest_compact_promote_zonemap_lifecycle(spark, tmp_path):
     )
     assert got.n == 1000
     assert got.s == sum(i % 7 for i in range(1000, 2000))
+
+
+def test_prune_manifest_matches_prune_files(spark, tmp_path):
+    """Distributed manifest prune (verdict-r4 item 3) keeps exactly the
+    files the driver-side row prune keeps — stats never leave Spark."""
+    path = str(tmp_path / "t")
+    spark.range(0, 1000).withColumnRenamed("id", "k").repartitionByRange(
+        8, "k"
+    ).write.parquet(path)
+    back = spark.read.parquet(path)
+    zones = mnt.file_zone_map(back, "k")
+    expected = sorted(mnt.prune_files(zones.collect(), 100, 400))
+    got = sorted(r.path for r in mnt.prune_manifest(zones, 100, 400).collect())
+    assert got == expected
+    assert 0 < len(got) < zones.count()
+
+
+def test_prune_manifest_keeps_null_stat_files(spark):
+    zones = spark.createDataFrame(
+        [("a", None, None), ("b", 5, 7), ("c", 20, 30)],
+        "path string, lo int, hi int",
+    )
+    got = sorted(r.path for r in mnt.prune_manifest(zones, 0, 10).collect())
+    assert got == ["a", "b"]

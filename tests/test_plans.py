@@ -139,3 +139,51 @@ def test_no_cartesian_product_anywhere(spark, sf_dir, name):
         # BroadcastNestedLoopJoin, not CartesianProduct — anything else is a
         # regression.
         raise AssertionError(f"{name} plans a CartesianProduct")
+
+
+# ---------------------------------------------------------------------------
+# Verify-join de-broadcast guards (verdict r4 item 2): the exact-verify
+# re-attach joins run against CORPUS-SIZED tables — an explicit broadcast
+# hint there is a 100 GB+ OOM at 10B docs.  At test scale Spark would
+# auto-broadcast the tiny sides anyway, so these tests disable the
+# auto-broadcast threshold: any BroadcastExchange that survives must come
+# from a hard-coded hint, which is exactly the regression being guarded.
+# ---------------------------------------------------------------------------
+
+
+def _plan_no_autobroadcast(spark, name, sf_dir) -> str:
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return plan_of(spark, name, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["simhash_hamming_pairs", "simhash_hamming_dedup_first", "edit_distance_pairs"],
+)
+def test_pair_verify_joins_are_shuffled_not_broadcast(spark, sf_dir, name):
+    plan = _plan_no_autobroadcast(spark, name, sf_dir)
+    assert "BroadcastExchange" not in plan, (
+        f"{name}: corpus-sized side carries an explicit broadcast hint"
+    )
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_multimodal_neardup_broadcasts_only_probe_side(spark, sf_dir):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERY_REGISTRY["multimodal_payload_neardup"].fn(spark, sf_dir)
+        # simple mode: each physical node appears exactly once (formatted
+        # mode prints tree + detail, double-counting)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # exactly one hinted broadcast: the bounded probe fingerprint table
+    assert plan.count("BroadcastExchange") == 1
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan

@@ -10,6 +10,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 import sys
 import time
@@ -23,11 +24,42 @@ from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY, TABLES  # noq
 
 
 def norm(v):
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        # Spark DATE surfaces as datetime.date through toPandas while DuckDB
+        # DATE surfaces as a midnight Timestamp through .df(); the driver
+        # treats those as equal (string_date_functions is driver-green), so
+        # canonicalize both to the timestamp form.
+        return f"{v.isoformat()} 00:00:00"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        s = f"{v:.10g}"
+        # Keep float-ness visible: an integral float must NOT collapse to the
+        # int form.  DuckDB widens SUM(BIGINT) to HUGEINT, which pandas
+        # materializes as float64 (279.0) while Spark returns int64 (279) —
+        # the driver hashes those as different values (round-4 red row), so
+        # the local gate must too.
+        if "." not in s and "e" not in s and "n" not in s:
+            s += ".0"
+        return s
     return str(v)
+
+
+_INT_KINDS = frozenset("iu")
+
+
+def dtype_drift(scols, spdf, ddf):
+    """Columns whose pandas dtype *kind* disagrees between Spark and DuckDB
+    in the int-vs-float dimension — the exact drift the driver's
+    pandas-based canonicalizer hashes as a mismatch."""
+    bad = []
+    for c in scols:
+        sk, dk = spdf[c].dtype.kind, ddf[c].dtype.kind
+        s_int, d_int = sk in _INT_KINDS, dk in _INT_KINDS
+        s_flt, d_flt = sk == "f", dk == "f"
+        if (s_int and d_flt) or (s_flt and d_int):
+            bad.append((c, str(spdf[c].dtype), str(ddf[c].dtype)))
+    return bad
 
 
 def rowset(cols, rows):
@@ -66,7 +98,11 @@ def main() -> int:
         try:
             sdf = spec.fn(spark, sf_dir)
             scols = sdf.columns
-            srows = sdf.collect()
+            # Canonicalize through pandas exactly like the driver does —
+            # collect() would hand back Python ints where toPandas() yields
+            # the dtype the driver actually hashes.
+            spdf = sdf.toPandas()
+            srows = list(spdf.itertuples(index=False, name=None))
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {exc}")
@@ -93,9 +129,11 @@ def main() -> int:
                   f"{time.time() - t0:.1f}s, no oracle)")
             continue
         try:
-            res = con.execute(spec.oracle)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # .df(), not fetchall(): fetchall() returns Python ints for
+            # HUGEINT while the driver's pandas path sees float64.
+            ddf = con.execute(spec.oracle).df()
+            dcols = list(ddf.columns)
+            drows = list(ddf.itertuples(index=False, name=None))
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {exc}")
@@ -103,6 +141,11 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             failures.append(name)
             print(f"FAIL  {name}: columns spark={sorted(scols)} duck={sorted(dcols)}")
+            continue
+        drift = dtype_drift(scols, spdf, ddf)
+        if drift:
+            failures.append(name)
+            print(f"FAIL  {name}: int/float dtype drift (spark vs duck): {drift}")
             continue
         s, d = rowset(scols, srows), rowset(dcols, drows)
         if len(s) != len(d):
