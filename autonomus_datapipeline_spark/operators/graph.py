@@ -5,13 +5,16 @@ dedup *clusters* are the connected components — every doc in a component is
 a duplicate of the others, and the canonical representative is the minimum
 id. This is the standard last step of corpus dedup at scale.
 
-Implementation: join-based minimum-label propagation driven by a driver-side
-loop — the legitimate pattern for iterative algorithms on Spark (each
-iteration is a distributed join+agg; only the 1-row convergence check
-touches the driver). Converges in O(graph diameter) rounds; the
-alternating-star optimization (O(log n) rounds) is the drop-in upgrade for
-adversarial chain graphs at extreme scale. Lineage is truncated per round
-with localCheckpoint so plans don't grow unboundedly.
+Implementation: alternating large-star / small-star contraction (Kiveris,
+Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+MapReduce and Beyond", SoCC'14) driven by a driver-side loop — the
+legitimate pattern for iterative algorithms on Spark (each round is two
+distributed join+agg passes; only the 1-row convergence check touches the
+driver). Worst-case O(log² n) rounds with O(log n) observed even on
+adversarial chain graphs — unlike plain min-label propagation, whose round
+count tracks the graph DIAMETER (a 10^6-long near-dup chain would need 10^6
+rounds; star contraction needs ~20). Lineage is truncated per round with
+localCheckpoint so plans don't grow unboundedly.
 """
 
 from __future__ import annotations
@@ -39,6 +42,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     n_partitions: int | None = None,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """(node, component_id) for every node in ``edges``; component_id is the
     minimum node id reachable. Deterministic at convergence.
@@ -46,15 +50,11 @@ def connected_components(
     ``n_partitions`` sizes the per-round shuffles — candidate-pair graphs are
     orders of magnitude smaller than the corpus, and an iterative loop pays
     the per-task overhead every round, so default small and scale up only
-    with the edge count.
+    with the edge count. ``rounds_out``, if given, receives the number of
+    contraction rounds executed (tests assert the O(log n) bound on chains).
     """
     if n_partitions is None:
         n_partitions = 8
-    # The candidate-pair graph is orders of magnitude smaller than the
-    # corpus, but every per-round join would still inherit the session's
-    # corpus-sized spark.sql.shuffle.partitions — per-task overhead × rounds
-    # dominates at that width. Scope the conf to the loop (saved/restored,
-    # never a lasting session mutation).
     # Materialize the symmetric edge list FIRST, at the session's full
     # shuffle width — its lineage is the whole upstream candidate-generation
     # chain (shingles → signatures → LSH join), which is corpus-scale work.
@@ -66,10 +66,13 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
+    # Scope the shuffle width to the loop (saved/restored, never a lasting
+    # session mutation) — per-task overhead × rounds dominates at the
+    # session's corpus-sized width.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
     spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
     try:
-        return _cc_loop(sym, max_iter)
+        return _star_loop(sym, max_iter, rounds_out)
     finally:
         if prev_parts is None:
             spark.conf.unset("spark.sql.shuffle.partitions")
@@ -77,57 +80,70 @@ def connected_components(
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
-def _cc_loop(sym: DataFrame, max_iter: int) -> DataFrame:
-    """Label-propagation loop over a materialized symmetric edge list."""
-    labels = (
-        sym.select(F.col("a").alias("node"))
+def _star_loop(sym: DataFrame, max_iter: int, rounds_out: list | None) -> DataFrame:
+    """Alternating large-star / small-star contraction over a materialized
+    symmetric edge list. Edges are kept canonical (u > v, pointing down);
+    the fixed point is a star per component centered at its minimum id."""
+    E = (
+        sym.filter(F.col("a") > F.col("b"))
+        .select(F.col("a").alias("u"), F.col("b").alias("v"))
         .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_count = E.count()
+    rounds = 0
     for _ in range(max_iter):
-        # 1-hop: pull the minimum label from graph neighbors
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
+        rounds += 1
+        # --- large-star: every node u links its LARGER neighbors to
+        # m = min(Γ(u) ∪ {u}) — long "up" chains collapse toward minima.
+        sym_e = E.select("u", "v").union(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        hop = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+        nbr_min = sym_e.groupBy("u").agg(F.min("v").alias("mv"))
+        # No distinct here: duplicate rows don't disturb the downstream
+        # min-aggregates, the final new_e distinct dedupes, and skipping it
+        # removes a full (u, v) shuffle per round — the two consumers below
+        # then share one shuffle-by-u via ReusedExchange.
+        large = (
+            sym_e.join(nbr_min, "u")
+            .where(F.col("v") > F.col("u"))
             .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("_changed"),
+                F.col("v").alias("u"),
+                F.least(F.col("u"), F.col("mv")).alias("v"),
             )
         )
-        # pointer jumping: follow my label's label (path compression) —
-        # halves remaining path lengths, so total rounds are O(log diameter)
-        # instead of O(diameter)
-        parent = hop.select(
-            F.col("node").alias("pnode"), F.col("label").alias("plabel")
-        )
-        new_labels = (
-            hop.join(parent, hop.label == parent.pnode, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
-                ).alias("label"),
-                (
-                    F.col("_changed") | (F.col("plabel") < F.col("label"))
-                ).alias("_changed"),
+        # --- small-star: every node u links itself and its smaller
+        # neighbors to m = min(Γ⁻(u)) — shallow trees flatten into stars.
+        # large's output is already canonical (v = min(u', mv) < u-alias),
+        # so Γ⁻(u) is just the v column grouped by u.
+        down_min = large.groupBy("u").agg(F.min("v").alias("mv"))
+        with_min = large.join(down_min, "u")
+        new_e = (
+            with_min.select("u", F.col("mv").alias("v"))
+            .union(
+                with_min.where(F.col("v") != F.col("mv")).select(
+                    F.col("v").alias("u"), F.col("mv").alias("v")
+                )
             )
+            .distinct()
+            .localCheckpoint(eager=False)
         )
-        # Lazy checkpoint: the convergence count below is the first action,
-        # so it materializes the checkpoint as a side effect — one job per
-        # round instead of two (eager checkpoint + count). The count is NOT
-        # limit(1): it must touch every partition so the checkpoint is fully
-        # materialized, otherwise lineage chains across rounds.
-        new_labels = new_labels.localCheckpoint(eager=False)
-        changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
-        if changed == 0:
-            break
-    return labels.select("node", F.col("label").alias("component_id"))
+        # Lazy checkpoint: the count below is the first action, so it
+        # materializes the checkpoint as a side effect — one job per round.
+        new_count = new_e.count()
+        if new_count == prev_count:
+            # Counts alone can tie while the sets differ — confirm with an
+            # anti join (cheap: only runs in the final round or on ties).
+            if new_e.join(E, ["u", "v"], "left_anti").limit(1).count() == 0:
+                E = new_e
+                break
+        E, prev_count = new_e, new_count
+    if rounds_out is not None:
+        rounds_out.append(rounds)
+    # At the fixed point E is a function (one star edge per non-center
+    # node); the groupBy is a no-op there and only guards a max_iter cutoff.
+    star = E.groupBy("u").agg(F.min("v").alias("v"))
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    return nodes.join(star, nodes.node == star.u, "left").select(
+        "node", F.coalesce(star.v, nodes.node).alias("component_id")
+    )
