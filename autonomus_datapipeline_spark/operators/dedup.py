@@ -166,6 +166,32 @@ def lsh_candidate_pairs(
     )
 
 
+def cap_bucket_occupancy(
+    rows: DataFrame, keys: list[str], max_occupancy: int
+) -> DataFrame:
+    """Drop bucket keys whose occupancy exceeds ``max_occupancy`` — the
+    banded-join analog of :func:`cap_document_frequency`: a candidate bucket
+    with k members contributes k² join rows, and boilerplate-heavy corpora
+    concentrate near-identical fingerprints into single (block_idx, block)
+    buckets, turning one shuffle key into the straggler that dominates the
+    stage at 100 TB.
+
+    Hot buckets carry mostly exact/near-exact duplicates, which the
+    production ordering removes BEFORE fingerprinting
+    (simhash_hamming_dedup_first); the cap is the guard for pipelines where
+    that pre-pass was skipped, and — like the ngram df cap — it trades
+    bounded recall (pairs whose only shared bucket was hot) for a hard
+    worst-case bound. One count-aggregation + a semi join, both map-side
+    combinable."""
+    cool = (
+        rows.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") <= max_occupancy)
+        .select(*keys)
+    )
+    return rows.join(cool, list(keys), "left_semi")
+
+
 def cap_document_frequency(shingles: DataFrame, max_df: int) -> DataFrame:
     """Drop shingles appearing in more than ``max_df`` documents — the
     stopword-gram suppression that bounds the inverted-index join at scale

@@ -35,11 +35,27 @@ def to_payload(text: Column) -> Column:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Codec stub — the real implementation needs PIL/ffmpeg, absent here."""
-    raise NotImplementedError(
-        "image/audio codecs are not available in this environment; "
-        "use fake_decode for deterministic tests"
-    )
+    """Real image decode when Pillow is importable (same contract as
+    :func:`fake_decode`); raises NotImplementedError where no codec library
+    exists so callers fall back to the deterministic fake. The Spark-side
+    plumbing (schema, Arrow batching, mapInPandas signature) is identical
+    for both decoders — swapping in the real one is a pure function swap."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:  # codec libs absent in this sandbox
+        raise NotImplementedError(
+            "image codecs (Pillow) are not available in this environment; "
+            "use fake_decode for deterministic tests"
+        ) from exc
+    with Image.open(io.BytesIO(payload)) as im:
+        return {
+            "payload_md5": hashlib.md5(payload).hexdigest(),
+            "width": im.width,
+            "height": im.height,
+            "format": (im.format or "").lower(),
+        }
 
 
 def fake_decode(payload: bytes) -> dict:

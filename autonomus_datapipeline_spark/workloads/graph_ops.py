@@ -259,12 +259,25 @@ def _sh_hamming_longs(a_halves: list, b_halves: list):
     return total.cast("int")
 
 
-def _sh_banded_hamming_pairs(fp: DataFrame) -> DataFrame:
+def _sh_banded_hamming_pairs(
+    fp: DataFrame, max_block_occupancy: int | None = None
+) -> DataFrame:
     """Banded candidate join + exact verify shared by both simhash queries.
     ``fp`` must already be materialized (cache/localCheckpoint) — the
     banding feeds a self-join that would otherwise recompute the whole
-    fingerprint subtree per side."""
+    fingerprint subtree per side.
+
+    ``max_block_occupancy`` engages dedup.cap_bucket_occupancy on the
+    (block_idx, block) buckets — the skew guard for boilerplate-heavy
+    corpora where one hot bucket would contribute k² candidates to a single
+    shuffle key. Off by default: the registered queries are oracle-exact,
+    and the production mitigation for hot buckets is the dedup-first
+    ordering (exact dedup removes identical docs before fingerprinting)."""
     blocks = _sh_blocked(fp)
+    if max_block_occupancy is not None:
+        blocks = dedup.cap_bucket_occupancy(
+            blocks, ["block_idx", "block"], max_block_occupancy
+        )
     x, y = blocks.alias("x"), blocks.alias("y")
     cand = (
         x.join(

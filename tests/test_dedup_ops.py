@@ -161,3 +161,63 @@ def test_payload_fingerprint_shift_robust(spark):
 
     assert hamming(fp[0], fp[1]) <= 3       # near-dup despite the byte shift
     assert hamming(fp[0], fp[2]) > 10       # unrelated content far away
+
+
+def test_cap_bucket_occupancy_drops_hot_buckets(spark):
+    rows = spark.createDataFrame(
+        [(i, 0, "hot") for i in range(10)] + [(100, 0, "cool"), (101, 0, "cool")],
+        "doc_id long, block_idx int, block string",
+    )
+    kept = dedup.cap_bucket_occupancy(rows, ["block_idx", "block"], 5).collect()
+    assert sorted(r.doc_id for r in kept) == [100, 101]
+
+
+def test_simhash_occupancy_cap_bounds_hot_bucket_candidates(spark):
+    """Skew guard (verdict-r4 item 6): a boilerplate hot bucket (10 identical
+    fingerprints → 45 candidate pairs on ONE shuffle key) is dropped by the
+    cap while genuinely-banded near pairs survive."""
+    from autonomus_datapipeline_spark.workloads.graph_ops import (
+        _sh_banded_hamming_pairs,
+    )
+
+    hot = [(i, "0" * 64) for i in range(10)]
+    near = [(100, "1" * 63 + "0"), (101, "1" * 64)]  # hamming 1
+    fp = spark.createDataFrame(hot + near, "doc_id long, simhash string").cache()
+    uncapped = _sh_banded_hamming_pairs(fp).collect()
+    assert len(uncapped) == 45 + 1
+    capped = _sh_banded_hamming_pairs(fp, max_block_occupancy=5).collect()
+    assert [(r.doc_a, r.doc_b) for r in capped] == [(100, 101)]
+
+
+def test_decode_features_real_codec_when_available(spark):
+    """`use_fake=False` drives the SAME mapInPandas plumbing through the
+    real Pillow decoder when it's importable; in codec-less sandboxes the
+    stub raises NotImplementedError (documented fallback)."""
+    import pytest as _pytest
+
+    from autonomus_datapipeline_spark.operators import multimodal
+
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        with _pytest.raises(Exception) as exc_info:
+            multimodal.decode_features(
+                spark.createDataFrame(
+                    [(1, bytearray(b"xx"))], "doc_id long, payload binary"
+                ),
+                use_fake=False,
+            ).collect()
+        assert "NotImplementedError" in str(
+            exc_info.value
+        ) or isinstance(exc_info.value, NotImplementedError)
+        return
+
+    buf = io.BytesIO()
+    Image.new("RGB", (7, 5)).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    row = multimodal.decode_features(df, use_fake=False).collect()[0]
+    assert (row.width, row.height, row.format) == (7, 5, "png")
