@@ -24,12 +24,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
     Ingests orders → Bronze (lineage columns, partitioned parquet), runs a
     sandboxed Silver chain (C1 filter + C3 bucketing), then a Gold chain
-    (C8 broadcast join + aggregation), and returns the Gold DataFrame.
+    (C8 broadcast join + aggregation) with data-quality rules evaluated
+    against the written Gold output (the reference's declared-but-unbuilt
+    ``data_quality_results`` surface), and returns the Gold DataFrame.
     """
     import tempfile
 
     from autonomus_datapipeline_spark.catalog import Catalog
     from autonomus_datapipeline_spark.engine import Pipeline
+    from autonomus_datapipeline_spark.engine.quality import DQRule
 
     sf_dir = "/root/testdata/sf0.001"
     warehouse = tempfile.mkdtemp(prefix="adp_flagship_")
@@ -56,8 +59,23 @@ def entry(spark: SparkSession) -> DataFrame:
         "              .agg(F.count('*').alias('n_orders'),\n"
         "                   F.sum('o_totalprice').alias('total_price')))\n",
     )
+    pipe.set_quality_rules(
+        "gold",
+        [
+            DQRule("segment_not_null", "not_null", "c_mktsegment"),
+            DQRule(
+                "bucket_values", "accepted_values", "price_bucket",
+                {"values": ["small", "medium", "large", "jumbo"]},
+            ),
+            DQRule("orders_positive", "in_range", "n_orders", {"min": 1}),
+            DQRule("segment_bucket_rows", "in_range", "total_price", {"min": 0.0}),
+        ],
+    )
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     results = pipe.run_all(orders)
+    if not results["gold"].quality_passed:
+        failed = [r.rule.name for r in results["gold"].quality if not r.passed]
+        raise RuntimeError(f"gold data-quality rules failed: {failed}")
     return spark.read.parquet(results["gold"].path)
 
 

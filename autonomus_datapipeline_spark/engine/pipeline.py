@@ -48,6 +48,11 @@ class LayerResult:
     row_count: int
     elapsed_s: float
     step_metrics: list[StepMetric] = field(default_factory=list)
+    quality: list = field(default_factory=list)  # DQResult per attached rule
+
+    @property
+    def quality_passed(self) -> bool:
+        return all(r.passed for r in self.quality)
 
 
 class Pipeline:
@@ -61,6 +66,18 @@ class Pipeline:
         self.name = sanitize_table_name(name)
         self.silver_chain = TransformChain(f"{name}.silver", audit=audit)
         self.gold_chain = TransformChain(f"{name}.gold", audit=audit)
+        self._quality_rules: dict[str, list] = {}
+
+    def set_quality_rules(self, layer: str, rules: list) -> None:
+        """Attach data-quality rules (engine.quality.DQRule) to a layer.
+
+        Rules run against the layer's WRITTEN output right after the write
+        (one aggregation pass for all row-level rules — engine/quality.py),
+        and the per-rule verdicts are recorded in the layer's catalog
+        metadata: the reference declared exactly this surface as its
+        ``data_quality_results`` table (db/init.sql:256-270) but never built
+        the evaluation engine."""
+        self._quality_rules[layer] = list(rules)
 
     # -- bronze ---------------------------------------------------------------
 
@@ -236,13 +253,34 @@ class Pipeline:
         path = self.catalog.data_path(layer, self.name, version)
         out.write.mode("overwrite").parquet(path)
         rows = int(obs.get["rows"])
+        dq_results = []
+        extra_meta = {}
+        rules = self._quality_rules.get(layer)
+        if rules:
+            from autonomus_datapipeline_spark.engine.quality import evaluate_rules
+
+            # Evaluate on the parquet just written (not the in-memory df):
+            # the verdicts then cover the bytes downstream readers see.
+            dq_results = evaluate_rules(self.spark.read.parquet(path), rules)
+            extra_meta["quality"] = [
+                {
+                    "rule_name": r.rule.name,
+                    "rule_kind": r.rule.kind,
+                    "column": r.rule.column,
+                    "rule_config": r.rule.config,
+                    "passed": r.passed,
+                    "failure_count": r.failure_count,
+                    "total_count": r.total_count,
+                }
+                for r in dq_results
+            ]
         self.catalog.write_meta(
             layer, self.name, version, out.schema,
             {"source_layer": source_layer, "row_count": rows,
-             "steps": [m.name for m in metrics]},
+             "steps": [m.name for m in metrics], **extra_meta},
         )
         return LayerResult(layer, version, path, rows,
-                           round(time.time() - t0, 3), metrics)
+                           round(time.time() - t0, 3), metrics, dq_results)
 
     def run_silver(self) -> LayerResult:
         return self._run_layer("silver", "bronze", self.silver_chain)

@@ -341,3 +341,46 @@ def test_load_table_events_does_not_mutate_session_tz(spark, sf_dir):
             spark.conf.set("spark.sql.session.timeZone", before)
     utc_first = load_table(spark, sf_dir, "events").orderBy("ts").first()["ts"]
     assert tokyo_first == utc_first
+
+
+def test_quality_rules_recorded_with_gold_write(spark, sf_dir, tmp_path):
+    """DQ rules run against the WRITTEN gold output and land in the layer's
+    catalog metadata (the reference's declared data_quality_results surface,
+    db/init.sql:256-270) — verdict-r4 item 7."""
+    from autonomus_datapipeline_spark.engine.quality import DQRule
+
+    catalog = Catalog(str(tmp_path / "warehouse"))
+    pipe = Pipeline(spark, catalog, "dq_pipeline")
+    pipe.silver_chain.add_step("filter", VALID)
+    pipe.silver_chain.add_step("bucket", BUCKET)
+    pipe.gold_chain.add_step("agg", AGG)
+    pipe.set_quality_rules(
+        "gold",
+        [
+            DQRule("bucket_not_null", "not_null", "price_bucket"),
+            DQRule("orders_positive", "in_range", "n_orders", {"min": 1}),
+            DQRule("impossible_cap", "in_range", "n_orders", {"max": 1}),
+        ],
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    results = pipe.run_all(orders)
+
+    gold = results["gold"]
+    assert [r.rule.name for r in gold.quality] == [
+        "bucket_not_null", "orders_positive", "impossible_cap",
+    ]
+    assert gold.quality[0].passed and gold.quality[1].passed
+    assert not gold.quality[2].passed  # n_orders > 1 at sf0.001
+    assert gold.quality[2].failure_samples  # bounded failing-row samples
+    assert not gold.quality_passed
+
+    meta = catalog.read_meta("gold", "dq_pipeline", gold.version)
+    recorded = meta["quality"]
+    assert [q["rule_name"] for q in recorded] == [
+        "bucket_not_null", "orders_positive", "impossible_cap",
+    ]
+    assert recorded[2]["passed"] is False
+    assert recorded[2]["failure_count"] > 0
+    assert all(q["total_count"] == gold.row_count for q in recorded)
+    # layers without rules are unaffected
+    assert results["silver"].quality == [] and results["silver"].quality_passed
