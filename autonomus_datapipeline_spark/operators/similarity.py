@@ -200,9 +200,22 @@ def blocked_neardup_pairs(
         nsq = pdf["nsq"].to_numpy(dtype="float64")
         cos = (m @ m.T) / np.sqrt(np.outer(nsq, nsq))
         iu, ju = np.triu_indices(n, 1)
-        keep = cos[iu, ju] >= lo
+        c = cos[iu, ju]
+        # A zero-norm vector yields a non-finite cosine. DuckDB division by
+        # zero is NULL, so the oracle's `cosine >= threshold` DROPS such
+        # pairs — drop them here explicitly (and the exact phase uses
+        # try_divide for the same NULL semantics instead of an ANSI
+        # DIVIDE_BY_ZERO error). np's `c >= lo` is already False for NaN,
+        # but the explicit mask documents the choice rather than relying on
+        # IEEE comparison accidents.
+        keep = (c >= lo) & np.isfinite(c)
         ids = pdf["id"].to_numpy()
         ia, ib = ids[iu[keep]], ids[ju[keep]]
+        # Duplicate id values within a block would surface as id_a == id_b
+        # self-pairs after the min/max canonicalization; the oracle's
+        # `a.id < b.id` join excludes them, so exclude them here.
+        ne = ia != ib
+        ia, ib = ia[ne], ib[ne]
         return pd.DataFrame({
             "blk": pdf["blk"].iloc[:1].repeat(len(ia)).reset_index(drop=True),
             "id_a": np.minimum(ia, ib),
@@ -217,9 +230,13 @@ def blocked_neardup_pairs(
                   F.col("nsq").alias("na"))
     vb = v.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"),
                   F.col("nsq").alias("nb"))
+    # try_divide: a zero norm gives NULL (DuckDB's division-by-zero result)
+    # and the threshold filter drops it — never an ANSI DIVIDE_BY_ZERO.
     cos_exact = F.round(
-        dot_exact(F.col("va"), F.col("vb")).cast("double")
-        / (F.sqrt("na") * F.sqrt("nb")),
+        F.try_divide(
+            dot_exact(F.col("va"), F.col("vb")).cast("double"),
+            F.sqrt("na") * F.sqrt("nb"),
+        ),
         6,
     )
     return (
@@ -232,6 +249,44 @@ def blocked_neardup_pairs(
             cos_exact.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """One-pass Gram matrix Σ x xᵀ of an embedding table — the sufficient
+    statistic for PCA / ZCA whitening at corpus scale.
+
+    Per Arrow batch, ONE numpy ``m.T @ m`` produces a d×d partial; only d²
+    doubles leave Python per batch (not per row), and the final reduce is a
+    d²-row groupBy sum — shuffle-tiny regardless of corpus size. The
+    eigen-decomposition of the d×d result is a driver-side O(d³) afterthought;
+    the projection pass is a second scan with a broadcast d×k matrix.
+
+    Float64 accumulation (not exact-decimal): the registered oracle query
+    ``embedding_gram_block`` pins value-exact semantics on a dim block; this
+    operator is the full-d production variant, unit-tested against numpy on
+    the whole table within float tolerance.
+
+    Returns (i, j, dot) for the upper triangle, 1-indexed, i ≤ j.
+    """
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            g = m.T @ m
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "partial_dot": g[iu, ju]}
+            )
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(partial, schema="i int, j int, partial_dot double")
+        .groupBy("i", "j")
+        .agg(F.sum("partial_dot").alias("dot"))
     )
 
 

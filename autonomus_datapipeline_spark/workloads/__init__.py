@@ -19,3 +19,4 @@ from autonomus_datapipeline_spark.workloads import curation_ops  # noqa: F401,E4
 from autonomus_datapipeline_spark.workloads import relational_joins  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import scale_ops  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import sql_surface  # noqa: F401,E402
+from autonomus_datapipeline_spark.workloads import training_prep  # noqa: F401,E402

@@ -1,0 +1,185 @@
+"""Training-corpus preparation workloads: tokenizer-training prep (BPE merge
+candidates), per-domain balancing, and one-pass Gram/covariance for PCA
+whitening of embeddings.
+
+All three are LLM-data-pipeline operators with no counterpart in the
+reference engine (its transform surface stops at generic projections and
+aggregations — SURVEY.md §2.B); each is expressed as built-in columnar
+DataFrame ops so Catalyst fuses them into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from autonomus_datapipeline_spark.workloads.registry import load_table, query
+
+_TOKS = "regexp_split_to_array(lower(text), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# BPE/WordPiece merge-candidate counting
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 30
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    pairs AS (
+        SELECT tk[i] || ' ' || tk[i + 1] AS pair
+        FROM (
+            SELECT tk, unnest(range(1, len(tk))) AS i FROM toks
+        ) u
+    )
+    SELECT pair, COUNT(*) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT {_BPE_TOP}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair counting — the distributed inner loop of BPE/WordPiece
+    vocabulary training (each merge round picks the most frequent adjacent
+    symbol pair; at 100 TB the count IS the training cost, so it must be a
+    map-side-combinable word-count shape, never a per-document Python loop).
+
+    zip_with over two shifted slices forms the pairs inside codegen (no
+    self-join, no posexplode twice); explode + groupBy + count is the
+    classic shuffle-light aggregation — partial counts collapse per
+    partition before the shuffle, and the global top-k is
+    TakeOrderedAndProject, not a full sort. Total (count, pair) tiebreak
+    keeps the k-boundary deterministic on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), r"\s+")
+    pairs = F.zip_with(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 1, F.lit(0))),
+        F.slice(tk, 2, F.greatest(F.size(tk) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(_BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain cap (domain balancing)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 8
+
+
+@query(
+    "domain_cap_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN doc_id ELSE 0 END) AS BIGINT)
+               AS kept_id_sum
+    FROM ranked GROUP BY source
+    """,
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the web-corpus balancing step that stops a
+    handful of boilerplate-heavy domains from dominating the training mix
+    (complement of the fraction-based ``stratified_sample``: a hard ceiling,
+    not a rate). Selection is a deterministic md5 order, so the "random" cap
+    is reproducible with no RNG state; the window partitions by source, so
+    at 100 TB it is one shuffle by domain with no global sort. kept_id_sum
+    (exact BIGINT sum of retained ids) lets the oracle value-check the exact
+    membership, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    kept = F.col("rk") <= _DOMAIN_CAP
+    return (
+        docs.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("doc_id")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_id_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass Gram matrix (PCA / whitening prep)
+# ---------------------------------------------------------------------------
+
+_GRAM_DIMS = 16  # leading block registered for the oracle; operator takes full d
+
+
+@query(
+    "embedding_gram_block",
+    oracle=f"""
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           CAST(SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                         * CAST(embedding[CAST(j AS INT)] AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS dot
+    FROM embeddings,
+         range(1, {_GRAM_DIMS + 1}) AS ri(i),
+         range(1, {_GRAM_DIMS + 1}) AS rj(j)
+    WHERE j >= i
+    GROUP BY 1, 2
+    """,
+)
+def embedding_gram_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix (Σ x xᵀ) over the leading {16} embedding dims — the
+    single-scan sufficient statistic for PCA / ZCA whitening of a corpus
+    embedding table: the d×d Gram is shuffle-tiny (d² rows), the
+    eigen-decomposition happens driver-side on d×d, and the projection is a
+    second scan. The registered query uses the exact-decimal per-element
+    path (posexplode × 2 bounded to a d-block, dsum per cell) so DuckDB can
+    value-check it bit-exactly; operators/similarity.gram_matrix is the
+    full-d production variant (one numpy outer-product partial per Arrow
+    batch — d² doubles leave Python per batch, not per row)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.slice("embedding", 1, _GRAM_DIMS).alias("v")
+    )
+    a = F.posexplode(F.col("v"))
+    left = emb.select(a.alias("i0", "vi"), "v")
+    pair = left.select(
+        (F.col("i0") + 1).alias("i"),
+        "vi",
+        F.posexplode(F.col("v")).alias("j0", "vj"),
+    ).where(F.col("j0") >= F.col("i0"))
+    return (
+        pair.select(
+            F.col("i").cast("int").alias("i"),
+            (F.col("j0") + 1).cast("int").alias("j"),
+            # Promote float32 elements to double BEFORE the multiply (the
+            # dot_exact rule — a float32 product loses 29 mantissa bits and
+            # diverges from DuckDB's promoted arithmetic), then snap to the
+            # scale-12 decimal quantum proven to agree between engines
+            # (cf. norm_sq_exact / pipeline_ops nsq oracles).
+            (F.col("vi").cast("double") * F.col("vj").cast("double"))
+            .cast("decimal(30,12)")
+            .alias("prod"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("prod").cast("double").alias("dot"))
+    )

@@ -71,3 +71,52 @@ def test_frozen_codebook_module_shape():
     for c in IVF_CENTROIDS[:2]:
         for w in c:
             assert float(repr(w)) == w
+
+
+def test_blocked_neardup_drops_zero_norm_vectors_like_oracle(spark):
+    """A zero-norm vector yields a non-finite cosine; DuckDB's division by
+    zero is NULL, so the oracle drops such pairs — the engine must drop
+    them too (and must not raise ANSI DIVIDE_BY_ZERO)."""
+    df = spark.createDataFrame(
+        [
+            (1, "b", [0.0, 0.0, 0.0, 0.0]),
+            (2, "b", [1.0, 0.0, 0.0, 0.0]),
+            (3, "b", [1.0, 0.0, 0.0, 1e-6]),
+        ],
+        "vec_id bigint, blk string, embedding array<double>",
+    )
+    got = similarity.blocked_neardup_pairs(df, "blk", 0.9).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(2, 3)]
+
+
+def test_blocked_neardup_excludes_duplicate_id_self_pairs(spark):
+    """Two rows sharing one id value must not emit an id_a == id_b pair
+    (the oracle's a.id < b.id join excludes them)."""
+    df = spark.createDataFrame(
+        [
+            (1, "b", [1.0, 0.0, 0.0, 0.0]),
+            (1, "b", [1.0, 0.0, 0.0, 0.0]),
+            (2, "b", [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, blk string, embedding array<double>",
+    )
+    got = similarity.blocked_neardup_pairs(df, "blk", 0.9).collect()
+    assert all(r.id_a != r.id_b for r in got)
+
+
+def test_gram_matrix_matches_numpy_full_dim(spark):
+    """Batched-partial Gram (production path) equals the direct numpy Gram
+    over the whole table, upper triangle, within float tolerance."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    ).repartition(4)
+    got = {(r.i, r.j): r.dot for r in similarity.gram_matrix(df).collect()}
+    g = vecs.astype("float64").T @ vecs.astype("float64")
+    assert len(got) == 8 * 9 // 2
+    for (i, j), v in got.items():
+        assert abs(v - g[i - 1, j - 1]) < 1e-9
