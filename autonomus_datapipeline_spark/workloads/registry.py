@@ -174,6 +174,14 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "top_orders_by_revenue", "topk_users_per_hour", "tumbling_window_1h",
         "union_missing_columns", "unit_convert_anomaly", "upsert_latest_wins",
         "value_histogram", "window_ranking_suite", "zscore_normalize",
+        # CORRECTNESS_r04.json: hash_match == true (49 of 50 rows; the one
+        # red row, token_length_histogram, had a DuckDB-HUGEINT oracle type
+        # bug — fixed in r5, left unproven here so it leads the r5 file).
+        "ann_ivf_frozen_topk", "ann_mrr_report", "corpus_mix_sampling",
+        "doc_chunking_overlap", "embedding_int8_quantization",
+        "grouped_token_quantiles", "hard_negative_mining",
+        "multimodal_payload_neardup", "quality_threshold_filter",
+        "scd2_user_value_history", "vocab_zipf_stats",
     }
 )
 
