@@ -557,3 +557,75 @@ def multimodal_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "doc_id", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SH_MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the near-dup candidate graph
+# ---------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    mh_sql = pipeline_ops._minhash_oracle()
+    body = mh_sql.strip()
+    assert body.startswith("WITH")
+    with_part, select_part = body.split("SELECT a.doc_id AS doc_a", 1)
+    return f"""
+    {with_part.rstrip()},
+    pairs AS (
+        SELECT a.doc_id AS doc_a{select_part}
+    ),
+    e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs),
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+        ) u GROUP BY n
+    )
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((
+               SELECT COUNT(*)
+               FROM e e1 JOIN e e2 ON e2.a = e1.b
+                         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+           ) AS BIGINT) AS n_triangles
+    """
+
+
+@query("neardup_triangle_count", oracle=_triangle_oracle())
+def neardup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the MinHash-LSH candidate graph — the cluster-
+    cohesion diagnostic for dedup quality (triangle-dense neighborhoods are
+    true duplicate clusters; triangle-free stars are often LSH false
+    positives worth a higher verify threshold).
+
+    Classic distributed triangle counting on the id-oriented edge list
+    (a < b): wedges join closing edges, so the cost is Σ deg(v)² on the
+    CANDIDATE graph (already banding-bounded), never corpus-sized. The
+    id orientation makes each triangle count exactly once (a < b < c); at
+    extreme skew the standard upgrade is degree-based orientation (point
+    each edge at the higher-degree endpoint, bounding wedge fan-out by the
+    graph degeneracy) — same joins, different orientation key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", pipeline_ops._MH_SHINGLE)
+    sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
+    pairs = (
+        dedup.lsh_candidate_pairs(sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # three self-join consumers below
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    wedges = e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+    closed = wedges.join(
+        e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b"))
+    )
+    n_tri = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = (
+        pairs.select(F.col("a").alias("n"))
+        .union(pairs.select(F.col("b").alias("n")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    # three single-row aggregates — broadcast-tiny cross joins
+    return n_edges.crossJoin(n_nodes).crossJoin(n_tri)

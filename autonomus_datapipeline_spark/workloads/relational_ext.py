@@ -502,3 +502,68 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("approx_median_qty", "exact_median_qty").alias("median_within_5pct"),
         within("approx_p95_price", "exact_p95_price").alias("p95_within_5pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel (sequential event-pattern analytics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t_click
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t_purchase
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY 1
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: per user, the first view, the
+    first click AT-OR-AFTER that view, and the first purchase at-or-after
+    that click (the MATCH_RECOGNIZE-ish sequential pattern every product
+    analytics stack needs, without a per-user sort or UDF).
+
+    Each stage is one filtered min-aggregation joined back on user_id —
+    three shuffles, ALL on the same key, so at 100 TB the stages reuse one
+    hash partitioning (AQE keeps the co-partitioned exchanges); nothing is
+    ever ordered globally and no per-user event list is materialized."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
+        "user_id", "t_view", "t_click", "t_purchase"
+    )
