@@ -629,3 +629,82 @@ def neardup_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # three single-row aggregates — broadcast-tiny cross joins
     return n_edges.crossJoin(n_nodes).crossJoin(n_tri)
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware representative selection (dedup policy variant)
+# ---------------------------------------------------------------------------
+
+
+def _keep_best_oracle() -> str:
+    cc = _cc_oracle().strip()
+    with_part, final = cc.rsplit("SELECT node AS doc_id,", 1)
+    qsql = pipeline_ops._quality_score_sql()
+    return f"""
+    {with_part.rstrip()}
+    , comp AS (
+        SELECT node AS doc_id, {final}
+    ),
+    t AS (SELECT doc_id, text, {pipeline_ops._TOKS} AS tk FROM documents),
+    scored AS (SELECT doc_id, {qsql} AS quality_score FROM t),
+    m AS (
+        SELECT c.component_id, s.doc_id, s.quality_score,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                  ORDER BY s.quality_score DESC, s.doc_id DESC)
+                   AS rk,
+               COUNT(*) OVER (PARTITION BY c.component_id) AS nm
+        FROM comp c JOIN scored s ON s.doc_id = c.doc_id
+    )
+    SELECT component_id, doc_id AS rep_doc_id, quality_score AS rep_quality,
+           CAST(nm AS BIGINT) AS n_members
+    FROM m WHERE rk = 1
+    """
+
+
+@query("dedup_keep_best_quality", oracle=_keep_best_oracle())
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup representative selection: within each near-dup
+    cluster keep the HIGHEST-quality member (composite quality score,
+    doc_id tiebreak) instead of the arbitrary minimum id — the policy a
+    training-data pipeline actually wants when duplicates differ in
+    cleanliness (truncated vs full, boilerplate-wrapped vs bare).
+
+    One row_number window partitioned by component — the per-cluster argmax
+    never sees more rows than the cluster, and clusters are banding-bounded.
+    Scoring is a codegen'd projection joined onto the membership table on
+    doc_id (shuffled join; both sides cluster-membership-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", pipeline_ops._MH_SHINGLE)
+    sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS
+    )
+    comp = graph.connected_components(pairs, "doc_a", "doc_b")
+    from autonomus_datapipeline_spark.operators import text as text_ops
+
+    scored = docs.select(
+        "doc_id",
+        text_ops.quality_features(F.col("text"))["quality_score"].alias(
+            "quality_score"
+        ),
+    )
+    from pyspark.sql.window import Window
+
+    m = comp.join(scored, comp.node == scored.doc_id).select(
+        "component_id", "doc_id", "quality_score"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), F.desc("doc_id")
+    )
+    wc = Window.partitionBy("component_id")
+    return (
+        m.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rk") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("quality_score").alias("rep_quality"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )

@@ -1092,3 +1092,156 @@ def quality_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality_score",
         (F.col("quality_score") >= F.col("t")).alias("kept"),
     )
+
+
+@query(
+    "ann_ivf_incremental_assign",
+    oracle=f"""
+    WITH {_sql_cents_cte()},
+    batch AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    bdist AS (
+        SELECT b.vec_id, c.cell_id,
+               SUM(CAST((CAST(b.embedding[c.p] AS DOUBLE) - CAST(c.w AS DOUBLE))
+                        * (CAST(b.embedding[c.p] AS DOUBLE) - CAST(c.w AS DOUBLE))
+                        AS DECIMAL(38,12))) AS d2
+        FROM batch b, cents c
+        GROUP BY 1, 2
+    ),
+    bassigned AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT vec_id, cell_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cell_id) AS rn
+            FROM bdist
+        ) WHERE rn = 1
+    )
+    SELECT cell_id,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(vec_id) AS BIGINT) AS member_id_sum
+    FROM bassigned GROUP BY 1
+    """,
+)
+def ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance: assign ONLY an incoming batch
+    (here the vec_id % 5 == 0 slice stands in for a new snapshot) to the
+    frozen codebook and report per-cell intake — the nightly/streaming
+    operation that keeps a trained ANN index current without touching the
+    already-indexed corpus (the full-corpus twin is `ann_ivf_frozen_topk`).
+
+    Scale: the batch scan is pruned by the predicate, the 16-row codebook
+    broadcasts, and the output is cell-count-sized. member_id_sum (exact
+    BIGINT) lets the oracle check the exact assignment membership.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(IVF_CENTROIDS)],
+        "cell_id int, cvec array<double>",
+    )
+    assigned = similarity.nearest_cells_exact(emb, cent, 1, "embedding", "vec_id")
+    return assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.sum("id").cast("bigint").alias("member_id_sum"),
+    )
+
+
+def _minhash_error_oracle() -> str:
+    mh = _minhash_oracle().strip()
+    with_part, select_part = mh.split("SELECT a.doc_id AS doc_a", 1)
+    n_eq = " + ".join(
+        f"(CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END)" for s in range(_MH_K)
+    )
+    return f"""
+    {with_part.rstrip()},
+    pairs AS (
+        SELECT a.doc_id AS doc_a{select_part}
+    ),
+    shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS ns FROM shd GROUP BY 1),
+    est AS (
+        SELECT p.doc_a, p.doc_b, {n_eq} AS n_eq
+        FROM pairs p
+        JOIN mh a ON a.doc_id = p.doc_a
+        JOIN mh b ON b.doc_id = p.doc_b
+    ),
+    inter AS (
+        SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+        FROM pairs p
+        JOIN shd sa ON sa.doc_id = p.doc_a
+        JOIN shd sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b,
+           ROUND(CAST(e.n_eq AS DOUBLE) / {_MH_K}, 4) AS jaccard_est,
+           ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                 / (za.ns + zb.ns - COALESCE(i.ni, 0)), 4) AS jaccard_exact,
+           ROUND(ABS(ROUND(CAST(e.n_eq AS DOUBLE) / {_MH_K}, 4)
+                     - ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                             / (za.ns + zb.ns - COALESCE(i.ni, 0)), 4)), 4)
+               AS abs_err
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes za ON za.doc_id = e.doc_a
+    JOIN sizes zb ON zb.doc_id = e.doc_b
+    """
+
+
+@query("minhash_jaccard_error", oracle=_minhash_error_oracle())
+def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality report for the MinHash index: per candidate pair, the
+    signature-estimated Jaccard (fraction of equal minhash components)
+    against the EXACT shingle-set Jaccard, plus the absolute error — the
+    report that tunes k (signature width) and the LSH band shape before
+    committing a 100 TB dedup run to them.
+
+    Scale: the exact side only ever runs on LSH-bounded candidates (the
+    inverted-index intersection join is pairs × shingles-per-doc, never
+    corpus²); the signature re-attach joins are shuffled on doc id —
+    corpus-sized sides are never broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", _MH_SHINGLE)
+    sigs = dedup.minhash_signatures(sh, _MH_K).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS).select(
+        "doc_a", "doc_b"
+    )
+    n_eq = sum(
+        F.when(F.col(f"a.mh{s}") == F.col(f"b.mh{s}"), 1).otherwise(0)
+        for s in range(_MH_K)
+    )
+    est = (
+        pairs.join(sigs.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
+        .join(sigs.alias("b"), F.col("b.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", n_eq.alias("n_eq"))
+    )
+    shd = sh.select("doc_id", "shingle").distinct().localCheckpoint(eager=True)
+    sizes = shd.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    sa = shd.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shd.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("ns_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("ns_b"))
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    jac_est = F.round(F.col("n_eq").cast("double") / _MH_K, 4)
+    jac_exact = F.round(
+        ni.cast("double") / (F.col("ns_a") + F.col("ns_b") - ni), 4
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            jac_est.alias("jaccard_est"),
+            jac_exact.alias("jaccard_exact"),
+            F.round(F.abs(jac_est - jac_exact), 4).alias("abs_err"),
+        )
+    )
