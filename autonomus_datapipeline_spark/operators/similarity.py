@@ -290,6 +290,95 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
+def pca_project(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed PCA projection: reduce ``vec_col`` to its top-``k``
+    principal components.
+
+    The classic two-scan shape for 100 TB embedding tables:
+
+    1. ONE scan accumulates the sufficient statistics (n, Σx, Σx xᵀ) as
+       numpy partials per Arrow batch — d + d² doubles leave Python per
+       batch; the reduce is a d²-row aggregation.
+    2. The d×d covariance eigen-decomposition is a driver-side O(d³)
+       afterthought (d is the embedding dim, not the corpus size).
+    3. A second scan projects every vector through the broadcast d×k
+       basis: y = Wᵀ(x − μ), one numpy matmul per batch.
+
+    Deterministic given the data: eigh of a symmetric matrix with sign
+    fixed by the largest-|component| convention. Returns (id, components
+    array<double>).
+    """
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            g = m.T @ m
+            s = m.sum(axis=0)
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu + 1, np.arange(1, d + 1)]),
+                    "j": np.concatenate([ju + 1, np.zeros(d, dtype="int64")]),
+                    "val": np.concatenate([g[iu, ju], s]),
+                    "n": np.concatenate(
+                        [np.zeros(len(iu), dtype="int64"),
+                         np.full(d, len(m), dtype="int64")]
+                    ),
+                }
+            )
+
+    stats = (
+        df.select(vec_col)
+        .mapInPandas(moments, schema="i int, j int, val double, n long")
+        .groupBy("i", "j")
+        .agg(F.sum("val").alias("val"), F.sum("n").alias("n"))
+        .collect()  # d² + d rows of metadata — bounded by dim, not corpus
+    )
+    d = max(r.i for r in stats)
+    n = next(int(r.n) for r in stats if r.j == 0)
+    mu = np.zeros(d)
+    gram = np.zeros((d, d))
+    for r in stats:
+        if r.j == 0:
+            mu[r.i - 1] = r.val / n
+        else:
+            gram[r.i - 1, r.j - 1] = gram[r.j - 1, r.i - 1] = r.val
+    cov = (gram - n * np.outer(mu, mu)) / max(n - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    w = vecs[:, order]  # d × k
+    # sign convention: largest-|component| of each eigvec is positive
+    flips = np.sign(w[np.abs(w).argmax(axis=0), np.arange(w.shape[1])])
+    w = w * flips
+    w_b = w.copy()
+    mu_b = mu.copy()
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            y = (m - mu_b) @ w_b
+            yield pd.DataFrame(
+                {"id": pdf[id_col].values, "components": list(y)}
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(project, schema=f"id {id_type}, components array<double>")
+        .withColumnRenamed("id", id_col)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -120,3 +120,34 @@ def test_gram_matrix_matches_numpy_full_dim(spark):
     assert len(got) == 8 * 9 // 2
     for (i, j), v in got.items():
         assert abs(v - g[i - 1, j - 1]) < 1e-9
+
+
+def test_pca_project_matches_numpy(spark):
+    """Two-scan distributed PCA equals driver-side numpy PCA (same sign
+    convention) on the full table."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 6)) @ np.diag([5.0, 3.0, 1.0, 0.5, 0.1, 0.05])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(base)],
+        "vec_id bigint, embedding array<double>",
+    ).repartition(5)
+    got = {r.vec_id: np.array(r.components)
+           for r in similarity.pca_project(df, 3).collect()}
+
+    mu = base.mean(axis=0)
+    cov = np.cov(base, rowvar=False)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:3]
+    w = vecs[:, order]
+    flips = np.sign(w[np.abs(w).argmax(axis=0), np.arange(3)])
+    w = w * flips
+    expect = (base - mu) @ w
+    assert len(got) == 60
+    for i in range(60):
+        assert np.allclose(got[i], expect[i], atol=1e-8), i
+    # variance really concentrates in the leading components
+    proj = np.stack([got[i] for i in range(60)])
+    v = proj.var(axis=0)
+    assert v[0] > v[1] > v[2]
