@@ -183,3 +183,90 @@ def embedding_gram_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("prod").cast("double").alias("dot"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding winsorize/clip report
+# ---------------------------------------------------------------------------
+
+_CLIP_LO_NUM, _CLIP_HI_NUM, _CLIP_DEN = 5, 95, 100  # p05 / p95
+
+
+@query(
+    "embedding_dim_clip_report",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(i AS INT) AS dim,
+               CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        FROM embeddings, range(1, {_GRAM_DIMS + 1}) AS r(i)
+    ),
+    ranked AS (
+        SELECT dim, x,
+               ROW_NUMBER() OVER (PARTITION BY dim ORDER BY x, x) AS rk,
+               COUNT(*) OVER (PARTITION BY dim) AS n
+        FROM v
+    ),
+    thr AS (
+        SELECT dim,
+               MIN(CASE WHEN rk * {_CLIP_DEN} >= n * {_CLIP_LO_NUM}
+                        THEN x END) AS lo,
+               MIN(CASE WHEN rk * {_CLIP_DEN} >= n * {_CLIP_HI_NUM}
+                        THEN x END) AS hi
+        FROM ranked GROUP BY dim
+    )
+    SELECT v.dim, t.lo, t.hi,
+           CAST(SUM(CASE WHEN v.x < t.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_low,
+           CAST(SUM(CASE WHEN v.x > t.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clip_high
+    FROM v JOIN thr t ON t.dim = v.dim
+    GROUP BY 1, 2, 3
+    """,
+)
+def embedding_dim_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization audit for embedding sanitation: per dimension, the
+    exact discrete p05/p95 element (rank ceil(p·n) — an ACTUAL stored
+    value, so no interpolation float drift can split the engines) and how
+    many values each clip bound would touch — run before quantization or
+    outlier-sensitive indexing to spot corrupt dims.
+
+    Scale: dims explode to (dim, value) rows partitioned BY DIMENSION, so
+    the rank window sorts each dim's values independently (64 concurrent
+    sorts, never a global one); the threshold table is dim-count-sized and
+    re-attaches with a broadcast-sized join."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.slice("embedding", 1, _GRAM_DIMS).alias("v")
+    )
+    v = emb.select(F.posexplode("v").alias("i0", "xf")).select(
+        (F.col("i0") + 1).cast("int").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    w = Window.partitionBy("dim").orderBy("x")
+    wn = Window.partitionBy("dim")
+    ranked = v.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    thr = ranked.groupBy("dim").agg(
+        F.min(
+            F.when(
+                F.col("rk") * _CLIP_DEN >= F.col("n") * _CLIP_LO_NUM, F.col("x")
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("rk") * _CLIP_DEN >= F.col("n") * _CLIP_HI_NUM, F.col("x")
+            )
+        ).alias("hi"),
+    )
+    return (
+        v.join(thr, "dim")
+        .groupBy("dim", "lo", "hi")
+        .agg(
+            F.sum(F.when(F.col("x") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_low"),
+            F.sum(F.when(F.col("x") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clip_high"),
+        )
+    )
