@@ -344,3 +344,232 @@ def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_abs_err.alias("max_abs_err"),
         mse.alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13 shape: distribution of customers by order count (agg of agg)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q13_customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY 1
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly N (non-urgent)
+    orders — including the zero-order customers a plain inner join would
+    silently drop. The two-level aggregation (per-customer count → count of
+    counts) is the canonical agg-of-agg plan: the first agg shuffles on
+    custkey, the second on the COUNT VALUE (~small domain), so the second
+    exchange is tiny regardless of corpus size."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders (semi join on aggregated subquery)
+# ---------------------------------------------------------------------------
+
+_Q18_MIN_QTY = 150.0
+_Q18_TOPK = 50
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY 1 HAVING SUM(l_quantity) > {_Q18_MIN_QTY}
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {sql_dsum("l.l_quantity", "total_qty")}
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    SEMI JOIN big ON big.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT {_Q18_TOPK}
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest-volume orders — a semi
+    join against an AGGREGATED subquery (orders whose line quantities sum
+    past a threshold), then re-aggregation over the joined fact and a
+    bounded top-k. The `big` set is filtered to a tiny fraction of orders
+    before it ever joins, and the final ordering is TakeOrdered with a
+    total tiebreak — never a global sort of the joined fact."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > _Q18_MIN_QTY)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(_Q18_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: sole-late-supplier (correlated EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_Q21_LATE_DAYS = 60
+_Q21_TOPK = 30
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle=f"""
+    WITH lo AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               l.l_shipdate > o.o_orderdate + INTERVAL {_Q21_LATE_DAYS} DAY AS late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, COUNT(*) AS numwait FROM (
+        SELECT DISTINCT a.l_orderkey, a.l_suppkey
+        FROM lo a
+        WHERE a.late
+          AND EXISTS (SELECT 1 FROM lo b
+                      WHERE b.l_orderkey = a.l_orderkey
+                        AND b.l_suppkey <> a.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lo c
+                          WHERE c.l_orderkey = a.l_orderkey
+                            AND c.l_suppkey <> a.l_suppkey AND c.late)
+    ) w
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT {_Q21_TOPK}
+    """,
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late supplier on
+    multi-supplier finished orders — the classic correlated EXISTS +
+    NOT-EXISTS pair. Decorrelated into ONE per-order aggregate (supplier
+    count, late-supplier count, distinct late set) instead of two
+    correlated self-joins: an order qualifies iff n_suppliers > 1 and
+    n_late_suppliers == 1, and the blamed supplier is the single late one.
+    One shuffle on orderkey replaces both EXISTS probes — the
+    decorrelation Catalyst cannot always find on its own.
+
+    (l_commitdate/l_receiptdate are absent from this dataset; 'late' is
+    shipdate > orderdate + {60} days, same plan shape.)"""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.timestamp_add("DAY", F.lit(_Q21_LATE_DAYS), F.col("o_orderdate"))
+            ).alias("late"),
+        )
+        .distinct()
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.where(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    ).select("l_orderkey", F.col("late_supp").alias("l_suppkey"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(_Q21_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: idle rich customers (scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name,
+           COUNT(*) AS numcust,
+           {sql_dsum("c.c_acctbal", "totacctbal")}
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ANTI JOIN (SELECT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '2001-01-01') o
+      ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+    GROUP BY 1
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average balances and no
+    RECENT orders (none since 2001) — a scalar aggregate subquery (global positive-balance mean,
+    broadcast as a 1-row cross join) feeding a filter, then an anti join
+    against the fact table and a per-nation rollup. The anti join shuffles
+    on custkey; the scalar mean never forces a second fact scan.
+
+    The mean is compared in DOUBLE on both engines; customers AT the mean
+    are excluded (strict >), so the boundary is deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )

@@ -187,3 +187,21 @@ def test_multimodal_neardup_broadcasts_only_probe_side(spark, sf_dir):
     # exactly one hinted broadcast: the bounded probe fingerprint table
     assert plan.count("BroadcastExchange") == 1
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_q18_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "q18_large_volume_customers", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_decorrelates_to_single_orderkey_aggregate(spark, sf_dir):
+    # The EXISTS/NOT-EXISTS pair is folded into ONE per-order aggregate —
+    # no correlated self-join of the lineitem fact should survive.
+    plan = plan_of(spark, "q21_sole_late_supplier", sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_broadcasts_scalar_mean(spark, sf_dir):
+    plan = plan_of(spark, "q22_idle_rich_customers", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
