@@ -567,3 +567,57 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.join(c, "user_id", "left").join(p, "user_id", "left").select(
         "user_id", "t_view", "t_click", "t_purchase"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame (rolling 1-hour per-user aggregate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_1h_user_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS rolling_1h_value,
+           CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                               RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+               AS rolling_1h_events
+    FROM events
+    """,
+)
+def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 1-hour aggregate via a time-RANGE window frame —
+    the frame is defined by the TIMESTAMP DISTANCE, not a row count, so
+    bursty users and quiet users both get exactly 'the last hour' (a
+    ROWS-frame approximation silently mixes timescales). Spark evaluates
+    range frames per partition in one pass over the user-sorted events —
+    one shuffle on user_id, no self-join against a time band.
+
+    Ties on ts: a RANGE frame includes ALL peer rows with equal ts on both
+    engines, so the result is deterministic without a unique-ts assumption.
+    The sum is exact-decimal (cast per element) so accumulation order
+    cannot drift the double."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # Epoch seconds via an NTZ timestampdiff — session-TZ-independent (a
+    # unix_timestamp() cast would re-interpret the NTZ value in the
+    # driver's local zone; repo pattern, cf. load_table's nanos handling).
+    secs = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("user_id").orderBy(secs).rangeBetween(-3600, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_1h_value"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("rolling_1h_events"),
+    )
