@@ -573,3 +573,443 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape: top supplier by quarterly revenue (max-over-aggregate)
+# ---------------------------------------------------------------------------
+
+_Q15_LO, _Q15_HI = "1997-01-01", "1997-04-01"
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST({_REVENUE} AS DECIMAL(38,6))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+          AND l_shipdate <  TIMESTAMP '{_Q15_HI}'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM rev r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue over one
+    quarter — the max-over-aggregate pattern (CREATE VIEW revenue0 + scalar
+    MAX subquery in the spec). Decorrelated as: per-supplier decimal
+    revenue, a 1-row global MAX broadcast back as a cross join, equality
+    filter, then a broadcast supplier lookup. The fact table is scanned
+    ONCE (the per-supplier aggregate feeds both the MAX and the filter via
+    plan reuse); revenue stays DECIMAL(38,6) through the equality so a
+    last-ulp double drift can never drop/duplicate the argmax — ties are
+    exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_HI).cast("timestamp"))
+    )
+    revenue = (F.col("l_extendedprice") * (1.0 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(revenue).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity-order revenue (per-part AVG subquery)
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#11"
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH bl AS (
+        SELECT l.l_partkey,
+               CAST(l.l_quantity AS BIGINT) AS qty,
+               l.l_extendedprice
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = '{_Q17_BRAND}'
+    ),
+    pa AS (
+        SELECT l_partkey,
+               COUNT(*) AS n_li,
+               CAST(SUM(qty) AS BIGINT) AS sum_qty
+        FROM bl GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_small_lines,
+           {sql_dsum("bl.l_extendedprice", "total_revenue")},
+           {sql_dsum("bl.l_extendedprice", "x").replace(" AS x", "")} / 7.0
+               AS avg_yearly
+    FROM bl JOIN pa ON pa.l_partkey = bl.l_partkey
+    WHERE bl.qty * 5 * pa.n_li < pa.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — lineitems
+    of one brand whose quantity is under 20% of that part's average
+    quantity. The correlated AVG subquery is decorrelated into one
+    per-part aggregate joined back to the same filtered fact; the brand
+    filter lands FIRST via a broadcast part join, so the partkey shuffle
+    only carries ~1/25th of the fact table, and plan reuse shares that
+    shuffle between the aggregate and the probe side.
+
+    The 20% threshold is integer-exact: quantities are integral, so
+    ``qty * 5 * n < sum`` replaces ``qty < 0.2 * avg`` with pure BIGINT
+    arithmetic — no division, no float boundary to drift between engines."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_brand") == _Q17_BRAND)
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    bl = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_extendedprice",
+    )
+    pa = bl.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.sum("qty").alias("sum_qty"),
+    )
+    joined = bl.join(pa, bl.l_partkey == pa.pa_key).where(
+        F.col("qty") * 5 * F.col("n_li") < F.col("sum_qty")
+    )
+    total = F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        total.cast("double").alias("total_revenue"),
+        (total.cast("double") / 7.0).alias("avg_yearly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive predicate revenue (OR-of-ANDs pushdown)
+# ---------------------------------------------------------------------------
+
+_Q19_ARMS = (
+    ("Brand#3", 1, 15, 1, 11),
+    ("Brand#12", 10, 30, 10, 20),
+    ("Brand#21", 20, 50, 20, 30),
+)
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {sql_dsum(_REVENUE, "revenue")}
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {" OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}"
+        f" AND l.l_quantity BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in _Q19_ARMS
+    )}
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size-range,
+    quantity-range) arm predicates — the disjunctive-pushdown stress test.
+    Catalyst cannot split an OR across the join, so the plan hoists the
+    DERIVED single-table residuals by hand: the quantity arms union to
+    ``l_quantity BETWEEN 1 AND 30`` (pushed into the fact scan, pruning
+    ~40% of lineitem before the join) and the part side keeps only rows
+    matching SOME arm's (brand, size) — dimension-sized either way, but the
+    pre-filter shrinks the broadcast. The full OR is re-checked join-time,
+    so the residuals are a pure bandwidth win, never a semantics change."""
+    qty_lo = min(a[3] for a in _Q19_ARMS)
+    qty_hi = max(a[4] for a in _Q19_ARMS)
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").between(qty_lo, qty_hi)
+    )
+    part_arm = [
+        (F.col("p_brand") == b) & F.col("p_size").between(slo, shi)
+        for b, slo, shi, _, _ in _Q19_ARMS
+    ]
+    p_any = part_arm[0] | part_arm[1] | part_arm[2]
+    p = load_table(spark, sf_dir, "part").where(p_any).select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    arm = [
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(slo, shi)
+        & F.col("l_quantity").between(qlo, qhi)
+        for b, slo, shi, qlo, qhi in _Q19_ARMS
+    ]
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(arm[0] | arm[1] | arm[2])
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(revenue, "revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: national market share within a region, by order year
+# ---------------------------------------------------------------------------
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_2"
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH t AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               {_REVENUE} AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = cn.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+        WHERE r.r_name = '{_Q8_REGION}'
+    )
+    SELECT o_year,
+           {sql_dsum(f"CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume ELSE 0.0 END", "nation_volume")},
+           {sql_dsum("volume", "total_volume")},
+           {sql_dsum(f"CASE WHEN supp_nation = '{_Q8_NATION}' THEN volume ELSE 0.0 END", "x").replace(" AS x", "")}
+               / {sql_dsum("volume", "y").replace(" AS y", "")} AS mkt_share
+    FROM t GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of supplier revenue into a
+    region's customers, per order year — conditional aggregation over a
+    six-way join. Every non-fact side is dimension-sized and broadcast
+    (customer-nation→region chain prunes to 1/5 of customers BEFORE the
+    fact join); the share is numerator/denominator of two exact decimal
+    sums, divided once in double — both engines divide the same two exact
+    values, so the ratio is bit-stable."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nations = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = (
+        load_table(spark, sf_dir, "region")
+        .where(F.col("r_name") == _Q8_REGION)
+        .select("r_regionkey")
+    )
+    cn = nations.join(F.broadcast(r), nations.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("cn_key")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = nations.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == _Q8_NATION, volume).otherwise(0.0)
+    t = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == _Q8_NATION, F.col("volume"))
+        .otherwise(0.0)
+        .cast("decimal(38,6)")
+    ).cast("double")
+    den = F.sum(F.col("volume").cast("decimal(38,6)")).cast("double")
+    return t.groupBy("o_year").agg(
+        num.alias("nation_volume"),
+        den.alias("total_volume"),
+        (num / den).alias("mkt_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: shipping-priority top-10 (join + group + bounded top-k)
+# ---------------------------------------------------------------------------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUT = "1997-06-15"
+_Q3_TOPK = 10
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum(_REVENUE, "revenue")},
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{_Q3_CUT}'
+      AND l.l_shipdate  > TIMESTAMP '{_Q3_CUT}'
+    GROUP BY 1, 3, 4
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT {_Q3_TOPK}
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: the 10 unshipped orders with the highest revenue for
+    one market segment — the canonical filter-join-aggregate-topk. Both
+    date predicates and the segment predicate are pushed into their scans
+    (the segment filter prunes customers BEFORE the broadcast); the top-10
+    is TakeOrderedAndProject over the per-order aggregate with an orderkey
+    tiebreak, never a global sort. Revenue is the exact-decimal sum, so the
+    k-boundary cannot drift between engines."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == _Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(_Q3_CUT).cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(_Q3_CUT).cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(_Q3_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape: order-priority checking (EXISTS → semi join)
+# ---------------------------------------------------------------------------
+
+_Q4_LO, _Q4_HI = "1997-01-01", "1997-04-01"
+
+
+@query(
+    "q4_order_priority_check",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    SEMI JOIN (
+        SELECT l_orderkey FROM lineitem
+        WHERE l_shipdate > TIMESTAMP '{_Q4_HI}'
+    ) l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO}'
+      AND o.o_orderdate <  TIMESTAMP '{_Q4_HI}'
+    GROUP BY 1
+    """,
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of one quarter's orders that had
+    at least one late-shipping lineitem — the correlated EXISTS expressed
+    as a LEFT SEMI join (each order counted once no matter how many
+    qualifying lineitems — a plain inner join would over-count). Both date
+    filters push into the scans; the semi join shuffles on orderkey and
+    the final rollup is 5 groups, collapsed map-side.
+
+    (l_commitdate/l_receiptdate are absent from this dataset; 'late' is
+    shipdate past the quarter end, same plan shape.)"""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q4_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority")
+    late = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(_Q4_HI).cast("timestamp")
+    ).select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item reporting (top-20 customers by lost revenue)
+# ---------------------------------------------------------------------------
+
+_Q10_LO, _Q10_HI = "1997-01-01", "1997-07-01"
+_Q10_TOPK = 20
+
+
+@query(
+    "q10_returned_item_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {sql_dsum(_REVENUE, "revenue")},
+           c.c_acctbal, n.n_name
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+      AND o.o_orderdate <  TIMESTAMP '{_Q10_HI}'
+    GROUP BY 1, 2, 4, 5
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT {_Q10_TOPK}
+    """,
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: the 20 customers who returned the most revenue in
+    one half-year — returnflag filter on the fact scan, a half-year window
+    on orders, dimension broadcasts for customer and nation, then a
+    per-customer aggregate and bounded top-k (TakeOrdered with custkey
+    tiebreak). The returnflag + date predicates prune ~7/8 of the joined
+    fact before the custkey shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q10_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue, "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(_Q10_TOPK)
+    )

@@ -270,3 +270,94 @@ def embedding_dim_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clip_high"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation mining (bigram lift / PMI ranking)
+# ---------------------------------------------------------------------------
+
+_COLL_MIN_COUNT = 20
+_COLL_TOP = 30
+
+
+@query(
+    "bigram_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT {_TOKS} AS tk FROM documents
+    ),
+    tot AS (
+        SELECT CAST(SUM(len(tk)) AS BIGINT) AS n_tok FROM toks
+    ),
+    uni AS (
+        SELECT t AS w, COUNT(*) AS n_w
+        FROM (SELECT unnest(tk) AS t FROM toks) u
+        GROUP BY 1
+    ),
+    big AS (
+        SELECT tk[i] AS w1, tk[i + 1] AS w2, COUNT(*) AS n_ab
+        FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM toks) u
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_COLL_MIN_COUNT}
+    )
+    SELECT b.w1, b.w2, b.n_ab,
+           a.n_w AS n_a, c.n_w AS n_b,
+           CAST(b.n_ab AS DOUBLE) * CAST(t.n_tok AS DOUBLE)
+               / (CAST(a.n_w AS DOUBLE) * CAST(c.n_w AS DOUBLE)) AS lift
+    FROM big b
+    JOIN uni a ON a.w = b.w1
+    JOIN uni c ON c.w = b.w2
+    CROSS JOIN tot t
+    ORDER BY lift DESC, b.w1, b.w2
+    LIMIT {_COLL_TOP}
+    """,
+)
+def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: bigrams ranked by lift (the exponentiated PMI,
+    p(ab)/(p(a)p(b))) — the phrase-detection pass that feeds tokenizer
+    vocabularies and word2vec-style phrase merging. Three word-count
+    aggregates (unigrams, bigrams, one scalar total) over one logical
+    corpus scan; bigram counts below {20} occurrences are cut BEFORE the
+    unigram joins, so the join input is the (tiny) frequent-bigram set,
+    not the full bigram vocabulary. Unigram re-attachment shuffles on the
+    word — vocabulary-sized, never corpus-sized; the 1-row total is a
+    broadcast cross join.
+
+    Lift is computed as one double expression over three exact BIGINTs
+    (count·total / (n_a·n_b)) — both engines evaluate the identical IEEE
+    operation tree on identical integers, so the ranking and the k-boundary
+    are bit-stable with a (w1, w2) tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), r"\s+")
+    toks = docs.select(tk.alias("tk"))
+    tot = toks.agg(F.sum(F.size("tk")).alias("n_tok"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pairs = F.zip_with(
+        F.slice(F.col("tk"), 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+        F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _COLL_MIN_COUNT)
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("n_w").alias("n_b"))
+    lift = (
+        F.col("n_ab").cast("double") * F.col("n_tok").cast("double")
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return (
+        big.join(ua, big.w1 == ua.wa)
+        .join(ub, big.w2 == ub.wb)
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "n_ab", "n_a", "n_b", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(_COLL_TOP)
+    )

@@ -205,3 +205,64 @@ def test_q22_broadcasts_scalar_mean(spark, sf_dir):
     plan = plan_of(spark, "q22_idle_rich_customers", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q15_keeps_decimal_through_argmax(spark, sf_dir):
+    # The max-over-aggregate filter must compare DECIMAL revenue (exact
+    # ties), and the scalar max re-attaches as a broadcast, not a shuffle.
+    plan = plan_of(spark, "q15_top_supplier", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_filters_brand_before_partkey_shuffle(spark, sf_dir):
+    # The brand predicate must land on the part scan (dimension side) so
+    # the partkey shuffle carries only the brand's lineitems.
+    plan = plan_of(spark, "q17_small_quantity_revenue", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(p_brand", plan)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q19_pushes_derived_quantity_residual(spark, sf_dir):
+    # The OR-of-ANDs cannot push as-is; the hand-derived quantity envelope
+    # (BETWEEN 1 AND 30) must reach the lineitem scan.
+    plan = plan_of(spark, "q19_disjunctive_revenue", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_quantity", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_quantity", plan)
+
+
+def test_q8_broadcasts_every_dimension(spark, sf_dir):
+    # Six-way join: every non-fact side is dimension-sized and broadcast;
+    # the only fact-scale shuffle is lineitem⋈orders.
+    plan = plan_of(spark, "q8_market_share", sf_dir)
+    assert plan.count("BroadcastExchange") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_collocations_topk_and_scalar_broadcast(spark, sf_dir):
+    # Global top-k by lift must be TakeOrdered (never a full sort) and the
+    # 1-row token total must re-attach as a broadcast.
+    plan = plan_of(spark, "bigram_collocations", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_pushes_both_date_filters_and_takes_ordered(spark, sf_dir):
+    plan = plan_of(spark, "q3_shipping_priority", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(l_shipdate", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(o_orderdate", plan)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_exists_is_semi_join_not_inner(spark, sf_dir):
+    # EXISTS must not over-count multi-lineitem orders: the plan has to be
+    # a LeftSemi join, never an inner join + distinct.
+    plan = plan_of(spark, "q4_order_priority_check", sf_dir)
+    assert "LeftSemi" in plan
+
+
+def test_q10_prunes_returnflag_at_scan(spark, sf_dir):
+    plan = plan_of(spark, "q10_returned_item_customers", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", plan)
+    assert "TakeOrderedAndProject" in plan
