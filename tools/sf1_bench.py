@@ -106,6 +106,9 @@ HEADLINE = [
     "market_segment_revenue",
     "minhash_lsh_pairs",
     "medallion_e2e_orders",
+    # round-5: a deep multi-join and a semi-join-on-aggregate at sf1
+    "q8_market_share",
+    "q18_large_volume_customers",
 ]
 
 
