@@ -1,0 +1,294 @@
+"""Data-governance and corpus-diagnostics audits: k-anonymity equivalence
+classes, functional-dependency discovery, event-transition matrices, and
+n-gram diversity (distinct-n) reports.
+
+These are the audits a data platform runs BEFORE releasing a dataset —
+re-identification risk, undeclared key dependencies, behavioral structure,
+and synthetic-data repetitiveness. The reference engine has no counterpart
+(its transform surface stops at generic projections/aggregations —
+SURVEY.md §2.B); each audit here is pure built-in columnar aggregation, so
+the cost at 100 TB is one or two shuffles on the audited keys.
+
+Determinism: every reported number is an exact integer count or a single
+IEEE double division of two exact integers — no libm, no interpolation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from autonomus_datapipeline_spark.workloads.registry import load_table, query
+
+_TOKS = "regexp_split_to_array(lower(text), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+_BAL_BUCKET = 1000.0
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH q AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / {_BAL_BUCKET}) AS BIGINT) AS bal_bucket
+        FROM customer
+    ),
+    cls AS (
+        SELECT c_nationkey, c_mktsegment, bal_bucket, COUNT(*) AS class_size
+        FROM q GROUP BY 1, 2, 3
+    )
+    SELECT class_size,
+           COUNT(*) AS n_classes,
+           CAST(class_size * COUNT(*) AS BIGINT) AS n_rows,
+           class_size < {_K_ANON} AS at_risk
+    FROM cls GROUP BY 1
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit: rows sharing the same quasi-identifier
+    tuple (nation, market segment, coarse balance bucket) form an
+    equivalence class; any class smaller than k={5} means those customers
+    are re-identifiable from "anonymized" data. The report is the class-size
+    histogram with an at-risk flag — the number a release gate checks.
+
+    Two exact integer aggregations: class sizes shuffle on the
+    quasi-identifier tuple (bounded domain → map-side combine collapses
+    hard), then the size histogram shuffles on class_size (tiny domain).
+    The balance bucket is floor(x/1000) — one IEEE divide + floor, same
+    bits on both engines."""
+    c = load_table(spark, sf_dir, "customer")
+    cls = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / _BAL_BUCKET).cast("bigint").alias(
+                "bal_bucket"
+            ),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return cls.groupBy("class_size").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        (F.col("class_size") * F.count(F.lit(1))).cast("bigint").alias("n_rows"),
+        (F.col("class_size") < _K_ANON).alias("at_risk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = (
+    ("p_brand", "p_type"),
+    ("p_partkey", "p_brand"),
+    ("p_type", "p_size"),
+)
+
+
+def _fd_sql_arm(det: str, dep: str) -> str:
+    return f"""
+    SELECT '{det}' AS determinant, '{dep}' AS dependent,
+           COUNT(DISTINCT {det}) AS n_det_values,
+           COUNT(DISTINCT ({det}, {dep})) AS n_det_dep_pairs,
+           COUNT(DISTINCT {det}) = COUNT(DISTINCT ({det}, {dep})) AS fd_holds
+    FROM part
+    """
+
+
+@query(
+    "functional_dependency_audit",
+    oracle=" UNION ALL ".join(_fd_sql_arm(d, p) for d, p in _FD_CANDIDATES),
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-inference audit: does column A functionally determine column
+    B? (A → B holds iff every A value maps to exactly one B value, i.e.
+    |distinct A| == |distinct (A,B)|.) Run over candidate pairs before
+    declaring keys, denormalizing, or trusting a dimension hierarchy —
+    undeclared FDs are free compression; violated ones are silent data
+    bugs.
+
+    One distinct-aggregate pair per candidate over the same scan; each is
+    a shuffle on the candidate's values (column-domain-sized, not
+    row-count-sized after partial aggregation). Candidate columns here are
+    all non-null (TPC-H-shaped part table), so Spark's and DuckDB's
+    distinct-tuple null conventions cannot diverge."""
+    p = load_table(spark, sf_dir, "part")
+    arms = []
+    for det, dep in _FD_CANDIDATES:
+        n_det = F.countDistinct(F.col(det))
+        n_pair = F.countDistinct(F.struct(F.col(det), F.col(dep)))
+        arms.append(
+            p.agg(
+                n_det.alias("n_det_values"),
+                n_pair.alias("n_det_dep_pairs"),
+            ).select(
+                F.lit(det).alias("determinant"),
+                F.lit(dep).alias("dependent"),
+                "n_det_values",
+                "n_det_dep_pairs",
+                (F.col("n_det_values") == F.col("n_det_dep_pairs")).alias(
+                    "fd_holds"
+                ),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov counts)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    t AS (
+        SELECT event_type, next_type, COUNT(*) AS n_transitions
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, n_transitions,
+           CAST(SUM(n_transitions) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_from,
+           CAST(n_transitions AS DOUBLE)
+               / SUM(n_transitions) OVER (PARTITION BY event_type) AS prob
+    FROM t
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered (event, next event) pair within a user's timeline, the
+    transition count and conditional probability — the structure behind
+    funnel design, anomaly detection (improbable transitions), and
+    session simulation.
+
+    LEAD over (user_id, ts) with an event_id tiebreak pins concurrent
+    events deterministically; the per-user window shuffles on user_id
+    (already the natural partitioning of event data), the pair counts
+    collapse to |event types|² rows, and the row-normalization window runs
+    over that tiny matrix. prob is one double division of two exact
+    BIGINTs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    t = s.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wrow = Window.partitionBy("event_type")
+    n_from = F.sum("n_transitions").over(wrow)
+    return t.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        n_from.cast("bigint").alias("n_from"),
+        (F.col("n_transitions").cast("double") / n_from).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram diversity (distinct-n) report per corpus slice
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ngram_diversity_report",
+    oracle=f"""
+    WITH tg AS (
+        SELECT source, doc_id,
+               tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS tri
+        FROM (
+            SELECT source, doc_id, tk, unnest(range(1, len(tk) - 1)) AS i
+            FROM (SELECT source, doc_id, {_TOKS} AS tk FROM documents) x
+        ) u
+    ),
+    per_doc AS (
+        SELECT source, doc_id,
+               COUNT(*) AS n_tri, COUNT(DISTINCT tri) AS n_uniq
+        FROM tg GROUP BY 1, 2
+    )
+    SELECT p.source,
+           CAST(SUM(p.n_tri) AS BIGINT) AS n_trigrams,
+           CAST(SUM(p.n_uniq) AS BIGINT) AS n_doc_unique,
+           c.n_corpus_unique,
+           CAST(SUM(p.n_uniq) AS DOUBLE) / SUM(p.n_tri) AS doc_ttr,
+           CAST(c.n_corpus_unique AS DOUBLE) / SUM(p.n_tri) AS corpus_ttr
+    FROM per_doc p
+    JOIN (
+        SELECT source, COUNT(DISTINCT tri) AS n_corpus_unique
+        FROM tg GROUP BY 1
+    ) c ON c.source = p.source
+    GROUP BY 1, 4
+    """,
+)
+def ngram_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per corpus slice: the pooled within-document
+    type/token ratio (templated or degenerate text repeats its own
+    trigrams) and the corpus-level ratio (a slice whose documents are
+    individually diverse but collectively identical — the synthetic-data
+    signature — scores low here while doc_ttr stays high). The GAP between
+    the two ratios is the cross-document repetition signal that per-doc
+    quality filters cannot see.
+
+    Two aggregations over one exploded trigram set: per-doc distincts
+    shuffle on doc_id (then collapse to one row per doc), corpus distincts
+    shuffle on (source, trigram). Ratios are double divisions of exact
+    BIGINT sums — pooled (Σuniq/Σtotal), never a mean-of-ratios, so no
+    float accumulation order exists to drift."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), r"\s+")
+    tri = F.zip_with(
+        F.slice(tk, 1, F.greatest(F.size(tk) - 2, F.lit(0))),
+        F.zip_with(
+            F.slice(tk, 2, F.greatest(F.size(tk) - 2, F.lit(0))),
+            F.slice(tk, 3, F.greatest(F.size(tk) - 2, F.lit(0))),
+            lambda b, c: F.concat(b, F.lit(" "), c),
+        ),
+        lambda a, bc: F.concat(a, F.lit(" "), bc),
+    )
+    tg = docs.select("source", "doc_id", F.explode(tri).alias("tri"))
+    per_doc = tg.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_tri"),
+        F.countDistinct("tri").alias("n_uniq"),
+    )
+    corpus = tg.groupBy("source").agg(
+        F.countDistinct("tri").alias("n_corpus_unique")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_tri").cast("bigint").alias("n_trigrams"),
+            F.sum("n_uniq").cast("bigint").alias("n_doc_unique"),
+        )
+        .join(F.broadcast(corpus), "source")
+        .select(
+            "source",
+            "n_trigrams",
+            "n_doc_unique",
+            "n_corpus_unique",
+            (F.col("n_doc_unique").cast("double") / F.col("n_trigrams")).alias(
+                "doc_ttr"
+            ),
+            (
+                F.col("n_corpus_unique").cast("double") / F.col("n_trigrams")
+            ).alias("corpus_ttr"),
+        )
+    )

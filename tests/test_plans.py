@@ -266,3 +266,29 @@ def test_q10_prunes_returnflag_at_scan(spark, sf_dir):
     plan = plan_of(spark, "q10_returned_item_customers", sf_dir)
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", plan)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_k_anonymity_is_two_cheap_aggregations(spark, sf_dir):
+    # Class sizes + size histogram: two exchanges max, no join at all.
+    plan = plan_of(spark, "k_anonymity_audit", sf_dir)
+    assert "Join" not in plan
+    # count physical nodes, not string occurrences (the formatted output
+    # repeats each node in the detail section)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2
+
+
+def test_event_transition_windows_on_user_then_tiny_matrix(spark, sf_dir):
+    # The per-user LEAD shuffles on user_id; everything after operates on
+    # the |event types|^2 matrix — no second corpus-scale shuffle, and the
+    # ordering carries the event_id tiebreak.
+    plan = plan_of(spark, "event_transition_matrix", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert re.search(r"hashpartitioning\(user_id", plan)
+
+
+def test_ngram_diversity_broadcasts_corpus_distincts(spark, sf_dir):
+    # The per-source corpus-distinct table is |sources|-sized → broadcast
+    # back onto the per-source pooled sums.
+    plan = plan_of(spark, "ngram_diversity_report", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
