@@ -292,3 +292,275 @@ def ngram_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corpus_ttr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit (orphan foreign keys)
+# ---------------------------------------------------------------------------
+
+_RI_RELATIONS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+)
+
+
+def _ri_sql_arm(child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{child}.{fk}' AS relationship,
+           (SELECT COUNT(*) FROM {child}) AS n_child_rows,
+           (SELECT COUNT(*) FROM {child} c
+            WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pk} = c.{fk})) AS n_orphans,
+           CAST((SELECT COUNT(*) FROM {child} c
+                 WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                   WHERE p.{pk} = c.{fk})) AS DOUBLE)
+               / (SELECT COUNT(*) FROM {child}) AS orphan_rate
+    """
+
+
+@query(
+    "referential_integrity_audit",
+    oracle=" UNION ALL ".join(_ri_sql_arm(*r) for r in _RI_RELATIONS),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key health audit: for each declared child→parent
+    relationship, how many child rows reference a missing parent (the
+    silent-data-loss number every inner join in the pipeline would drop).
+    Each arm is one LEFT ANTI join counted — the anti join shuffles on the
+    key (parent sides that are dimension-sized broadcast automatically);
+    nothing corpus-sized ever aggregates past the per-partition count.
+    orphan_rate is one double division of two exact BIGINTs."""
+    arms = []
+    for child, fk, parent, pk in _RI_RELATIONS:
+        cdf = load_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        pdf = load_table(spark, sf_dir, parent).select(F.col(pk).alias("pk"))
+        # fully lazy: child total and orphan count are both 1-row aggregates
+        # joined with a broadcast — no driver-side .count() in the query path
+        totals = cdf.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        orphans = cdf.join(pdf, cdf.fk == pdf.pk, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        arms.append(
+            orphans.crossJoin(F.broadcast(totals)).select(
+                F.lit(f"{child}.{fk}").alias("relationship"),
+                "n_child_rows",
+                "n_orphans",
+                (
+                    F.col("n_orphans").cast("double") / F.col("n_child_rows")
+                ).alias("orphan_rate"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier score (median / MAD, exact discrete selection)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3
+
+
+@query(
+    "robust_outlier_mad",
+    oracle=f"""
+    WITH r AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, MIN(CASE WHEN 2 * rk >= n + 1 THEN value END) AS med
+        FROM r GROUP BY 1
+    ),
+    d AS (
+        SELECT r.event_type, r.value, m.med, ABS(r.value - m.med) AS adev,
+               ROW_NUMBER() OVER (
+                   PARTITION BY r.event_type ORDER BY ABS(r.value - m.med)
+               ) AS ark,
+               COUNT(*) OVER (PARTITION BY r.event_type) AS n
+        FROM r JOIN med m ON m.event_type = r.event_type
+    ),
+    mad AS (
+        SELECT event_type, MIN(CASE WHEN 2 * ark >= n + 1 THEN adev END) AS mad
+        FROM d GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(d.med) AS median_value,
+           MIN(x.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > {_MAD_K} * x.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d JOIN mad x ON x.event_type = d.event_type
+    GROUP BY 1
+    """,
+)
+def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly gate: per event type, the exact discrete median and
+    MAD (median absolute deviation), and how many events sit more than
+    {3}×MAD from the median — the outlier count that, unlike z-scores,
+    the outliers themselves cannot inflate (50% breakdown point vs 0%).
+
+    Selection is rank-based (lower median = the STORED value at rank
+    ceil(n/2)) on both engines — an actual element, so no interpolation
+    float to drift. Two windowed passes partitioned by event_type (the
+    natural key; each type's sort is independent), the per-type
+    median/MAD tables are |types|-sized broadcasts back onto the data."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    w_rk = Window.partitionBy("event_type").orderBy("value")
+    w_n = Window.partitionBy("event_type")
+    r = ev.withColumn("rk", F.row_number().over(w_rk)).withColumn(
+        "n", F.count(F.lit(1)).over(w_n)
+    )
+    med = r.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("rk") >= F.col("n") + 1, F.col("value"))).alias(
+            "med"
+        )
+    )
+    d = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    w_ark = Window.partitionBy("event_type").orderBy("adev")
+    d2 = d.withColumn("ark", F.row_number().over(w_ark)).withColumn(
+        "n", F.count(F.lit(1)).over(w_n)
+    )
+    mad = d2.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("ark") >= F.col("n") + 1, F.col("adev"))).alias(
+            "mad"
+        )
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > _MAD_K * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between two slices (total variation distance, exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "distribution_drift_tvd",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_a) AS BIGINT) AS na, CAST(SUM(n_b) AS BIGINT) AS nb
+        FROM b
+    )
+    SELECT b.event_type, b.n_a, b.n_b,
+           CAST(ABS(b.n_a * t.nb - b.n_b * t.na) AS DOUBLE)
+               / (2.0 * t.na * t.nb) AS tvd_contribution
+    FROM b CROSS JOIN tot t
+    """,
+)
+def distribution_drift_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the per-bucket contribution to the total
+    variation distance between two slices of the corpus (here the
+    even/odd event-id halves — in production, yesterday's snapshot vs
+    today's). Σ of the contributions IS the TVD; a drifting bucket shows
+    up directly, which a single scalar (or a log-based PSI) hides.
+
+    Exact by cross-multiplication: |n_a·N_b − n_b·N_a| is pure BIGINT —
+    no per-bucket float ratios whose summation order could drift — and
+    each contribution does ONE double division at the end. One grouped
+    conditional aggregation + a 1-row broadcast of the totals."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id")
+    b = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    tot = b.agg(
+        F.sum("n_a").cast("bigint").alias("na"),
+        F.sum("n_b").cast("bigint").alias("nb"),
+    )
+    return b.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (
+            F.abs(F.col("n_a") * F.col("nb") - F.col("n_b") * F.col("na")).cast(
+                "double"
+            )
+            / (2.0 * F.col("na") * F.col("nb"))
+        ).alias("tvd_contribution"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (bounded within-order pair mining)
+# ---------------------------------------------------------------------------
+
+_COP_TOP = 30
+
+
+@query(
+    "copurchase_pairs",
+    oracle=f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_orders
+    FROM op a
+    JOIN op b ON b.l_orderkey = a.l_orderkey
+            AND b.l_partkey > a.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT {_COP_TOP}
+    """,
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket mining: the part pairs most often bought in the same
+    order — the support counts behind co-purchase recommendations and
+    frequent-itemset mining. The within-order self-join looks quadratic
+    but is bounded by lines-per-order (≤7 in TPC-H-shaped data): total
+    pair fan-out is Σ C(lines,2) ≈ 20× the order count — LINEAR in the
+    fact table, co-partitioned on orderkey so the self-join reuses one
+    shuffle. The pair aggregate shuffles on (part, part) — catalog²-bounded,
+    not fact-bounded — and the top-k is TakeOrdered with a (count, pair)
+    total order."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, (a.ok == b.ok2) & (F.col("part_b") > F.col("part_a")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(_COP_TOP)
+    )

@@ -292,3 +292,19 @@ def test_ngram_diversity_broadcasts_corpus_distincts(spark, sf_dir):
     plan = plan_of(spark, "ngram_diversity_report", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_referential_integrity_has_no_driver_actions(spark, sf_dir):
+    # Anti-join counts only; no cartesian, and the totals re-attach as a
+    # 1-row broadcast (plan builds without running any job).
+    plan = plan_of(spark, "referential_integrity_audit", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_robust_outlier_windows_partition_by_type(spark, sf_dir):
+    # Both median selections sort WITHIN event_type partitions — never a
+    # global sort of the events table.
+    plan = plan_of(spark, "robust_outlier_mad", sf_dir)
+    assert re.search(r"hashpartitioning\(event_type", plan)
+    assert "CartesianProduct" not in plan
