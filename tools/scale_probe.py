@@ -8,6 +8,9 @@ and join/group cardinalities scale realistically. This is the empirical
 check behind SCALING.md's claims — an operator whose time grows ~10× (or
 less, for fixed-output aggregations) at 10× data is shuffle-structured
 correctly; super-linear growth exposes an accidental quadratic.
+
+NOTE: this tool REWRITES SCALE_PROBE.md; tools/sf1_bench.py APPENDS its
+sf1 table to it. Regeneration order: scale_probe first, sf1_bench second.
 """
 
 from __future__ import annotations
