@@ -1013,3 +1013,98 @@ def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(_Q10_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecasting revenue change (pure scan-level filter + agg)
+# ---------------------------------------------------------------------------
+
+_Q6_LO, _Q6_HI = "1997-01-01", "1998-01-01"
+_Q6_DISC_LO, _Q6_DISC_HI = 0.05, 0.07
+_Q6_MAX_QTY = 24.0
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}'
+      AND l_shipdate <  TIMESTAMP '{_Q6_HI}'
+      AND l_discount BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}
+      AND l_quantity < {_Q6_MAX_QTY}
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue that would have been gained by eliminating
+    small discounts — the pure scan-rate benchmark: every predicate (date
+    window, discount band, quantity cap) pushes into the Parquet scan, the
+    aggregate is a single exact-decimal sum with map-side partials, and the
+    whole plan is one WholeStageCodegen span over the scan with a 1-row
+    exchange. If this query is not scan-bound, the storage path is broken."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q6_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q6_HI).cast("timestamp"))
+        & F.col("l_discount").between(_Q6_DISC_LO, _Q6_DISC_HI)
+        & (F.col("l_quantity") < _Q6_MAX_QTY)
+    )
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: shipping-mode priority counts (join + conditional agg)
+# ---------------------------------------------------------------------------
+
+_Q12_LO, _Q12_HI = "1997-01-01", "1998-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+@query(
+    "q12_priority_shipping",
+    oracle=f"""
+    SELECT l.l_linestatus AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN
+                         ('{_Q12_HIGH[0]}', '{_Q12_HIGH[1]}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                         ('{_Q12_HIGH[0]}', '{_Q12_HIGH[1]}')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q12_LO}'
+      AND l.l_shipdate <  TIMESTAMP '{_Q12_HI}'
+    GROUP BY 1
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per shipping class, how many critical-priority vs
+    other orders it carried in one year — join + CASE-conditional counts,
+    the pattern for any "cross-tab after a fact join" report. The date
+    window pushes into the lineitem scan, the join shuffles on orderkey
+    (orders' priority column is the only payload), and the grouped output
+    is category-sized, collapsed map-side.
+
+    (This dataset has no l_shipmode column; l_linestatus is the grouping
+    proxy — identical plan shape, two groups instead of seven.)"""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q12_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q12_HI).cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin(*_Q12_HIGH)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )

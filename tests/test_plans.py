@@ -308,3 +308,19 @@ def test_robust_outlier_windows_partition_by_type(spark, sf_dir):
     plan = plan_of(spark, "robust_outlier_mad", sf_dir)
     assert re.search(r"hashpartitioning\(event_type", plan)
     assert "CartesianProduct" not in plan
+
+
+def test_q6_pushes_every_predicate_to_scan(spark, sf_dir):
+    # Q6 is the scan-rate benchmark: date window, discount band, and
+    # quantity cap must ALL reach the Parquet scan.
+    plan = plan_of(spark, "q6_forecast_revenue", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_discount", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(l_quantity", plan)
+    assert "Join" not in plan
+
+
+def test_q12_prunes_date_window_before_join(spark, sf_dir):
+    plan = plan_of(spark, "q12_priority_shipping", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan)
+    assert "CartesianProduct" not in plan
