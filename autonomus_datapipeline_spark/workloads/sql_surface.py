@@ -105,3 +105,35 @@ def udaf_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     med_df = li.groupBy("l_returnflag").agg(med("l_quantity").alias("median_qty"))
     cnt_df = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
     return med_df.join(cnt_df, "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Raw-SQL surface #2: CTE + window function, one text, two engines
+# ---------------------------------------------------------------------------
+
+_WINDOW_SQL = """
+WITH ranked AS (
+    SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+           ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey
+           ) AS rk
+    FROM customer
+)
+SELECT c_mktsegment, rk, c_custkey, c_name, c_acctbal
+FROM ranked
+WHERE rk <= 3
+"""
+
+
+@query("sql_window_top_customers", oracle=_WINDOW_SQL)
+def sql_window_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text surface, modern-SQL edition: a CTE feeding a ranking window
+    with a deterministic (balance DESC, custkey) tiebreak, handed VERBATIM
+    to both ``spark.sql`` and the DuckDB oracle — no dialect translation
+    layer. Catalyst compiles the rank-filter into a WindowGroupLimit
+    (per-partition top-k during the sort, never materializing full ranks),
+    the per-segment sorts run independently after one shuffle on the
+    segment key, and the rk ≤ 3 output is segment-count-bounded."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_WINDOW_SQL)

@@ -324,3 +324,11 @@ def test_q12_prunes_date_window_before_join(spark, sf_dir):
     plan = plan_of(spark, "q12_priority_shipping", sf_dir)
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan)
     assert "CartesianProduct" not in plan
+
+
+def test_sql_window_topk_uses_window_group_limit(spark, sf_dir):
+    # The rk <= 3 filter must compile to WindowGroupLimit (Partial before
+    # the shuffle + Final after), so the exchange carries only each map
+    # partition's top-3 — never the full ranked table.
+    plan = plan_of(spark, "sql_window_top_customers", sf_dir)
+    assert "WindowGroupLimit" in plan
