@@ -36,30 +36,52 @@ def stopword_hits(text: Column, stopwords: list[str]) -> Column:
     return F.size(F.filter(tokens(text), lambda t: t.isin(*stopwords)))
 
 
+def _e4_half_up(num: Column, den: Column) -> Column:
+    """Round-half-up of 10⁴·num/den as an exact integer: floor((2·10⁴·num
+    + den) / (2·den)) for non-negative integer columns. ROUND(double, 4)
+    is NOT engine-portable for arbitrary rationals — the engine first
+    multiplies the double by 10⁴ (its own rounding step), so a ratio whose
+    exact expansion sits just under a .00005 boundary can round up on one
+    engine and down on the other (bit the sf0.1 gate, round 5). Integer
+    cross-multiplication has no intermediate double, so the quantized
+    value is identical everywhere."""
+    return F.floor((num * 20000 + den) / (den * 2)).cast("long")
+
+
+# quality_score = 0.5·min(n/150,1) + 0.25·(s_e4/10⁴) + 0.25·min(a_e4/(8·10⁴),1)
+#               = (3200·min(n,150) + 24·s_e4 + 3·min(a_e4,80000)) / 960000
+# — one rational with integer numerator, quantized by the same half-up rule.
+_Q_DEN = 960_000
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio quality features + a composite
     score in [0,1]. Formula is part of the operator spec (mirrored in the
-    oracle SQL)."""
+    oracle SQL). Every ratio is reported in exact integer ten-thousandths
+    divided once by 10⁴ — see _e4_half_up for why ROUND(double, 4) is
+    banned here."""
     toks = tokens(text)
     n_tokens = F.size(toks)
+    n = n_tokens.cast("long")
     n_chars = F.length(text)
-    alpha_chars = F.length(F.regexp_replace(text, r"\s+", ""))
-    avg_token_len = F.round(alpha_chars / n_tokens, 4)
+    alpha_chars = F.length(F.regexp_replace(text, r"\s+", "")).cast("long")
     n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_RE, ""))
-    stop_ratio = F.round(stopword_hits(text, LANG_STOPWORDS["en"]) / n_tokens, 4)
-    score = F.round(
-        F.least(F.lit(1.0), n_tokens / F.lit(150.0)) * 0.5
-        + stop_ratio * 0.25
-        + F.least(F.lit(1.0), avg_token_len / F.lit(8.0)) * 0.25,
-        4,
+    stop = stopword_hits(text, LANG_STOPWORDS["en"]).cast("long")
+    a_e4 = _e4_half_up(alpha_chars, n)
+    s_e4 = _e4_half_up(stop, n)
+    p = (
+        F.least(n, F.lit(150)) * 3200
+        + s_e4 * 24
+        + F.least(a_e4, F.lit(80_000)) * 3
     )
+    q_e4 = F.floor((p * 20000 + _Q_DEN) / F.lit(2 * _Q_DEN)).cast("long")
     return {
         "n_tokens": n_tokens,
         "n_chars": n_chars,
-        "avg_token_len": avg_token_len,
+        "avg_token_len": a_e4.cast("double") / 10000.0,
         "n_punct": n_punct,
-        "stop_ratio": stop_ratio,
-        "quality_score": score,
+        "stop_ratio": s_e4.cast("double") / 10000.0,
+        "quality_score": q_e4.cast("double") / 10000.0,
     }
 
 

@@ -806,6 +806,32 @@ def _stop_list_sql(lang: str) -> str:
     )
 
 
+def _e4_sql(num: str, den: str) -> str:
+    """Round-half-up of 10⁴·num/den in pure integer SQL (the oracle twin of
+    operators/text._e4_half_up — ROUND(double, 4) is not engine-portable
+    for arbitrary rationals)."""
+    return f"((({num}) * 20000 + ({den})) // (({den}) * 2))"
+
+
+_ALPHA_SQL = "length(regexp_replace(text, '\\s+', '', 'g'))"
+
+
+def _quality_e4_cols() -> tuple[str, str, str]:
+    """(a_e4, s_e4, q_e4) integer ten-thousandth expressions over the
+    t(doc_id, text, tk) CTE — the single SQL spec for the quality score."""
+    a_e4 = _e4_sql(_ALPHA_SQL, "len(tk)")
+    s_e4 = _e4_sql(_stop_list_sql("en"), "len(tk)")
+    p = (
+        f"(least(len(tk), 150) * 3200 + {s_e4} * 24"
+        f" + least({a_e4}, 80000) * 3)"
+    )
+    q_e4 = f"(({p} * 20000 + 960000) // 1920000)"
+    return a_e4, s_e4, q_e4
+
+
+_A_E4, _S_E4, _Q_E4 = _quality_e4_cols()
+
+
 @query(
     "text_quality_scores",
     oracle=f"""
@@ -813,22 +839,20 @@ def _stop_list_sql(lang: str) -> str:
     SELECT doc_id,
            CAST(len(tk) AS INT) AS n_tokens,
            CAST(length(text) AS INT) AS n_chars,
-           ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                 / len(tk), 4) AS avg_token_len,
+           CAST({_A_E4} AS DOUBLE) / 10000.0 AS avg_token_len,
            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS INT)
                AS n_punct,
-           ROUND(CAST({_stop_list_sql('en')} AS DOUBLE) / len(tk), 4) AS stop_ratio,
-           ROUND(least(1.0, len(tk) / 150.0) * 0.5
-                 + ROUND(CAST({_stop_list_sql('en')} AS DOUBLE) / len(tk), 4) * 0.25
-                 + least(1.0, ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                                    / len(tk), 4) / 8.0) * 0.25,
-                 4) AS quality_score
+           CAST({_S_E4} AS DOUBLE) / 10000.0 AS stop_ratio,
+           CAST({_Q_E4} AS DOUBLE) / 10000.0 AS quality_score
     FROM t
     """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features: token count, char count, average token
     length, punctuation count, stopword ratio, composite score ∈ [0,1].
+    Ratios are exact integer ten-thousandths (half-up by integer
+    cross-multiplication) divided once by 10⁴ — the ROUND(double, 4) form
+    drifted between engines at sf0.1 density (see operators/text._e4_half_up).
 
     Scale: pure codegen'd projection — runs at scan speed, no shuffle.
     """
@@ -1034,12 +1058,8 @@ _QF_DEN = 5
 
 def _quality_score_sql() -> str:
     """The composite quality_score expression over the t(doc_id, text, tk)
-    CTE — same spec as text_quality_scores."""
-    return f"""ROUND(least(1.0, len(tk) / 150.0) * 0.5
-                 + ROUND(CAST({_stop_list_sql('en')} AS DOUBLE) / len(tk), 4) * 0.25
-                 + least(1.0, ROUND(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-                                    / len(tk), 4) / 8.0) * 0.25,
-                 4)"""
+    CTE — same spec as text_quality_scores (integer ten-thousandths)."""
+    return f"(CAST({_Q_E4} AS DOUBLE) / 10000.0)"
 
 
 @query(
@@ -1174,18 +1194,21 @@ def _minhash_error_oracle() -> str:
         JOIN shd sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
         GROUP BY 1, 2
     )
-    SELECT e.doc_a, e.doc_b,
-           ROUND(CAST(e.n_eq AS DOUBLE) / {_MH_K}, 4) AS jaccard_est,
-           ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE)
-                 / (za.ns + zb.ns - COALESCE(i.ni, 0)), 4) AS jaccard_exact,
-           ROUND(ABS(ROUND(CAST(e.n_eq AS DOUBLE) / {_MH_K}, 4)
-                     - ROUND(CAST(COALESCE(i.ni, 0) AS DOUBLE)
-                             / (za.ns + zb.ns - COALESCE(i.ni, 0)), 4)), 4)
-               AS abs_err
-    FROM est e
-    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
-    JOIN sizes za ON za.doc_id = e.doc_a
-    JOIN sizes zb ON zb.doc_id = e.doc_b
+    SELECT doc_a, doc_b,
+           CAST(est_e4 AS DOUBLE) / 10000.0 AS jaccard_est,
+           CAST(ex_e4 AS DOUBLE) / 10000.0 AS jaccard_exact,
+           CAST(ABS(est_e4 - ex_e4) AS DOUBLE) / 10000.0 AS abs_err
+    FROM (
+        SELECT e.doc_a, e.doc_b,
+               (e.n_eq * 20000 + {_MH_K}) // {2 * _MH_K} AS est_e4,
+               (COALESCE(i.ni, 0) * 20000
+                + (za.ns + zb.ns - COALESCE(i.ni, 0)))
+                   // ((za.ns + zb.ns - COALESCE(i.ni, 0)) * 2) AS ex_e4
+        FROM est e
+        LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        JOIN sizes za ON za.doc_id = e.doc_a
+        JOIN sizes zb ON zb.doc_id = e.doc_b
+    ) q
     """
 
 
@@ -1229,10 +1252,11 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("ns").alias("ns_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("ns").alias("ns_b"))
     ni = F.coalesce(F.col("ni"), F.lit(0))
-    jac_est = F.round(F.col("n_eq").cast("double") / _MH_K, 4)
-    jac_exact = F.round(
-        ni.cast("double") / (F.col("ns_a") + F.col("ns_b") - ni), 4
-    )
+    # integer ten-thousandths via cross-multiplication (no ROUND(double, 4)
+    # — the quality-score drift class; see operators/text._e4_half_up)
+    union_sz = F.col("ns_a") + F.col("ns_b") - ni
+    est_e4 = F.floor((F.col("n_eq") * 20000 + _MH_K) / (2 * _MH_K)).cast("long")
+    ex_e4 = F.floor((ni * 20000 + union_sz) / (union_sz * 2)).cast("long")
     return (
         est.join(inter, ["doc_a", "doc_b"], "left")
         .join(za, "doc_a")
@@ -1240,8 +1264,8 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            jac_est.alias("jaccard_est"),
-            jac_exact.alias("jaccard_exact"),
-            F.round(F.abs(jac_est - jac_exact), 4).alias("abs_err"),
+            (est_e4.cast("double") / 10000.0).alias("jaccard_est"),
+            (ex_e4.cast("double") / 10000.0).alias("jaccard_exact"),
+            (F.abs(est_e4 - ex_e4).cast("double") / 10000.0).alias("abs_err"),
         )
     )

@@ -604,13 +604,27 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "value"
     )
-    # Epoch seconds via an NTZ timestampdiff — session-TZ-independent (a
-    # unix_timestamp() cast would re-interpret the NTZ value in the
+    # Epoch MICROSECONDS via an NTZ timestampdiff — session-TZ-independent
+    # (a unix_timestamp() cast would re-interpret the NTZ value in the
     # driver's local zone; repo pattern, cf. load_table's nanos handling).
+    # Whole seconds + the sub-second part from extract(SECOND) (a
+    # DECIMAL(8,6), exact): ordering on truncated SECONDS drifted vs the
+    # oracle's microsecond-exact INTERVAL frame at sf0.1 density — an event
+    # 3600.4 s back truncates to a 3600 s distance and sneaks into the
+    # frame (caught by the sf0.1 full-gate run, round 5).
     secs = F.expr(
         "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
     )
-    w = Window.partitionBy("user_id").orderBy(secs).rangeBetween(-3600, 0)
+    subsec = F.expr("extract(SECOND FROM ts)")  # ss.ffffff, DECIMAL(8,6)
+    micros = (
+        secs * F.lit(1_000_000)
+        + ((subsec - F.floor(subsec)) * 1_000_000).cast("long")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, 0)
+    )
     return e.select(
         "event_id",
         "user_id",
