@@ -120,3 +120,33 @@ def test_category_bucket_covers_all_inputs(spark):
     )
     assert out.filter(F.col("b").isNull()).count() == 0
     assert set(r["b"] for r in out.distinct().collect()) == {"low", "mid", "high", "top"}
+
+
+# ---------------------------------------------------------------------------
+# Integer half-up quantization (the engine-portable ROUND replacement)
+# ---------------------------------------------------------------------------
+
+from fractions import Fraction
+
+
+@given(st.integers(0, 10**6), st.integers(1, 10**6))
+def test_e4_half_up_matches_exact_rational_rounding(num, den):
+    # floor((2*10^4*num + den) / (2*den)) must equal round-half-up of
+    # 10^4 * num/den computed on the EXACT rational — the property that
+    # makes the quantized ratio identical on every engine.
+    got = (num * 20000 + den) // (den * 2)
+    exact = Fraction(num * 10000, den)
+    expected = int(exact) + (1 if exact - int(exact) >= Fraction(1, 2) else 0)
+    assert got == expected
+
+
+def test_e4_half_up_column_matches_python(spark):
+    from autonomus_datapipeline_spark.operators.text import _e4_half_up
+    from pyspark.sql import functions as F
+
+    rows = [(3763, 10000), (1, 3), (2, 3), (5, 8), (12345, 99999), (0, 7)]
+    df = spark.createDataFrame(rows, "num long, den long").select(
+        "num", "den", _e4_half_up(F.col("num"), F.col("den")).alias("e4")
+    )
+    for r in df.collect():
+        assert r["e4"] == (r["num"] * 20000 + r["den"]) // (r["den"] * 2)
