@@ -4,6 +4,7 @@ plane (SURVEY.md §7.1: "plain Python API + thin CLI").
     python -m autonomus_datapipeline_spark run-spec spec.json --warehouse /tmp/wh
     python -m autonomus_datapipeline_spark detect /data/in --format csv
     python -m autonomus_datapipeline_spark query q1_pricing_summary --sf-dir /root/testdata/sf0.01
+    python -m autonomus_datapipeline_spark explain q1_pricing_summary
     python -m autonomus_datapipeline_spark list-queries
 """
 
@@ -31,6 +32,17 @@ def main(argv: list[str] | None = None) -> int:
     p_q.add_argument("name")
     p_q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p_q.add_argument("--rows", type=int, default=20)
+
+    p_e = sub.add_parser(
+        "explain", help="print a registry query's formatted physical plan"
+    )
+    p_e.add_argument("name")
+    p_e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p_e.add_argument(
+        "--mode",
+        default="formatted",
+        choices=["simple", "extended", "formatted", "cost", "codegen"],
+    )
 
     sub.add_parser("list-queries", help="list registered workload queries")
 
@@ -75,6 +87,19 @@ def main(argv: list[str] | None = None) -> int:
 
         spec = QUERY_REGISTRY[args.name]
         print(json.dumps(preview(spec.fn(spark, args.sf_dir), args.rows), indent=2))
+        return 0
+
+    if args.cmd == "explain":
+        from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY
+
+        df = QUERY_REGISTRY[args.name].fn(spark, args.sf_dir)
+        print(
+            df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    args.mode
+                )
+            )
+        )
         return 0
 
     return 1

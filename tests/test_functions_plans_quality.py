@@ -359,3 +359,17 @@ def test_udtf_failing_test_case_rejected():
             "y: int",
             test_cases=[{"input": [1], "expected_output": [(99,)]}],
         )
+
+
+def test_cli_explain_subprocess():
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "autonomus_datapipeline_spark", "explain",
+         "q6_forecast_revenue", "--sf-dir", "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "Physical Plan" in proc.stdout
+    assert "PushedFilters" in proc.stdout
