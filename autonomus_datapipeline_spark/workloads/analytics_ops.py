@@ -1,0 +1,553 @@
+"""Product-analytics and behavioral workloads over the events/orders tables.
+
+Round-5 batch: cohort retention, gaps-and-islands streaks, exponential
+time-decay scoring, rolling-distinct WAU/MAU, time-window event dedup,
+rolling z-score anomaly flags, a chi-square association audit, and a
+month-over-month mix-shift report. These are the user-behavior /
+monitoring queries a reference user would run downstream of the
+ingestion pipeline (reference dag_generator.py builds the hourly/grouped
+aggregates these extend; cf. SURVEY.md §2.C C5–C10).
+
+Determinism rules follow workloads/registry.py: integer outputs wherever
+possible; double outputs only from expressions whose per-row evaluation
+is IEEE-identical on both engines (single divisions, exact powers of
+two, correctly-rounded sqrt); any SUM of doubles goes through the exact
+decimal accumulator (dsum / sql_dsum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from autonomus_datapipeline_spark.workloads.registry import (
+    dsum,
+    load_table,
+    query,
+    sql_dsum,
+)
+
+# ---------------------------------------------------------------------------
+# Cohort retention
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "retention_cohort_matrix",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(wk) AS cohort_week FROM uw GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(date_diff('day', c.cohort_week, uw.wk) / 7 AS INT)
+               AS week_offset,
+           CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS n_active,
+           CAST(MIN(cs.cohort_size) AS BIGINT) AS cohort_size
+    FROM uw
+    JOIN cohort c ON c.user_id = uw.user_id
+    JOIN (SELECT cohort_week, COUNT(*) AS cohort_size
+          FROM cohort GROUP BY 1) cs
+      ON cs.cohort_week = c.cohort_week
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are assigned to the week of their
+    first event; each (cohort_week, week_offset) cell counts how many of
+    them were active that many weeks later.
+
+    Scale: the distinct (user, week) set is |users|·|weeks|-bounded — tiny
+    next to the fact table, produced by one map-side-combinable distinct.
+    The cohort table is |users|-sized; the cohort-size dimension is
+    |weeks|-sized and broadcast. All-integer output — zero float drift
+    surface.
+    """
+    e = load_table(spark, sf_dir, "events")
+    uw = (
+        e.select(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        uw.join(cohort, "user_id")
+        .join(F.broadcast(sizes), "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("wk", "cohort_week") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .agg(
+            F.count_distinct("user_id").alias("n_active"),
+            F.min("cohort_size").cast("bigint").alias("cohort_size"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands activity streaks
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               date_diff('day', DATE '2024-01-01', d)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                 AS island
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape: (day_number − row_number) is constant within
+    a consecutive run, so one window plus two aggregations finds every
+    island without a self-join.
+
+    Scale: the distinct (user, day) set is the only windowed input —
+    users × days, orders of magnitude under the fact table. One shuffle
+    on user_id serves the window and both groupBys (same key).
+    All-integer output.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff("d", F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponential time-decay engagement score
+# ---------------------------------------------------------------------------
+
+_DECAY_ANCHOR = "2024-01-31"
+
+
+@query(
+    "exp_decay_user_engagement",
+    oracle=f"""
+    SELECT user_id,
+           {sql_dsum(
+               "value * power(0.5, date_diff('day', CAST(ts AS DATE),"
+               f" DATE '{_DECAY_ANCHOR}'))",
+               "decay_score",
+           )},
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def exp_decay_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement score with exponential time decay: each event
+    contributes value · 0.5^(days before the anchor date), i.e. a 1-day
+    half-life. Recency weighting without any state — a single pass.
+
+    Determinism: 0.5^n with integer n is an exact binary double (one bit
+    set), so the per-row product is IEEE-identical on both engines; the
+    sum goes through the exact decimal accumulator (dsum), making
+    accumulation order irrelevant. Scale: one map-side-combinable
+    aggregate keyed on user_id.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days_back = F.datediff(
+        F.lit(_DECAY_ANCHOR).cast("date"), F.col("ts").cast("date")
+    )
+    contrib = F.col("value") * F.pow(F.lit(0.5), days_back)
+    return (
+        e.groupBy("user_id")
+        .agg(
+            dsum(contrib, "decay_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-distinct WAU / MAU
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "wau_mau_rolling_ratio",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    spine AS (SELECT DISTINCT wk FROM uw)
+    SELECT s.wk AS week_start,
+           CAST(COUNT(DISTINCT CASE WHEN uw.wk = s.wk THEN uw.user_id END)
+                AS BIGINT) AS wau,
+           CAST(COUNT(DISTINCT uw.user_id) AS BIGINT) AS mau
+    FROM spine s
+    JOIN uw ON uw.wk <= s.wk
+           AND uw.wk >= s.wk - INTERVAL 21 DAY
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def wau_mau_rolling_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAU and rolling 4-week MAU per week — the rolling *distinct* count
+    that a plain window frame cannot express (COUNT(DISTINCT) over a
+    RANGE frame is unsupported in both engines). Implemented as a week
+    spine range-joined to the distinct (user, week) set: the spine is
+    |weeks|-sized and broadcast, so the fan-out is ≤ 4 rows per
+    user-week — linear, no quadratic blow-up.
+
+    All-integer output; the WAU/MAU ratio is left to the consumer (a
+    division of the two exact counts).
+    """
+    e = load_table(spark, sf_dir, "events")
+    uw = (
+        e.select(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    spine = uw.select("wk").distinct().withColumnRenamed("wk", "week_start")
+    joined = uw.join(
+        F.broadcast(spine),
+        (F.col("wk") <= F.col("week_start"))
+        & (F.col("wk") >= F.date_sub("week_start", 21)),
+    )
+    return (
+        joined.groupBy("week_start")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("wk") == F.col("week_start"), F.col("user_id"))
+            ).alias("wau"),
+            F.count_distinct("user_id").alias("mau"),
+        )
+        .orderBy("week_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-window event dedup (streaming dedup-within-watermark, batch twin)
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_WINDOW_US = 300_000_000  # 5 minutes
+
+
+@query(
+    "near_time_duplicate_events",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT event_type,
+               date_diff('microsecond',
+                         LAG(ts) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id),
+                         ts) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(CASE WHEN gap_us <= {_NEAR_DUP_WINDOW_US} THEN 1 END)
+                AS BIGINT) AS n_near_dups,
+           CAST(COUNT(*) - COUNT(CASE WHEN gap_us <= {_NEAR_DUP_WINDOW_US}
+                                      THEN 1 END) AS BIGINT) AS n_kept
+    FROM lagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def near_time_duplicate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window dedup audit: an event is a near-duplicate if the same
+    (user, event_type) fired within the preceding 5 minutes — the batch
+    twin of Structured Streaming's dropDuplicatesWithinWatermark
+    (streaming/ingest.py implements the streaming side). Reports per-type
+    raw, duplicate, and kept counts.
+
+    The gap is measured in exact microseconds via timestampdiff on the
+    NTZ values (session-TZ-independent; same pattern as
+    rolling_1h_user_value). One shuffle on (user, event_type) for the
+    lag window; the summary aggregate is 5 rows. All-integer output.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, _prev_ts, ts)"
+    )
+    lagged = e.select(
+        "event_type",
+        prev_ts.alias("_prev_ts"),
+        "ts",
+    ).select(
+        "event_type",
+        gap_us.alias("gap_us"),
+    )
+    is_dup = F.col("gap_us") <= _NEAR_DUP_WINDOW_US
+    return (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count(F.when(is_dup, 1)).cast("bigint").alias("n_near_dups"),
+            (F.count(F.lit(1)) - F.count(F.when(is_dup, 1)))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection
+# ---------------------------------------------------------------------------
+
+_Z_LOOKBACK = 20
+_Z_MIN_N = 5
+_Z_THRESHOLD = 3.0
+
+
+@query(
+    "rolling_zscore_anomaly",
+    oracle=f"""
+    WITH rolled AS (
+        SELECT event_id, user_id, value,
+               CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                    OVER w AS DOUBLE) AS s1,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))
+                        * CAST(value AS DECIMAL(38,6)))
+                    OVER w AS DOUBLE) AS s2,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           (value - s1 / n)
+             / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore
+    FROM rolled
+    WHERE n >= {_Z_MIN_N}
+      AND (s2 - s1 * s1 / n) / (n - 1) > 0
+      AND ABS((value - s1 / n)
+              / sqrt((s2 - s1 * s1 / n) / (n - 1))) > {_Z_THRESHOLD}
+    ORDER BY event_id
+    """,
+)
+def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection as a batch window: each event's
+    value is z-scored against the previous ≤20 events of the same user
+    (the current row excluded, so an outlier cannot mask itself), and
+    |z| > 3 rows are flagged.
+
+    Determinism: the rolling Σv and Σv² are exact decimal accumulators
+    (order-free); mean/variance/z are then a fixed sequence of IEEE
+    double ops (±, ×, ÷, correctly-rounded sqrt) identical on both
+    engines — bit-equal without any rounding step. One shuffle on
+    user_id; output is the anomaly set only.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_Z_LOOKBACK, -1)
+    )
+    vdec = F.col("value").cast("decimal(38,6)")
+    rolled = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(vdec).over(w).cast("double").alias("s1"),
+        F.sum(vdec * vdec).over(w).cast("double").alias("s2"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value") - F.col("s1") / F.col("n")) / F.sqrt(var)
+    return (
+        rolled.where(
+            (F.col("n") >= _Z_MIN_N)
+            & (var > 0)
+            & (F.abs(z) > _Z_THRESHOLD)
+        )
+        .select("event_id", "user_id", "value", z.alias("zscore"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square association audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chi_square_event_hour",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+               CAST(COUNT(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rows_ AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
+    cols_ AS (SELECT hr, SUM(o) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM cells)
+    SELECT c.event_type,
+           {sql_dsum(
+               "(c.o - r.rt * cl.ct / t.n) * (c.o - r.rt * cl.ct / t.n)"
+               " / (r.rt * cl.ct / t.n)",
+               "chi2",
+           )},
+           CAST(COUNT(*) AS BIGINT) AS n_cells
+    FROM cells c
+    JOIN rows_ r ON r.event_type = c.event_type
+    JOIN cols_ cl ON cl.hr = c.hr
+    CROSS JOIN tot t
+    GROUP BY c.event_type
+    ORDER BY c.event_type
+    """,
+)
+def chi_square_event_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association audit between event_type and hour-of-day:
+    per type, Σ (observed − expected)²/expected over its 24 hour cells —
+    the drift detector for 'did this event type's temporal profile
+    change'. A uniform-traffic corpus scores near zero.
+
+    The contingency table is |types|×24 — trivially small after one
+    map-side-combinable aggregate over the fact table; margins are
+    broadcast. Per-cell math is IEEE-deterministic from integer counts
+    (each engine computes the identical expression tree); the Σ over
+    cells is a decimal accumulator, so cell order cannot drift the
+    total.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.groupBy("event_type", F.hour("ts").alias("hr"))
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("hr").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    expected = F.col("rt") * F.col("ct") / F.col("n")
+    contrib = (F.col("o") - expected) * (F.col("o") - expected) / expected
+    return (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "hr")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("event_type")
+        .agg(
+            dsum(contrib, "chi2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month mix shift
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "monthly_priority_share_shift",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1, 2
+    ),
+    shares AS (
+        SELECT month, priority, n_orders,
+               CAST(n_orders AS DOUBLE)
+                 / CAST(SUM(n_orders) OVER (PARTITION BY month) AS DOUBLE)
+                 AS share
+        FROM m
+    )
+    SELECT month, priority, n_orders, share,
+           share - LAG(share) OVER (PARTITION BY priority ORDER BY month)
+               AS share_shift
+    FROM shares
+    ORDER BY month, priority
+    """,
+)
+def monthly_priority_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month mix-shift report: each order priority's share of
+    the month's orders, and the delta vs the previous month — the
+    composition-drift view a pipeline owner watches after an upstream
+    change.
+
+    Shares are a single division of two exact counts (IEEE-identical on
+    both engines); the shift is one subtraction of those bit-equal
+    doubles — no rounding needed. The monthly aggregate is
+    map-side-combinable; both windows run on the tiny month×priority
+    grid.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    w_month = Window.partitionBy("month")
+    shares = m.select(
+        "month",
+        "priority",
+        "n_orders",
+        (
+            F.col("n_orders").cast("double")
+            / F.sum("n_orders").over(w_month).cast("double")
+        ).alias("share"),
+    )
+    w_lag = Window.partitionBy("priority").orderBy("month")
+    return (
+        shares.select(
+            "month",
+            "priority",
+            "n_orders",
+            "share",
+            (F.col("share") - F.lag("share").over(w_lag)).alias("share_shift"),
+        )
+        .orderBy("month", "priority")
+    )
