@@ -551,3 +551,216 @@ def monthly_priority_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month", "priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline) of orders
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pareto_frontier_orders",
+    oracle="""
+    WITH grid AS (
+        SELECT o_orderdate AS d, MAX(o_totalprice) AS mp
+        FROM orders GROUP BY 1
+    ),
+    sky AS (
+        SELECT d, mp,
+               MAX(mp) OVER (ORDER BY d DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS later_max
+        FROM grid
+    )
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice
+    FROM orders o
+    JOIN sky s ON s.d = o.o_orderdate AND s.mp = o.o_totalprice
+    WHERE s.later_max IS NULL OR s.mp > s.later_max
+    ORDER BY o.o_orderdate DESC, o.o_orderkey
+    """,
+)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: orders not dominated on (order date, total price) —
+    an order is on the Pareto frontier iff no other order is both at least
+    as recent and at least as expensive (with one strict). The naive
+    formulation is an O(n²) NOT EXISTS self-join; this plan is O(n):
+    reduce to the per-date max-price GRID (bounded by the date domain, a
+    few thousand rows at ANY corpus size), take the running max over
+    strictly-later dates in one window pass, keep grid points that beat
+    it, and semi-join the winners back to the fact table.
+
+    The single-partition window is over the date grid, not the fact table,
+    so it stays tiny at 100 TB. Equality joins on values read from the
+    same parquet are exact; no arithmetic at all — zero drift surface.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    grid = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.max("o_totalprice").alias("mp")
+    )
+    w = (
+        Window.orderBy(F.desc("d"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        grid.select("d", "mp", F.max("mp").over(w).alias("later_max"))
+        .where(F.col("later_max").isNull() | (F.col("mp") > F.col("later_max")))
+    )
+    return (
+        o.join(
+            F.broadcast(sky),
+            (o.o_orderdate == sky.d) & (o.o_totalprice == sky.mp),
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy(F.desc("o_orderdate"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 3
+_PR_TOP = 30
+_PR_DAMP = 0.85
+
+_PR_EDGES_CTE = """
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a
+        JOIN op b ON b.l_orderkey = a.l_orderkey
+                 AND b.l_partkey <> a.l_partkey
+        GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e0 GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg)
+"""
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration. Contributions pr/deg are snapped to
+    integer picounits via FLOOR(x·10¹²) — floor has no tie case, unlike a
+    decimal cast whose half-quantum rounding differs between engines
+    (HALF_UP vs HALF_EVEN; observed as a 1-ulp-of-decimal drift at
+    sf0.01) — then summed as exact integers, order-free."""
+    return f"""
+    {out} AS (
+        SELECT e0.dst AS node,
+               0.15 / t.n + 0.85 * (CAST(CAST(SUM(CAST(
+                   FLOOR(p.pr / d.deg * 1e12) AS BIGINT))
+                   AS BIGINT) AS DOUBLE) / 1e12) AS pr
+        FROM e0
+        JOIN deg d ON d.src = e0.src
+        JOIN {prev} p ON p.node = e0.src
+        CROSS JOIN nn t
+        GROUP BY e0.dst, t.n
+    )"""
+
+
+@query(
+    "pagerank_copurchase",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    pr0 AS (SELECT src AS node, 1.0 / t.n AS pr FROM deg CROSS JOIN nn t),
+    {_pr_iter_sql("pr0", "pr1")},
+    {_pr_iter_sql("pr1", "pr2")},
+    {_pr_iter_sql("pr2", "pr3")}
+    SELECT p.node AS part, p.pr AS pagerank, d.deg AS degree
+    FROM pr3 p JOIN deg d ON d.src = p.node
+    ORDER BY pagerank DESC, part
+    LIMIT {_PR_TOP}
+    """,
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, {_PR_ITERS} synchronous iterations) over the
+    undirected co-purchase graph: parts are nodes, an edge links parts
+    bought in the same order. The iterative join-aggregate loop is the
+    canonical distributed PageRank: per iteration, one shuffle join of the
+    edge list with the rank vector on src and one aggregate on dst — no
+    driver-side state, no collect. The edge list (with degrees attached)
+    is checkpointed once and reused by every iteration, so the expensive
+    within-order pair fan-out runs exactly once.
+
+    Determinism: per-edge contributions pr/deg are IEEE doubles computed
+    identically on both engines, snapped to DECIMAL(38,12) and summed
+    exactly (order-free); the damped update is then a fixed double
+    expression. Ranks are bit-identical per iteration by induction.
+
+    Scale: edges are Σ C(lines_per_order, 2)·2 ≈ 40× orders — linear in
+    the fact table; the rank vector is |parts|-sized. Both re-shuffle on
+    the same key each round (AQE reuses the layout). Cf. the alternating
+    large-star contraction in operators/graph.py for the connected-
+    components twin of this loop shape.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    e0 = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = e0.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    # One materialization of the fan-out; every iteration reuses it.
+    edges = e0.join(deg, "src").localCheckpoint()
+    nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    pr = deg.crossJoin(F.broadcast(nn)).select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        # Integer picounit snap: floor never ties, so the quantization is
+        # engine-identical (a DECIMAL(38,12) cast is not — HALF_UP vs
+        # HALF_EVEN at half-quantum values). The sum is then exact int64:
+        # bounded by n_edges · 10¹² · max(pr)/deg ≪ 2⁶³ because Σ pr = 1.
+        contrib = F.floor(F.col("pr") / F.col("deg") * F.lit(1e12)).cast("long")
+        pr = (
+            edges.join(pr, edges.src == pr.node)
+            .crossJoin(F.broadcast(nn))
+            .groupBy(F.col("dst").alias("_dst"), "n")
+            .agg(F.sum(contrib).cast("long").alias("s"))
+            .select(
+                F.col("_dst").alias("node"),
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(_PR_DAMP) * (F.col("s").cast("double") / F.lit(1e12))
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.join(deg, pr.node == deg.src)
+        .select(F.col("node").alias("part"), F.col("pr").alias("pagerank"), "deg")
+        .withColumnRenamed("deg", "degree")
+        .orderBy(F.desc("pagerank"), "part")
+        .limit(_PR_TOP)
+    )
+
+
+@query(
+    "copurchase_degree_histogram",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE}
+    SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM deg GROUP BY 1 ORDER BY 1
+    """,
+)
+def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the structural audit
+    run before any graph algorithm (skew in this histogram predicts hot
+    keys in the PageRank/CC shuffles; cf. operators/skew.py for the
+    mitigation). All-integer, two map-side-combinable aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    e0 = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = e0.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    return (
+        deg.groupBy(F.col("deg").alias("degree"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("degree")
+    )
