@@ -22,3 +22,4 @@ from autonomus_datapipeline_spark.workloads import sql_surface  # noqa: F401,E40
 from autonomus_datapipeline_spark.workloads import training_prep  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import audit_ops  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import analytics_ops  # noqa: F401,E402
+from autonomus_datapipeline_spark.workloads import search_ops  # noqa: F401,E402

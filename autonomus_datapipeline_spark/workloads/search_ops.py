@@ -1,0 +1,510 @@
+"""Search and corpus-similarity workloads: BM25 ranking, boilerplate
+coverage, asymmetric containment, cross-source distribution distance, and
+a k-NN label-propagation evaluation.
+
+These extend the LLM-curation families (pipeline_ops / curation_ops) with
+the retrieval-side operators a training-data pipeline runs: scoring
+documents against a query (BM25), measuring how much of a document is
+corpus-boilerplate, finding subset-duplicates that Jaccard under-scores
+(containment), comparing source token distributions (TVD), and sanity-
+checking embedding quality via nearest-neighbor label agreement.
+
+Determinism: the repo-wide log-free discipline (NOTES_BUILD.md) — BM25
+uses the rational idf (N−df+0.5)/(df+0.5) instead of its log, TVD and
+BM25 sums go through the exact decimal accumulator, ratios are quantized
+to integer ten-thousandths with the half-up helper, and every ranking
+carries a total tiebreak order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from autonomus_datapipeline_spark.operators import dedup, similarity, text
+from autonomus_datapipeline_spark.workloads.pipeline_ops import (
+    _DIM,
+    _NORM_CTE,
+    _TOKS,
+    _e4_sql,
+    _sql_rerank_cte,
+    _sql_shingles,
+)
+from autonomus_datapipeline_spark.workloads.registry import (
+    dsum,
+    load_table,
+    query,
+    sql_dsum,
+)
+
+# ---------------------------------------------------------------------------
+# BM25 document ranking
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 20
+
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+
+
+@query(
+    "bm25_doc_ranking",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    dl AS (SELECT doc_id, tk, CAST(len(tk) AS INT) AS dl FROM d),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    terms(term) AS (VALUES {_BM25_TERMS_SQL}),
+    tf AS (
+        SELECT dl.doc_id, dl.dl, t.term,
+               CAST(len(list_filter(dl.tk, x -> x = t.term)) AS INT) AS tf
+        FROM dl CROSS JOIN terms t
+    ),
+    tfpos AS (SELECT * FROM tf WHERE tf > 0),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfpos GROUP BY 1),
+    scored AS (
+        SELECT p.doc_id,
+               ((s.nd - f.df + 0.5) / (f.df + 0.5))
+                 * (p.tf * ({_BM25_K1} + 1.0)
+                    / (p.tf + {_BM25_K1}
+                       * (1.0 - {_BM25_B}
+                          + {_BM25_B} * (CAST(p.dl AS DOUBLE) / s.avgdl))))
+                 AS contrib
+        FROM tfpos p
+        JOIN df f ON f.term = p.term
+        CROSS JOIN stats s
+    )
+    SELECT doc_id, score, n_terms FROM (
+        SELECT doc_id,
+               {sql_dsum("contrib", "score")},
+               CAST(COUNT(*) AS BIGINT) AS n_terms
+        FROM scored GROUP BY doc_id
+    ) z
+    ORDER BY score DESC, doc_id
+    LIMIT {_BM25_TOP}
+    """,
+)
+def bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of the corpus against a fixed term query — the
+    classical sparse-retrieval scorer (k1={_BM25_K1}, b={_BM25_B}), with
+    the rational idf (N−df+0.5)/(df+0.5) in place of its log (log is not
+    engine-portable at the bit level; the ranking it induces is
+    identical-in-order for any df < N/2 corpus, NOTES_BUILD.md).
+
+    Scale: the term list is broadcast (a query has tens of terms); tf is
+    one scan with a vectorized array filter per term; df and the
+    doc-length stats are tiny aggregates. The per-(doc,term) score is a
+    fixed IEEE expression; the per-doc sum is an exact decimal
+    accumulator. One shuffle on doc_id, then a global top-k.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("tk")
+    )
+    dl = tk.select("doc_id", "tk", F.size("tk").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    terms = spark.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "term string"
+    )
+    tfpos = (
+        dl.crossJoin(F.broadcast(terms))
+        .select(
+            "doc_id",
+            "dl",
+            "term",
+            F.size(
+                F.filter("tk", lambda x: x == F.col("term"))
+            ).alias("tf"),
+        )
+        .where(F.col("tf") > 0)
+    )
+    df = tfpos.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    ratio = F.col("dl").cast("double") / F.col("avgdl")
+    idf = (F.col("nd") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    sat = (
+        F.col("tf") * (F.lit(_BM25_K1) + F.lit(1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0) - F.lit(_BM25_B) + F.lit(_BM25_B) * ratio)
+        )
+    )
+    scored = (
+        tfpos.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", (idf * sat).alias("contrib"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            dsum(F.col("contrib"), "score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_BM25_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate coverage
+# ---------------------------------------------------------------------------
+
+_BOILER_SHINGLE = 3
+_BOILER_DF = 20
+_BOILER_TOP = 50
+
+
+@query(
+    "boilerplate_coverage_scores",
+    oracle=f"""
+    WITH {_sql_shingles(_BOILER_SHINGLE)},
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    per_doc AS (
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(COUNT(CASE WHEN df.df >= {_BOILER_DF} THEN 1 END)
+                    AS BIGINT) AS n_boiler
+        FROM sh JOIN df ON df.shingle = sh.shingle
+        GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_boiler,
+           CAST({_e4_sql("n_boiler", "n_shingles")} AS DOUBLE) / 10000.0
+               AS boiler_ratio
+    FROM per_doc
+    ORDER BY n_boiler DESC, doc_id
+    LIMIT {_BOILER_TOP}
+    """,
+)
+def boilerplate_coverage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate coverage per document: the fraction of a document's
+    word-{_BOILER_SHINGLE}-grams that are corpus-frequent (df ≥
+    {_BOILER_DF}) — the CCNet-style signal for template/boilerplate-heavy
+    pages that survive exact dedup but add no training value. High-ratio
+    docs are down-weighted or dropped by the curation chain.
+
+    Scale: one shingle explosion + a df aggregate + a re-join on the
+    shingle — all shuffle-linear in corpus size (the df table is
+    vocabulary-bounded). The ratio is the integer half-up ten-thousandth
+    (no engine-variant double rounding). Top-{_BOILER_TOP} by boilerplate
+    mass with doc_id tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", _BOILER_SHINGLE)
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count(F.when(F.col("df") >= _BOILER_DF, 1))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+    )
+    ratio = (
+        text._e4_half_up(F.col("n_boiler"), F.col("n_shingles"))
+        .cast("double")
+        / 10000.0
+    )
+    return (
+        per_doc.select(
+            "doc_id", "n_shingles", "n_boiler", ratio.alias("boiler_ratio")
+        )
+        .orderBy(F.desc("n_boiler"), "doc_id")
+        .limit(_BOILER_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric n-gram containment
+# ---------------------------------------------------------------------------
+
+_CONT_SHINGLE = 3
+_CONT_MAX_DF = 25
+_CONT_TAU = 0.6
+_CONT_TOP = 30
+
+
+@query(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH {_sql_shingles(_CONT_SHINGLE)},
+    rare AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {_CONT_MAX_DF}
+    ),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shc a JOIN shc b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_common AS DOUBLE) / least(sa.n, sb.n) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / least(sa.n, sb.n) >= {_CONT_TAU}
+    ORDER BY containment DESC, doc_a, doc_b
+    LIMIT {_CONT_TOP}
+    """,
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-containment: |A∩B| / min(|A|,|B|) over capped
+    word-{_CONT_SHINGLE}-gram sets — the subset-duplicate detector.
+    A short document pasted inside a long one scores near 1.0 here while
+    its Jaccard (÷ union) stays low, so a Jaccard-only dedup pass ships
+    the duplication to training; containment is the standard second pass
+    (same signal family as the ExactSubstr span strip, operators/dedup).
+
+    Scale: identical inverted-index plan to ngram_jaccard_capped — the
+    document-frequency cap bounds the candidate join at Σ min(df,cap)²;
+    the containment is one division of exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", _CONT_SHINGLE)
+    shc = dedup.cap_document_frequency(sh, _CONT_MAX_DF)
+    sizes = shc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = shc.alias("a"), shc.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    containment = F.col("n_common").cast("double") / F.least("n_a", "n_b")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(containment >= _CONT_TAU)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            containment.alias("containment"),
+        )
+        .orderBy(F.desc("containment"), "doc_a", "doc_b")
+        .limit(_CONT_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source token-distribution distance (total variation)
+# ---------------------------------------------------------------------------
+
+_TVD_TOP_TOKENS = 100
+
+
+@query(
+    "source_token_tvd_matrix",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest({_TOKS}) AS tok FROM documents
+    ),
+    top_tok AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1
+            ORDER BY c DESC, tok LIMIT {_TVD_TOP_TOKENS}
+        ) t
+    ),
+    cnt AS (
+        SELECT source, tok.tok, COUNT(*) AS c
+        FROM tok JOIN top_tok USING (tok)
+        GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.source, tt.tok, COALESCE(c.c, 0) AS c
+        FROM (SELECT DISTINCT source FROM documents) s
+        CROSS JOIN top_tok tt
+        LEFT JOIN cnt c ON c.source = s.source AND c.tok = tt.tok
+    ),
+    p AS (
+        SELECT source, tok,
+               CAST(c AS DOUBLE)
+                 / SUM(c) OVER (PARTITION BY source) AS p
+        FROM grid
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           0.5 * sum_abs AS tvd
+    FROM (
+        SELECT a.source, b.source AS source_b_,
+               {sql_dsum("abs(a.p - b.p)", "sum_abs")}
+        FROM p a JOIN p b ON b.tok = a.tok AND a.source < b.source
+        GROUP BY 1, 2
+    ) z(source, source_b_, sum_abs)
+    JOIN (SELECT DISTINCT source FROM documents) a ON a.source = z.source
+    JOIN (SELECT DISTINCT source FROM documents) b ON b.source = z.source_b_
+    ORDER BY source_a, source_b
+    """,
+)
+def source_token_tvd_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise total-variation distance between per-source token
+    distributions (restricted to the global top-{_TVD_TOP_TOKENS} tokens,
+    which bounds the profile size at any corpus scale) — the corpus-mixing
+    diagnostic: sources whose TVD ≈ 0 are interchangeable; a high-TVD
+    source shifts the training mixture (cf. corpus_mix_sampling and
+    distribution_drift_tvd, which compare snapshots over time).
+
+    Scale: token counts are one map-side-combinable aggregate; the
+    profile grid is |sources|×{_TVD_TOP_TOKENS} — tiny — so the pair join
+    is a broadcast of bounded profiles, never a corpus-sized shuffle.
+    Per-token |Δp| is a fixed IEEE expression; the per-pair sum is the
+    exact decimal accumulator.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    top_tok = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(_TVD_TOP_TOKENS)
+        .select("tok")
+    )
+    cnt = (
+        tok.join(F.broadcast(top_tok), "tok")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sources = docs.select("source").distinct()
+    grid = (
+        sources.crossJoin(F.broadcast(top_tok))
+        .join(cnt, ["source", "tok"], "left")
+        .select("source", "tok", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = Window.partitionBy("source")
+    p = grid.select(
+        "source",
+        "tok",
+        (F.col("c").cast("double") / F.sum("c").over(w)).alias("p"),
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "tok", F.col("p").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"), "tok", F.col("p").alias("pb")
+    )
+    return (
+        a.join(b, ["tok"])
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(dsum(F.abs(F.col("pa") - F.col("pb")), "sum_abs"))
+        .select(
+            "source_a",
+            "source_b",
+            (F.lit(0.5) * F.col("sum_abs")).alias("tvd"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label-agreement evaluation
+# ---------------------------------------------------------------------------
+
+_KNN_EVAL_N = 50
+_KNN_K = 5
+
+
+@query(
+    "knn_label_classifier",
+    oracle=f"""
+    WITH {_NORM_CTE},
+    cand AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < {_KNN_EVAL_N} AND a.vec_id <> b.vec_id
+    ),
+    {_sql_rerank_cte("cand", "knn", k=_KNN_K)},
+    votes AS (
+        SELECT k.query_id, e.label, COUNT(*) AS cnt
+        FROM knn k JOIN embeddings e ON e.vec_id = k.neighbor_id
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT query_id, label AS pred_label FROM (
+            SELECT query_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cnt DESC, label) AS rn
+            FROM votes
+        ) v WHERE rn = 1
+    )
+    SELECT t.label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct
+    FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-agreement evaluation: for {_KNN_EVAL_N} probe vectors,
+    predict each probe's label by majority vote of its {_KNN_K} exact
+    cosine nearest neighbors (self excluded, ties broken count-desc then
+    label-asc) and report per-label accuracy — the standard intrinsic
+    check that an embedding space separates its classes, run before the
+    embeddings are trusted for dedup/mixing decisions.
+
+    Scale: the probe set is broadcast and the corpus scanned once (same
+    two-phase exact-cosine plan as embedding_cosine_topk); voting and the
+    accuracy rollup are k·probes-sized. All-integer output.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _KNN_EVAL_N)
+    knn = similarity.cosine_topk(q, emb, _KNN_K)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("label")
+    )
+    votes = (
+        knn.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cnt"), "label")
+    pred = (
+        votes.select(
+            "query_id", "label", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("label"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .orderBy("label")
+    )
