@@ -77,6 +77,16 @@ PROBE_QUERIES = [
     "minhash_jaccard_error",
     "dedup_keep_best_quality",
     "ann_ivf_incremental_assign",
+    # round-5 analytics/search batch
+    "retention_cohort_matrix",
+    "rolling_zscore_anomaly",
+    "pareto_frontier_orders",
+    "pagerank_copurchase",
+    "ngram_containment_pairs",
+    "bm25_doc_ranking",
+    "boilerplate_coverage_scores",
+    "source_token_tvd_matrix",
+    "knn_label_classifier",
     # round-5 TPC-H widening + collocations
     "q3_shipping_priority",
     "q4_order_priority_check",
