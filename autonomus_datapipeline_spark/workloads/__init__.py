@@ -23,3 +23,4 @@ from autonomus_datapipeline_spark.workloads import training_prep  # noqa: F401,E
 from autonomus_datapipeline_spark.workloads import audit_ops  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import analytics_ops  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import search_ops  # noqa: F401,E402
+from autonomus_datapipeline_spark.workloads import mining_ops  # noqa: F401,E402

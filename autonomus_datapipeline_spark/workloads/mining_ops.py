@@ -1,0 +1,721 @@
+"""Pattern-mining and iterative-ML workloads: association rules, funnel
+timing, sweep-line interval counting, similarity-graph construction,
+Pareto-concentration, corpus novelty decay, seasonality, and an unrolled
+Lloyd (k-means) iteration pair.
+
+Second round-5 batch. Registered after the 50-query driver block, so
+these enter the driver's correctness file in the NEXT round; every one is
+oracle-checked by the local gate (tools/check_oracles.py and
+tests/test_queries_oracle.py) from day one.
+
+Determinism notes follow the repo discipline (registry docstring):
+integer cross-multiplication for rank cuts, decimal accumulators for any
+double sum, floor-quantization for iterative self-feeding values
+(k-means centroid means — same lesson as pagerank_copurchase), and total
+tiebreak orders on every ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from autonomus_datapipeline_spark.operators import dedup
+from autonomus_datapipeline_spark.workloads.pipeline_ops import (
+    _TOKS,
+    _e4_sql,
+    _sql_shingles,
+)
+from autonomus_datapipeline_spark.operators.text import _e4_half_up
+from autonomus_datapipeline_spark.workloads.registry import (
+    dsum,
+    load_table,
+    query,
+    sql_dsum,
+)
+
+# ---------------------------------------------------------------------------
+# Association rules over co-purchase pairs
+# ---------------------------------------------------------------------------
+
+_MBL_MIN_SUPPORT = 3
+_MBL_TOP = 30
+
+
+@query(
+    "market_basket_lift",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM op),
+    sup AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM op
+            GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM op a JOIN op b ON b.l_orderkey = a.l_orderkey
+                AND b.l_partkey > a.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_MBL_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, n_ab, sa.n AS n_a, sb.n AS n_b,
+           CAST(n_ab AS DOUBLE) * t.n_orders
+             / (CAST(sa.n AS DOUBLE) * sb.n) AS lift,
+           CAST(n_ab AS DOUBLE) / sa.n AS confidence_ab
+    FROM pairs
+    JOIN sup sa ON sa.l_partkey = part_a
+    JOIN sup sb ON sb.l_partkey = part_b
+    CROSS JOIN tot t
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT {_MBL_TOP}
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining on the co-purchase graph: for every part
+    pair with support ≥ {_MBL_MIN_SUPPORT} orders, lift = P(ab)/(P(a)·P(b))
+    and confidence(a→b) — the rule-quality metrics layered on
+    copurchase_pairs' raw support counts (audit_ops.py).
+
+    Scale: the within-order self-join is Σ C(lines,2)-bounded (linear in
+    the fact table); part supports are a catalog-sized dimension joined
+    after the HAVING prunes the pair set. Lift and confidence are fixed
+    IEEE expressions over exact counts — engine-identical without
+    rounding.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    tot = op.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    sup = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, (a.ok == b.ok2) & (F.col("part_b") > F.col("part_a")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .where(F.col("n_ab") >= _MBL_MIN_SUPPORT)
+    )
+    sa = sup.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    sb = sup.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    lift = (
+        F.col("n_ab").cast("double") * F.col("n_orders")
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            lift.alias("lift"),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence_ab"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(_MBL_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel time-to-conversion distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "funnel_time_to_conversion",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    conv AS (
+        SELECT s.user_id,
+               CAST(date_diff('microsecond', s.signup_ts, MIN(e.ts))
+                    // 1000000 AS BIGINT) AS delta_s
+        FROM s JOIN events e
+          ON e.user_id = s.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts >= s.signup_ts
+        GROUP BY s.user_id, s.signup_ts
+    ),
+    hist AS (SELECT delta_s AS v, COUNT(*) AS c FROM conv GROUP BY 1),
+    cum AS (
+        SELECT v, c,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS n
+        FROM hist
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(MIN(v) AS BIGINT) AS min_secs,
+           CAST(MIN(CASE WHEN 2 * cum >= n THEN v END) AS BIGINT)
+               AS median_secs,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN v END) AS BIGINT)
+               AS p90_secs,
+           CAST(MAX(v) AS BIGINT) AS max_secs
+    FROM cum
+    """,
+)
+def funnel_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion-latency distribution: per user, the time
+    from first signup to the first purchase at-or-after it, summarized as
+    exact min/median/p90/max via the value-histogram method (no global
+    sort, no approx sketch — grouped_token_quantiles' trick on a
+    whole-second latency domain).
+
+    Scale: both event extractions are filtered scans aggregated on
+    user_id (one shuffle, map-side combinable); the histogram window runs
+    on the bounded latency-value domain. Truncating to whole seconds is
+    engine-identical (both floor a positive microsecond difference).
+    """
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    conv = (
+        s.join(p, "user_id")
+        .where(F.col("pts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("pts").alias("first_purchase"))
+        .select(
+            # Exact microsecond difference floor-divided to whole seconds:
+            # a SECOND-unit diff is engine-variant (DuckDB counts boundary
+            # crossings, Spark truncates the difference).
+            F.expr(
+                "timestampdiff(MICROSECOND, signup_ts, first_purchase)"
+                " div 1000000"
+            )
+            .cast("bigint")
+            .alias("delta_s")
+        )
+    )
+    hist = conv.groupBy(F.col("delta_s").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.min("v").cast("bigint").alias("min_secs"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("median_secs"),
+        F.min(F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("p90_secs"),
+        F.max("v").cast("bigint").alias("max_secs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency
+# ---------------------------------------------------------------------------
+
+_IOC_DAYS = 7
+_IOC_TOP = 30
+
+
+@query(
+    "interval_overlap_count",
+    oracle=f"""
+    WITH deltas AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS delta
+        FROM orders GROUP BY 1
+        UNION ALL
+        SELECT CAST(o_orderdate + INTERVAL {_IOC_DAYS} DAY AS DATE) AS d,
+               -COUNT(*) AS delta
+        FROM orders GROUP BY 1
+    ),
+    merged AS (SELECT d, SUM(delta) AS delta FROM deltas GROUP BY 1),
+    open_ AS (
+        SELECT d,
+               CAST(SUM(delta) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS n_open
+        FROM merged
+    )
+    SELECT d AS day, n_open FROM open_
+    ORDER BY n_open DESC, day
+    LIMIT {_IOC_TOP}
+    """,
+)
+def interval_overlap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency via the sweep line: treat each order as a
+    {_IOC_DAYS}-day open interval, emit +n/−n boundary deltas per date,
+    and one cumulative window over the DATE GRID yields how many orders
+    are open on every day — O(n) against the naive interval self-join's
+    O(n²), and the window input is calendar-bounded at any corpus size
+    (the same grid-reduction trick as pareto_frontier_orders). Top
+    {_IOC_TOP} busiest days, date tiebreak. All-integer.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    starts = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("delta")
+    )
+    ends = o.groupBy(
+        F.date_add(F.col("o_orderdate").cast("date"), _IOC_DAYS).alias("d")
+    ).agg((-F.count(F.lit(1))).alias("delta"))
+    merged = (
+        starts.unionByName(ends)
+        .groupBy("d")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        merged.select(
+            F.col("d").alias("day"),
+            F.sum("delta").over(w).cast("bigint").alias("n_open"),
+        )
+        .orderBy(F.desc("n_open"), "day")
+        .limit(_IOC_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard k-NN graph construction
+# ---------------------------------------------------------------------------
+
+_JKG_SHINGLE = 3
+_JKG_MAX_DF = 25
+_JKG_K = 3
+
+
+@query(
+    "jaccard_knn_graph",
+    oracle=f"""
+    WITH {_sql_shingles(_JKG_SHINGLE)},
+    rare AS (
+        SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {_JKG_MAX_DF}
+    ),
+    shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shc a JOIN shc b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT doc_a, doc_b,
+               CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+    ),
+    sym AS (
+        SELECT doc_a AS doc_id, doc_b AS neighbor_id, jaccard FROM jac
+        UNION ALL
+        SELECT doc_b, doc_a, jaccard FROM jac
+    )
+    SELECT doc_id, neighbor_id, jaccard, rk FROM (
+        SELECT doc_id, neighbor_id, jaccard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY jaccard DESC, neighbor_id)
+                    AS INT) AS rk
+        FROM sym
+    ) r WHERE rk <= {_JKG_K}
+    """,
+)
+def jaccard_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-graph construction: each document's top-{_JKG_K}
+    neighbors by capped n-gram Jaccard — the k-NN graph that clustering
+    (connected components, label propagation) and graph-based dedup run
+    on. Built from the df-capped inverted-index pair join (same bound as
+    ngram_jaccard_capped), symmetrized, then one per-doc ranking window
+    with a total tiebreak.
+
+    Scale: pair generation is Σ min(df,cap)²; symmetrization doubles the
+    edge list (still pair-bounded ≪ n²); the window shuffles on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", _JKG_SHINGLE)
+    pairs = dedup.ngram_jaccard_pairs(sh, max_df=_JKG_MAX_DF).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("neighbor_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("neighbor_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "neighbor_id")
+    return (
+        sym.select(
+            "doc_id",
+            "neighbor_id",
+            "jaccard",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= _JKG_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration (Pareto 80/20)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cumulative_share_pareto80",
+    oracle="""
+    WITH rev AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS r
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT o_custkey, r,
+               SUM(r) OVER (ORDER BY r DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(r) OVER () AS tot,
+               ROW_NUMBER() OVER (ORDER BY r DESC, o_custkey) AS rn
+        FROM rev
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(CASE WHEN 5 * cum >= 4 * tot THEN rn END) AS BIGINT)
+               AS n_top80,
+           CAST(CAST(MIN(CASE WHEN 5 * cum >= 4 * tot THEN rn END) * 20000
+                     + COUNT(*) AS BIGINT)
+                // (COUNT(*) * 2) AS BIGINT) AS top80_share_e4
+    FROM ranked
+    """,
+)
+def cumulative_share_pareto80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: how many customers (and what fraction of the
+    customer base, as an integer ten-thousandth) produce 80 % of total
+    revenue — the Pareto-80/20 report. The 80 % cut is the integer-exact
+    cross-multiplication 5·cum ≥ 4·total evaluated on EXACT DECIMAL
+    revenue sums, so the threshold row is engine-identical (a double
+    cumulative sum would make the boundary row order-dependent).
+
+    Scale: per-customer revenue is one map-side-combinable aggregate; the
+    ranking window runs over |customers| rows. At 100 TB the global sort
+    becomes a two-phase range-partitioned sort (Spark's window already
+    does this via range partitioning on the sort key).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("r"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    w_rn = Window.orderBy(F.desc("r"), "o_custkey")
+    ranked = rev.select(
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(w_all).alias("tot"),
+        F.row_number().over(w_rn).alias("rn"),
+    )
+    n_top80 = F.min(
+        F.when(5 * F.col("cum") >= 4 * F.col("tot"), F.col("rn"))
+    ).cast("bigint")
+    n_customers = F.count(F.lit(1)).cast("bigint")
+    return ranked.agg(
+        n_customers.alias("n_customers"),
+        n_top80.alias("n_top80"),
+        _e4_half_up(n_top80, n_customers).cast("bigint").alias("top80_share_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty decay
+# ---------------------------------------------------------------------------
+
+_NOV_SHINGLE = 3
+
+
+@query(
+    "ngram_novelty_decay",
+    oracle=f"""
+    WITH {_sql_shingles(_NOV_SHINGLE)},
+    first_seen AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+    ),
+    per_doc AS (
+        SELECT sh.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sh,
+               CAST(COUNT(CASE WHEN f.first_doc = sh.doc_id THEN 1 END)
+                    AS BIGINT) AS n_novel
+        FROM sh JOIN first_seen f ON f.shingle = sh.shingle
+        GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_sh) AS BIGINT) AS total_shingles,
+           CAST(SUM(p.n_novel) AS BIGINT) AS novel_shingles,
+           CAST({_e4_sql("SUM(p.n_novel)", "SUM(p.n_sh)")} AS BIGINT)
+               AS novelty_e4
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus novelty audit: per source, the fraction of document
+    {_NOV_SHINGLE}-grams first introduced by that document (in doc_id
+    ingestion order) — the diminishing-returns curve behind 'is more of
+    this source still adding new content?'. A source whose novelty ratio
+    collapses is re-crawling what the corpus already has (the macro twin
+    of the per-pair dedup operators).
+
+    Scale: first-seen is one min-aggregate on the shingle (vocabulary-
+    keyed); the per-doc rollup re-joins it on the shingle — both
+    shuffle-linear. Novelty is the integer half-up ten-thousandth.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", _NOV_SHINGLE)
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sh"),
+            F.count(F.when(F.col("first_doc") == F.col("doc_id"), 1))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_sh").cast("bigint").alias("total_shingles"),
+            F.sum("n_novel").cast("bigint").alias("novel_shingles"),
+            _e4_half_up(F.sum("n_novel"), F.sum("n_sh"))
+            .cast("bigint")
+            .alias("novelty_e4"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality index
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weekday_seasonality_index",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT event_type, SUM(n) AS t FROM c GROUP BY 1)
+    SELECT c.event_type, c.dow, c.n,
+           7.0 * c.n / t.t AS seasonality
+    FROM c JOIN tot t ON t.event_type = c.event_type
+    ORDER BY c.event_type, c.dow
+    """,
+)
+def weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per event type: 7·share, so 1.0 = perfectly
+    uniform traffic and 2.0 = a day carrying twice its share — the
+    pre-forecasting seasonal profile. dow is Sunday=1..Saturday=7 —
+    Spark's dayofweek convention; DuckDB's dayofweek is Sunday=0, so the
+    oracle shifts by one.
+
+    One map-side-combinable aggregate to a |types|×7 grid; the index is a
+    single multiply-divide of exact counts.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.dayofweek("ts").cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = c.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return (
+        c.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "dow",
+            "n",
+            (F.lit(7.0) * F.col("n") / F.col("t")).alias("seasonality"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two unrolled Lloyd (k-means) iterations
+# ---------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_DIM = 64
+_KM_DEC = "decimal(30,12)"
+
+_KM_DIST_SQL = (
+    "SUM(CAST((CAST(a.embedding[p] AS DOUBLE) - {c})"
+    " * (CAST(a.embedding[p] AS DOUBLE) - {c}) AS DECIMAL(30,12)))"
+)
+
+
+def _km_dist_exact(x: Column, c: Column) -> Column:
+    """Exact (order-free) squared L2 distance between two arrays: per-dim
+    squared difference in IEEE double, snapped to decimal, folded with
+    per-add re-cast (the dot_exact pattern, operators/similarity.py)."""
+    diffs = F.zip_with(
+        x,
+        c,
+        lambda a, b: (
+            (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double"))
+        ).cast(_KM_DEC),
+    )
+    return F.aggregate(
+        diffs, F.lit(0).cast(_KM_DEC), lambda acc, v: (acc + v).cast(_KM_DEC)
+    )
+
+
+def _km_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cluster, dist): nearest centroid per vector, ties broken on
+    the lower cluster id. Centroid side is k rows — broadcast."""
+    scored = emb.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cluster",
+        _km_dist_exact(F.col("embedding"), F.col("centroid"))
+        .cast("double")
+        .alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    return (
+        scored.select(
+            "vec_id", "cluster", "dist", F.row_number().over(w).alias("rn")
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _km_update(emb: DataFrame, assign: DataFrame) -> DataFrame:
+    """(cluster, centroid): per-dim mean of the assigned vectors, computed
+    as exact-decimal sum / count in double, re-assembled into an array
+    ordered by dimension."""
+    dims = assign.join(emb, "vec_id").select(
+        "cluster", F.posexplode("embedding").alias("pos", "x")
+    )
+    means = dims.groupBy("cluster", "pos").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(38,6)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    return means.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))),
+            lambda s: s.getField("v"),
+        ).alias("centroid")
+    )
+
+
+@query(
+    "kmeans_2iter_clusters",
+    oracle=f"""
+    WITH seeds AS (
+        SELECT vec_id AS cluster, embedding FROM embeddings
+        WHERE vec_id < {_KM_K}
+    ),
+    d1 AS (
+        SELECT a.vec_id, s.cluster,
+               CAST({_KM_DIST_SQL.format(c="CAST(s.embedding[p] AS DOUBLE)")}
+                    AS DOUBLE) AS dist
+        FROM embeddings a, seeds s, range(1, {_KM_DIM + 1}) t(p)
+        GROUP BY 1, 2
+    ),
+    a1 AS (
+        SELECT vec_id, cluster FROM (
+            SELECT vec_id, cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d1
+        ) r WHERE rn = 1
+    ),
+    cent1 AS (
+        SELECT a1.cluster, t.p,
+               CAST(SUM(CAST(CAST(e.embedding[t.p] AS DOUBLE)
+                             AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS v
+        FROM a1 JOIN embeddings e USING (vec_id),
+             range(1, {_KM_DIM + 1}) t(p)
+        GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT a.vec_id, c.cluster,
+               CAST(SUM(CAST((CAST(a.embedding[c.p] AS DOUBLE) - c.v)
+                             * (CAST(a.embedding[c.p] AS DOUBLE) - c.v)
+                             AS DECIMAL(30,12))) AS DOUBLE) AS dist
+        FROM embeddings a, cent1 c
+        GROUP BY 1, 2
+    ),
+    a2 AS (
+        SELECT vec_id, cluster, dist FROM (
+            SELECT vec_id, cluster, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d2
+        ) r WHERE rn = 1
+    )
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           {sql_dsum("dist", "inertia")}
+    FROM a2 GROUP BY cluster ORDER BY cluster
+    """,
+)
+def kmeans_2iter_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations of k-means (k={_KM_K}, seeds = the
+    first k vectors by id): assign → centroid update → re-assign → report
+    per-cluster size and inertia. The unrolled form keeps the whole thing
+    one declarative plan — the production loop shape is identical but
+    re-checkpoints per iteration (pagerank_copurchase shows that loop).
+
+    Determinism: distances fold per-dim squared differences through the
+    exact decimal accumulator (order-free; the dot_exact pattern), and
+    centroid means are exact-decimal sums over each cluster divided once
+    in double — both engines reproduce bit-identical centroids, so the
+    second assignment cannot flip. Ties (equidistant centroids) break on
+    the lower cluster id.
+
+    Scale: each assignment is one corpus scan against a broadcast k-row
+    centroid table (k ≪ corpus always); the update shuffles (cluster,
+    dim) partial sums — map-side combinable, k·dim output rows. This is
+    exactly how Spark MLlib's KMeans structures an iteration.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
+    )
+    a1 = _km_assign(emb, seeds)
+    cent1 = _km_update(emb, a1.select("vec_id", "cluster"))
+    a2 = _km_assign(emb, cent1)
+    return (
+        a2.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            dsum(F.col("dist"), "inertia"),
+        )
+        .orderBy("cluster")
+    )

@@ -87,6 +87,10 @@ PROBE_QUERIES = [
     "boilerplate_coverage_scores",
     "source_token_tvd_matrix",
     "knn_label_classifier",
+    "market_basket_lift",
+    "interval_overlap_count",
+    "jaccard_knn_graph",
+    "kmeans_2iter_clusters",
     # round-5 TPC-H widening + collocations
     "q3_shipping_priority",
     "q4_order_priority_check",
