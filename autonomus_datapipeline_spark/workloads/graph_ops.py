@@ -708,3 +708,93 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Global clustering coefficient of the near-dup candidate graph
+# ---------------------------------------------------------------------------
+
+
+def _clustering_oracle() -> str:
+    mh_sql = pipeline_ops._minhash_oracle()
+    body = mh_sql.strip()
+    assert body.startswith("WITH")
+    with_part, select_part = body.split("SELECT a.doc_id AS doc_a", 1)
+    return f"""
+    {with_part.rstrip()},
+    pairs AS (
+        SELECT a.doc_id AS doc_a{select_part}
+    ),
+    e AS (SELECT DISTINCT doc_a AS a, doc_b AS b FROM pairs),
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e
+        ) u GROUP BY n
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    wed AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+    SELECT tri.t AS n_triangles, wed.w AS n_wedges,
+           CASE WHEN wed.w > 0
+                THEN 3.0 * tri.t / wed.w ELSE 0.0 END AS clustering_coeff
+    FROM tri CROSS JOIN wed
+    """
+
+
+@query("neardup_clustering_coefficient", oracle=_clustering_oracle())
+def neardup_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient 3·triangles / wedges of the
+    MinHash-LSH candidate graph — one number summarizing whether the
+    near-dup graph is clique-like (true duplicate clusters; coefficient
+    → 1) or star/chain-like (banding false positives; → 0). Complements
+    neardup_triangle_count's raw census with the degree-normalized
+    cohesion metric dedup-threshold tuning actually reads.
+
+    Scale: same banding-bounded edge list and Σ deg² triangle join as the
+    census; wedges are one aggregate over the degree table. The
+    coefficient is a single division of exact integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", pipeline_ops._MH_SHINGLE)
+    sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
+    pairs = (
+        dedup.lsh_candidate_pairs(
+            sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS
+        )
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused by triangles AND degrees
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    deg = (
+        pairs.select(F.col("a").alias("n"))
+        .union(pairs.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("(d * (d - 1)) div 2")).cast("bigint").alias("w")
+    )
+    coeff = F.when(
+        F.col("w") > 0, F.lit(3.0) * F.col("t") / F.col("w")
+    ).otherwise(F.lit(0.0))
+    return (
+        tri.crossJoin(F.broadcast(wed))
+        .select(
+            F.col("t").alias("n_triangles"),
+            F.col("w").alias("n_wedges"),
+            coeff.alias("clustering_coeff"),
+        )
+    )

@@ -719,3 +719,306 @@ def kmeans_2iter_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinctive terms per source (chi-square keyness)
+# ---------------------------------------------------------------------------
+
+_KEY_TOP = 3
+
+
+@query(
+    "source_distinctive_terms_chi2",
+    oracle=f"""
+    WITH tok AS (SELECT source, unnest({_TOKS}) AS tok FROM documents),
+    cells AS (
+        SELECT source, tok, CAST(COUNT(*) AS DOUBLE) AS o
+        FROM tok GROUP BY 1, 2
+    ),
+    rm AS (SELECT source, SUM(o) AS rt FROM cells GROUP BY 1),
+    cm AS (SELECT tok, SUM(o) AS ct FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n FROM cells),
+    scored AS (
+        SELECT c.source, c.tok, CAST(c.o AS BIGINT) AS n,
+               (c.o - r.rt * cl.ct / t.n) * (c.o - r.rt * cl.ct / t.n)
+                 / (r.rt * cl.ct / t.n) AS chi2,
+               c.o > r.rt * cl.ct / t.n AS over_represented
+        FROM cells c
+        JOIN rm r ON r.source = c.source
+        JOIN cm cl ON cl.tok = c.tok
+        CROSS JOIN tot t
+    )
+    SELECT source, tok, n, chi2, over_represented, rk FROM (
+        SELECT source, tok, n, chi2, over_represented,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY chi2 DESC, tok) AS INT) AS rk
+        FROM scored
+    ) r WHERE rk <= {_KEY_TOP}
+    ORDER BY source, rk
+    """,
+)
+def source_distinctive_terms_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness analysis: the {_KEY_TOP} most distinctive tokens per source
+    by chi-square contribution against the corpus-wide token margins —
+    'what does this source talk about that the rest of the corpus
+    doesn't'. over_represented distinguishes a distinctive surplus from a
+    distinctive absence. The text twin of chi_square_event_hour
+    (analytics_ops.py), per-cell instead of summed.
+
+    Scale: the (source, token) contingency table is one map-side-
+    combinable aggregate, vocabulary×sources-bounded; margins broadcast;
+    per-cell chi² is a fixed IEEE expression over exact counts (no sum →
+    no accumulator needed). Ranking window per source with tok tiebreak.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    cells = tok.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    rm = cells.groupBy("source").agg(F.sum("o").alias("rt"))
+    cm = cells.groupBy("tok").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    expected = F.col("rt") * F.col("ct") / F.col("n")
+    chi2 = (F.col("o") - expected) * (F.col("o") - expected) / expected
+    scored = (
+        cells.join(F.broadcast(rm), "source")
+        .join(F.broadcast(cm), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tok",
+            F.col("o").cast("bigint").alias("n"),
+            chi2.alias("chi2"),
+            (F.col("o") > expected).alias("over_represented"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("chi2"), "tok")
+    return (
+        scored.select(
+            "source",
+            "tok",
+            "n",
+            "chi2",
+            "over_represented",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= _KEY_TOP)
+        .orderBy("source", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_ANCHOR = "2001-08-02"
+
+
+@query(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH rfm AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                              DATE '{_RFM_ANCHOR}') AS BIGINT) AS recency,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS monetary
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT o_custkey, monetary,
+               CAST(NTILE(5) OVER (ORDER BY recency, o_custkey) AS INT) AS r,
+               CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey)
+                    AS INT) AS f,
+               CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey)
+                    AS INT) AS m
+        FROM rfm
+    )
+    SELECT CAST(r * 100 + f * 10 + m AS INT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM cube:每 customer scored into
+    recency/frequency/monetary quintiles (1 = best), concatenated into a
+    3-digit segment, rolled up to segment sizes and revenue. NTILE is
+    deterministic here because every ordering carries the custkey total
+    tiebreak; monetary sums stay in exact decimal until the final cast.
+
+    Scale: one aggregate over orders (map-side combinable on custkey);
+    the quintile windows sort the |customers| rollup — Spark range-
+    partitions the sort, no single-node bottleneck; the segment rollup is
+    125 rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(_RFM_ANCHOR).cast("date"),
+            F.max("o_orderdate").cast("date"),
+        )
+        .cast("bigint")
+        .alias("recency"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("monetary"),
+    )
+    scored = rfm.select(
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy("recency", "o_custkey"))
+        .cast("int")
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
+        .cast("int")
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+        .cast("int")
+        .alias("m"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("int")
+            .alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile calibration table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "order_value_decile_calibration",
+    oracle="""
+    WITH scored AS (
+        SELECT o_totalprice,
+               CAST(NTILE(10) OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                    AS INT) AS decile
+        FROM orders
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) AS avg_price
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)
+def order_value_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration table: orders cut into ten equal-count value
+    bands (NTILE with a total tiebreak), with per-band count, min/max and
+    exact-decimal mean — the monotonic lookup used to calibrate scores
+    against realized value and to spot heavy-tail concentration.
+
+    Scale: one range-partitioned sort of the price column (Spark's window
+    does a distributed range sort, not a single-node one), then a 10-row
+    rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    scored = o.select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))
+        .cast("int")
+        .alias("decile"),
+    )
+    return (
+        scored.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern support (event bigrams by distinct-user support)
+# ---------------------------------------------------------------------------
+
+_SEQ_TOP = 10
+
+
+@query(
+    "event_bigram_support",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT user_id,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type
+        FROM events
+    ),
+    bigrams AS (
+        SELECT prev_type, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_support
+        FROM lagged WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT prev_type, event_type, n_occurrences, user_support, rk FROM (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY user_support DESC,
+                                       n_occurrences DESC,
+                                       prev_type, event_type) AS INT) AS rk
+        FROM bigrams
+    ) r WHERE rk <= {_SEQ_TOP}
+    ORDER BY rk
+    """,
+)
+def event_bigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, length-2: consecutive event-type bigrams
+    per user, ranked by DISTINCT-USER support (the GSP/PrefixSpan support
+    notion — a pattern ten users hit once each beats one user looping it
+    ten times; event_transition_matrix counts raw transitions instead).
+
+    Scale: one lag window per user (single shuffle on user_id), then a
+    |types|²-bounded aggregate carrying both occurrence and distinct-user
+    counts. All-integer output with a four-level total tiebreak.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        "event_type",
+    ).where(F.col("prev_type").isNotNull())
+    bigrams = lagged.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.count_distinct("user_id").cast("bigint").alias("user_support"),
+    )
+    w_rk = Window.orderBy(
+        F.desc("user_support"), F.desc("n_occurrences"), "prev_type", "event_type"
+    )
+    return (
+        bigrams.select(
+            "prev_type",
+            "event_type",
+            "n_occurrences",
+            "user_support",
+            F.row_number().over(w_rk).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= _SEQ_TOP)
+        .orderBy("rk")
+    )
