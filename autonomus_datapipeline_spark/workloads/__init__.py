@@ -24,3 +24,4 @@ from autonomus_datapipeline_spark.workloads import audit_ops  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import analytics_ops  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import search_ops  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import mining_ops  # noqa: F401,E402
+from autonomus_datapipeline_spark.workloads import stats_ops  # noqa: F401,E402

@@ -1,0 +1,1009 @@
+"""Statistical-testing, sketching, and graph-algorithm workloads: KS and
+Mann-Whitney two-sample tests, autocorrelation, EWMA smoothing, a count-min
+sketch, readability scoring, label propagation, k-core peeling, bigram
+language-model scoring, and inverted-index construction.
+
+Third round-5 batch. Registered after the 50-query driver block, so these
+enter the driver's correctness file in a later round; every one is
+oracle-checked by the local gate (tools/check_oracles.py and
+tests/test_queries_oracle.py) from day one.
+
+Determinism notes follow the repo discipline (registry docstring): integer
+cross-multiplication wherever a ratio feeds a comparison or a max, decimal
+accumulators for any double sum, doubled ranks for tie-averaged rank sums
+(so the average of two integers stays an integer), and literal dyadic
+weights for the EWMA (0.75^j is exact in binary for j ≤ 15, embedded as
+repr-roundtripped literals in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from autonomus_datapipeline_spark.operators import dedup
+from autonomus_datapipeline_spark.workloads.analytics_ops import _PR_EDGES_CTE
+from autonomus_datapipeline_spark.workloads.pipeline_ops import _TOKS, _sql_shingles
+from autonomus_datapipeline_spark.workloads.registry import (
+    load_table,
+    query,
+    sql_dsum,
+)
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample test (exact integer cross-multiplication)
+# ---------------------------------------------------------------------------
+
+_KS_SEG_A = "BUILDING"
+_KS_SEG_B = "MACHINERY"
+
+
+@query(
+    "ks_two_sample_order_value",
+    oracle=f"""
+    WITH s AS (
+        SELECT o.o_totalprice AS v,
+               CASE WHEN c.c_mktsegment = '{_KS_SEG_A}' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN c.c_mktsegment = '{_KS_SEG_B}' THEN 1 ELSE 0 END AS g2
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('{_KS_SEG_A}', '{_KS_SEG_B}')
+    ),
+    hist AS (
+        SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+        FROM s GROUP BY 1
+    ),
+    cum AS (
+        SELECT SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum1,
+               SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum2,
+               SUM(c1) OVER () AS n1,
+               SUM(c2) OVER () AS n2
+        FROM hist
+    ),
+    d AS (
+        SELECT n1, n2,
+               ABS(CAST(cum1 AS DECIMAL(38,0)) * n2
+                   - CAST(cum2 AS DECIMAL(38,0)) * n1) AS dn
+        FROM cum
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(MAX(dn) AS BIGINT) AS d_num,
+           CAST(MAX(dn) AS DOUBLE)
+             / (CAST(MAX(n1) AS DOUBLE) * MAX(n2)) AS ks_stat
+    FROM d
+    """,
+)
+def ks_two_sample_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample statistic comparing the order-value
+    distributions of two customer segments ({_KS_SEG_A} vs {_KS_SEG_B}) —
+    the drift test behind "did this cohort's spending distribution shift".
+    D = max |F1(x) − F2(x)| is evaluated as the INTEGER cross-
+    multiplication max |cum1·n2 − cum2·n1| / (n1·n2): the maximizing value
+    is found on exact integers (a double CDF difference would make the
+    argmax order-dependent near ties), and only the final ratio is a
+    double.
+
+    Scale: one join + per-value histogram aggregate (map-side combinable),
+    then a cumulative window over the DISTINCT-VALUE domain — bounded by
+    the price grid, not the row count. The cross-multiplication is
+    DECIMAL(38,0) so counts up to 10¹⁸ cannot overflow.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin(_KS_SEG_A, _KS_SEG_B))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("c_mktsegment") == _KS_SEG_A, 1).otherwise(0).alias("g1"),
+            F.when(F.col("c_mktsegment") == _KS_SEG_B, 1).otherwise(0).alias("g2"),
+        )
+    )
+    hist = s.groupBy("v").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.sum("g2").cast("bigint").alias("c2"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    dn = F.abs(
+        F.col("cum1").cast("decimal(38,0)") * F.col("n2")
+        - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
+    )
+    d = cum.select("n1", "n2", dn.alias("dn"))
+    return d.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        F.max("dn").cast("bigint").alias("d_num"),
+        (
+            F.max("dn").cast("double")
+            / (F.max("n1").cast("double") * F.max("n2"))
+        ).alias("ks_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U (rank-sum with doubled tie-averaged ranks — all-integer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mann_whitney_order_value",
+    oracle=f"""
+    WITH s AS (
+        SELECT o.o_totalprice AS v,
+               CASE WHEN c.c_mktsegment = '{_KS_SEG_A}' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN c.c_mktsegment = '{_KS_SEG_B}' THEN 1 ELSE 0 END AS g2
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment IN ('{_KS_SEG_A}', '{_KS_SEG_B}')
+    ),
+    hist AS (
+        SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+               CAST(SUM(g1) + SUM(g2) AS BIGINT) AS c
+        FROM s GROUP BY 1
+    ),
+    ranked AS (
+        SELECT c1, c,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS cb,
+               SUM(c1) OVER () AS n1,
+               SUM(c - c1) OVER () AS n2
+        FROM hist
+    )
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * (2 * cb + c + 1))
+                - CAST(MAX(n1) AS DECIMAL(38,0)) * (MAX(n1) + 1)
+                AS BIGINT) AS u1_x2,
+           CAST(CAST(SUM(CAST(c1 AS DECIMAL(38,0)) * (2 * cb + c + 1))
+                     - CAST(MAX(n1) AS DECIMAL(38,0)) * (MAX(n1) + 1)
+                     AS BIGINT) AS DOUBLE)
+             / (CAST(MAX(n1) AS DOUBLE) * MAX(n2) * 2) AS auc
+    FROM ranked
+    """,
+)
+def mann_whitney_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test on the same two-segment split as the
+    KS query, fully integer-exact under ties: the tie-averaged rank of a
+    value occupying positions cb+1..cb+c is (2·cb + c + 1)/2, so DOUBLED
+    rank sums stay integers — R1·2 = Σ c1·(2·cb + c + 1) — and the query
+    reports u1_x2 = 2·U1 = R1·2 − n1(n1+1), which is EXACT: U1 itself is
+    half-integral whenever ties straddle the groups, and halving it hits
+    the engines' HALF_UP-vs-HALF_EVEN divergence (observed at sf0.1 —
+    u1 off by one between engines), so the 2 is folded into the effect-
+    size denominator instead. auc = 2U1/(2·n1·n2) is the common-language
+    effect size (P(X1 > X2) + ½P(tie)) — the probability a random
+    {_KS_SEG_A} order outspends a random {_KS_SEG_B} one.
+
+    Scale: identical shape to the KS query — histogram aggregate, one
+    window over the distinct-value grid, DECIMAL(38,0) products.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin(_KS_SEG_A, _KS_SEG_B))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("c_mktsegment") == _KS_SEG_A, 1).otherwise(0).alias("g1"),
+            F.when(F.col("c_mktsegment") == _KS_SEG_B, 1).otherwise(0).alias("g2"),
+        )
+    )
+    hist = s.groupBy("v").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        (F.sum("g1") + F.sum("g2")).cast("bigint").alias("c"),
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    ranked = hist.select(
+        "c1",
+        "c",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cb"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).over(w_all).alias("n2"),
+    )
+    r1_x2 = F.sum(
+        F.col("c1").cast("decimal(38,0)") * (2 * F.col("cb") + F.col("c") + 1)
+    )
+    u1_x2 = (
+        r1_x2 - F.max("n1").cast("decimal(38,0)") * (F.max("n1") + 1)
+    ).cast("bigint")
+    return ranked.agg(
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+        u1_x2.alias("u1_x2"),
+        (
+            u1_x2.cast("double")
+            / (F.max("n1").cast("double") * F.max("n2") * 2)
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the hourly event-count series
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 6
+
+
+@query(
+    "acf_hourly_events",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS mn,
+               date_trunc('hour', MAX(ts)) AS mx
+        FROM events
+    ),
+    grid AS (
+        SELECT unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS h
+        FROM bounds
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    ser AS (
+        SELECT g.h, COALESCE(hh.x, 0) AS x
+        FROM grid g LEFT JOIN hourly hh ON hh.h = g.h
+    ),
+    gstats AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS s,
+               CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS ssq
+        FROM ser
+    ),
+    lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+        SELECT l.lag,
+               CAST(COUNT(*) AS BIGINT) AS np,
+               CAST(SUM(a.x) AS DECIMAL(38,0)) AS sa,
+               CAST(SUM(b.x) AS DECIMAL(38,0)) AS sb,
+               CAST(SUM(CAST(a.x AS DECIMAL(38,0)) * b.x) AS DECIMAL(38,0))
+                   AS sp
+        FROM lags l
+        JOIN ser a ON TRUE
+        JOIN ser b ON b.h = a.h - to_hours(CAST(l.lag AS INT))
+        GROUP BY 1
+    )
+    SELECT CAST(p.lag AS INT) AS lag,
+           p.np AS n_pairs,
+           CAST(g.n * g.n * p.sp - g.n * g.s * (p.sa + p.sb)
+                + (g.n - p.lag) * g.s * g.s AS DOUBLE)
+             / CAST(g.n * g.n * g.ssq - g.n * g.s * g.s AS DOUBLE) AS acf
+    FROM pairs p CROSS JOIN gstats g
+    ORDER BY lag
+    """,
+)
+def acf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function (lags 1..{_ACF_MAX_LAG}) of the hourly
+    event-count series on a dense hour grid (gap hours count 0) — the
+    seasonality fingerprint read before picking forecasting features.
+    The standard biased estimator r_k = c_k/c_0 with the global mean is
+    cleared of doubles entirely by multiplying through by n²:
+    n²·c_k = n²·Σx_t·x_{{t−k}} − n·S·(A_k + B_k) + (n−k)·S², with every
+    term an exact DECIMAL(38,0) over integer counts; the single double
+    division happens once per lag.
+
+    Scale: the series lives on the calendar-bounded hour grid (sequence +
+    explode — rows ∝ hours, never a data shuffle), so the lag self-join
+    and the windowless global aggregate are grid-sized at any corpus
+    size; the event scan itself is one map-side-combinable count.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    ser = grid.join(hourly, "h", "left").select(
+        "h", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    glob = ser.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("decimal(38,0)")
+        .alias("ssq"),
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = ser.select(F.col("h").alias("ha"), F.col("x").alias("xa"))
+    b = ser.select(F.col("h").alias("hb"), F.col("x").alias("xb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .withColumn("h_prev", F.expr("timestampadd(HOUR, -lag, ha)"))
+        .join(b, F.col("hb") == F.col("h_prev"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("np"),
+            F.sum("xa").cast("decimal(38,0)").alias("sa"),
+            F.sum("xb").cast("decimal(38,0)").alias("sb"),
+            F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb"))
+            .cast("decimal(38,0)")
+            .alias("sp"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("sp")
+        - F.col("n") * F.col("s") * (F.col("sa") + F.col("sb"))
+        + (F.col("n") - F.col("lag")) * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * F.col("n") * F.col("ssq") - F.col("n") * F.col("s") * F.col("s")
+    return (
+        pairs.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("np").alias("n_pairs"),
+            (num.cast("double") / den.cast("double")).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing of daily revenue (exact dyadic weights, bounded lookback)
+# ---------------------------------------------------------------------------
+
+_EWMA_LOOKBACK = 16  # weights (3/4)^j, j = 0..15 — all exact in binary
+
+_EWMA_W = [0.75**j for j in range(_EWMA_LOOKBACK)]
+
+_EWMA_W_SQL = ", ".join(f"({j}, {w!r})" for j, w in enumerate(_EWMA_W))
+
+
+@query(
+    "ewma_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS r
+        FROM orders GROUP BY 1
+    ),
+    w AS (
+        SELECT j, CAST(wd AS DOUBLE) AS w
+        FROM (VALUES {_EWMA_W_SQL}) t(j, wd)
+    ),
+    contrib AS (
+        SELECT CAST(s.d + to_days(CAST(w.j AS INT)) AS DATE) AS day,
+               w.w, s.r
+        FROM daily s CROSS JOIN w
+    ),
+    tgt AS (SELECT d AS day FROM daily)
+    SELECT c.day,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(CAST(CAST(c.r AS DOUBLE) * c.w AS DECIMAL(38,6)))
+                AS DOUBLE)
+             / CAST(SUM(CAST(c.w AS DECIMAL(38,6))) AS DOUBLE) AS ewma
+    FROM contrib c JOIN tgt t ON t.day = c.day
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue (α = 1/4,
+    truncated at a {_EWMA_LOOKBACK}-day lookback, renormalized over the
+    weights actually present — the "adjusted" EWMA). Determinism without
+    iteration: (3/4)^j is a dyadic rational, exact in IEEE double for
+    j < 16 (3¹⁵ < 2²⁴), so the weights are embedded as repr-roundtripped
+    LITERALS in both engines rather than computed with pow() (whose last
+    ulp is not cross-engine portable); each term r·w is one IEEE multiply
+    snapped to decimal and summed order-free.
+
+    Scale: daily revenue is one map-side-combinable aggregate to a
+    calendar-bounded grid; the lookback expansion is a {_EWMA_LOOKBACK}×
+    fan-out of that grid joined back to itself — never a fact-table
+    shuffle. The closed weighted-sum form replaces the sequential
+    recurrence ewma_t = αx + (1−α)ewma_{{t−1}}, which cannot parallelize.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r")
+    )
+    weights = spark.createDataFrame(
+        list(enumerate(_EWMA_W)), "j int, w double"
+    )
+    contrib = daily.crossJoin(F.broadcast(weights)).select(
+        F.expr("date_add(d, j)").alias("day"), "w", "r"
+    )
+    tgt = daily.select(F.col("d").alias("day"))
+    return (
+        contrib.join(tgt, "day")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            (
+                F.sum(
+                    (F.col("r").cast("double") * F.col("w")).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double")
+                / F.sum(F.col("w").cast("decimal(38,6)")).cast("double")
+            ).alias("ewma"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH = 4
+_CM_WIDTH = 251  # prime — (ascii·256 + ascii) % 251 spreads hex pairs evenly
+_CM_TOP = 20
+
+
+def _cm_bucket_sql(d: str, key: str) -> str:
+    h = f"md5(CAST({d} AS VARCHAR) || ':' || CAST({key} AS VARCHAR))"
+    return (
+        f"(ascii(substr({h}, 1, 1)) * 256 + ascii(substr({h}, 2, 1)))"
+        f" % {_CM_WIDTH}"
+    )
+
+
+@query(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH ucnt AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    depths AS (SELECT unnest(range(0, {_CM_DEPTH})) AS d),
+    cells AS (
+        SELECT dp.d, {_cm_bucket_sql("dp.d", "u.user_id")} AS bucket, u.n
+        FROM ucnt u CROSS JOIN depths dp
+    ),
+    sketch AS (
+        SELECT d, bucket, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM cells GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT c.user_id, CAST(MIN(s.cnt) AS BIGINT) AS cm_estimate
+        FROM (SELECT u.user_id, dp.d,
+                     {_cm_bucket_sql("dp.d", "u.user_id")} AS bucket
+              FROM ucnt u CROSS JOIN depths dp) c
+        JOIN sketch s ON s.d = c.d AND s.bucket = c.bucket
+        GROUP BY 1
+    )
+    SELECT u.user_id, u.n AS true_count, e.cm_estimate,
+           e.cm_estimate - u.n AS overestimate, rk
+    FROM (
+        SELECT user_id, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS INT) AS rk
+        FROM ucnt
+    ) u
+    JOIN est e ON e.user_id = u.user_id
+    WHERE rk <= {_CM_TOP}
+    ORDER BY rk
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (depth {_CM_DEPTH} × width {_CM_WIDTH}) over
+    per-user event counts, audited against the exact counts for the top
+    {_CM_TOP} heavy hitters: the estimate is min over rows of the bucket
+    sums, so overestimate ≥ 0 always (the CM guarantee) and the audit
+    column shows the collision inflation directly. Hashes are md5-derived
+    with the depth salted into the input — portable across engines, no
+    engine-native hash.
+
+    Scale: the sketch is depth×width = {_CM_DEPTH * _CM_WIDTH} cells
+    REGARDLESS of cardinality — the whole point of the sketch — so the
+    estimate join broadcasts it; building it is one map-side-combinable
+    aggregate per depth over the per-user rollup. This is the bounded-
+    memory path when exact per-key counts would blow the shuffle (the
+    exact twin is dedup_exact / salted_grouped_count).
+    """
+    e = load_table(spark, sf_dir, "events")
+    ucnt = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    depths = spark.range(_CM_DEPTH).select(F.col("id").cast("int").alias("d"))
+
+    def bucket(d, key):
+        h = F.md5(F.concat(d.cast("string"), F.lit(":"), key.cast("string")))
+        return (
+            F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+        ) % _CM_WIDTH
+
+    cells = ucnt.crossJoin(F.broadcast(depths)).select(
+        "d", bucket(F.col("d"), F.col("user_id")).alias("bucket"), "n"
+    )
+    sketch = cells.groupBy("d", "bucket").agg(
+        F.sum("n").cast("bigint").alias("cnt")
+    )
+    probes = ucnt.crossJoin(F.broadcast(depths)).select(
+        "user_id", "d", bucket(F.col("d"), F.col("user_id")).alias("bucket")
+    )
+    est = (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").cast("bigint").alias("cm_estimate"))
+    )
+    w = Window.orderBy(F.desc("n"), "user_id")
+    top = (
+        ucnt.select(
+            "user_id", "n", F.row_number().over(w).cast("int").alias("rk")
+        )
+        .where(F.col("rk") <= _CM_TOP)
+    )
+    return (
+        top.join(est, "user_id")
+        .select(
+            "user_id",
+            F.col("n").alias("true_count"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("n")).alias("overestimate"),
+            "rk",
+        )
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease buckets
+# ---------------------------------------------------------------------------
+
+
+def _group_count_sql(expr: str, pat: str) -> str:
+    return (
+        f"length(regexp_replace({expr}, '{pat}', '#', 'g'))"
+        f" - length(regexp_replace({expr}, '{pat}', '', 'g'))"
+    )
+
+
+@query(
+    "flesch_reading_buckets",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(len({_TOKS}) AS BIGINT) AS w,
+               CAST(greatest({_group_count_sql("text", "[.!?]+")}, 1)
+                    AS BIGINT) AS s,
+               CAST(greatest({_group_count_sql("lower(text)", "[aeiouy]+")}, 1)
+                    AS BIGINT) AS y
+        FROM documents
+    ),
+    scored AS (
+        SELECT w, s, y,
+               206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                       - 84.6 * (CAST(y AS DOUBLE) / w) AS score
+        FROM m WHERE w > 0
+    )
+    SELECT CASE WHEN score >= 90 THEN 'very_easy'
+                WHEN score >= 70 THEN 'easy'
+                WHEN score >= 50 THEN 'medium'
+                WHEN score >= 30 THEN 'difficult'
+                ELSE 'very_difficult' END AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {sql_dsum("score", "sum_score")},
+           CAST(SUM(w) AS BIGINT) AS total_words
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def flesch_reading_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring with the vowel-group syllable
+    approximation (a syllable ≈ one maximal [aeiouy]+ run), banded into
+    the standard difficulty buckets — the classic pre-LLM quality/
+    difficulty signal alongside text_quality_scores. Group counting is
+    the portable two-regexp_replace length difference (replace each run
+    with one char vs delete all runs); word/sentence/syllable counts are
+    exact integers, the score one fixed IEEE expression per row, and the
+    per-band mean goes through the decimal accumulator.
+
+    Scale: pure per-row columnar expressions (three regexps per doc) into
+    a 5-row rollup — embarrassingly parallel, no shuffle beyond the final
+    map-side-combined aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def groups(col, pat):
+        return F.length(F.regexp_replace(col, pat, "#")) - F.length(
+            F.regexp_replace(col, pat, "")
+        )
+
+    m = docs.select(
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("w"),
+        F.greatest(groups(F.col("text"), "[.!?]+"), F.lit(1))
+        .cast("bigint")
+        .alias("s"),
+        F.greatest(groups(F.lower("text"), "[aeiouy]+"), F.lit(1))
+        .cast("bigint")
+        .alias("y"),
+    ).where(F.col("w") > 0)
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("w").cast("double") / F.col("s"))
+        - F.lit(84.6) * (F.col("y").cast("double") / F.col("w"))
+    )
+    band = (
+        F.when(score >= 90, "very_easy")
+        .when(score >= 70, "easy")
+        .when(score >= 50, "medium")
+        .when(score >= 30, "difficult")
+        .otherwise("very_difficult")
+    )
+    return (
+        m.select(band.alias("band"), score.alias("score"), "w")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("score").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_score"),
+            F.sum("w").cast("bigint").alias("total_words"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities (2 unrolled semi-synchronous rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_TOP = 30
+
+
+def _lpa_round_sql(edges: str, prev: str, out: str) -> str:
+    """One LPA round: each node adopts its neighbors' most frequent label,
+    ties to the smallest label."""
+    return f"""
+    {out} AS (
+        SELECT u, label FROM (
+            SELECT e.u, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY e.u
+                                      ORDER BY COUNT(*) DESC, l.label) AS rn
+            FROM {edges} e JOIN {prev} l ON l.u = e.v
+            GROUP BY e.u, l.label
+        ) t WHERE rn = 1
+    )
+    """
+
+
+@query(
+    "label_propagation_communities",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    edges AS (SELECT src AS u, dst AS v FROM e0),
+    l0 AS (SELECT DISTINCT src AS u, src AS label FROM e0),
+    {_lpa_round_sql("edges", "l0", "l1")},
+    {_lpa_round_sql("edges", "l1", "l2")}
+    SELECT label AS community, CAST(c AS BIGINT) AS n_members, rk
+    FROM (
+        SELECT label, COUNT(*) AS c,
+               CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, label)
+                    AS INT) AS rk
+        FROM l2 GROUP BY label
+    ) t
+    WHERE rk <= {_LPA_TOP}
+    ORDER BY rk
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled semi-synchronous label-propagation rounds over the
+    co-purchase graph (same edge set as pagerank_copurchase): labels start
+    as node ids; each round every node adopts its neighbors' most frequent
+    label with ties to the SMALLEST label (the deterministic LPA variant —
+    random tie-breaking is the textbook algorithm's nondeterminism, which
+    a cross-engine-checked pipeline cannot have). Round 1 from identity
+    labels therefore reduces to "adopt the smallest neighbor id seen most
+    often", and round 2 begins genuine propagation. Top {_LPA_TOP}
+    communities by size.
+
+    Scale: each round is one shuffle join of the edge list with the
+    |nodes|-sized label vector plus one count aggregate — the same
+    join-agg iteration shape as PageRank; the production loop re-
+    checkpoints per round (operators/graph.py shows that pattern for
+    connected components).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("u") != F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("u"), F.col("u").alias("label")).distinct()
+    for _ in range(2):
+        nb = edges.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("u").orderBy(F.desc("c"), "label")
+        labels = (
+            nb.select("u", "label", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") == 1)
+            .select("u", "label")
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    w_rk = Window.orderBy(F.desc("n_members"), "label")
+    return (
+        sizes.select(
+            F.col("label").alias("community"),
+            "n_members",
+            F.row_number().over(w_rk).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= _LPA_TOP)
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (3 unrolled rounds, k = 3)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_round_sql(prev_edges: str, out_edges: str) -> str:
+    return f"""
+    {out_edges}_keep AS (
+        SELECT u FROM {prev_edges} GROUP BY u
+        HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    {out_edges} AS (
+        SELECT e.u, e.v FROM {prev_edges} e
+        JOIN {out_edges}_keep a ON a.u = e.u
+        JOIN {out_edges}_keep b ON b.u = e.v
+    )
+    """
+
+
+@query(
+    "kcore_peeling_summary",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    ke0 AS (SELECT src AS u, dst AS v FROM e0),
+    {_kcore_round_sql("ke0", "ke1")},
+    {_kcore_round_sql("ke1", "ke2")},
+    {_kcore_round_sql("ke2", "ke3")},
+    degs AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM ke3 GROUP BY u)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COALESCE(SUM(d), 0) / 2 AS BIGINT) AS n_edges,
+           CAST(COALESCE(MAX(d), 0) AS BIGINT) AS max_degree,
+           CAST(COALESCE(MIN(d), 0) AS BIGINT) AS min_degree
+    FROM degs
+    """,
+)
+def kcore_peeling_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_ROUNDS} unrolled rounds of k-core peeling (k = {_KCORE_K})
+    on the co-purchase graph: repeatedly drop nodes of degree < k and the
+    edges touching them, reporting the surviving subgraph's node/edge
+    counts and degree range — the dense-core extraction that seeds
+    community mining and prunes near-dup candidate graphs before
+    clustering. min_degree can still be below k after a finite unroll
+    (peeling cascades); convergence is min_degree ≥ {_KCORE_K}.
+
+    Scale: each round is a degree aggregate (map-side combinable) plus
+    two SEMI joins of the edge list against the surviving-node set —
+    shuffle-linear in edges, the same per-round cost envelope as the
+    connected-components loop (operators/graph.py), which also documents
+    the checkpoint cadence the production loop uses.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("u") != F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= _KCORE_K)
+            .select("u")
+        )
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .select("u", "v")
+        )
+    degs = edges.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    return degs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("bigint").alias("n_edges"),
+        F.coalesce(F.max("d"), F.lit(0)).cast("bigint").alias("max_degree"),
+        F.coalesce(F.min("d"), F.lit(0)).cast("bigint").alias("min_degree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Add-one-smoothed bigram LM predictability per source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bigram_lm_source_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+    bg AS (
+        SELECT doc_id, source, tk[i] AS w1, tk[i + 1] AS w2
+        FROM (
+            SELECT doc_id, source, tk,
+                   unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2
+        ) u
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM bg),
+    scored AS (
+        SELECT b.doc_id, b.source,
+               CAST(FLOOR(CAST(c2.c12 + 1 AS DOUBLE) / (c1.c1 + vo.v) * 1e12)
+                    AS BIGINT) AS pq
+        FROM bg b
+        JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        JOIN c1 ON c1.w1 = b.w1
+        CROSS JOIN vocab vo
+    ),
+    perdoc AS (
+        SELECT doc_id, source,
+               CAST(SUM(pq) // COUNT(*) AS BIGINT) AS mean_pq
+        FROM scored GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(mean_pq) AS BIGINT) AS DOUBLE) / 1e12
+               AS mean_doc_prob_sum
+    FROM perdoc GROUP BY 1 ORDER BY 1
+    """,
+)
+def bigram_lm_source_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus predictability per source: an add-one-smoothed bigram
+    language model P(w2|w1) = (c(w1w2)+1)/(c(w1)+V) is trained on the
+    corpus's own bigrams (c(w1) counts w1's occurrences as a bigram LEFT —
+    self-consistent, no off-by-one with final tokens), and each document
+    is scored by its mean bigram probability. Low-probability sources are
+    the out-of-distribution / noisy slices — the cheap KenLM-style
+    quality prior built from nothing but the corpus. Probabilities are
+    floor-quantized to integer picounits (FLOOR(p·10¹²) — no tie case,
+    unlike a decimal cast whose half-quantum rounding differs between
+    engines: HALF_UP vs HALF_EVEN, observed on this very query at
+    sf0.01), then both aggregation levels are exact integer sums with one
+    integer floor-division for the per-doc mean.
+
+    Scale: bigram extraction is a per-row array transform (no shuffle);
+    the model tables are vocabulary-sized aggregates re-joined on w1/w2 —
+    shuffle-linear; V is a 1-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select(
+            "doc_id", "source", F.split(F.lower("text"), r"\s+").alias("tk")
+        )
+        .where(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "source", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    vocab = bg.agg(F.count_distinct("w1").cast("bigint").alias("v"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "source",
+            F.floor(
+                (F.col("c12") + 1).cast("double")
+                / (F.col("c1") + F.col("v"))
+                * F.lit(1e12)
+            )
+            .cast("bigint")
+            .alias("pq"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id", "source").agg(
+        F.expr("sum(pq) div count(*)").cast("bigint").alias("mean_pq")
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (F.sum("mean_pq").cast("bigint").cast("double") / F.lit(1e12)).alias(
+                "mean_doc_prob_sum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index postings for rare terms
+# ---------------------------------------------------------------------------
+
+_INV_SHINGLE = 3
+_INV_DF_MIN = 2
+_INV_DF_MAX = 5
+_INV_TOP = 100
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH {_sql_shingles(_INV_SHINGLE)},
+    agg AS (
+        SELECT shingle,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               array_to_string(list_sort(list(doc_id)), ',') AS postings_csv
+        FROM sh GROUP BY shingle
+        HAVING COUNT(*) BETWEEN {_INV_DF_MIN} AND {_INV_DF_MAX}
+    )
+    SELECT shingle, df, postings_csv, rk FROM (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY df DESC, shingle)
+                    AS INT) AS rk
+        FROM agg
+    ) r WHERE rk <= {_INV_TOP}
+    ORDER BY rk
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction for rare phrases ({_INV_SHINGLE}-word
+    shingles with document frequency in [{_INV_DF_MIN}, {_INV_DF_MAX}]):
+    per phrase, the document frequency and the SORTED posting list of doc
+    ids — the search-engine building block under bm25_doc_ranking and the
+    lookup structure behind contamination_ngram_overlap, emitted in the
+    portable CSV scalar form (array_agg_order_years' convention: sorted
+    before serialization, because collect order is nondeterministic).
+
+    Scale: two-phase on the Spark side — document frequencies first, the
+    df-band filter SEMI-prunes the shingle stream, and only surviving
+    (rare) phrases reach collect_list, so a boilerplate phrase's
+    corpus-sized posting list is never materialized. The oracle's
+    single-pass HAVING is semantically identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", _INV_SHINGLE)
+    dfreq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .where(F.col("df").between(_INV_DF_MIN, _INV_DF_MAX))
+    )
+    agg = (
+        sh.join(dfreq, "shingle")
+        .groupBy("shingle", "df")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias(
+                "postings_csv"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("df"), "shingle")
+    return (
+        agg.select(
+            "shingle",
+            "df",
+            "postings_csv",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= _INV_TOP)
+        .orderBy("rk")
+    )
