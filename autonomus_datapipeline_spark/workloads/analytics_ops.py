@@ -764,3 +764,136 @@ def copurchase_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
         .orderBy("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities on the bipartite customer-part graph
+# ---------------------------------------------------------------------------
+
+_HITS_TOP = 20
+
+_HITS_EDGES_CTE = """
+    be AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    nc AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n FROM be)
+"""
+
+
+def _hits_iter_sql(h_prev: str, a_out: str, h_out: str) -> str:
+    """One HITS iteration, L1-normalized with floor-picounit quantization
+    (the pagerank_copurchase rule: floor has no tie case)."""
+    return f"""
+    {a_out}_raw AS (
+        SELECT be.p, CAST(SUM(h.hq) AS BIGINT) AS raw
+        FROM be JOIN {h_prev} h ON h.c = be.c GROUP BY 1
+    ),
+    {a_out} AS (
+        SELECT p, CAST(FLOOR(CAST(raw AS DOUBLE)
+                             / (SELECT SUM(raw) FROM {a_out}_raw) * 1e12)
+                       AS BIGINT) AS aq
+        FROM {a_out}_raw
+    ),
+    {h_out}_raw AS (
+        SELECT be.c, CAST(SUM(a.aq) AS BIGINT) AS raw
+        FROM be JOIN {a_out} a ON a.p = be.p GROUP BY 1
+    ),
+    {h_out} AS (
+        SELECT c, CAST(FLOOR(CAST(raw AS DOUBLE)
+                             / (SELECT SUM(raw) FROM {h_out}_raw) * 1e12)
+                       AS BIGINT) AS hq
+        FROM {h_out}_raw
+    )
+"""
+
+
+@query(
+    "hits_copurchase_2iter",
+    oracle=f"""
+    WITH {_HITS_EDGES_CTE},
+    h0 AS (
+        SELECT c, CAST(FLOOR(1e12 / nc.n) AS BIGINT) AS hq
+        FROM (SELECT DISTINCT c FROM be) u CROSS JOIN nc
+    ),
+    {_hits_iter_sql("h0", "a1", "h1")},
+    {_hits_iter_sql("h1", "a2", "h2")}
+    SELECT p AS part, aq AS authority_q,
+           CAST(aq AS DOUBLE) / 1e12 AS authority, rk
+    FROM (
+        SELECT p, aq,
+               CAST(ROW_NUMBER() OVER (ORDER BY aq DESC, p) AS INT) AS rk
+        FROM a2
+    ) r WHERE rk <= {_HITS_TOP}
+    ORDER BY rk
+    """,
+)
+def hits_copurchase_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs and authorities), two unrolled iterations on the
+    bipartite customer↔part purchase graph: customers are hubs, parts are
+    authorities, and each half-step is one join-aggregate of the edge
+    list against the opposite score vector — the eigenvector-style
+    ranking complement to pagerank_copurchase (which runs on the
+    projected part-part graph instead). L1 normalization per half-step
+    keeps the scores rational; every normalized score is floor-quantized
+    to integer picounits (floor has no tie case — the PageRank lesson),
+    so both engines iterate on bit-identical integers. Top {_HITS_TOP}
+    authorities with part-key tiebreak.
+
+    Scale: the edge list (distinct customer-part pairs, linear in the
+    fact table) is checkpointed once; each half-step shuffles it against
+    a |customers|- or |parts|-sized vector — the exact loop shape MLlib
+    uses for power iteration. The scalar L1 totals broadcast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    be = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nc = be.agg(F.count_distinct("c").cast("bigint").alias("n"))
+    h = (
+        be.select("c")
+        .distinct()
+        .crossJoin(F.broadcast(nc))
+        .select("c", F.floor(F.lit(1e12) / F.col("n")).cast("bigint").alias("hq"))
+    )
+    a = None
+    for _ in range(2):
+        a_raw = (
+            be.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("hq").cast("bigint").alias("raw"))
+        )
+        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
+        a = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            "p",
+            F.floor(F.col("raw").cast("double") / F.col("tot") * F.lit(1e12))
+            .cast("bigint")
+            .alias("aq"),
+        )
+        h_raw = (
+            be.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("aq").cast("bigint").alias("raw"))
+        )
+        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
+        h = h_raw.crossJoin(F.broadcast(h_tot)).select(
+            "c",
+            F.floor(F.col("raw").cast("double") / F.col("tot") * F.lit(1e12))
+            .cast("bigint")
+            .alias("hq"),
+        )
+    w = Window.orderBy(F.desc("aq"), "p")
+    return (
+        a.select(
+            F.col("p").alias("part"),
+            F.col("aq").alias("authority_q"),
+            (F.col("aq").cast("double") / F.lit(1e12)).alias("authority"),
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= _HITS_TOP)
+        .orderBy("rk")
+    )

@@ -564,3 +564,76 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(_COP_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (companion to k_anonymity_audit)
+# ---------------------------------------------------------------------------
+
+_L_DIV = 2
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH q AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(c_acctbal / {_BAL_BUCKET}) AS BIGINT) AS bal_bucket,
+               c_mktsegment
+        FROM customer
+    ),
+    cls AS (
+        SELECT c_nationkey, bal_bucket,
+               CAST(COUNT(*) AS BIGINT) AS class_size,
+               CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive
+        FROM q GROUP BY 1, 2
+    )
+    SELECT n_sensitive,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           n_sensitive < {_L_DIV} AS at_risk
+    FROM cls GROUP BY 1 ORDER BY 1
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k_anonymity_audit's stronger companion: a
+    quasi-identifier class (nation, coarse balance bucket) is at risk
+    when every row in it shares the SAME sensitive value (market
+    segment), because class membership then reveals the attribute even
+    with k-anonymity satisfied. Reports the histogram of distinct-
+    sensitive-value counts per class with the l<{_L_DIV} risk flag.
+
+    Scale: two exact integer aggregations on bounded domains (the QI
+    tuple, then the diversity count) — map-side combine collapses both;
+    the sensitive-distinct count rides the same shuffle as the class
+    size. Same floor-bucket portability note as k_anonymity_audit.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    cls = (
+        c.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / _BAL_BUCKET)
+            .cast("bigint")
+            .alias("bal_bucket"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("class_size"),
+            F.count_distinct("c_mktsegment").cast("bigint").alias("n_sensitive"),
+        )
+    )
+    return (
+        cls.groupBy("n_sensitive")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_rows"),
+        )
+        .select(
+            "n_sensitive",
+            "n_classes",
+            "n_rows",
+            (F.col("n_sensitive") < _L_DIV).alias("at_risk"),
+        )
+        .orderBy("n_sensitive")
+    )

@@ -1022,3 +1022,78 @@ def event_bigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _SEQ_TOP)
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern support, length 3
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "event_trigram_support",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT user_id,
+               LAG(event_type, 2) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS t1,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS t2,
+               event_type AS t3
+        FROM events
+    ),
+    trigrams AS (
+        SELECT t1, t2, t3,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS user_support
+        FROM lagged WHERE t1 IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT t1, t2, t3, n_occurrences, user_support, rk FROM (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY user_support DESC,
+                                       n_occurrences DESC,
+                                       t1, t2, t3) AS INT) AS rk
+        FROM trigrams
+    ) r WHERE rk <= {_SEQ_TOP}
+    ORDER BY rk
+    """,
+)
+def event_trigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, length-3: consecutive event-type
+    trigrams per user ranked by distinct-user support — the next Apriori
+    level above event_bigram_support (a frequent trigram's two sub-
+    bigrams are frequent, so the bigram output prunes this search in a
+    production chain, exactly as market_basket_triples builds on the pair
+    query).
+
+    Scale: the same single per-user window shuffle as the bigram query
+    (LAG at two offsets rides one sort), then a |types|³-bounded
+    aggregate. All-integer with a five-level total tiebreak.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select(
+        "user_id",
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type").over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).where(F.col("t1").isNotNull())
+    trigrams = lagged.groupBy("t1", "t2", "t3").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.count_distinct("user_id").cast("bigint").alias("user_support"),
+    )
+    w_rk = Window.orderBy(
+        F.desc("user_support"), F.desc("n_occurrences"), "t1", "t2", "t3"
+    )
+    return (
+        trigrams.select(
+            "t1",
+            "t2",
+            "t3",
+            "n_occurrences",
+            "user_support",
+            F.row_number().over(w_rk).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= _SEQ_TOP)
+        .orderBy("rk")
+    )

@@ -508,3 +508,111 @@ def knn_label_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-bucketed epsilon-neighborhood query (DBSCAN region query)
+# ---------------------------------------------------------------------------
+
+_GRID_EPS = 0.05
+_GRID_MINPTS = 4
+
+
+@query(
+    "grid_epsilon_neighbors",
+    oracle=f"""
+    WITH pts AS (
+        SELECT vec_id,
+               CAST(embedding[1] AS DOUBLE) AS px,
+               CAST(embedding[2] AS DOUBLE) AS py
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT vec_id, px, py,
+               CAST(FLOOR(px / {_GRID_EPS}) AS BIGINT) AS cx,
+               CAST(FLOOR(py / {_GRID_EPS}) AS BIGINT) AS cy
+        FROM pts
+    ),
+    probe AS (
+        SELECT c.vec_id, c.px, c.py, c.cx + dx.d AS cx, c.cy + dy.d AS cy
+        FROM cells c
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    neigh AS (
+        SELECT a.vec_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+        FROM probe a JOIN cells b ON b.cx = a.cx AND b.cy = a.cy
+        WHERE b.vec_id <> a.vec_id
+          AND (a.px - b.px) * (a.px - b.px)
+              + (a.py - b.py) * (a.py - b.py) <= {_GRID_EPS} * {_GRID_EPS}
+        GROUP BY 1
+    )
+    SELECT p.vec_id,
+           COALESCE(n.n_neighbors, 0) AS n_neighbors,
+           COALESCE(n.n_neighbors, 0) >= {_GRID_MINPTS} AS is_core
+    FROM pts p LEFT JOIN neigh n ON n.vec_id = p.vec_id
+    """,
+)
+def grid_epsilon_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-neighborhood counting on the first two embedding dimensions
+    via GRID BUCKETING — the DBSCAN region query and the geohash-join
+    pattern in one: each point lands in a ⌊x/ε⌋×⌊y/ε⌋ cell, probes only
+    its 3×3 cell neighborhood, and exact-verifies the squared distance,
+    so candidate pairs are bounded by cell occupancy instead of n². Marks
+    core points (≥ {_GRID_MINPTS} neighbors within ε={_GRID_EPS}) — feed
+    these into the connected-components operator (operators/graph.py) and
+    the composition IS distributed DBSCAN.
+
+    Scale: the expansion is a fixed 9× fan-out of the point set joined on
+    cell keys — shuffle-linear with occupancy-bounded output; no
+    broadcast of anything corpus-sized. Squared-distance verification is
+    a fixed IEEE expression over two coordinates (float→double casts are
+    exact), and the ε² comparison uses the same literal on both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("px"),
+        F.element_at("embedding", 2).cast("double").alias("py"),
+    )
+    cells = pts.select(
+        "vec_id",
+        "px",
+        "py",
+        F.floor(F.col("px") / _GRID_EPS).cast("bigint").alias("cx"),
+        F.floor(F.col("py") / _GRID_EPS).cast("bigint").alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probe = cells.crossJoin(F.broadcast(offsets)).select(
+        "vec_id",
+        "px",
+        "py",
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        "cx",
+        "cy",
+    )
+    dist2 = (F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx")) + (
+        F.col("py") - F.col("by")
+    ) * (F.col("py") - F.col("by"))
+    neigh = (
+        probe.join(b, ["cx", "cy"])
+        .where(
+            (F.col("b_id") != F.col("vec_id"))
+            & (dist2 <= F.lit(_GRID_EPS * _GRID_EPS))
+        )
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neighbors"))
+    )
+    return pts.select("vec_id").join(neigh, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
+        (F.coalesce("n_neighbors", F.lit(0)) >= _GRID_MINPTS).alias("is_core"),
+    )

@@ -383,3 +383,95 @@ def vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.round(F.col("cum").cast("double") / F.col("total"), 6).alias("cum_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword-in-context concordance
+# ---------------------------------------------------------------------------
+
+_KWIC_TERM = "window"
+_KWIC_CTX = 3
+_KWIC_TOP = 100
+
+
+@query(
+    "concordance_keyword_context",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               -- an inverted slice (keyword at a document edge) is NULL in
+               -- DuckDB but an empty array in Spark — coalesce to ''
+               COALESCE(array_to_string(
+                   tk[greatest(i - {_KWIC_CTX}, 1):i - 1], ' '), '')
+                   AS left_ctx,
+               COALESCE(array_to_string(
+                   tk[i + 1:least(i + {_KWIC_CTX}, len(tk))], ' '), '')
+                   AS right_ctx
+        FROM (
+            SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+            FROM toks
+        ) u
+        WHERE tk[i] = '{_KWIC_TERM}'
+    )
+    SELECT doc_id, pos, left_ctx, right_ctx, rk FROM (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY doc_id, pos) AS INT) AS rk
+        FROM hits
+    ) r WHERE rk <= {_KWIC_TOP}
+    ORDER BY rk
+    """,
+)
+def concordance_keyword_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for '{_KWIC_TERM}': every occurrence
+    with {_KWIC_CTX} tokens of left and right context — the corpus-
+    linguistics KWIC view used to qualify how a term is actually used
+    before building filters or labels around it. Context windows are
+    array slices clamped at the document edges (empty string at the
+    boundary on both engines); first {_KWIC_TOP} hits in (doc_id,
+    position) order.
+
+    Scale: a per-row array scan with bounded-width slices — no shuffle
+    until the final bounded top-k; at 100 TB the term filter pushes into
+    the scan via a bloom/contains prefilter on the raw text column
+    (contains(text, term) never false-negatives the tokenized match).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # contains() prefilter: cheap scan-level prune, cannot drop a real hit.
+    toks = docs.where(F.lower("text").contains(_KWIC_TERM)).select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("tk")
+    )
+    hits = (
+        toks.select("doc_id", "tk", F.posexplode("tk").alias("p0", "tok"))
+        .where(F.col("tok") == _KWIC_TERM)
+        # Spark arrays are 0-indexed via posexplode; the 1-indexed position
+        # i = p0 + 1 keeps slice arithmetic identical to the oracle.
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("bigint").alias("pos"),
+            F.expr(
+                f"array_join(slice(tk, greatest(p0 + 1 - {_KWIC_CTX}, 1),"
+                f" p0 + 1 - greatest(p0 + 1 - {_KWIC_CTX}, 1)), ' ')"
+            ).alias("left_ctx"),
+            F.expr(
+                f"array_join(slice(tk, p0 + 2,"
+                f" greatest(least(p0 + 1 + {_KWIC_CTX}, size(tk))"
+                f" - (p0 + 1), 0)), ' ')"
+            ).alias("right_ctx"),
+        )
+    )
+    w = Window.orderBy("doc_id", "pos")
+    return (
+        hits.select(
+            "doc_id",
+            "pos",
+            "left_ctx",
+            "right_ctx",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= _KWIC_TOP)
+        .orderBy("rk")
+    )

@@ -1,0 +1,134 @@
+"""Semantics unit tests for the round-5 cross-module additions: HITS
+authority ordering on a bipartite star, grid-bucketed epsilon neighbors
+across cell borders (incl. the exact-ε boundary), l-diversity risk
+classes, KWIC edge contexts, and trigram tiebreak ordering."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from autonomus_datapipeline_spark.workloads import (
+    analytics_ops,
+    audit_ops,
+    mining_ops,
+    search_ops,
+    text_ops2,
+)
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def _patch(monkeypatch, module, tables: dict):
+    monkeypatch.setattr(module, "load_table", lambda spark, sf, name: tables[name])
+
+
+# ---------------------------------------------------------------------------
+# HITS
+# ---------------------------------------------------------------------------
+
+
+def test_hits_authority_ordering_bipartite_star(spark, monkeypatch):
+    """c1 buys {p1, p2}, c2 buys {p1} → p1 outranks p2, scores are
+    L1-bounded, and both iterations preserve the order."""
+    orders = spark.createDataFrame(
+        [(1, 1), (2, 2)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10)], "l_orderkey long, l_partkey long"
+    )
+    _patch(monkeypatch, analytics_ops, {"orders": orders, "lineitem": li})
+    rows = _rows(analytics_ops.hits_copurchase_2iter(spark, "x"))
+    assert [r[0] for r in rows] == [10, 20]
+    assert rows[0][1] > rows[1][1]  # authority_q strictly ordered
+    assert rows[0][3] == 1 and rows[1][3] == 2
+    assert 0.0 < sum(r[2] for r in rows) <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Grid epsilon neighbors
+# ---------------------------------------------------------------------------
+
+
+def test_grid_neighbors_cross_cell_and_exact_boundary(spark, monkeypatch):
+    """Points 0.05 apart sit in DIFFERENT grid cells yet are neighbors at
+    exactly ε (≤ comparison); a far point has zero neighbors."""
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [0.05, 0.0]),  # adjacent cell, distance exactly ε
+            (3, [1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    _patch(monkeypatch, search_ops, {"embeddings": emb})
+    rows = sorted(_rows(search_ops.grid_epsilon_neighbors(spark, "x")))
+    assert rows == [(1, 1, False), (2, 1, False), (3, 0, False)]
+
+
+# ---------------------------------------------------------------------------
+# l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_flags_homogeneous_class(spark, monkeypatch):
+    """A QI class whose members all share one segment is at risk; a
+    two-segment class is not."""
+    cust = spark.createDataFrame(
+        [
+            (1, 100.0, "BUILDING"),
+            (1, 150.0, "BUILDING"),   # class (1, 0): one segment → risk
+            (2, 100.0, "BUILDING"),
+            (2, 150.0, "MACHINERY"),  # class (2, 0): two segments → ok
+        ],
+        "c_nationkey long, c_acctbal double, c_mktsegment string",
+    )
+    _patch(monkeypatch, audit_ops, {"customer": cust})
+    rows = _rows(audit_ops.l_diversity_audit(spark, "x"))
+    assert rows == [(1, 1, 2, True), (2, 1, 2, False)]
+
+
+# ---------------------------------------------------------------------------
+# Concordance
+# ---------------------------------------------------------------------------
+
+
+def test_kwic_edge_contexts(spark, monkeypatch):
+    """Keyword at the document start has an empty left context; at the end
+    an empty right context; interior contexts clamp to 3 tokens."""
+    docs = spark.createDataFrame(
+        [(1, "window a b window", "s")],
+        "doc_id long, text string, source string",
+    )
+    _patch(monkeypatch, text_ops2, {"documents": docs})
+    rows = _rows(text_ops2.concordance_keyword_context(spark, "x"))
+    assert rows == [
+        (1, 1, "", "a b window", 1),
+        (1, 4, "window a b", "", 2),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Trigram support
+# ---------------------------------------------------------------------------
+
+
+def test_trigram_tiebreak_ordering(spark, monkeypatch):
+    """A,B,C,B,C yields three trigrams with identical support — the
+    five-level tiebreak orders them lexicographically."""
+    t0 = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [
+            (i, 1, t, t0 + dt.timedelta(seconds=i))
+            for i, t in enumerate(["A", "B", "C", "B", "C"])
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    _patch(monkeypatch, mining_ops, {"events": events})
+    rows = _rows(mining_ops.event_trigram_support(spark, "x"))
+    assert rows == [
+        ("A", "B", "C", 1, 1, 1),
+        ("B", "C", "B", 1, 1, 2),
+        ("C", "B", "C", 1, 1, 3),
+    ]
