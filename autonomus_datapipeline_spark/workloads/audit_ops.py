@@ -637,3 +637,92 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_sensitive")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed table profile (per-column stats in one report)
+# ---------------------------------------------------------------------------
+
+# (column, portable display cast) — doubles render differently across
+# engines, so numeric display values go through DECIMAL first.
+_PROFILE_COLS = [
+    ("o_orderstatus", "string"),
+    ("o_orderpriority", "string"),
+    ("o_custkey", "string"),
+    ("o_totalprice", "decimal(38,2)"),
+    ("o_orderdate", "date"),
+]
+
+
+@query(
+    "table_profile_orders",
+    oracle="""
+    SELECT 'o_orderstatus' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderstatus) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderstatus) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(CAST(MIN(o_custkey) AS VARCHAR) AS VARCHAR),
+           CAST(CAST(MAX(o_custkey) AS VARCHAR) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(38,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(38,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR),
+           CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR)
+    FROM orders
+    ORDER BY 1
+    """,
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed table profile: per-column row/null/distinct counts and
+    min/max in ONE report — the SQL-surface twin of the schema-inference
+    field statistics (inference/schema_inference.py:153, mirroring the
+    reference's per-field stats), run as a declarative plan instead of a
+    driver loop. Display values are rendered portably: numerics through
+    DECIMAL (double→string formatting is engine-specific), dates as ISO
+    strings, keys via integer formatting.
+
+    Scale: each column's stats are one map-side-combinable aggregate over
+    the same scan; Spark collapses the union of aggregates into a
+    multi-scan plan that AQE schedules together, and distinct counts ride
+    their own hash shuffle. For very wide tables the same report is
+    generated column-batched (this fixed five-column set is the shape
+    demo). No driver-side per-column loop — the UNION is the plan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    parts = []
+    for col, disp in _PROFILE_COLS:
+        parts.append(
+            o.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias("n_null"),
+                F.count_distinct(col).cast("bigint").alias("n_distinct"),
+                F.min(col).cast(disp).cast("string").alias("min_value"),
+                F.max(col).cast(disp).cast("string").alias("max_value"),
+            ).select(F.lit(col).alias("column_name"), "*")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")

@@ -415,3 +415,162 @@ def scd2_user_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff report (CDC reconciliation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "snapshot_diff_report",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey AS k,
+               md5(CAST(o_orderstatus AS VARCHAR) || '|'
+                   || CAST(o_orderpriority AS VARCHAR)) AS h
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    new_ AS (
+        SELECT o_orderkey AS k,
+               md5(CAST(o_orderstatus AS VARCHAR) || '|'
+                   || CASE WHEN o_orderkey % 5 = 0 THEN 'TOUCHED'
+                           ELSE CAST(o_orderpriority AS VARCHAR) END) AS h
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    joined AS (
+        SELECT COALESCE(o.k, n.k) AS k,
+               CASE WHEN o.k IS NULL THEN 'added'
+                    WHEN n.k IS NULL THEN 'removed'
+                    WHEN o.h <> n.h THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM old o FULL OUTER JOIN new_ n ON n.k = o.k
+    )
+    SELECT change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS sample_key
+    FROM joined GROUP BY 1 ORDER BY 1
+    """,
+)
+def snapshot_diff_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation — the CDC audit between two table versions:
+    rows are classified added / removed / changed / unchanged by a
+    full-outer join on the key with an md5 attribute fingerprint (the
+    cheap column-set comparator — one hash per side instead of N column
+    equality checks). The two versions are deterministic slices of the
+    orders table (old drops key%3=0, new drops key%7=0 and perturbs
+    key%5=0), so both engines diff identical inputs.
+
+    Scale: one shuffled full-outer join on the key — the canonical
+    reconciliation shape; the fingerprint collapses arbitrarily wide
+    attribute sets to 16 bytes before the shuffle, and the report is a
+    4-row rollup. The production twin diffs two stored snapshots with
+    the same plan (cf. incremental_dedup_new_batch for the narrow-hash
+    discipline).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderstatus").cast("string"),
+                F.col("o_orderpriority").cast("string"),
+            )
+        ).alias("h_old"),
+    )
+    new = o.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderstatus").cast("string"),
+                F.when(F.col("o_orderkey") % 5 == 0, "TOUCHED").otherwise(
+                    F.col("o_orderpriority").cast("string")
+                ),
+            )
+        ).alias("h_new"),
+    )
+    joined = old.join(new, "k", "full_outer").select(
+        "k",
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") != F.col("h_new"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+    return (
+        joined.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("k").cast("bigint").alias("sample_key"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT yr, n_orders,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(prev_rev AS DOUBLE) AS prev_revenue,
+           CASE WHEN prev_rev IS NOT NULL
+                THEN CAST(revenue - prev_rev AS DOUBLE)
+                     / CAST(prev_rev AS DOUBLE) END AS yoy_growth
+    FROM (
+        SELECT yr, n_orders, revenue,
+               LAG(revenue) OVER (ORDER BY yr) AS prev_rev
+        FROM yearly
+    ) t
+    ORDER BY yr
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth report: yearly order counts and exact-decimal
+    revenue with the LAG-based growth ratio — the standard finance rollup
+    (the monthly twin with share-of-total is
+    monthly_priority_share_shift). The growth ratio divides two
+    decimal-exact totals once in double; the first year's growth is NULL
+    by construction on both engines.
+
+    Scale: a map-side-combinable yearly rollup (single-digit rows at any
+    corpus size), then one trivial window over the year grid.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    yearly = o.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("revenue"),
+    )
+    w = Window.orderBy("yr")
+    return (
+        yearly.select(
+            "yr",
+            "n_orders",
+            "revenue",
+            F.lag("revenue").over(w).alias("prev_rev"),
+        )
+        .select(
+            "yr",
+            "n_orders",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.col("prev_rev").cast("double").alias("prev_revenue"),
+            F.when(
+                F.col("prev_rev").isNotNull(),
+                (F.col("revenue") - F.col("prev_rev")).cast("double")
+                / F.col("prev_rev").cast("double"),
+            ).alias("yoy_growth"),
+        )
+        .orderBy("yr")
+    )

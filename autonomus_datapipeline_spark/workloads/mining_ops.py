@@ -845,7 +845,7 @@ _RFM_ANCHOR = "2001-08-02"
     """,
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation — the classic CRM cube:每 customer scored into
+    """RFM segmentation — the classic CRM cube: every customer scored into
     recency/frequency/monetary quintiles (1 = best), concatenated into a
     3-digit segment, rolled up to segment sizes and revenue. NTILE is
     deterministic here because every ordering carries the custkey total

@@ -132,3 +132,72 @@ def test_trigram_tiebreak_ordering(spark, monkeypatch):
         ("B", "C", "B", 1, 1, 2),
         ("C", "B", "C", 1, 1, 3),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classification(spark, monkeypatch):
+    """Keys 1..10: old drops %3==0, new drops %7==0 and perturbs %5==0 →
+    added {3,6,9}, removed {7}, changed {5,10}, unchanged {1,2,4,8}."""
+    from autonomus_datapipeline_spark.workloads import incremental_ops
+
+    orders = spark.createDataFrame(
+        [(k, "O", "1-URGENT") for k in range(1, 11)],
+        "o_orderkey long, o_orderstatus string, o_orderpriority string",
+    )
+    _patch(monkeypatch, incremental_ops, {"orders": orders})
+    rows = _rows(incremental_ops.snapshot_diff_report(spark, "x"))
+    assert rows == [
+        ("added", 3, 3),
+        ("changed", 2, 5),
+        ("removed", 1, 7),
+        ("unchanged", 4, 1),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth
+# ---------------------------------------------------------------------------
+
+
+def test_yoy_growth_ratio(spark, monkeypatch):
+    from autonomus_datapipeline_spark.workloads import incremental_ops
+    import datetime as _dt
+
+    orders = spark.createDataFrame(
+        [(_dt.date(2023, 5, 1), 100.0), (_dt.date(2024, 5, 1), 150.0)],
+        "o_orderdate date, o_totalprice double",
+    )
+    _patch(monkeypatch, incremental_ops, {"orders": orders})
+    rows = _rows(incremental_ops.orders_yoy_growth(spark, "x"))
+    assert rows[0][0] == 2023 and rows[0][4] is None
+    assert rows[1][0] == 2024 and rows[1][4] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# Table profile
+# ---------------------------------------------------------------------------
+
+
+def test_table_profile_nulls_and_decimal_render(spark, monkeypatch):
+    from autonomus_datapipeline_spark.workloads import audit_ops as _audit
+    import datetime as _dt
+
+    orders = spark.createDataFrame(
+        [
+            ("O", "1-URGENT", 1, 10.5, _dt.date(2024, 1, 1)),
+            ("F", None, 2, 20.0, _dt.date(2024, 2, 1)),
+        ],
+        "o_orderstatus string, o_orderpriority string, o_custkey long,"
+        " o_totalprice double, o_orderdate date",
+    )
+    _patch(monkeypatch, _audit, {"orders": orders})
+    rows = {r[0]: tuple(r) for r in _rows(_audit.table_profile_orders(spark, "x"))}
+    assert rows["o_orderpriority"][2] == 1          # one null
+    assert rows["o_orderpriority"][3] == 1          # one distinct non-null
+    assert rows["o_totalprice"][4] == "10.50"       # decimal render
+    assert rows["o_orderdate"][4] == "2024-01-01"   # ISO date render
+    assert rows["o_custkey"][1] == 2 and rows["o_custkey"][2] == 0

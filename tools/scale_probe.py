@@ -108,6 +108,21 @@ PROBE_QUERIES = [
     "k_anonymity_audit",
     "event_transition_matrix",
     "ngram_diversity_report",
+    # round-5 stats/sketch/graph + diagnostics batches
+    "ks_two_sample_order_value",
+    "countmin_heavy_hitters",
+    "flesch_reading_buckets",
+    "label_propagation_communities",
+    "kcore_peeling_summary",
+    "bigram_lm_source_scores",
+    "inverted_index_postings",
+    "market_basket_triples",
+    "purchase_attribution_last_touch",
+    "gini_revenue_concentration",
+    "bloom_filter_fpr_audit",
+    "hits_copurchase_2iter",
+    "grid_epsilon_neighbors",
+    "event_trigram_support",
 ]
 
 
