@@ -699,3 +699,191 @@ def grouped_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LM-score quality buckets (CCNet head/middle/tail)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lm_score_quality_buckets",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    bg AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM (
+            SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2
+        ) u
+    ),
+    c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM bg),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(FLOOR(CAST(c2.c12 + 1 AS DOUBLE) / (c1.c1 + vo.v) * 1e12)
+                    AS BIGINT) AS pq
+        FROM bg b
+        JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        JOIN c1 ON c1.w1 = b.w1
+        CROSS JOIN vocab vo
+    ),
+    perdoc AS (
+        SELECT doc_id, CAST(SUM(pq) // COUNT(*) AS BIGINT) AS mean_pq
+        FROM scored GROUP BY 1
+    ),
+    banded AS (
+        SELECT doc_id, mean_pq,
+               CAST(NTILE(3) OVER (ORDER BY mean_pq DESC, doc_id) AS INT)
+                   AS tercile
+        FROM perdoc
+    )
+    SELECT CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(mean_pq) AS BIGINT) AS min_score_q,
+           CAST(MAX(mean_pq) AS BIGINT) AS max_score_q
+    FROM banded GROUP BY 1 ORDER BY 1
+    """,
+)
+def lm_score_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: documents split into head / middle /
+    tail terciles by their in-corpus bigram-LM score (the
+    bigram_lm_source_scores scorer, per document) — the partition CCNet
+    uses to keep 'head' data, sample 'middle', and drop 'tail'. Scores
+    are floor-picounit integers end-to-end (no decimal-snap tie class),
+    and the tercile NTILE carries the doc_id total tiebreak, so the
+    bucket boundary rows are engine-identical.
+
+    Scale: the LM tables are vocabulary-sized; per-doc scoring is
+    shuffle-linear on the bigram keys; the tercile is one range-
+    partitioned sort over |docs| score rows; the report is 3 rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("tk"))
+        .where(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(tk[i - 1] AS w1, tk[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    vocab = bg.agg(F.count_distinct("w1").cast("bigint").alias("v"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                (F.col("c12") + 1).cast("double")
+                / (F.col("c1") + F.col("v"))
+                * F.lit(1e12)
+            )
+            .cast("bigint")
+            .alias("pq"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.expr("sum(pq) div count(*)").cast("bigint").alias("mean_pq")
+    )
+    banded = perdoc.select(
+        "mean_pq",
+        F.ntile(3)
+        .over(Window.orderBy(F.desc("mean_pq"), "doc_id"))
+        .cast("int")
+        .alias("tercile"),
+    )
+    bucket = (
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        banded.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("mean_pq").cast("bigint").alias("min_score_q"),
+            F.max("mean_pq").cast("bigint").alias("max_score_q"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled corpus mixing weights (α = 0.5 via exact sqrt)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "temperature_mix_weights",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    weighted AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,6)) AS w
+        FROM per_source
+    ),
+    tot AS (SELECT SUM(w) AS tw FROM weighted)
+    SELECT source, n_docs, n_tokens,
+           CAST(w AS DOUBLE) AS weight,
+           CAST(w AS DOUBLE) / CAST(t.tw AS DOUBLE) AS mix_share
+    FROM weighted CROSS JOIN tot t
+    ORDER BY source
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing (α = 0.5): each source's sampling
+    share ∝ n_tokens^α — the multilingual/multi-source rebalancing rule
+    (up-weights small sources, tempers dominant ones) behind mT5/XLM-R
+    style data mixing; corpus_mix_sampling applies such shares, this
+    query derives them. α = 0.5 keeps the whole computation portable
+    because sqrt IS correctly rounded under IEEE-754 on both engines
+    (unlike pow/exp/log — the repo's log-free discipline); the sqrt
+    weights are snapped to decimal and summed order-free before the one
+    double division per row.
+
+    Scale: one map-side-combinable per-source rollup (sources ≪ rows), a
+    scalar total broadcast, and a |sources|-row projection.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.lower("text"), r"\s+")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    weighted = per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(38,6)").alias("w"),
+    )
+    tot = weighted.agg(F.sum("w").alias("tw"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.col("w").cast("double").alias("weight"),
+            (F.col("w").cast("double") / F.col("tw").cast("double")).alias(
+                "mix_share"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -616,3 +616,193 @@ def grid_epsilon_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_neighbors", F.lit(0)).alias("n_neighbors"),
         (F.coalesce("n_neighbors", F.lit(0)) >= _GRID_MINPTS).alias("is_core"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Full DBSCAN (grid region query + core/border/noise + CC clusters)
+# ---------------------------------------------------------------------------
+
+_DBSCAN_GRID_SQL = f"""
+    pts AS (
+        SELECT vec_id,
+               CAST(embedding[1] AS DOUBLE) AS px,
+               CAST(embedding[2] AS DOUBLE) AS py
+        FROM embeddings
+    ),
+    cells AS (
+        SELECT vec_id, px, py,
+               CAST(FLOOR(px / {_GRID_EPS}) AS BIGINT) AS cx,
+               CAST(FLOOR(py / {_GRID_EPS}) AS BIGINT) AS cy
+        FROM pts
+    ),
+    probe AS (
+        SELECT c.vec_id, c.px, c.py, c.cx + dx.d AS cx, c.cy + dy.d AS cy
+        FROM cells c
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dx
+        CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    neigh_pairs AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM probe a JOIN cells b ON b.cx = a.cx AND b.cy = a.cy
+        WHERE b.vec_id <> a.vec_id
+          AND (a.px - b.px) * (a.px - b.px)
+              + (a.py - b.py) * (a.py - b.py) <= {_GRID_EPS} * {_GRID_EPS}
+    ),
+    core AS (
+        SELECT a AS vec_id FROM neigh_pairs GROUP BY a
+        HAVING COUNT(*) >= {_GRID_MINPTS}
+    )
+"""
+
+
+@query(
+    "dbscan_grid_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_DBSCAN_GRID_SQL},
+    core_edges AS (
+        SELECT np.a, np.b FROM neigh_pairs np
+        JOIN core ca ON ca.vec_id = np.a
+        JOIN core cb ON cb.vec_id = np.b
+    ),
+    reach(node, r) AS (
+        SELECT a, b FROM core_edges
+        UNION
+        SELECT reach.node, ce.b FROM reach JOIN core_edges ce ON reach.r = ce.a
+    ),
+    rmin AS (SELECT node, MIN(r) AS mr FROM reach GROUP BY 1),
+    comp AS (
+        SELECT c.vec_id AS node,
+               LEAST(c.vec_id, COALESCE(m.mr, c.vec_id)) AS cluster_id
+        FROM core c LEFT JOIN rmin m ON m.node = c.vec_id
+    ),
+    border AS (
+        SELECT np.a AS vec_id, MIN(comp.cluster_id) AS cluster_id
+        FROM neigh_pairs np
+        JOIN comp ON comp.node = np.b
+        WHERE np.a NOT IN (SELECT vec_id FROM core)
+        GROUP BY 1
+    )
+    SELECT p.vec_id,
+           CASE WHEN c.node IS NOT NULL THEN 'core'
+                WHEN b.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS label,
+           CAST(COALESCE(c.cluster_id, b.cluster_id) AS BIGINT) AS cluster_id
+    FROM pts p
+    LEFT JOIN comp c ON c.node = p.vec_id
+    LEFT JOIN border b ON b.vec_id = p.vec_id
+    """,
+)
+def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete distributed DBSCAN on the first two embedding dimensions
+    (ε={_GRID_EPS}, minPts={_GRID_MINPTS}): the grid region query
+    (grid_epsilon_neighbors) finds ε-neighbor pairs, points with ≥ minPts
+    neighbors become cores, connected components over the core-core
+    ε-graph (operators/graph.py — the alternating-star contraction, the
+    same operator that clusters near-dup docs) form the clusters, border
+    points attach to their MINIMUM-id core cluster (the deterministic
+    variant of DBSCAN's order-dependent border assignment), and the rest
+    is noise. Oracled by a DuckDB recursive-CTE transitive closure over
+    the identical pair SQL.
+
+    Scale: pair generation is cell-occupancy-bounded (9× fan-out join, no
+    n² anywhere); the CC loop is O(log n) contraction rounds on the
+    core-core edge list, which is ≤ the neighbor-pair list. This is the
+    textbook MR-DBSCAN decomposition: region query → local core test →
+    global merge via CC.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("px"),
+        F.element_at("embedding", 2).cast("double").alias("py"),
+    )
+    cells = pts.select(
+        "vec_id",
+        "px",
+        "py",
+        F.floor(F.col("px") / _GRID_EPS).cast("bigint").alias("cx"),
+        F.floor(F.col("py") / _GRID_EPS).cast("bigint").alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probe = cells.crossJoin(F.broadcast(offsets)).select(
+        F.col("vec_id").alias("a"),
+        F.col("px").alias("ax"),
+        F.col("py").alias("ay"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("b"),
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        "cx",
+        "cy",
+    )
+    dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    neigh_pairs = (
+        probe.join(b, ["cx", "cy"])
+        .where(
+            (F.col("b") != F.col("a"))
+            & (dist2 <= F.lit(_GRID_EPS * _GRID_EPS))
+        )
+        .select("a", "b")
+    )
+    core = (
+        neigh_pairs.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _GRID_MINPTS)
+        .select(F.col("a").alias("vec_id"))
+    )
+    core_edges = (
+        neigh_pairs.join(core.select(F.col("vec_id").alias("a")), "a", "left_semi")
+        .join(core.select(F.col("vec_id").alias("b")), "b", "left_semi")
+        .select("a", "b")
+    )
+    from autonomus_datapipeline_spark.operators import graph as graph_ops
+
+    cc = graph_ops.connected_components(core_edges, "a", "b").select(
+        F.col("node"), F.col("component_id").alias("cluster_id")
+    )
+    isolated = core.join(
+        cc.select(F.col("node").alias("vec_id")), "vec_id", "left_anti"
+    ).select(F.col("vec_id").alias("node"), F.col("vec_id").alias("cluster_id"))
+    comp = cc.unionByName(isolated)
+    border = (
+        neigh_pairs.join(core.select(F.col("vec_id").alias("a")), "a", "left_anti")
+        .join(comp.select(F.col("node").alias("b"), "cluster_id"), "b")
+        .groupBy("a")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+        .select(F.col("a").alias("vec_id"), "cluster_id")
+    )
+    return (
+        pts.select("vec_id")
+        .join(
+            comp.select(
+                F.col("node").alias("vec_id"),
+                F.col("cluster_id").alias("core_cluster"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.select(
+                F.col("vec_id"), F.col("cluster_id").alias("border_cluster")
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.when(F.col("core_cluster").isNotNull(), "core")
+            .when(F.col("border_cluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("label"),
+            F.coalesce("core_cluster", "border_cluster")
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+    )

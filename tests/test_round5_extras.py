@@ -201,3 +201,87 @@ def test_table_profile_nulls_and_decimal_render(spark, monkeypatch):
     assert rows["o_totalprice"][4] == "10.50"       # decimal render
     assert rows["o_orderdate"][4] == "2024-01-01"   # ISO date render
     assert rows["o_custkey"][1] == 2 and rows["o_custkey"][2] == 0
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN
+# ---------------------------------------------------------------------------
+
+
+def test_dbscan_core_border_noise(spark, monkeypatch):
+    """A tight 5-blob (each point sees the 4 others → core), a point within
+    ε of only two cores (border, joins the blob cluster = min core id),
+    and a far point (noise, NULL cluster)."""
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0]),
+            (2, [0.01, 0.0]),
+            (3, [0.0, 0.01]),
+            (4, [0.01, 0.01]),
+            (5, [0.005, 0.005]),
+            (6, [0.055, 0.0]),   # within ε of ids 2 and 4 only
+            (7, [1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    _patch(monkeypatch, search_ops, {"embeddings": emb})
+    rows = {r[0]: (r[1], r[2]) for r in _rows(search_ops.dbscan_grid_clusters(spark, "x"))}
+    for vid in (1, 2, 3, 4, 5):
+        assert rows[vid] == ("core", 1)
+    assert rows[6] == ("border", 1)
+    assert rows[7] == ("noise", None)
+
+
+# ---------------------------------------------------------------------------
+# LM quality buckets
+# ---------------------------------------------------------------------------
+
+
+def test_lm_buckets_tercile_assignment(spark, monkeypatch):
+    """Two identical high-probability docs and one rarer doc: NTILE(3)
+    puts the tied docs in head/middle (doc_id tiebreak) and the rare one
+    in tail, with exact picounit bounds."""
+    from autonomus_datapipeline_spark.workloads import curation_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "s"), (2, "a b", "s"), (3, "c d", "s")],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(
+        curation_ops, "load_table", lambda spark, sf, name: docs
+    )
+    rows = _rows(curation_ops.lm_score_quality_buckets(spark, "x"))
+    # P(a,b) = 3/4 → 750000000000; P(c,d) = 2/3 → 666666666666
+    assert rows == [
+        ("head", 1, 750000000000, 750000000000),
+        ("middle", 1, 750000000000, 750000000000),
+        ("tail", 1, 666666666666, 666666666666),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Temperature mixing
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mix_sqrt_shares(spark, monkeypatch):
+    """Sources with 100 vs 400 tokens get sqrt weights 10 vs 20 → shares
+    1/3 and 2/3 (α=0.5 up-weights the smaller source vs its 1/5 raw
+    share)."""
+    from autonomus_datapipeline_spark.workloads import curation_ops
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 100), "small"), (2, " ".join(["w"] * 400), "big")],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(
+        curation_ops, "load_table", lambda spark, sf, name: docs
+    )
+    rows = _rows(curation_ops.temperature_mix_weights(spark, "x"))
+    assert [(r[0], r[1], r[2]) for r in rows] == [
+        ("big", 1, 400), ("small", 1, 100)
+    ]
+    shares = {r[0]: r[4] for r in rows}
+    assert shares["small"] == _pytest.approx(1 / 3)
+    assert shares["big"] == _pytest.approx(2 / 3)
