@@ -897,3 +897,146 @@ def hits_copurchase_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _HITS_TOP)
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_ltv_matrix",
+    oracle="""
+    WITH first_m AS (
+        SELECT o_custkey,
+               date_trunc('month', MIN(CAST(o_orderdate AS DATE))) AS cohort_m
+        FROM orders GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.cohort_m,
+               CAST((EXTRACT(year FROM o.o_orderdate)
+                     - EXTRACT(year FROM f.cohort_m)) * 12
+                    + (EXTRACT(month FROM o.o_orderdate)
+                       - EXTRACT(month FROM f.cohort_m)) AS INT) AS m_offset,
+               SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS revenue,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers
+        FROM orders o JOIN first_m f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_m AS DATE) AS cohort_month, m_offset,
+           active_customers,
+           CAST(revenue AS DOUBLE) AS revenue
+    FROM rev
+    WHERE m_offset <= 11
+    ORDER BY 1, 2
+    """,
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, revenue and active-customer counts per month offset (first
+    year) — the revenue twin of retention_cohort_matrix (which counts
+    users; summing the rows of this matrix along offsets gives cumulative
+    LTV per cohort). Month offsets are exact integer year/month
+    arithmetic (no day-division approximations); revenue stays in exact
+    decimal until the final cast.
+
+    Scale: the first-order rollup shuffles on custkey once and re-joins
+    the fact table on the same key (AQE co-locates); the matrix is
+    |cohorts|×12 — calendar-bounded.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    first_m = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min(F.col("o_orderdate").cast("date"))).alias(
+            "cohort_m"
+        )
+    )
+    joined = o.join(first_m, "o_custkey")
+    m_offset = (
+        (F.year("o_orderdate") - F.year("cohort_m")) * 12
+        + (F.month("o_orderdate") - F.month("cohort_m"))
+    ).cast("int")
+    return (
+        joined.groupBy(
+            F.col("cohort_m").cast("date").alias("cohort_month"),
+            m_offset.alias("m_offset"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("active_customers"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .where(F.col("m_offset") <= 11)
+        .orderBy("cohort_month", "m_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average value (TWAP)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "twap_event_value",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, value, ts,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events
+    ),
+    weighted AS (
+        SELECT event_type,
+               CAST(date_diff('microsecond', ts, next_ts) AS BIGINT) AS w_us,
+               value
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(w_us) AS BIGINT) AS total_us,
+           CAST(SUM(CAST(value * w_us AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(w_us) AS BIGINT) AS twap
+    FROM weighted
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type: each reading is held
+    until the user's next event (step interpolation), so the weight is
+    the exact microsecond interval to the next reading — the TWAP/sensor
+    convention that de-biases bursty sampling (a plain AVG over-weights
+    rapid-fire events; compare event_type_hourly_stats). value·Δt rides
+    the decimal accumulator; the weight sum is exact integer microseconds
+    divided once.
+
+    Scale: one LEAD window per user (single shuffle on user_id), then a
+    |types|-row map-side-combinable rollup.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).where(F.col("next_ts").isNotNull())
+    weighted = seq.select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+        .cast("bigint")
+        .alias("w_us"),
+        "value",
+    )
+    return (
+        weighted.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("w_us").cast("bigint").alias("total_us"),
+            (
+                F.sum((F.col("value") * F.col("w_us")).cast("decimal(38,6)"))
+                .cast("double")
+                / F.sum("w_us").cast("bigint")
+            ).alias("twap"),
+        )
+        .orderBy("event_type")
+    )

@@ -635,3 +635,94 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rolling_1h_value"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("rolling_1h_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SLA latency quantiles per priority (exact grouped quantiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sla_latency_quantiles",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) AS BIGINT) AS days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    hist AS (
+        SELECT priority, days AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lat GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT priority, v, c,
+               SUM(c) OVER (PARTITION BY priority ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER (PARTITION BY priority) AS n
+        FROM hist
+    )
+    SELECT priority,
+           CAST(MAX(n) AS BIGINT) AS n_lines,
+           CAST(MIN(v) AS BIGINT) AS min_days,
+           CAST(MIN(CASE WHEN 2 * cum >= n THEN v END) AS BIGINT)
+               AS median_days,
+           CAST(MIN(CASE WHEN 20 * cum >= 19 * n THEN v END) AS BIGINT)
+               AS p95_days,
+           CAST(MAX(v) AS BIGINT) AS max_days
+    FROM cum GROUP BY 1 ORDER BY 1
+    """,
+)
+def sla_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship SLA distribution per priority class: exact
+    min/median/p95/max of the whole-day latency via the per-group
+    value-histogram method (grouped_token_quantiles' trick — cumulative
+    counts over the bounded latency-day domain, quantile thresholds as
+    integer cross-multiplications, no approx sketch and no per-group
+    sort of raw rows). The operational check that '1-URGENT' actually
+    ships faster.
+
+    Scale: the join shuffles once on orderkey; the histogram collapses to
+    (priority × distinct-days) rows before the windows — bounded by the
+    calendar, not the fact table.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lat = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("days"),
+    )
+    hist = lat.groupBy("priority", F.col("days").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority",
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return (
+        cum.groupBy("priority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_lines"),
+            F.min("v").cast("bigint").alias("min_days"),
+            F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("v")))
+            .cast("bigint")
+            .alias("median_days"),
+            F.min(F.when(20 * F.col("cum") >= 19 * F.col("n"), F.col("v")))
+            .cast("bigint")
+            .alias("p95_days"),
+            F.max("v").cast("bigint").alias("max_days"),
+        )
+        .orderBy("priority")
+    )

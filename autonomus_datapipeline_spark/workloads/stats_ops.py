@@ -1007,3 +1007,97 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _INV_TOP)
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test (A/B conversion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_conversion_ztest",
+    oracle=f"""
+    WITH conv AS (
+        SELECT c.c_custkey,
+               CASE WHEN c.c_mktsegment = '{_KS_SEG_A}' THEN 1 ELSE 0 END AS g1,
+               MAX(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('{_KS_SEG_A}', '{_KS_SEG_B}')
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT CAST(SUM(g1) AS BIGINT) AS n1,
+               CAST(SUM(g1 * converted) AS BIGINT) AS x1,
+               CAST(SUM(1 - g1) AS BIGINT) AS n2,
+               CAST(SUM((1 - g1) * converted) AS BIGINT) AS x2
+        FROM conv
+    )
+    SELECT n1, x1, n2, x2,
+           CAST(x1 AS DOUBLE) / n1 AS p1,
+           CAST(x2 AS DOUBLE) / n2 AS p2,
+           (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+             / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                    * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2))
+               AS z_stat
+    FROM agg
+    """,
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test — the A/B-test decision statistic: does the
+    {_KS_SEG_A} segment convert (places ≥1 urgent order) at a different
+    rate than {_KS_SEG_B}? z = (p1−p2)/√(p̂(1−p̂)(1/n1+1/n2)) with the
+    pooled proportion p̂. Every input is an exact integer count; the
+    statistic is one fixed IEEE expression (sqrt is correctly rounded
+    under IEEE-754 — the one math function the log-free discipline
+    allows, cf. temperature_mix_weights).
+
+    Scale: one join + per-customer MAX rollup (shuffles on custkey), then
+    a scalar aggregate. The LEFT join keeps zero-order customers as
+    non-conversions — the same no-silent-drop rule as
+    q13_customer_order_distribution.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    conv = (
+        c.where(F.col("c_mktsegment").isin(_KS_SEG_A, _KS_SEG_B))
+        .join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(
+            "c_custkey",
+            F.when(F.col("c_mktsegment") == _KS_SEG_A, 1).otherwise(0).alias("g1"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    agg = conv.agg(
+        F.sum("g1").cast("bigint").alias("n1"),
+        F.sum(F.col("g1") * F.col("converted")).cast("bigint").alias("x1"),
+        F.sum(1 - F.col("g1")).cast("bigint").alias("n2"),
+        F.sum((1 - F.col("g1")) * F.col("converted")).cast("bigint").alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pooled = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    z = (p1 - p2) / F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (
+            F.lit(1).cast("double") / F.col("n1")
+            + F.lit(1).cast("double") / F.col("n2")
+        )
+    )
+    return agg.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        z.alias("z_stat"),
+    )

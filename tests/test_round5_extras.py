@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from autonomus_datapipeline_spark.workloads import (
     analytics_ops,
     audit_ops,
@@ -285,3 +287,106 @@ def test_temperature_mix_sqrt_shares(spark, monkeypatch):
     shares = {r[0]: r[4] for r in rows}
     assert shares["small"] == _pytest.approx(1 / 3)
     assert shares["big"] == _pytest.approx(2 / 3)
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_month_offsets(spark, monkeypatch):
+    import datetime as _dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, _dt.date(2024, 1, 10), 100.0),
+            (1, _dt.date(2024, 3, 5), 50.0),   # offset 2
+            (2, _dt.date(2024, 3, 1), 70.0),   # its own cohort, offset 0
+        ],
+        "o_custkey long, o_orderdate date, o_totalprice double",
+    )
+    _patch(monkeypatch, analytics_ops, {"orders": orders})
+    rows = _rows(analytics_ops.cohort_ltv_matrix(spark, "x"))
+    assert rows == [
+        (_dt.date(2024, 1, 1), 0, 1, 100.0),
+        (_dt.date(2024, 1, 1), 2, 1, 50.0),
+        (_dt.date(2024, 3, 1), 0, 1, 70.0),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# TWAP
+# ---------------------------------------------------------------------------
+
+
+def test_twap_step_interpolation(spark, monkeypatch):
+    """v=12 held 10s then v=3 held 20s → TWAP = (12·10 + 3·20)/30 = 6;
+    the final reading has no interval and is dropped."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    events = spark.createDataFrame(
+        [
+            (1, 1, "m", 12.0, t0),
+            (2, 1, "m", 3.0, t0 + _dt.timedelta(seconds=10)),
+            (3, 1, "m", 99.0, t0 + _dt.timedelta(seconds=30)),
+        ],
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp",
+    )
+    _patch(monkeypatch, analytics_ops, {"events": events})
+    (row,) = _rows(analytics_ops.twap_event_value(spark, "x"))
+    etype, n, total_us, twap = row
+    assert (etype, n, total_us) == ("m", 2, 30_000_000)
+    assert twap == 6.0
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test
+# ---------------------------------------------------------------------------
+
+
+def test_ab_ztest_exact_value(spark, monkeypatch):
+    """n1=n2=2, x1=1, x2=0 → z = 0.5/√(0.25·0.75·1) ≈ 1.1547; a customer
+    with zero orders still counts as a non-conversion (LEFT join)."""
+    import math as _math
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    cust = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "BUILDING"), (3, "MACHINERY"), (4, "MACHINERY")],
+        "c_custkey long, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT"), (3, "5-LOW")],  # cust 2 and 4 have no orders
+        "o_custkey long, o_orderpriority string",
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: {"customer": cust, "orders": orders}[n])
+    (row,) = _rows(_so.ab_conversion_ztest(spark, "x"))
+    n1, x1, n2, x2, p1, p2, z = row
+    assert (n1, x1, n2, x2) == (2, 1, 2, 0)
+    assert z == pytest.approx(0.5 / _math.sqrt(0.25 * 0.75 * 1.0))
+
+
+# ---------------------------------------------------------------------------
+# SLA latency quantiles
+# ---------------------------------------------------------------------------
+
+
+def test_sla_quantiles_exact_histogram(spark, monkeypatch):
+    import datetime as _dt
+    from autonomus_datapipeline_spark.workloads import relational_ext
+
+    orders = spark.createDataFrame(
+        [(k, "1-URGENT", _dt.date(2024, 1, 1)) for k in (1, 2, 3)],
+        "o_orderkey long, o_orderpriority string, o_orderdate date",
+    )
+    li = spark.createDataFrame(
+        [(1, _dt.date(2024, 1, 2)), (2, _dt.date(2024, 1, 3)), (3, _dt.date(2024, 1, 4))],
+        "l_orderkey long, l_shipdate date",
+    )
+    monkeypatch.setattr(
+        relational_ext, "load_table",
+        lambda s, d, n: {"orders": orders, "lineitem": li}[n],
+    )
+    (row,) = _rows(relational_ext.sla_latency_quantiles(spark, "x"))
+    assert row == ("1-URGENT", 3, 1, 2, 3, 3)
