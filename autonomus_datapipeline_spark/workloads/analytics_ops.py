@@ -1040,3 +1040,174 @@ def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS hop distances from the highest-degree hub
+# ---------------------------------------------------------------------------
+
+_BFS_HOPS = 3
+
+
+@query(
+    "bfs_hops_from_hub",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    hub AS (
+        SELECT src AS node FROM deg
+        ORDER BY deg DESC, src LIMIT 1
+    ),
+    d0 AS (SELECT node, 0 AS d FROM hub),
+    d1 AS (
+        SELECT node, MIN(d) AS d FROM (
+            SELECT node, d FROM d0
+            UNION ALL
+            SELECT e.dst AS node, 1 AS d
+            FROM e0 e JOIN d0 ON d0.node = e.src
+        ) u GROUP BY 1
+    ),
+    d2 AS (
+        SELECT node, MIN(d) AS d FROM (
+            SELECT node, d FROM d1
+            UNION ALL
+            SELECT e.dst AS node, d1.d + 1 AS d
+            FROM e0 e JOIN d1 ON d1.node = e.src
+        ) u GROUP BY 1
+    ),
+    d3 AS (
+        SELECT node, MIN(d) AS d FROM (
+            SELECT node, d FROM d2
+            UNION ALL
+            SELECT e.dst AS node, d2.d + 1 AS d
+            FROM e0 e JOIN d2 ON d2.node = e.src
+        ) u GROUP BY 1
+    )
+    SELECT CAST(d AS INT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM d3 WHERE d <= {_BFS_HOPS}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability: how many parts sit 0, 1, 2, 3 hops from
+    the highest-degree hub of the co-purchase graph (degree ties broken
+    on the key) — the small-world/diameter probe run before committing to
+    an iterative-algorithm round budget (cf. the O(log n) CC bound). Each
+    unrolled round is relax-one-hop: union the frontier expansion with
+    the current distances and take MIN per node — the synchronous
+    Bellman-Ford step, unconditionally deterministic.
+
+    Scale: each round is one join of the edge list against the current
+    distance vector plus a MIN aggregate — the same join-agg iteration
+    envelope as PageRank/HITS; the distance vector is |nodes|-sized. The
+    production loop checkpoints per round and stops when the frontier
+    empties.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    e0 = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    hub = (
+        deg.orderBy(F.desc("deg"), "src")
+        .limit(1)
+        .select(F.col("src").alias("node"), F.lit(0).alias("d"))
+    )
+    dist = hub
+    for _ in range(_BFS_HOPS):
+        expanded = e0.join(
+            dist.select(F.col("node").alias("src"), "d"), "src"
+        ).select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+    return (
+        dist.where(F.col("d") <= _BFS_HOPS)
+        .groupBy(F.col("d").cast("int").alias("hops"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .orderBy("hops")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest
+# ---------------------------------------------------------------------------
+
+_BT_SPLIT = "1997-01-01"
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS r
+        FROM orders GROUP BY 1, 2
+    ),
+    train AS (
+        SELECT dow,
+               CAST(SUM(r) AS DOUBLE) / COUNT(*) AS pred
+        FROM daily WHERE day < DATE '{_BT_SPLIT}'
+        GROUP BY 1
+    ),
+    test AS (
+        SELECT d.dow, CAST(d.r AS DOUBLE) AS actual, t.pred
+        FROM daily d JOIN train t ON t.dow = d.dow
+        WHERE d.day >= DATE '{_BT_SPLIT}'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CAST(ABS(actual - pred) AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) AS mae,
+           CAST(SUM(CAST(ABS(actual - pred) / actual AS DECIMAL(38,6)))
+                AS DOUBLE) / COUNT(*) AS mape
+    FROM test
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: the seasonal-naive model (predict each test day
+    with its day-of-week mean from the training period, split at
+    {_BT_SPLIT}) scored by MAE and MAPE on the held-out days — the
+    baseline every forecasting pipeline must beat, and the evaluation
+    harness shape for any model that scores a daily series. Per-row
+    errors are fixed IEEE expressions over exact-decimal day revenues;
+    both error means ride the decimal accumulator.
+
+    Scale: the daily rollup is calendar-bounded; train is a 7-row
+    broadcast; the backtest is one projection + scalar aggregate. The
+    dow convention bridge (Spark Sunday=1) is the oracle's usual shift.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r"))
+    split = F.lit(_BT_SPLIT).cast("date")
+    train = (
+        daily.where(F.col("day") < split)
+        .groupBy("dow")
+        .agg((F.sum("r").cast("double") / F.count(F.lit(1))).alias("pred"))
+    )
+    test = (
+        daily.where(F.col("day") >= split)
+        .join(F.broadcast(train), "dow")
+        .select(F.col("r").cast("double").alias("actual"), "pred")
+    )
+    err = F.abs(F.col("actual") - F.col("pred"))
+    return test.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (F.sum(err.cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "mae"
+        ),
+        (
+            F.sum((err / F.col("actual")).cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mape"),
+    )

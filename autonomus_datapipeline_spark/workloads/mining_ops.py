@@ -1097,3 +1097,90 @@ def event_trigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _SEQ_TOP)
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event prediction accuracy (train/eval split)
+# ---------------------------------------------------------------------------
+
+_MKV_HIGH_HEX = "('8','9','a','b','c','d','e','f')"
+
+
+@query(
+    "markov_transition_accuracy",
+    oracle=f"""
+    WITH lagged AS (
+        SELECT user_id,
+               substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   IN {_MKV_HIGH_HEX} AS is_train,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type
+        FROM events
+    ),
+    trans AS (
+        SELECT * FROM lagged WHERE prev_type IS NOT NULL
+    ),
+    model AS (
+        SELECT prev_type, event_type AS predicted FROM (
+            SELECT prev_type, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY prev_type
+                                      ORDER BY COUNT(*) DESC, event_type)
+                       AS rn
+            FROM trans WHERE is_train
+            GROUP BY 1, 2
+        ) r WHERE rn = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(COUNT(CASE WHEN t.event_type = m.predicted THEN 1 END)
+                AS BIGINT) AS n_correct,
+           CAST(COUNT(CASE WHEN t.event_type = m.predicted THEN 1 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM trans t JOIN model m ON m.prev_type = t.prev_type
+    WHERE NOT t.is_train
+    """,
+)
+def markov_transition_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-model evaluation: a first-order Markov predictor (argmax
+    next event type per previous type, ties to the lexicographically
+    smallest) is trained on a deterministic md5 half of the users and
+    scored for top-1 accuracy on the held-out half — the train/eval-split
+    harness for sequence models (knn_label_classifier is the embedding
+    twin; event_transition_matrix reports the probabilities this model
+    argmaxes). The split reuses content_hash_split's first-hex-digit
+    convention, so membership is engine-identical.
+
+    Scale: one lag window per user; the model is |types|²-bounded and
+    broadcast into the evaluation join; accuracy is exact counts divided
+    once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    is_train = F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+        "8", "9", "a", "b", "c", "d", "e", "f"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = e.select(
+        is_train.alias("is_train"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        "event_type",
+    ).where(F.col("prev_type").isNotNull())
+    w_rk = Window.partitionBy("prev_type").orderBy(F.desc("c"), "event_type")
+    model = (
+        trans.where("is_train")
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "prev_type",
+            F.col("event_type").alias("predicted"),
+            F.row_number().over(w_rk).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    test = trans.where(~F.col("is_train")).join(F.broadcast(model), "prev_type")
+    correct = F.count(F.when(F.col("event_type") == F.col("predicted"), 1))
+    return test.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        correct.cast("bigint").alias("n_correct"),
+        (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
+    )

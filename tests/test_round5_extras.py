@@ -390,3 +390,72 @@ def test_sla_quantiles_exact_histogram(spark, monkeypatch):
     )
     (row,) = _rows(relational_ext.sla_latency_quantiles(spark, "x"))
     assert row == ("1-URGENT", 3, 1, 2, 3, 3)
+
+
+# ---------------------------------------------------------------------------
+# BFS hops
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_path_graph_distances(spark, monkeypatch):
+    """Path 1-2-3-4-5 (via 2-part orders): the hub is node 2 (degree tie
+    broken on the key) → distance histogram {0:1, 1:2, 2:1, 3:1}."""
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (2, 3), (3, 3), (3, 4), (4, 4), (4, 5)],
+        "l_orderkey long, l_partkey long",
+    )
+    _patch(monkeypatch, analytics_ops, {"lineitem": li})
+    rows = _rows(analytics_ops.bfs_hops_from_hub(spark, "x"))
+    assert rows == [(0, 1), (1, 2), (2, 1), (3, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive backtest
+# ---------------------------------------------------------------------------
+
+
+def test_backtest_constant_shift_error(spark, monkeypatch):
+    """Train revenue 100/day, test 110/day → MAE exactly 10, MAPE 10/110."""
+    import datetime as _dt
+
+    rows_in = [
+        (_dt.date(1996, 12, 22) + _dt.timedelta(days=d), 100.0) for d in range(7)
+    ] + [
+        (_dt.date(1997, 1, 5) + _dt.timedelta(days=d), 110.0) for d in range(7)
+    ]
+    orders = spark.createDataFrame(
+        rows_in, "o_orderdate date, o_totalprice double"
+    )
+    _patch(monkeypatch, analytics_ops, {"orders": orders})
+    (row,) = _rows(analytics_ops.seasonal_naive_backtest(spark, "x"))
+    n, mae, mape = row
+    assert n == 7
+    assert mae == pytest.approx(10.0, abs=1e-9)
+    assert mape == pytest.approx(10 / 110, abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Markov accuracy
+# ---------------------------------------------------------------------------
+
+
+def test_markov_eval_split_and_accuracy(spark, monkeypatch):
+    """Users 1,2 hash to the train half (md5 'c…'), user 6 to eval ('1…');
+    the model learns A→B, the eval user hits A→B (right) and A→C (wrong)
+    while B→A has no model row → accuracy 1/2 over 2 scored
+    transitions."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows_in = []
+    eid = 0
+    for uid, seq in [(1, "AB"), (2, "AB"), (6, "ABAC")]:
+        for i, et in enumerate(seq):
+            rows_in.append((eid, uid, et, t0 + _dt.timedelta(seconds=i)))
+            eid += 1
+    events = spark.createDataFrame(
+        rows_in, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    _patch(monkeypatch, mining_ops, {"events": events})
+    (row,) = _rows(mining_ops.markov_transition_accuracy(spark, "x"))
+    assert row == (2, 1, 0.5)
