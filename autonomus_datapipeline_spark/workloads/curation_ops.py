@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from autonomus_datapipeline_spark.workloads.pipeline_ops import _sql_shingles, _TOKS
+from autonomus_datapipeline_spark.operators.text import _e4_half_up
+from autonomus_datapipeline_spark.workloads.pipeline_ops import (
+    _TOKS,
+    _e4_sql,
+    _sql_shingles,
+)
 from autonomus_datapipeline_spark.workloads.registry import load_table, query
 
 # ---------------------------------------------------------------------------
@@ -884,6 +889,77 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("w").cast("double") / F.col("tw").cast("double")).alias(
                 "mix_share"
             ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OOV-rate report (tokenizer vocabulary coverage on held-out docs)
+# ---------------------------------------------------------------------------
+
+_OOV_HIGH_HEX = "('8','9','a','b','c','d','e','f')"
+
+
+@query(
+    "oov_rate_report",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN {_OOV_HIGH_HEX} AS is_train,
+               unnest({_TOKS}) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT DISTINCT tok FROM tok WHERE is_train),
+    eval_tok AS (
+        SELECT t.source, t.tok, v.tok IS NOT NULL AS in_vocab
+        FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+        WHERE NOT t.is_train
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(CASE WHEN NOT in_vocab THEN 1 END) AS BIGINT)
+               AS n_oov,
+           CAST({_e4_sql("COUNT(CASE WHEN NOT in_vocab THEN 1 END)",
+                         "COUNT(*)")} AS BIGINT) AS oov_e4
+    FROM eval_tok GROUP BY 1 ORDER BY 1
+    """,
+)
+def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit: a vocabulary is built from the md5-half
+    train split (content_hash_split's convention) and each held-out
+    source reports its token-level OOV rate — the tokenizer-coverage
+    check run before freezing a vocab (vocab_zipf_stats sizes the vocab;
+    this measures what the sizing misses on held-out data). The rate is
+    the integer half-up ten-thousandth.
+
+    Scale: the vocab is a distinct on the token key (vocabulary-sized);
+    the coverage join is shuffle-linear on the token; per-source rollup
+    is map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "8", "9", "a", "b", "c", "d", "e", "f"
+    )
+    tok = docs.select(
+        "source",
+        is_train.alias("is_train"),
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    )
+    vocab = tok.where("is_train").select("tok").distinct()
+    eval_tok = (
+        tok.where(~F.col("is_train"))
+        .join(vocab.select("tok", F.lit(1).alias("in_vocab")), "tok", "left")
+        .select("source", F.col("in_vocab").isNotNull().alias("in_vocab"))
+    )
+    n_oov = F.count(F.when(~F.col("in_vocab"), 1))
+    return (
+        eval_tok.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            n_oov.cast("bigint").alias("n_oov"),
+            _e4_half_up(n_oov, F.count(F.lit(1))).cast("bigint").alias("oov_e4"),
         )
         .orderBy("source")
     )

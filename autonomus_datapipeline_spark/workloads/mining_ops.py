@@ -1184,3 +1184,150 @@ def markov_transition_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.cast("bigint").alias("n_correct"),
         (correct.cast("double") / F.count(F.lit(1))).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means model selection: elbow (inertia vs k) and a silhouette proxy
+# ---------------------------------------------------------------------------
+
+_ELBOW_KS = (2, 4, 8)
+
+
+@query(
+    "kmeans_elbow_inertia",
+    oracle=f"""
+    WITH dists AS (
+        SELECT k.k, a.vec_id, s.vec_id AS cluster,
+               CAST({_KM_DIST_SQL.format(c="CAST(s.embedding[p] AS DOUBLE)")}
+                    AS DOUBLE) AS dist
+        FROM (SELECT unnest([{", ".join(str(k) for k in _ELBOW_KS)}]) AS k) k,
+             embeddings a, embeddings s, range(1, {_KM_DIM + 1}) t(p)
+        WHERE s.vec_id < k.k
+        GROUP BY 1, 2, 3
+    ),
+    best AS (
+        SELECT k, vec_id, dist FROM (
+            SELECT k, vec_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY k, vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM dists
+        ) r WHERE rn = 1
+    )
+    SELECT CAST(k AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           {sql_dsum("dist", "inertia")}
+    FROM best GROUP BY k ORDER BY k
+    """,
+)
+def kmeans_elbow_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elbow-method model selection: total inertia of the first-k-vector
+    seed assignment for k ∈ {_ELBOW_KS} — the curve whose knee picks k
+    before running full Lloyd iterations (kmeans_2iter_clusters runs the
+    iterations for the chosen k; same exact-decimal distance fold, same
+    lower-cluster-id tie break). One corpus scan per k against a
+    broadcast k-row seed table.
+
+    Scale: each assignment is scan × broadcast-seeds (k ≪ corpus); the
+    inertia rollup is map-side combinable to |ks| rows. The scans share
+    the cached input across k values under one action.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = None
+    for k in _ELBOW_KS:
+        seeds = emb.where(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cluster"),
+            F.col("embedding").alias("centroid"),
+        )
+        a = _km_assign(emb, seeds).select(
+            F.lit(k).cast("int").alias("k"), "dist"
+        )
+        out = a if out is None else out.unionByName(a)
+    return (
+        out.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            dsum(F.col("dist"), "inertia"),
+        )
+        .orderBy("k")
+    )
+
+
+@query(
+    "kmeans_silhouette_proxy",
+    oracle=f"""
+    WITH dists AS (
+        SELECT a.vec_id, s.vec_id AS cluster,
+               CAST({_KM_DIST_SQL.format(c="CAST(s.embedding[p] AS DOUBLE)")}
+                    AS DOUBLE) AS dist
+        FROM embeddings a, embeddings s, range(1, {_KM_DIM + 1}) t(p)
+        WHERE s.vec_id < {_KM_K}
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT vec_id, cluster, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cluster) AS rn
+        FROM dists
+    ),
+    paired AS (
+        SELECT b.vec_id, b.cluster,
+               b.dist AS d1, s.dist AS d2,
+               CASE WHEN s.dist > b.dist
+                    THEN (s.dist - b.dist) / s.dist ELSE 0 END AS sil
+        FROM (SELECT * FROM ranked WHERE rn = 1) b
+        JOIN (SELECT * FROM ranked WHERE rn = 2) s USING (vec_id)
+    )
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           {sql_dsum("sil", "sum_silhouette")}
+    FROM paired GROUP BY cluster ORDER BY cluster
+    """,
+)
+def kmeans_silhouette_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-based silhouette proxy: per vector, (d2 − d1)/d2 where d1
+    and d2 are the squared distances to the best and second-best seed
+    centroid (the simplified silhouette that replaces all-pairs
+    intra-cluster distances — O(n·k) instead of O(n²) — which is the ONLY
+    silhouette computable at 100 TB). Values near 0 mean the point sits
+    on a cluster boundary; per-cluster sums rank cluster quality. The
+    ratio is a fixed IEEE expression over exact-decimal-folded distances;
+    sums ride the decimal accumulator.
+
+    Scale: one scan × broadcast seeds, one per-vector ranking window over
+    k rows each, one |k|-row rollup.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = emb.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid")
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cluster",
+        _km_dist_exact(F.col("embedding"), F.col("centroid"))
+        .cast("double")
+        .alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+    ranked = scored.select(
+        "vec_id", "cluster", "dist", F.row_number().over(w).alias("rn")
+    )
+    best = ranked.where(F.col("rn") == 1).select(
+        "vec_id", "cluster", F.col("dist").alias("d1")
+    )
+    second = ranked.where(F.col("rn") == 2).select(
+        "vec_id", F.col("dist").alias("d2")
+    )
+    sil = F.when(
+        F.col("d2") > F.col("d1"),
+        (F.col("d2") - F.col("d1")) / F.col("d2"),
+    ).otherwise(F.lit(0.0))
+    return (
+        best.join(second, "vec_id")
+        .select("cluster", sil.alias("sil"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            dsum(F.col("sil"), "sum_silhouette"),
+        )
+        .orderBy("cluster")
+    )

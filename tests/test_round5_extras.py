@@ -459,3 +459,67 @@ def test_markov_eval_split_and_accuracy(spark, monkeypatch):
     _patch(monkeypatch, mining_ops, {"events": events})
     (row,) = _rows(mining_ops.markov_transition_accuracy(spark, "x"))
     assert row == (2, 1, 0.5)
+
+
+# ---------------------------------------------------------------------------
+# k-means model selection
+# ---------------------------------------------------------------------------
+
+
+def test_elbow_inertia_monotone_in_k(spark, monkeypatch):
+    """More seed centroids can only lower (or keep) total inertia — the
+    elbow curve must be non-increasing in k."""
+    import random as _random
+
+    rng = _random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    _patch(monkeypatch, mining_ops, {"embeddings": emb})
+    rows = _rows(mining_ops.kmeans_elbow_inertia(spark, "x"))
+    assert [r[0] for r in rows] == [2, 4, 8]
+    assert all(r[1] == 40 for r in rows)
+    inertias = [r[2] for r in rows]
+    assert inertias[0] >= inertias[1] >= inertias[2]
+
+
+def test_silhouette_zero_for_equidistant_boundary(spark, monkeypatch):
+    """A vector equidistant from its best and second-best centroid gets
+    silhouette 0; a vector that IS a seed gets d1 = 0 → silhouette 1."""
+    # 8 seed vectors (ids 0..7) plus one point equidistant between seeds
+    # 0 and 1 in the first coordinate.
+    rows_in = []
+    for i in range(8):
+        v = [0.0] * 64
+        v[0] = float(i)
+        rows_in.append((i, v))
+    mid = [0.0] * 64
+    mid[0] = 0.5  # exactly between seeds 0 and 1
+    rows_in.append((100, mid))
+    emb = spark.createDataFrame(rows_in, "vec_id long, embedding array<double>")
+    _patch(monkeypatch, mining_ops, {"embeddings": emb})
+    out = _rows(mining_ops.kmeans_silhouette_proxy(spark, "x"))
+    by_cluster = {r[0]: r for r in out}
+    # cluster 0 holds seed 0 (sil 1) and the midpoint (sil 0) → sum 1.0
+    assert by_cluster[0][1] == 2
+    assert by_cluster[0][2] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# OOV rate
+# ---------------------------------------------------------------------------
+
+
+def test_oov_rate_split_and_rate(spark, monkeypatch):
+    """doc 1 (md5 'c…' → train) supplies the vocab {a, b}; doc 6 ('1…' →
+    eval) has tokens a b x y → 2 OOV of 4 → oov_e4 = 5000."""
+    from autonomus_datapipeline_spark.workloads import curation_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a b", "s"), (6, "a b x y", "s")],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n: docs)
+    rows = _rows(curation_ops.oov_rate_report(spark, "x"))
+    assert rows == [("s", 4, 2, 5000)]
