@@ -1101,3 +1101,148 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         p2.alias("p2"),
         z.alias("z_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordinary least squares via normal equations (closed form, no iteration)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ols_price_quantity_fit",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept,
+           ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r_squared
+    FROM s
+    """,
+)
+def ols_price_quantity_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinary least squares in closed form — the one-pass distributed
+    regression: slope/intercept/R² of extendedprice on quantity from the
+    normal equations over five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    Σy²), each accumulated through the exact decimal path (order-free)
+    and converted once to double before the fixed IEEE formula. This is
+    how regression actually runs at 100 TB: one map-side-combinable
+    aggregate, zero iterations, no driver-side math (MLlib's
+    LinearRegression does gradient descent for the general case; for one
+    feature the sufficient-statistics form is exact and one scan).
+
+    Scale: a single scalar aggregate over the scan — nothing else.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dsnap(c):
+        return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsnap(x).alias("sx"),
+        dsnap(y).alias("sy"),
+        dsnap(x * y).alias("sxy"),
+        dsnap(x * x).alias("sxx"),
+        dsnap(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        n.cast("bigint").alias("n_rows"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+        (
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("r_squared"),
+    )
+
+
+@query(
+    "ols_revenue_trend_by_priority",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT priority,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxx
+        FROM daily GROUP BY 1
+    )
+    SELECT priority,
+           CAST(n AS BIGINT) AS n_days,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_per_day,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               AS intercept
+    FROM s ORDER BY priority
+    """,
+)
+def ols_revenue_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS: the daily-revenue time trend (slope per day +
+    intercept) fitted independently per order priority — 'is URGENT
+    revenue growing faster' as a closed-form regression, the grouped
+    sibling of ols_price_quantity_fit (same sufficient-statistics
+    pattern, one row of statistics per group; day index x is exact
+    integer days since the epoch anchor, so x·y and x² are deterministic
+    per row).
+
+    Scale: daily rollup (calendar-bounded), then one map-side-combinable
+    statistics aggregate per priority — |groups| result rows, no window,
+    no iteration.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("x"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("y"))
+    s = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            (F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "priority",
+        n.cast("bigint").alias("n_days"),
+        slope.alias("slope_per_day"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    ).orderBy("priority")

@@ -523,3 +523,45 @@ def test_oov_rate_split_and_rate(spark, monkeypatch):
     monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n: docs)
     rows = _rows(curation_ops.oov_rate_report(spark, "x"))
     assert rows == [("s", 4, 2, 5000)]
+
+
+# ---------------------------------------------------------------------------
+# Closed-form OLS
+# ---------------------------------------------------------------------------
+
+
+def test_ols_exact_line_recovery(spark, monkeypatch):
+    """Points on y = 3x + 10 exactly → slope 3, intercept 10, R² = 1."""
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    li = spark.createDataFrame(
+        [(float(x), 3.0 * x + 10.0) for x in range(1, 6)],
+        "l_quantity double, l_extendedprice double",
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li)
+    (row,) = _rows(_so.ols_price_quantity_fit(spark, "x"))
+    n, slope, intercept, r2 = row
+    assert n == 5
+    assert slope == pytest.approx(3.0, abs=1e-9)
+    assert intercept == pytest.approx(10.0, abs=1e-6)
+    assert r2 == pytest.approx(1.0, abs=1e-12)
+
+
+def test_ols_grouped_trend(spark, monkeypatch):
+    """One priority with daily revenue rising 5/day fits slope 5; a flat
+    priority fits slope 0."""
+    import datetime as _dt
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    base = _dt.date(1992, 1, 1)
+    rows_in = []
+    for d in range(4):
+        rows_in.append(("1-URGENT", base + _dt.timedelta(days=d), 100.0 + 5.0 * d))
+        rows_in.append(("5-LOW", base + _dt.timedelta(days=d), 40.0))
+    orders = spark.createDataFrame(
+        rows_in, "o_orderpriority string, o_orderdate date, o_totalprice double"
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    rows = {r[0]: r for r in _rows(_so.ols_revenue_trend_by_priority(spark, "x"))}
+    assert rows["1-URGENT"][2] == pytest.approx(5.0, abs=1e-9)
+    assert rows["5-LOW"][2] == pytest.approx(0.0, abs=1e-9)
