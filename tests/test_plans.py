@@ -332,3 +332,84 @@ def test_sql_window_topk_uses_window_group_limit(spark, sf_dir):
     # partition's top-3 — never the full ranked table.
     plan = plan_of(spark, "sql_window_top_customers", sf_dir)
     assert "WindowGroupLimit" in plan
+
+
+# --- round-5 waves 3-12 plan guards -----------------------------------------
+
+
+def test_countmin_sketch_join_broadcasts(spark, sf_dir):
+    """The CM estimate join must broadcast the depth×width sketch (bounded
+    cells), never shuffle the per-user side against it."""
+    plan = plan_of(spark, "countmin_heavy_hitters", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grid_epsilon_join_is_shuffled_on_cells(spark, sf_dir):
+    """The 9-cell probe join keys on (cx, cy) — an equi-join, never a
+    cartesian product, and the corpus side is NOT broadcast."""
+    plan = plan_of(spark, "grid_epsilon_neighbors", sf_dir)
+    assert "CartesianProduct" not in plan
+
+
+def test_lpa_label_join_not_broadcast(spark, sf_dir):
+    """LPA's per-round neighbor-label join runs against the |nodes|-sized
+    label vector — corpus-sized, so no explicit broadcast hint allowed
+    (auto-broadcast disabled to expose hints, like the verify-join
+    guards)."""
+    plan = _plan_no_autobroadcast(spark, "label_propagation_communities", sf_dir)
+    assert "BroadcastExchange" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_hits_broadcasts_only_scalar_totals(spark, sf_dir):
+    """The HITS half-steps shuffle the edge list against the score vector;
+    the only broadcasts are the 1-row L1 totals."""
+    plan = plan_of(spark, "hits_copurchase_2iter", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar totals only
+
+
+def test_bloom_filter_bits_broadcast(spark, sf_dir):
+    """The Bloom bit set (≤ m rows) must reach the probes as a broadcast."""
+    plan = plan_of(spark, "bloom_filter_fpr_audit", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_inverted_index_prunes_before_collect(spark, sf_dir):
+    """The df-band filter must run BEFORE collect_list, so hot phrases
+    never materialize posting lists: the shingle stream joins the
+    filtered (vocabulary-sized but unbounded-at-100TB) df table WITHOUT
+    an explicit broadcast hint, and collect_list sits above that join."""
+    plan = _plan_no_autobroadcast(spark, "inverted_index_postings", sf_dir)
+    assert "collect_list" in plan
+    assert "BroadcastExchange" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_sla_quantiles_histogram_before_window(spark, sf_dir):
+    """The grouped-quantile trick aggregates to the (priority, days)
+    histogram before any window — the window input is grid-sized."""
+    plan = plan_of(spark, "sla_latency_quantiles", sf_dir)
+    # histogram aggregate appears below the window in the plan tree
+    assert plan.index("HashAggregate") < plan.index("Window")
+
+
+def test_ols_is_single_aggregate_no_shuffle_join(spark, sf_dir):
+    """Closed-form OLS is one scalar aggregate over the scan — no joins,
+    no windows, no exchanges beyond the final single-partition gather."""
+    plan = plan_of(spark, "ols_price_quantity_fit", sf_dir)
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_markov_model_broadcast_into_eval(spark, sf_dir):
+    """The |types|²-bounded Markov model must broadcast into the held-out
+    evaluation join."""
+    plan = plan_of(spark, "markov_transition_accuracy", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_seasonal_backtest_broadcasts_model(spark, sf_dir):
+    """The 7-row dow-mean model must broadcast into the test projection."""
+    plan = plan_of(spark, "seasonal_naive_backtest", sf_dir)
+    assert "BroadcastHashJoin" in plan

@@ -123,6 +123,21 @@ PROBE_QUERIES = [
     "hits_copurchase_2iter",
     "grid_epsilon_neighbors",
     "event_trigram_support",
+    # round-5 waves 7-12
+    "snapshot_diff_report",
+    "table_profile_orders",
+    "dbscan_grid_clusters",
+    "lm_score_quality_buckets",
+    "temperature_mix_weights",
+    "cohort_ltv_matrix",
+    "twap_event_value",
+    "ab_conversion_ztest",
+    "sla_latency_quantiles",
+    "bfs_hops_from_hub",
+    "markov_transition_accuracy",
+    "kmeans_elbow_inertia",
+    "oov_rate_report",
+    "ols_price_quantity_fit",
 ]
 
 
