@@ -963,3 +963,105 @@ def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-normalization decile map (cross-source distribution alignment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantile_normalize_deciles",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    src_d AS (
+        SELECT source, n_tokens,
+               CAST(NTILE(10) OVER (PARTITION BY source
+                                    ORDER BY n_tokens, doc_id) AS INT)
+                   AS decile
+        FROM lens
+    ),
+    pool_d AS (
+        SELECT n_tokens,
+               CAST(NTILE(10) OVER (ORDER BY n_tokens, doc_id) AS INT)
+                   AS decile
+        FROM lens
+    ),
+    src_m AS (
+        SELECT source, decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        FROM src_d GROUP BY 1, 2
+    ),
+    pool_m AS (
+        SELECT decile,
+               CAST(SUM(n_tokens) AS BIGINT) AS p_sum,
+               CAST(COUNT(*) AS BIGINT) AS p_n
+        FROM pool_d GROUP BY 1
+    )
+    SELECT s.source, s.decile, s.n_docs,
+           CAST(s.sum_tokens AS DOUBLE) / s.n_docs AS source_mean,
+           CAST(p.p_sum AS DOUBLE) / p.p_n AS pooled_mean
+    FROM src_m s JOIN pool_m p ON p.decile = s.decile
+    ORDER BY s.source, s.decile
+    """,
+)
+def quantile_normalize_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalization lookup: per (source, token-count decile),
+    the source's decile mean next to the POOLED decile mean — the mapping
+    table that aligns each source's length distribution onto the corpus
+    distribution (the genomics/ML quantile-normalization recipe applied
+    to doc lengths; substituting pooled_mean for source values equalizes
+    marginals across sources before mixing). NTILE carries the doc_id
+    total tiebreak on both engines; means are exact integer sums divided
+    once.
+
+    Scale: two range-partitioned NTILE sorts (per-source and pooled) over
+    the |docs| length rows, then bounded 10-row-per-source rollups — no
+    fact-table join, no window over raw text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    src_d = lens.select(
+        "source",
+        "n_tokens",
+        F.ntile(10)
+        .over(Window.partitionBy("source").orderBy("n_tokens", "doc_id"))
+        .cast("int")
+        .alias("decile"),
+    )
+    pool_d = lens.select(
+        "n_tokens",
+        F.ntile(10)
+        .over(Window.orderBy("n_tokens", "doc_id"))
+        .cast("int")
+        .alias("decile"),
+    )
+    src_m = src_d.groupBy("source", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+    )
+    pool_m = pool_d.groupBy("decile").agg(
+        F.sum("n_tokens").cast("bigint").alias("p_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("p_n"),
+    )
+    return (
+        src_m.join(F.broadcast(pool_m), "decile")
+        .select(
+            "source",
+            "decile",
+            "n_docs",
+            (F.col("sum_tokens").cast("double") / F.col("n_docs")).alias(
+                "source_mean"
+            ),
+            (F.col("p_sum").cast("double") / F.col("p_n")).alias("pooled_mean"),
+        )
+        .orderBy("source", "decile")
+    )

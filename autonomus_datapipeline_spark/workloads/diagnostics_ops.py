@@ -639,3 +639,86 @@ def bloom_filter_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_neg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "purchase_attribution_linear",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE event_type <> 'purchase'
+    ),
+    paired AS (
+        SELECT p.event_id AS purchase_id, t.event_type AS touch_type
+        FROM purchases p
+        JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.ts <= p.ts
+         AND date_diff('microsecond', t.ts, p.ts)
+             <= CAST({_ATTR_WINDOW_S} AS BIGINT) * 1000000
+    ),
+    sized AS (
+        SELECT purchase_id, touch_type,
+               COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+        FROM paired
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touch_events,
+           CAST(SUM(CAST(1.0 / n_touches AS DECIMAL(38,6))) AS DOUBLE)
+               AS credit
+    FROM sized GROUP BY 1 ORDER BY 1
+    """,
+)
+def purchase_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits one unit of
+    credit equally across ALL its touches in the
+    {_ATTR_WINDOW_S // 86400}-day window (last-touch's fairer sibling —
+    purchase_attribution_last_touch gives the whole unit to the newest).
+    Per-touch credit 1/n is one IEEE division snapped to decimal, so
+    total credit sums order-free and Σcredit = n_purchases-with-touches
+    up to the snap quantum.
+
+    Scale: the purchase-touch pairing is a per-user range join — bounded
+    by events-per-user within the window, the same envelope as the
+    stream-stream interval join (streaming/aggregations.py); at 100 TB
+    add a coarse time-bucket equi-key to the join to cap the per-task
+    fan-in (the range_join_value_bands pattern).
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    touches = e.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("touch_type"), F.col("ts").alias("tts")
+    )
+    paired = purchases.join(touches, "user_id").where(
+        (F.col("tts") <= F.col("pts"))
+        & (
+            F.expr("timestampdiff(MICROSECOND, tts, pts)")
+            <= F.lit(_ATTR_WINDOW_S * 1_000_000)
+        )
+    )
+    w = Window.partitionBy("purchase_id")
+    sized = paired.select(
+        "touch_type",
+        (F.lit(1.0) / F.count(F.lit(1)).over(w)).cast("decimal(38,6)").alias(
+            "credit"
+        ),
+    )
+    return (
+        sized.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touch_events"),
+            F.sum("credit").cast("double").alias("credit"),
+        )
+        .orderBy("touch_type")
+    )

@@ -1246,3 +1246,124 @@ def ols_revenue_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         slope.alias("slope_per_day"),
         ((sy - slope * sx) / n).alias("intercept"),
     ).orderBy("priority")
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B comparison
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "1996-01-01"
+
+
+@query(
+    "cuped_adjusted_ab",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT c.c_custkey,
+               CASE WHEN c.c_mktsegment = '{_KS_SEG_A}' THEN 1 ELSE 0 END AS g1,
+               CAST(COALESCE(SUM(CASE WHEN o.o_orderdate < DATE '{_CUPED_SPLIT}'
+                             THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END), 0)
+                    AS DOUBLE) AS x,
+               CAST(COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '{_CUPED_SPLIT}'
+                             THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END), 0)
+                    AS DOUBLE) AS y
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment IN ('{_KS_SEG_A}', '{_KS_SEG_B}')
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(g1) AS DOUBLE) AS n1,
+               CAST(SUM(g1 * CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx1,
+               CAST(SUM(g1 * CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy1
+        FROM per_cust
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(n1 AS BIGINT) AS n_treat,
+           (sy1 / n1 - (sy - sy1) / (n - n1)) AS raw_diff,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+           ((sy1 / n1 - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+             * (sx1 / n1 - sx / n))
+            - ((sy - sy1) / (n - n1)
+               - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+               * ((sx - sx1) / (n - n1) - sx / n))) AS adjusted_diff
+    FROM s
+    """,
+)
+def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for A/B comparisons: the treatment-control
+    gap in post-period revenue ({_KS_SEG_A} vs {_KS_SEG_B}, split at
+    {_CUPED_SPLIT}) adjusted by the pre-period covariate via
+    θ = cov(x,y)/var(x) — the standard experimentation trick that removes
+    pre-existing between-customer variance from the effect estimate
+    (ŷ = y − θ(x − x̄)). All sufficient statistics are decimal-exact
+    sums converted once to double (the OLS pattern —
+    ols_price_quantity_fit); zero-order customers stay in as x = y = 0.
+
+    Scale: one LEFT join + per-customer conditional rollup (custkey
+    shuffle), then a single scalar statistics aggregate.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(_CUPED_SPLIT).cast("date")
+    dec = "decimal(38,6)"
+    per_cust = (
+        c.where(F.col("c_mktsegment").isin(_KS_SEG_A, _KS_SEG_B))
+        .join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(
+            "c_custkey",
+            F.when(F.col("c_mktsegment") == _KS_SEG_A, 1).otherwise(0).alias("g1"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") < split,
+                        F.col("o_totalprice").cast(dec),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") >= split,
+                        F.col("o_totalprice").cast(dec),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    s = per_cust.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum("g1").cast("double").alias("n1"),
+        F.sum((F.col("g1") * F.col("x")).cast(dec)).cast("double").alias("sx1"),
+        F.sum((F.col("g1") * F.col("y")).cast(dec)).cast("double").alias("sy1"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    n1, sx1, sy1 = F.col("n1"), F.col("sx1"), F.col("sy1")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    raw_diff = sy1 / n1 - (sy - sy1) / (n - n1)
+    adj_treat = sy1 / n1 - theta * (sx1 / n1 - sx / n)
+    adj_ctrl = (sy - sy1) / (n - n1) - theta * ((sx - sx1) / (n - n1) - sx / n)
+    return s.select(
+        n.cast("bigint").alias("n_customers"),
+        n1.cast("bigint").alias("n_treat"),
+        raw_diff.alias("raw_diff"),
+        theta.alias("theta"),
+        (adj_treat - adj_ctrl).alias("adjusted_diff"),
+    )

@@ -565,3 +565,96 @@ def test_ols_grouped_trend(spark, monkeypatch):
     rows = {r[0]: r for r in _rows(_so.ols_revenue_trend_by_priority(spark, "x"))}
     assert rows["1-URGENT"][2] == pytest.approx(5.0, abs=1e-9)
     assert rows["5-LOW"][2] == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Linear attribution
+# ---------------------------------------------------------------------------
+
+
+def test_linear_attribution_splits_credit(spark, monkeypatch):
+    """A purchase preceded by a view and a click gives each touch type
+    credit 1/2; an out-of-window touch earns nothing."""
+    import datetime as _dt
+    from autonomus_datapipeline_spark.workloads import diagnostics_ops
+
+    t0 = _dt.datetime(2024, 1, 10, 12, 0, 0)
+    events = spark.createDataFrame(
+        [
+            (1, 1, "view", t0),
+            (2, 1, "click", t0 + _dt.timedelta(seconds=5)),
+            (3, 1, "purchase", t0 + _dt.timedelta(seconds=10)),
+            (4, 2, "view", t0 - _dt.timedelta(days=8)),  # outside window
+            (5, 2, "purchase", t0),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    _patch(monkeypatch, diagnostics_ops, {"events": events})
+    rows = _rows(diagnostics_ops.purchase_attribution_linear(spark, "x"))
+    assert rows == [("click", 1, 0.5), ("view", 1, 0.5)]
+
+
+# ---------------------------------------------------------------------------
+# CUPED
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_removes_preperiod_covariate(spark, monkeypatch):
+    """When post-revenue is exactly pre-revenue (y = x, θ = 1) the
+    adjusted diff collapses the raw between-group gap to ~0."""
+    import datetime as _dt
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    cust = spark.createDataFrame(
+        [(1, "BUILDING"), (2, "BUILDING"), (3, "MACHINERY"), (4, "MACHINERY")],
+        "c_custkey long, c_mktsegment string",
+    )
+    pre, post = _dt.date(1995, 6, 1), _dt.date(1996, 6, 1)
+    # y = x per customer; group A just has bigger customers
+    orders = spark.createDataFrame(
+        [
+            (1, pre, 100.0), (1, post, 100.0),
+            (2, pre, 300.0), (2, post, 300.0),
+            (3, pre, 50.0), (3, post, 50.0),
+            (4, pre, 150.0), (4, post, 150.0),
+        ],
+        "o_custkey long, o_orderdate date, o_totalprice double",
+    )
+    monkeypatch.setattr(
+        _so, "load_table", lambda s, d, n: {"customer": cust, "orders": orders}[n]
+    )
+    (row,) = _rows(_so.cuped_adjusted_ab(spark, "x"))
+    n, n1, raw, theta, adj = row
+    assert (n, n1) == (4, 2)
+    assert raw == pytest.approx(100.0)
+    assert theta == pytest.approx(1.0)
+    assert adj == pytest.approx(0.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_normalize_pooled_mean_shared(spark, monkeypatch):
+    """Two sources with shifted length distributions share the same pooled
+    decile means, and each source's decile means are monotone."""
+    from autonomus_datapipeline_spark.workloads import curation_ops
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i)), "a") for i in range(20)]
+        + [(100 + i, " ".join(["w"] * (50 + i)), "b") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n: docs)
+    rows = _rows(curation_ops.quantile_normalize_deciles(spark, "x"))
+    by_src = {}
+    pooled = {}
+    for src, dec, n_docs, s_mean, p_mean in rows:
+        by_src.setdefault(src, []).append((dec, s_mean))
+        pooled.setdefault(dec, set()).add(p_mean)
+    # pooled mean is a property of the decile, identical across sources
+    assert all(len(v) == 1 for v in pooled.values())
+    for src, pairs in by_src.items():
+        means = [m for _, m in sorted(pairs)]
+        assert means == sorted(means)
