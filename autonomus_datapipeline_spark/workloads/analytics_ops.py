@@ -1211,3 +1211,81 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local-maxima peak detection on the daily revenue series
+# ---------------------------------------------------------------------------
+
+_PEAK_HALF_WIN = 3
+
+
+@query(
+    "daily_revenue_peaks",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS r
+        FROM orders GROUP BY 1
+    ),
+    windowed AS (
+        SELECT day, r,
+               MAX(r) OVER (ORDER BY day ROWS BETWEEN {_PEAK_HALF_WIN}
+                            PRECEDING AND 1 PRECEDING) AS max_before,
+               MAX(r) OVER (ORDER BY day ROWS BETWEEN 1 FOLLOWING
+                            AND {_PEAK_HALF_WIN} FOLLOWING) AS max_after,
+               COUNT(*) OVER (ORDER BY day ROWS BETWEEN {_PEAK_HALF_WIN}
+                              PRECEDING AND {_PEAK_HALF_WIN} FOLLOWING)
+                   AS w_cnt
+        FROM daily
+    )
+    SELECT day AS peak_day,
+           CAST(r AS DOUBLE) AS revenue,
+           CAST(max_before AS DOUBLE) AS max_before,
+           CAST(max_after AS DOUBLE) AS max_after
+    FROM windowed
+    WHERE w_cnt = {2 * _PEAK_HALF_WIN + 1}
+      AND r > max_before AND r > max_after
+    ORDER BY day
+    """,
+)
+def daily_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak detection: days whose revenue STRICTLY exceeds every day in a
+    ±{_PEAK_HALF_WIN}-day window (full windows only, so series edges
+    can't fake a peak) — the local-maxima pass that feeds event/promo
+    investigation and labels anomalies the rolling z-score
+    (rolling_zscore_anomaly) scores. Comparisons run on exact decimal
+    daily sums — no float tie ambiguity at equal-revenue days (strict >
+    drops plateaus on both engines identically).
+
+    Scale: one daily rollup, three frames over one calendar-bounded
+    ordered window (Spark evaluates them in a single Window node).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r")
+    )
+    w_before = Window.orderBy("day").rowsBetween(-_PEAK_HALF_WIN, -1)
+    w_after = Window.orderBy("day").rowsBetween(1, _PEAK_HALF_WIN)
+    w_full = Window.orderBy("day").rowsBetween(-_PEAK_HALF_WIN, _PEAK_HALF_WIN)
+    windowed = daily.select(
+        "day",
+        "r",
+        F.max("r").over(w_before).alias("max_before"),
+        F.max("r").over(w_after).alias("max_after"),
+        F.count(F.lit(1)).over(w_full).alias("w_cnt"),
+    )
+    return (
+        windowed.where(
+            (F.col("w_cnt") == 2 * _PEAK_HALF_WIN + 1)
+            & (F.col("r") > F.col("max_before"))
+            & (F.col("r") > F.col("max_after"))
+        )
+        .select(
+            F.col("day").alias("peak_day"),
+            F.col("r").cast("double").alias("revenue"),
+            F.col("max_before").cast("double").alias("max_before"),
+            F.col("max_after").cast("double").alias("max_after"),
+        )
+        .orderBy("peak_day")
+    )

@@ -1108,3 +1108,84 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("low_line_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Herfindahl-Hirschman supplier concentration per nation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hhi_supplier_concentration",
+    oracle="""
+    WITH srev AS (
+        SELECT s.s_nationkey AS nation, l.l_suppkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS r
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT nation,
+               CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) AS total_r,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM srev GROUP BY 1
+    )
+    SELECT n.n_name AS nation_name,
+           t.n_suppliers,
+           CAST(SUM(CAST(s.r * s.r AS DECIMAL(38,6))) AS DOUBLE)
+             / (t.total_r * t.total_r) AS hhi
+    FROM srev s
+    JOIN tot t ON t.nation = s.nation
+    JOIN nation n ON n.n_nationkey = s.nation
+    GROUP BY 1, 2, t.total_r
+    ORDER BY 1
+    """,
+)
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier revenue concentration per
+    nation: HHI = Σ share² = Σr²/R² — the antitrust-style concentration
+    metric (1/n_suppliers = perfectly even, → 1 = monopoly; the Gini
+    query measures the customer side). Per-supplier revenue is an exact
+    decimal sum; r² is one IEEE square snapped back to decimal and summed
+    order-free; the R² division happens once per nation.
+
+    Scale: supplier revenue shuffles on suppkey (map-side combinable);
+    nation totals are a |nations|-row broadcast; HHI is a second bounded
+    rollup.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    srev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation_k"), "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("r")
+        )
+    )
+    tot = srev.groupBy("nation_k").agg(
+        F.sum(F.col("r").cast("decimal(38,6)")).cast("double").alias("total_r"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    return (
+        srev.join(F.broadcast(tot), "nation_k")
+        .groupBy("nation_k", "n_suppliers", "total_r")
+        .agg(
+            F.sum((F.col("r") * F.col("r")).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_r2")
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("nation_k"), "n_name")),
+            "nation_k",
+        )
+        .select(
+            F.col("n_name").alias("nation_name"),
+            "n_suppliers",
+            (F.col("sum_r2") / (F.col("total_r") * F.col("total_r"))).alias("hhi"),
+        )
+        .orderBy("nation_name")
+    )

@@ -1367,3 +1367,86 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         theta.alias("theta"),
         (adj_treat - adj_ctrl).alias("adjusted_diff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean via the exact value-histogram (robust location estimate)
+# ---------------------------------------------------------------------------
+
+_TRIM_PCT = 5  # percent trimmed from EACH tail
+
+
+@query(
+    "trimmed_mean_order_value",
+    oracle=f"""
+    WITH hist AS (
+        SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, c,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c AS cb,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ce,
+               SUM(c) OVER () AS n
+        FROM hist
+    ),
+    kept AS (
+        -- keep the portion of each value's run inside rank interval
+        -- (n*p, n*(100-p)]: integer cross-multiplied bounds, partial
+        -- overlap handled by clipping the run's rank range.
+        SELECT v,
+               LEAST(ce * 100, n * {100 - _TRIM_PCT})
+                 - GREATEST(cb * 100, n * {_TRIM_PCT}) AS w100
+        FROM cum
+        WHERE ce * 100 > n * {_TRIM_PCT}
+          AND cb * 100 < n * {100 - _TRIM_PCT}
+    )
+    SELECT CAST(SUM(w100) / 100.0 AS DOUBLE) AS n_kept,
+           CAST(SUM(CAST(v * w100 AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(w100) AS BIGINT) AS trimmed_mean
+    FROM kept
+    """,
+)
+def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_TRIM_PCT}%-trimmed mean of order values — the robust location
+    estimate that survives heavy tails (robust_outlier_mad is the spread
+    twin) — computed EXACTLY on the value histogram: each distinct
+    value's run of ranks is clipped against the integer-cross-multiplied
+    keep-interval (n·p, n·(100−p)], so fractional trim boundaries weight
+    partial runs in hundredths without any sort of raw rows or floating
+    rank arithmetic. The weighted sum rides the decimal accumulator.
+
+    Scale: one map-side-combinable histogram aggregate, one cumulative
+    window over the distinct-value grid, one scalar rollup.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    hist = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "v",
+        (F.sum("c").over(w_cum) - F.col("c")).alias("cb"),
+        F.sum("c").over(w_cum).alias("ce"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    lo, hi = _TRIM_PCT, 100 - _TRIM_PCT
+    kept = cum.where(
+        (F.col("ce") * 100 > F.col("n") * lo)
+        & (F.col("cb") * 100 < F.col("n") * hi)
+    ).select(
+        "v",
+        (
+            F.least(F.col("ce") * 100, F.col("n") * hi)
+            - F.greatest(F.col("cb") * 100, F.col("n") * lo)
+        ).alias("w100"),
+    )
+    return kept.agg(
+        (F.sum("w100") / F.lit(100.0)).cast("double").alias("n_kept"),
+        (
+            F.sum((F.col("v") * F.col("w100")).cast("decimal(38,6)"))
+            .cast("double")
+            / F.sum("w100").cast("bigint")
+        ).alias("trimmed_mean"),
+    )

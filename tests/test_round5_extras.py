@@ -658,3 +658,78 @@ def test_quantile_normalize_pooled_mean_shared(spark, monkeypatch):
     for src, pairs in by_src.items():
         means = [m for _, m in sorted(pairs)]
         assert means == sorted(means)
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean
+# ---------------------------------------------------------------------------
+
+
+def test_trimmed_mean_drops_tails_exactly(spark, monkeypatch):
+    """Values 1..20 with 5% trimmed per side: ranks (1, 19] survive →
+    rank 1 keeps 0, rank 2..19 keep full, rank 20 keeps 0... precisely:
+    keep-interval (1, 19] in rank space clips value 1 entirely, keeps
+    2..19 fully, clips 20 → mean of 2..19 = 10.5."""
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    orders = spark.createDataFrame(
+        [(float(v),) for v in range(1, 21)], "o_totalprice double"
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    (row,) = _rows(_so.trimmed_mean_order_value(spark, "x"))
+    n_kept, tmean = row
+    assert n_kept == pytest.approx(18.0)
+    assert tmean == pytest.approx(10.5)
+
+
+# ---------------------------------------------------------------------------
+# HHI
+# ---------------------------------------------------------------------------
+
+
+def test_hhi_even_vs_monopoly(spark, monkeypatch):
+    """Two suppliers with equal revenue → HHI = 0.5; a single-supplier
+    nation → HHI = 1."""
+    from autonomus_datapipeline_spark.workloads import relational_joins
+
+    li = spark.createDataFrame(
+        [(1, 100.0), (2, 100.0), (3, 70.0)],
+        "l_suppkey long, l_extendedprice double",
+    )
+    sup = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "s_suppkey long, s_nationkey long"
+    )
+    nat = spark.createDataFrame(
+        [(10, "EVENLAND"), (20, "MONOPOLIA")], "n_nationkey long, n_name string"
+    )
+    monkeypatch.setattr(
+        relational_joins,
+        "load_table",
+        lambda s, d, n: {"lineitem": li, "supplier": sup, "nation": nat}[n],
+    )
+    rows = {r[0]: r for r in _rows(relational_joins.hhi_supplier_concentration(spark, "x"))}
+    assert rows["EVENLAND"][1] == 2 and rows["EVENLAND"][2] == pytest.approx(0.5)
+    assert rows["MONOPOLIA"][1] == 1 and rows["MONOPOLIA"][2] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Peak detection
+# ---------------------------------------------------------------------------
+
+
+def test_peaks_strict_and_full_window_only(spark, monkeypatch):
+    """A strict local maximum in the series interior is a peak; an equal
+    plateau is not; edge days (incomplete windows) never qualify."""
+    import datetime as _dt
+
+    base = _dt.date(2024, 1, 1)
+    vals = [100, 100, 100, 100, 200, 100, 100, 150, 150, 100, 100, 100, 100]
+    orders = spark.createDataFrame(
+        [(base + _dt.timedelta(days=d), float(v)) for d, v in enumerate(vals)],
+        "o_orderdate date, o_totalprice double",
+    )
+    _patch(monkeypatch, analytics_ops, {"orders": orders})
+    rows = _rows(analytics_ops.daily_revenue_peaks(spark, "x"))
+    # only day index 4 (value 200) is a strict peak; the 150/150 plateau
+    # fails the strict > on one side
+    assert [r[0] for r in rows] == [base + _dt.timedelta(days=4)]
