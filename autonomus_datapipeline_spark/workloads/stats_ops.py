@@ -668,6 +668,9 @@ def _lpa_round_sql(edges: str, prev: str, out: str) -> str:
     """
 
 
+_lpa_round_sql_ref = _lpa_round_sql
+
+
 @query(
     "label_propagation_communities",
     oracle=f"""
@@ -1449,4 +1452,111 @@ def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             / F.sum("w100").cast("bigint")
         ).alias("trimmed_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the LPA communities (clustering-quality evaluation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lpa_modularity_score",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    edges AS (SELECT src AS u, dst AS v FROM e0),
+    l0 AS (SELECT DISTINCT src AS u, src AS label FROM e0),
+    {{lpa1}},
+    {{lpa2}},
+    t AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS td FROM edges),
+    intra AS (
+        SELECT la.label, CAST(COUNT(*) AS DECIMAL(38,0)) AS d_intra
+        FROM edges e
+        JOIN l2 la ON la.u = e.u
+        JOIN l2 lb ON lb.u = e.v AND lb.label = la.label
+        GROUP BY 1
+    ),
+    degs AS (
+        SELECT l.label, CAST(SUM(d.deg) AS DECIMAL(38,0)) AS d_sum
+        FROM deg d JOIN l2 l ON l.u = d.src
+        GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(CAST(COALESCE(i.d_intra, 0) * t.td - d.d_sum * d.d_sum
+                         AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(MAX(t.td * t.td) AS DOUBLE) AS modularity
+    FROM degs d
+    LEFT JOIN intra i ON i.label = d.label
+    CROSS JOIN t
+    """.format(
+        lpa1=_lpa_round_sql_ref("edges", "l0", "l1"),
+        lpa2=_lpa_round_sql_ref("edges", "l1", "l2"),
+    ),
+)
+def lpa_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 2-round LPA partition — the
+    clustering-quality number that says whether the communities
+    (label_propagation_communities) are better than random:
+    Q = Σ_c [ intra_c/T − (deg_c/T)² ] over directed counts, evaluated as
+    the exact integer cross-multiplication Σ(intra_c·T − deg_c²)/T², so
+    the score is engine-identical to the last bit before ONE double
+    division. Q > 0 means real structure; Q near 0 flags a partition not
+    worth deduplicating against.
+
+    Scale: two LPA rounds (join-agg iterations), then two bounded
+    aggregates over the edge list — the evaluation costs one extra edge
+    join beyond the clustering itself.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, (a.ok == b.ok2) & (F.col("u") != F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    labels = edges.select(F.col("u"), F.col("u").alias("label")).distinct()
+    for _ in range(2):
+        nb = edges.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("u").orderBy(F.desc("c"), "label")
+        labels = (
+            nb.select("u", "label", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") == 1)
+            .select("u", "label")
+        )
+    t = edges.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("td"))
+    la = labels.select(F.col("u"), F.col("label").alias("la"))
+    lb = labels.select(F.col("u").alias("v"), F.col("label").alias("lb"))
+    intra = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("d_intra"))
+    )
+    degs = (
+        deg.join(labels.select(F.col("u").alias("node"), "label"), "node")
+        .groupBy("label")
+        .agg(F.sum("deg").cast("decimal(38,0)").alias("d_sum"))
+    )
+    joined = degs.join(intra, "label", "left").crossJoin(F.broadcast(t))
+    num = F.sum(
+        (
+            F.coalesce(F.col("d_intra"), F.lit(0)) * F.col("td")
+            - F.col("d_sum") * F.col("d_sum")
+        ).cast("decimal(38,0)")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        (
+            num.cast("double")
+            / F.max(F.col("td") * F.col("td")).cast("double")
+        ).alias("modularity"),
     )

@@ -475,3 +475,148 @@ def concordance_keyword_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _KWIC_TOP)
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta stylometry (source-pair style distance)
+# ---------------------------------------------------------------------------
+
+_BD_TOP_WORDS = 20
+_BD_TOP_PAIRS = 20
+
+
+@query(
+    "burrows_delta_stylometry",
+    oracle=f"""
+    WITH tok AS (
+        SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+        FROM documents
+    ),
+    mfw AS (
+        SELECT t FROM (
+            SELECT t, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, t) AS rn
+            FROM tok GROUP BY t
+        ) r WHERE rn <= {_BD_TOP_WORDS}
+    ),
+    src_tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    freq AS (
+        SELECT st.source, m.t,
+               CAST(COALESCE(c.c, 0) AS DOUBLE) / st.n AS f
+        FROM src_tot st
+        CROSS JOIN mfw m
+        LEFT JOIN (
+            SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok JOIN mfw USING (t) GROUP BY 1, 2
+        ) c ON c.source = st.source AND c.t = m.t
+    ),
+    stats AS (
+        SELECT t,
+               CAST(COUNT(*) AS DOUBLE) AS ns,
+               CAST(SUM(CAST(f AS DECIMAL(38,12))) AS DOUBLE) AS sf,
+               CAST(SUM(CAST(f * f AS DECIMAL(38,12))) AS DOUBLE) AS sff
+        FROM freq GROUP BY 1
+    ),
+    z AS (
+        SELECT fr.source, fr.t,
+               (fr.f - s.sf / s.ns)
+                 / sqrt(s.sff / s.ns - (s.sf / s.ns) * (s.sf / s.ns)) AS z
+        FROM freq fr JOIN stats s ON s.t = fr.t
+        WHERE s.sff / s.ns - (s.sf / s.ns) * (s.sf / s.ns) > 0
+    ),
+    deltas AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(CAST(ABS(a.z - b.z) AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*) AS delta
+        FROM z a JOIN z b ON b.t = a.t AND b.source > a.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, delta, rk FROM (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (ORDER BY delta, source_a, source_b)
+                    AS INT) AS rk
+        FROM deltas
+    ) r WHERE rk <= {_BD_TOP_PAIRS}
+    ORDER BY rk
+    """,
+)
+def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta — the standard stylometric authorship distance:
+    relative frequencies of the {_BD_TOP_WORDS} most frequent corpus
+    words, z-scored per word across sources, and each source pair scored
+    by the mean absolute z difference. The {_BD_TOP_PAIRS} CLOSEST pairs
+    are the style-duplicate candidates (same template/author behind two
+    'different' sources — the stylometric sibling of the content-level
+    dedup family). Frequencies and z-scores are fixed IEEE expressions
+    over decimal-exact sums; sqrt is IEEE-correctly-rounded; the delta
+    mean rides the decimal accumulator.
+
+    Scale: the MFW list is a top-k over the vocabulary; the frequency
+    matrix is |sources|×{_BD_TOP_WORDS} — bounded — so the pair join is
+    bounded-square regardless of corpus size; everything upstream is
+    map-side-combinable token counting.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
+    )
+    w_rn = Window.orderBy(F.desc("c"), "t")
+    mfw = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("t", F.row_number().over(w_rn).alias("rn"))
+        .where(F.col("rn") <= _BD_TOP_WORDS)
+        .select("t")
+    )
+    src_tot = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    cnt = (
+        tok.join(F.broadcast(mfw), "t")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    freq = (
+        src_tot.crossJoin(F.broadcast(mfw))
+        .join(cnt, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            (F.coalesce("c", F.lit(0)).cast("double") / F.col("n")).alias("f"),
+        )
+    )
+    dec12 = "decimal(38,12)"
+    stats = freq.groupBy("t").agg(
+        F.count(F.lit(1)).cast("double").alias("ns"),
+        F.sum(F.col("f").cast(dec12)).cast("double").alias("sf"),
+        F.sum((F.col("f") * F.col("f")).cast(dec12)).cast("double").alias("sff"),
+    )
+    mu = F.col("sf") / F.col("ns")
+    var = F.col("sff") / F.col("ns") - mu * mu
+    z = (
+        freq.join(F.broadcast(stats), "t")
+        .where(var > 0)
+        .select("source", "t", ((F.col("f") - mu) / F.sqrt(var)).alias("z"))
+    )
+    a = z.select(F.col("source").alias("source_a"), "t", F.col("z").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "t", F.col("z").alias("zb"))
+    deltas = (
+        a.join(b, (a.t == b.t) & (F.col("source_b") > F.col("source_a")))
+        .groupBy("source_a", "source_b")
+        .agg(
+            (
+                F.sum(F.abs(F.col("za") - F.col("zb")).cast(dec12)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("delta")
+        )
+    )
+    w = Window.orderBy("delta", "source_a", "source_b")
+    return (
+        deltas.select(
+            "source_a",
+            "source_b",
+            "delta",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= _BD_TOP_PAIRS)
+        .orderBy("rk")
+    )

@@ -733,3 +733,47 @@ def test_peaks_strict_and_full_window_only(spark, monkeypatch):
     # only day index 4 (value 200) is a strict peak; the 150/150 plateau
     # fails the strict > on one side
     assert [r[0] for r in rows] == [base + _dt.timedelta(days=4)]
+
+
+# ---------------------------------------------------------------------------
+# Burrows' Delta
+# ---------------------------------------------------------------------------
+
+
+def test_burrows_delta_identical_sources_closest(spark, monkeypatch):
+    """Two sources with identical token distributions have delta 0 and
+    rank first; a divergent source ranks behind them."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", "s1"),
+            (2, "alpha beta alpha beta", "s2"),
+            (3, "gamma gamma gamma beta", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    _patch(monkeypatch, text_ops2, {"documents": docs})
+    rows = _rows(text_ops2.burrows_delta_stylometry(spark, "x"))
+    assert rows[0][:3] == ("s1", "s2", pytest.approx(0.0))
+    assert all(r[2] >= rows[0][2] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# LPA modularity
+# ---------------------------------------------------------------------------
+
+
+def test_modularity_two_cliques_positive(spark, monkeypatch):
+    """Two disjoint co-purchase triangles form two perfect communities:
+    Q = Σ(intra·T − deg²)/T² with T=12, intra=6, deg=6 per community →
+    (2·(6·12 − 36))/144 = 0.5."""
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    li = spark.createDataFrame(
+        [(1, p) for p in (1, 2, 3)] + [(2, p) for p in (10, 11, 12)],
+        "l_orderkey long, l_partkey long",
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li)
+    (row,) = _rows(_so.lpa_modularity_score(spark, "x"))
+    n_comm, q = row
+    assert n_comm == 2
+    assert q == pytest.approx(0.5)
