@@ -1289,3 +1289,83 @@ def daily_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("peak_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Churn label generation (user-month activity with next-month churn flag)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "churn_label_table",
+    oracle="""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    bounds AS (SELECT MAX(wk) AS last_wk FROM uw),
+    features AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days
+        FROM events GROUP BY 1, 2
+    )
+    SELECT f.user_id, f.wk AS week,
+           f.n_events, f.n_active_days,
+           nxt.user_id IS NULL AS churned_next_week
+    FROM features f
+    CROSS JOIN bounds b
+    LEFT JOIN uw nxt
+      ON nxt.user_id = f.user_id
+     AND nxt.wk = CAST(f.wk + INTERVAL 7 DAY AS DATE)
+    WHERE f.wk < b.last_wk
+    ORDER BY f.user_id, f.wk
+    """,
+)
+def churn_label_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-model label generation: one row per (user, week) with
+    activity features and the supervised label 'was the user absent next
+    week' — the standard leakage-safe label join (the label comes ONLY
+    from week w+1, features only from week w; the final observed week is
+    excluded because its label is right-censored). Feed this to any
+    classifier; rfm_segmentation supplies the monetary-features twin.
+
+    Scale: the distinct (user, week) activity set is |users|·|weeks|-
+    bounded; features are one map-side-combinable rollup; the label is a
+    LEFT self-join on the shifted week key — all shuffles on user_id.
+    """
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    bounds = uw.agg(F.max("wk").alias("last_wk"))
+    features = e.groupBy(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count_distinct(F.col("ts").cast("date"))
+        .cast("bigint")
+        .alias("n_active_days"),
+    )
+    nxt = uw.select(
+        "user_id", F.col("wk").alias("nxt_wk"), F.lit(1).alias("present")
+    )
+    return (
+        features.crossJoin(F.broadcast(bounds))
+        .where(F.col("wk") < F.col("last_wk"))
+        .join(
+            nxt,
+            (features.user_id == nxt.user_id)
+            & (nxt.nxt_wk == F.date_add(features.wk, 7)),
+            "left",
+        )
+        .select(
+            features.user_id,
+            F.col("wk").alias("week"),
+            "n_events",
+            "n_active_days",
+            F.col("present").isNull().alias("churned_next_week"),
+        )
+        .orderBy("user_id", "week")
+    )

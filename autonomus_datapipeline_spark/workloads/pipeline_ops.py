@@ -1269,3 +1269,121 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(est_e4 - ex_e4).cast("double") / 10000.0).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing cross-document match pairs (plagiarism detection)
+# ---------------------------------------------------------------------------
+
+_WMP_MIN_SHARED = 3
+_WMP_MAX_DF = 50
+_WMP_TOP = 50
+
+
+@query(
+    "winnowing_match_pairs",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               length(text) - {_WK - 1} AS n_grams,
+               i - 1 AS pos,
+               md5(substr(text, CAST(i AS INT), {_WK})) AS h
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, length(text) - {_WK - 1} + 1)) AS i
+            FROM documents WHERE length(text) >= {_WK}
+        ) g
+    ),
+    mins AS (
+        SELECT doc_id, n_grams, pos,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {_WW - 1} FOLLOWING)
+                   AS fingerprint
+        FROM grams
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, fingerprint
+        FROM mins WHERE pos <= n_grams - {_WW}
+    ),
+    common AS (
+        SELECT fingerprint FROM fp GROUP BY 1
+        HAVING COUNT(*) <= {_WMP_MAX_DF}
+    ),
+    fpc AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN common USING (fingerprint)),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM fpc GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fpc a JOIN fpc b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_WMP_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared)
+               AS fp_jaccard, rk
+    FROM (
+        SELECT p.*, CAST(ROW_NUMBER() OVER (
+                   ORDER BY n_shared DESC, doc_a, doc_b) AS INT) AS rk
+        FROM pairs p
+    ) p
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE rk <= {_WMP_TOP}
+    ORDER BY rk
+    """,
+)
+def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document plagiarism candidates: pairs sharing ≥
+    {_WMP_MIN_SHARED} winnowed fingerprints, scored by fingerprint
+    Jaccard — the MOSS-style matcher built on winnowing_fingerprints'
+    guarantee (any shared substring ≥ k+w−1 chars MUST share a
+    fingerprint, so unlike MinHash there are no long-match false
+    negatives). The df cap ({_WMP_MAX_DF}) drops boilerplate fingerprints
+    before the pair join — the same quadratic bound as
+    ngram_jaccard_capped.
+
+    Scale: fingerprint selection keeps ~2/w of grams; the pair join is
+    Σ min(df,cap)²-bounded on the fingerprint key; sizes re-attach via a
+    shuffled join (doc-count-sized — never broadcast, the r4 lesson).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = text.winnowing_fingerprints(docs, "doc_id", "text", _WK, _WW)
+    common = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _WMP_MAX_DF)
+        .select("fingerprint")
+    )
+    fpc = fp.join(common, "fingerprint", "left_semi")
+    sizes = fpc.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = fpc.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = fpc.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    pairs = (
+        a.join(b, "fingerprint")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= _WMP_MIN_SHARED)
+    )
+    w = Window.orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+    ranked = pairs.select(
+        "doc_a", "doc_b", "n_shared", F.row_number().over(w).cast("int").alias("rk")
+    ).where(F.col("rk") <= _WMP_TOP)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        ranked.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("fp_jaccard"),
+            "rk",
+        )
+        .orderBy("rk")
+    )

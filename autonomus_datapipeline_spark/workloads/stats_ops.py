@@ -1560,3 +1560,79 @@ def lpa_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.max(F.col("td") * F.col("td")).cast("double")
         ).alias("modularity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Covariate balance check (standardized mean difference)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "covariate_balance_smd",
+    oracle=f"""
+    WITH g AS (
+        SELECT CASE WHEN c_mktsegment = '{_KS_SEG_A}' THEN 1 ELSE 0 END AS g1,
+               CAST(c_acctbal AS DOUBLE) AS x
+        FROM customer
+        WHERE c_mktsegment IN ('{_KS_SEG_A}', '{_KS_SEG_B}')
+    ),
+    s AS (
+        SELECT CAST(SUM(g1) AS DOUBLE) AS n1,
+               CAST(SUM(1 - g1) AS DOUBLE) AS n2,
+               CAST(SUM(g1 * CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx1,
+               CAST(SUM((1 - g1) * CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+               CAST(SUM(g1 * CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx1,
+               CAST(SUM((1 - g1) * CAST(x * x AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sxx2
+        FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_treat,
+           CAST(n2 AS BIGINT) AS n_control,
+           sx1 / n1 - sx2 / n2 AS mean_diff,
+           (sx1 / n1 - sx2 / n2)
+             / sqrt(((sxx1 / n1 - (sx1 / n1) * (sx1 / n1))
+                     + (sxx2 / n2 - (sx2 / n2) * (sx2 / n2))) / 2) AS smd
+    FROM s
+    """,
+)
+def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-balance diagnostic: the standardized mean difference of
+    account balance between the two experiment segments — |SMD| < 0.1 is
+    the conventional 'groups are comparable' bar checked BEFORE reading
+    an A/B result (ab_conversion_ztest tests the outcome; this tests the
+    assignment; cuped_adjusted_ab corrects what imbalance remains).
+    Pooled-variance denominator from decimal-exact Σx and Σx² per group,
+    one IEEE-correctly-rounded sqrt.
+
+    Scale: a single conditional scalar aggregate over the scan.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    dec = "decimal(38,6)"
+    g = c.where(F.col("c_mktsegment").isin(_KS_SEG_A, _KS_SEG_B)).select(
+        F.when(F.col("c_mktsegment") == _KS_SEG_A, 1).otherwise(0).alias("g1"),
+        F.col("c_acctbal").cast("double").alias("x"),
+    )
+    s = g.agg(
+        F.sum("g1").cast("double").alias("n1"),
+        F.sum(1 - F.col("g1")).cast("double").alias("n2"),
+        F.sum((F.col("g1") * F.col("x")).cast(dec)).cast("double").alias("sx1"),
+        F.sum(((1 - F.col("g1")) * F.col("x")).cast(dec))
+        .cast("double")
+        .alias("sx2"),
+        F.sum((F.col("g1") * F.col("x") * F.col("x")).cast(dec))
+        .cast("double")
+        .alias("sxx1"),
+        F.sum(((1 - F.col("g1")) * F.col("x") * F.col("x")).cast(dec))
+        .cast("double")
+        .alias("sxx2"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    m1, m2 = F.col("sx1") / n1, F.col("sx2") / n2
+    v1 = F.col("sxx1") / n1 - m1 * m1
+    v2 = F.col("sxx2") / n2 - m2 * m2
+    return s.select(
+        n1.cast("bigint").alias("n_treat"),
+        n2.cast("bigint").alias("n_control"),
+        (m1 - m2).alias("mean_diff"),
+        ((m1 - m2) / F.sqrt((v1 + v2) / 2)).alias("smd"),
+    )

@@ -777,3 +777,75 @@ def test_modularity_two_cliques_positive(spark, monkeypatch):
     n_comm, q = row
     assert n_comm == 2
     assert q == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing match pairs
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_detects_shared_passage(spark, monkeypatch):
+    """Two docs sharing a long passage share winnowed fingerprints (the
+    no-false-negative guarantee for matches ≥ k+w−1 chars); an unrelated
+    doc pairs with neither."""
+    from autonomus_datapipeline_spark.workloads import pipeline_ops
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail one", "s"),
+            (2, "head two " + shared, "s"),
+            (3, "zz qq xx totally unrelated content vv ww yy kk", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(pipeline_ops, "load_table", lambda s, d, n: docs)
+    rows = _rows(pipeline_ops.winnowing_match_pairs(spark, "x"))
+    assert [(r[0], r[1]) for r in rows] == [(1, 2)]
+    assert rows[0][2] >= 3 and 0 < rows[0][3] <= 1
+
+
+# ---------------------------------------------------------------------------
+# Churn labels
+# ---------------------------------------------------------------------------
+
+
+def test_churn_label_right_censoring_and_flag(spark, monkeypatch):
+    """User active weeks 1,2 → week-1 row not churned; user active only
+    week 1 → churned; the final observed week emits no rows (censored)."""
+    import datetime as _dt
+
+    w1 = _dt.datetime(2024, 1, 1, 12)   # Monday
+    w2 = w1 + _dt.timedelta(days=7)
+    events = spark.createDataFrame(
+        [(1, 1, w1), (2, 1, w2), (3, 2, w1)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    _patch(monkeypatch, analytics_ops, {"events": events})
+    rows = _rows(analytics_ops.churn_label_table(spark, "x"))
+    assert rows == [
+        (1, _dt.date(2024, 1, 1), 1, 1, False),
+        (2, _dt.date(2024, 1, 1), 1, 1, True),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Covariate balance
+# ---------------------------------------------------------------------------
+
+
+def test_smd_balanced_groups_zero(spark, monkeypatch):
+    """Identical group distributions → mean_diff 0 and SMD 0."""
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    cust = spark.createDataFrame(
+        [
+            (1, "BUILDING", 100.0), (2, "BUILDING", 200.0),
+            (3, "MACHINERY", 100.0), (4, "MACHINERY", 200.0),
+        ],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: cust)
+    (row,) = _rows(_so.covariate_balance_smd(spark, "x"))
+    assert row[0] == 2 and row[1] == 2
+    assert row[2] == 0.0 and row[3] == 0.0
