@@ -1636,3 +1636,288 @@ def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m1 - m2).alias("mean_diff"),
         ((m1 - m2) / F.sqrt((v1 + v2) / 2)).alias("smd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Discrete hazard table (actuarial life table on user lifetimes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hazard_table_monthly",
+    oracle="""
+    WITH uw AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS first_m,
+               CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS last_m
+        FROM orders GROUP BY 1
+    ),
+    lt AS (
+        SELECT CAST((EXTRACT(year FROM last_m) - EXTRACT(year FROM first_m))
+                    * 12 + (EXTRACT(month FROM last_m)
+                            - EXTRACT(month FROM first_m)) AS BIGINT)
+                   AS lifetime_m
+        FROM uw
+    ),
+    hist AS (
+        SELECT lifetime_m, CAST(COUNT(*) AS BIGINT) AS n_ended
+        FROM lt GROUP BY 1
+    ),
+    cum AS (
+        SELECT lifetime_m AS k, n_ended,
+               SUM(n_ended) OVER (ORDER BY lifetime_m DESC
+                                  ROWS UNBOUNDED PRECEDING) AS n_at_risk
+        FROM hist
+    )
+    SELECT CAST(k AS INT) AS month_offset,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           n_ended,
+           CAST(n_ended AS DOUBLE) / n_at_risk AS hazard
+    FROM cum ORDER BY 1
+    """,
+)
+def hazard_table_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete hazard (actuarial life) table on customer order-activity
+    lifetimes: for each month offset k since a customer's first order
+    month, how many customers were still at risk (lifetime >= k), how
+    many ended exactly at k, and the discrete hazard rate — the
+    survival-analysis primitive whose running product gives Kaplan-Meier
+    (the product stays client-side: a sequential float product is the one
+    shape the cross-engine determinism discipline forbids; every column
+    here is exact integers plus one division per row). churn_label_table
+    is the per-user classifier view of the same phenomenon.
+
+    Scale: one per-customer min/max rollup, a lifetime histogram, and one
+    reverse-cumulative window over the bounded month-offset grid (at-risk
+    counts are a suffix sum of the histogram — no per-user windows).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    uw = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("first_m"),
+        F.date_trunc("month", F.max("o_orderdate")).cast("date").alias("last_m"),
+    )
+    lt = uw.select(
+        (
+            (F.year("last_m") - F.year("first_m")) * 12
+            + (F.month("last_m") - F.month("first_m"))
+        )
+        .cast("bigint")
+        .alias("lifetime_m")
+    )
+    hist = lt.groupBy("lifetime_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ended")
+    )
+    w = (
+        Window.orderBy(F.desc("lifetime_m"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        F.col("lifetime_m").alias("k"),
+        "n_ended",
+        F.sum("n_ended").over(w).alias("n_at_risk"),
+    )
+    return cum.select(
+        F.col("k").cast("int").alias("month_offset"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        "n_ended",
+        (F.col("n_ended").cast("double") / F.col("n_at_risk")).alias("hazard"),
+    ).orderBy("month_offset")
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F (order value across all market segments)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "anova_f_order_value",
+    oracle="""
+    WITH g AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per AS (
+        SELECT seg,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+        FROM g GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(n AS DECIMAL(38,6))) AS DOUBLE) AS nt,
+               CAST(SUM(CAST(sx AS DECIMAL(38,6))) AS DOUBLE) AS sxt,
+               CAST(SUM(CAST(sxx AS DECIMAL(38,6))) AS DOUBLE) AS sxxt,
+               CAST(COUNT(*) AS DOUBLE) AS k
+        FROM per
+    ),
+    parts AS (
+        SELECT t.k, t.nt,
+               CAST(SUM(CAST(p.sx * p.sx / p.n AS DECIMAL(38,6))) AS DOUBLE)
+                 - t.sxt * t.sxt / t.nt AS ssb,
+               t.sxxt
+                 - CAST(SUM(CAST(p.sx * p.sx / p.n AS DECIMAL(38,6)))
+                        AS DOUBLE) AS ssw
+        FROM per p CROSS JOIN tot t
+        GROUP BY t.k, t.nt, t.sxt, t.sxxt
+    )
+    SELECT CAST(k AS INT) AS n_groups,
+           CAST(nt AS BIGINT) AS n_rows,
+           ssb, ssw,
+           (ssb / (k - 1)) / (ssw / (nt - k)) AS f_stat
+    FROM parts
+    """,
+)
+def anova_f_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across ALL market segments: does order value differ
+    by segment anywhere — the k-group generalization of the two-sample
+    tests (KS/Mann-Whitney/z/SMD in this module). Between/within sums of
+    squares come from per-group sufficient statistics (n, Σx, Σx²) — the
+    same one-pass pattern as ols_price_quantity_fit — with every
+    inter-group sum decimal-snapped so the k-row reduction is order-free;
+    F is one fixed IEEE expression.
+
+    Scale: one join + per-segment aggregate (map-side combinable), then a
+    k-row reduction. No second scan, no window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dec = "decimal(38,6)"
+    g = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("x")
+    )
+    per = g.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("n").cast(dec)).cast("double").alias("nt"),
+        F.sum(F.col("sx").cast(dec)).cast("double").alias("sxt"),
+        F.sum(F.col("sxx").cast(dec)).cast("double").alias("sxxt"),
+        F.sum((F.col("sx") * F.col("sx") / F.col("n")).cast(dec))
+        .cast("double")
+        .alias("sq"),
+    )
+    k, nt = F.col("k"), F.col("nt")
+    ssb = F.col("sq") - F.col("sxt") * F.col("sxt") / nt
+    ssw = F.col("sxxt") - F.col("sq")
+    return agg.select(
+        k.cast("int").alias("n_groups"),
+        nt.cast("bigint").alias("n_rows"),
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        ((ssb / (k - 1)) / (ssw / (nt - k))).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V (association strength of segment × priority)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cramers_v_segment_priority",
+    oracle="""
+    WITH raw AS (
+        SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+               CAST(COUNT(*) AS DOUBLE) AS obs
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    cells AS (
+        -- densify: zero cells contribute (0-E)^2/E and MUST be present
+        SELECT s.seg, p.pri, COALESCE(r.obs, 0) AS obs
+        FROM (SELECT DISTINCT seg FROM raw) s
+        CROSS JOIN (SELECT DISTINCT pri FROM raw) p
+        LEFT JOIN raw r ON r.seg = s.seg AND r.pri = p.pri
+    ),
+    rm AS (SELECT seg, CAST(SUM(CAST(obs AS DECIMAL(38,6))) AS DOUBLE) AS rt
+           FROM cells GROUP BY 1),
+    cm AS (SELECT pri, CAST(SUM(CAST(obs AS DECIMAL(38,6))) AS DOUBLE) AS ct
+           FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(SUM(CAST(obs AS DECIMAL(38,6))) AS DOUBLE) AS n,
+                   CAST(COUNT(DISTINCT seg) AS BIGINT) AS r,
+                   CAST(COUNT(DISTINCT pri) AS BIGINT) AS c
+            FROM cells),
+    chi AS (
+        SELECT t.n, t.r, t.c,
+               CAST(SUM(CAST((cl.obs - rm.rt * cm.ct / t.n)
+                             * (cl.obs - rm.rt * cm.ct / t.n)
+                             / (rm.rt * cm.ct / t.n) AS DECIMAL(38,12)))
+                    AS DOUBLE) AS chi2
+        FROM cells cl
+        JOIN rm ON rm.seg = cl.seg
+        JOIN cm ON cm.pri = cl.pri
+        CROSS JOIN tot t
+        GROUP BY t.n, t.r, t.c
+    )
+    SELECT CAST(r AS INT) AS n_rows_dim,
+           CAST(c AS INT) AS n_cols_dim,
+           chi2,
+           sqrt(chi2 / (n * (LEAST(r, c) - 1))) AS cramers_v
+    FROM chi
+    """,
+)
+def cramers_v_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for the (market segment × order priority) contingency
+    table: the [0, 1]-normalized association strength that makes
+    chi-square comparable across table shapes (chi_square_event_hour
+    reports the raw statistic; V answers 'how strong', not just 'is
+    there'). Per-cell chi² contributions are fixed IEEE expressions over
+    exact counts, decimal-snapped before the cell-sum so the reduction is
+    order-free; sqrt is IEEE-correctly-rounded.
+
+    Scale: one join + contingency aggregate (bounded r×c cells), margins
+    broadcast, scalar output.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    raw = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("obs"))
+    )
+    # densify: zero cells contribute (0-E)^2/E and MUST be present
+    cells = (
+        raw.select("seg")
+        .distinct()
+        .crossJoin(raw.select("pri").distinct())
+        .join(raw, ["seg", "pri"], "left")
+        .select("seg", "pri", F.coalesce("obs", F.lit(0.0)).alias("obs"))
+    )
+    dec = "decimal(38,6)"
+    rm = cells.groupBy("seg").agg(
+        F.sum(F.col("obs").cast(dec)).cast("double").alias("rt")
+    )
+    cm = cells.groupBy("pri").agg(
+        F.sum(F.col("obs").cast(dec)).cast("double").alias("ct")
+    )
+    tot = cells.agg(
+        F.sum(F.col("obs").cast(dec)).cast("double").alias("n"),
+        F.count_distinct("seg").cast("bigint").alias("r"),
+        F.count_distinct("pri").cast("bigint").alias("c"),
+    )
+    expected = F.col("rt") * F.col("ct") / F.col("n")
+    contrib = (F.col("obs") - expected) * (F.col("obs") - expected) / expected
+    chi = (
+        cells.join(F.broadcast(rm), "seg")
+        .join(F.broadcast(cm), "pri")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n", "r", "c")
+        .agg(
+            F.sum(contrib.cast("decimal(38,12)")).cast("double").alias("chi2")
+        )
+    )
+    return chi.select(
+        F.col("r").cast("int").alias("n_rows_dim"),
+        F.col("c").cast("int").alias("n_cols_dim"),
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
+        ).alias("cramers_v"),
+    )

@@ -849,3 +849,83 @@ def test_smd_balanced_groups_zero(spark, monkeypatch):
     (row,) = _rows(_so.covariate_balance_smd(spark, "x"))
     assert row[0] == 2 and row[1] == 2
     assert row[2] == 0.0 and row[3] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Hazard table
+# ---------------------------------------------------------------------------
+
+
+def test_hazard_at_risk_suffix_sums(spark, monkeypatch):
+    """Lifetimes [0, 0, 2] → at k=0: 3 at risk, 2 ended (hazard 2/3);
+    k=2: 1 at risk, 1 ended (hazard 1)."""
+    import datetime as _dt
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    orders = spark.createDataFrame(
+        [
+            (1, _dt.date(2024, 1, 5)),
+            (2, _dt.date(2024, 2, 5)),
+            (3, _dt.date(2024, 1, 5)), (3, _dt.date(2024, 3, 20)),
+        ],
+        "o_custkey long, o_orderdate date",
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    rows = _rows(_so.hazard_table_monthly(spark, "x"))
+    assert rows == [
+        (0, 3, 2, pytest.approx(2 / 3)),
+        (2, 1, 1, pytest.approx(1.0)),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# ANOVA
+# ---------------------------------------------------------------------------
+
+
+def test_anova_f_known_groups(spark, monkeypatch):
+    """Groups [1,3] and [5,7]: SSB = 16, SSW = 4, F = 16/(4/2) = 8."""
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    cust = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "c_custkey long, c_mktsegment string"
+    )
+    orders = spark.createDataFrame(
+        [(1, 1.0), (1, 3.0), (2, 5.0), (2, 7.0)],
+        "o_custkey long, o_totalprice double",
+    )
+    monkeypatch.setattr(
+        _so, "load_table", lambda s, d, n: {"customer": cust, "orders": orders}[n]
+    )
+    (row,) = _rows(_so.anova_f_order_value(spark, "x"))
+    n_groups, n_rows, ssb, ssw, f_stat = row
+    assert (n_groups, n_rows) == (2, 4)
+    assert ssb == pytest.approx(16.0)
+    assert ssw == pytest.approx(4.0)
+    assert f_stat == pytest.approx(8.0)
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V
+# ---------------------------------------------------------------------------
+
+
+def test_cramers_v_perfect_association(spark, monkeypatch):
+    """Segment fully determines priority → V = 1; chi² = n·(min(r,c)−1)."""
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    cust = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "c_custkey long, c_mktsegment string"
+    )
+    orders = spark.createDataFrame(
+        [(1, "1-URGENT")] * 3 + [(2, "5-LOW")] * 3,
+        "o_custkey long, o_orderpriority string",
+    )
+    monkeypatch.setattr(
+        _so, "load_table", lambda s, d, n: {"customer": cust, "orders": orders}[n]
+    )
+    (row,) = _rows(_so.cramers_v_segment_priority(spark, "x"))
+    r, c, chi2, v = row
+    assert (r, c) == (2, 2)
+    assert chi2 == pytest.approx(6.0)
+    assert v == pytest.approx(1.0)
