@@ -423,10 +423,18 @@ def rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "chi_square_event_hour",
     oracle=f"""
-    WITH cells AS (
+    WITH raw AS (
         SELECT event_type, EXTRACT(hour FROM ts) AS hr,
                CAST(COUNT(*) AS DOUBLE) AS o
         FROM events GROUP BY 1, 2
+    ),
+    cells AS (
+        -- densify: an hour a type never fires in still contributes
+        -- (0-E)^2/E (no-op on a dense grid, correct on a sparse one)
+        SELECT t.event_type, h.hr, COALESCE(r.o, 0) AS o
+        FROM (SELECT DISTINCT event_type FROM raw) t
+        CROSS JOIN (SELECT DISTINCT hr FROM raw) h
+        LEFT JOIN raw r ON r.event_type = t.event_type AND r.hr = h.hr
     ),
     rows_ AS (SELECT event_type, SUM(o) AS rt FROM cells GROUP BY 1),
     cols_ AS (SELECT hr, SUM(o) AS ct FROM cells GROUP BY 1),
@@ -460,9 +468,18 @@ def chi_square_event_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     total.
     """
     e = load_table(spark, sf_dir, "events")
-    cells = (
+    raw = (
         e.groupBy("event_type", F.hour("ts").alias("hr"))
         .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    # densify: an hour a type never fires in still contributes (0−E)²/E
+    # (no-op on a dense grid, correct on a sparse one)
+    cells = (
+        raw.select("event_type")
+        .distinct()
+        .crossJoin(raw.select("hr").distinct())
+        .join(raw, ["event_type", "hr"], "left")
+        .select("event_type", "hr", F.coalesce("o", F.lit(0.0)).alias("o"))
     )
     rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
     cols_ = cells.groupBy("hr").agg(F.sum("o").alias("ct"))
