@@ -1386,3 +1386,86 @@ def churn_label_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "week")
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "degree_assortativity",
+    oracle=f"""
+    WITH {_PR_EDGES_CTE},
+    dd AS (SELECT src, deg FROM deg),
+    ex AS (
+        SELECT CAST(da.deg AS DOUBLE) AS x, CAST(db.deg AS DOUBLE) AS y
+        FROM e0
+        JOIN dd da ON da.src = e0.src
+        JOIN dd db ON db.src = e0.dst
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS t,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM ex
+    )
+    SELECT CAST(t AS BIGINT) AS n_directed_edges,
+           (t * sxy - sx * sy)
+             / sqrt((t * sxx - sx * sx) * (t * syy - sy * sy))
+               AS assortativity
+    FROM s
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over all directed edges — positive
+    means hubs link to hubs (social-network-like), negative means
+    hub-and-spoke (catalog-like); it predicts how hot the hot keys get in
+    every downstream graph shuffle (copurchase_degree_histogram shows the
+    marginal; this is the joint). One-pass sufficient statistics in exact
+    decimal, one sqrt, one division — the OLS pattern on the edge list.
+
+    Scale: degrees are one aggregate; re-attaching them to both endpoints
+    is two shuffled joins on node keys (never broadcast — degree tables
+    are node-count-sized); the statistics aggregate is map-side
+    combinable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
+    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
+    e0 = (
+        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    da = deg.select(F.col("src"), F.col("deg").alias("x"))
+    db = deg.select(F.col("src").alias("dst"), F.col("deg").alias("y"))
+    ex = (
+        e0.join(da, "src")
+        .join(db, "dst")
+        .select(F.col("x").cast("double").alias("x"), F.col("y").cast("double").alias("y"))
+    )
+    dec = "decimal(38,6)"
+    s = ex.agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+    )
+    t, sx, sy = F.col("t"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return s.select(
+        t.cast("bigint").alias("n_directed_edges"),
+        (
+            (t * sxy - sx * sy)
+            / F.sqrt((t * sxx - sx * sx) * (t * syy - sy * sy))
+        ).alias("assortativity"),
+    )

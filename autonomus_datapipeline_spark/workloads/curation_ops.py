@@ -1065,3 +1065,81 @@ def quantile_normalize_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking statistics (Rabin-style CDC boundaries)
+# ---------------------------------------------------------------------------
+
+_CDC_K = 8     # rolling-hash gram width
+_CDC_MOD = 32  # boundary when hash % 32 == 0 → expected chunk ≈ 32 chars
+
+
+@query(
+    "content_defined_chunks",
+    oracle=f"""
+    WITH pos AS (
+        SELECT doc_id, length(text) AS n_chars, i,
+               (ascii(substr(md5(substr(text, CAST(i AS INT), {_CDC_K})), 1, 1))
+                * 256
+                + ascii(substr(md5(substr(text, CAST(i AS INT), {_CDC_K})), 2, 1)))
+               % {_CDC_MOD} = 0 AS is_boundary
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(1, length(text) - {_CDC_K - 1} + 1)) AS i
+            FROM documents WHERE length(text) >= {_CDC_K}
+        ) g
+    )
+    SELECT doc_id,
+           CAST(MAX(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(CASE WHEN is_boundary THEN 1 END) + 1 AS BIGINT)
+               AS n_chunks,
+           CAST(MAX(n_chars) AS DOUBLE)
+             / (COUNT(CASE WHEN is_boundary THEN 1 END) + 1) AS mean_chunk_len
+    FROM pos GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking statistics: boundaries fall where the
+    rolling {_CDC_K}-gram hash ≡ 0 (mod {_CDC_MOD}) — the Rabin/CDC
+    scheme storage dedup and delta-sync use, because an insertion shifts
+    FIXED windows everywhere (doc_chunking_overlap's failure mode for
+    dedup) but only perturbs content-defined boundaries locally. Reports
+    per-doc chunk count and mean chunk length (expected ≈ {_CDC_MOD}
+    chars). md5-derived hashes keep the boundary set engine-identical.
+
+    Scale: explode + per-row hash + one map-side-combinable rollup —
+    shuffle-linear; at 100 TB the per-position md5 becomes the fused
+    scan stage exactly like winnowing_fingerprints.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.where(F.length("text") >= _CDC_K).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (_CDC_K - 1))
+        ).alias("i"),
+        "text",
+    )
+    h = F.md5(F.expr(f"substr(text, CAST(i AS INT), {_CDC_K})"))
+    is_boundary = (
+        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
+        % _CDC_MOD
+        == 0
+    )
+    pos = g.select("doc_id", "n_chars", is_boundary.alias("is_boundary"))
+    return (
+        pos.groupBy("doc_id")
+        .agg(
+            F.max("n_chars").cast("bigint").alias("n_chars"),
+            (F.count(F.when(F.col("is_boundary"), 1)) + 1)
+            .cast("bigint")
+            .alias("n_chunks"),
+            (
+                F.max("n_chars").cast("double")
+                / (F.count(F.when(F.col("is_boundary"), 1)) + 1)
+            ).alias("mean_chunk_len"),
+        )
+        .orderBy("doc_id")
+    )

@@ -929,3 +929,48 @@ def test_cramers_v_perfect_association(spark, monkeypatch):
     assert (r, c) == (2, 2)
     assert chi2 == pytest.approx(6.0)
     assert v == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity
+# ---------------------------------------------------------------------------
+
+
+def test_assortativity_star_negative(spark, monkeypatch):
+    """A star (hub bought with many leaves via 2-item orders) is maximally
+    DISassortative: every edge pairs max degree with degree 1 → r < 0."""
+    li = spark.createDataFrame(
+        [(o, 1) for o in range(1, 6)] + [(o, o + 10) for o in range(1, 6)],
+        "l_orderkey long, l_partkey long",
+    )
+    _patch(monkeypatch, analytics_ops, {"lineitem": li})
+    (row,) = _rows(analytics_ops.degree_assortativity(spark, "x"))
+    n_edges, r = row
+    assert n_edges == 10  # 5 undirected edges, both directions
+    assert r == pytest.approx(-1.0)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_boundaries_shift_locally(spark, monkeypatch):
+    """The CDC property: prepending a char to a doc changes the chunk
+    count by a bounded amount (boundaries are content-anchored), and the
+    boundary count is deterministic for identical content."""
+    from autonomus_datapipeline_spark.workloads import curation_ops
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [(1, base, "s"), (2, base, "s"), (3, "X" + base, "s")],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n: docs)
+    rows = {r[0]: r for r in _rows(curation_ops.content_defined_chunks(spark, "x"))}
+    # identical docs → identical chunking
+    assert rows[1][1:] == rows[2][1:]
+    # a 1-char prefix shifts at most one boundary in/out of existence
+    assert abs(rows[3][2] - rows[1][2]) <= 1
+    for r in rows.values():
+        assert r[3] == pytest.approx(r[1] / r[2])
