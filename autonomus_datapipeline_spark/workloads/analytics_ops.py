@@ -1469,3 +1469,127 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((t * sxx - sx * sx) * (t * syy - sy * sy))
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top session-opening paths (first-3-event sequences)
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 3
+_PATH_TOP = 15
+
+
+@query(
+    "session_top_paths",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         >= INTERVAL '30 minutes' THEN 1 ELSE 0 END
+                   AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    ranked AS (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM sessions
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= {_PATH_LEN}
+        GROUP BY 1, 2
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions, rk
+    FROM (
+        SELECT path, COUNT(*) AS c,
+               CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS INT)
+                   AS rk
+        FROM paths GROUP BY path
+    ) t JOIN paths p USING (path)
+    WHERE rk <= {_PATH_TOP}
+    GROUP BY path, rk
+    ORDER BY rk
+    """,
+)
+def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-opening path analysis: the {_PATH_TOP} most common
+    first-{_PATH_LEN}-event sequences per 30-minute session — 'how do
+    sessions start', the product-analytics view that funnels
+    (funnel_conversion) verify hypotheses against. Sessions reuse the
+    gaps-and-islands formulation (session_windows_30m); the path string
+    is an ORDERED aggregation (rank-ordered string_agg / concat — a
+    nondeterministically-ordered collect would break the hash).
+
+    Scale: one user_id shuffle drives the session window, the in-session
+    ranking, and the path rollup; the path dictionary is |types|^{_PATH_LEN}-
+    bounded.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.expr(
+                "timestampdiff(MICROSECOND, lag(ts) OVER"
+                " (PARTITION BY user_id ORDER BY ts, event_id), ts)"
+            )
+            >= 1800 * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session").over(w_cum).alias("session_id"),
+    )
+    w_rn = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    ranked = sessions.select(
+        "user_id",
+        "session_id",
+        "event_type",
+        F.row_number().over(w_rn).alias("rn"),
+    ).where(F.col("rn") <= _PATH_LEN)
+    paths = ranked.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s.getField("event_type"),
+            ),
+        ).alias("path")
+    )
+    w_rk = Window.orderBy(F.desc("c"), "path")
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "path",
+            F.col("c").cast("bigint").alias("n_sessions"),
+            F.row_number().over(w_rk).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= _PATH_TOP)
+        .orderBy("rk")
+    )

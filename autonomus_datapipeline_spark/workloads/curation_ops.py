@@ -1143,3 +1143,64 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment (deterministic CV splits with balance audit)
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+@query(
+    "stratified_kfold_assignment",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT source,
+               (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+                + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)))
+               % {_KFOLD_K} AS fold,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT source, CAST(fold AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM assigned
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {_KFOLD_K}-fold cross-validation assignment with a
+    per-stratum balance audit: fold = md5(doc_id) mod k (content-stable —
+    re-running on a grown corpus never reshuffles an existing doc's fold,
+    unlike randomSplit; the same convention as content_hash_split), and
+    the report shows docs/tokens per (source, fold) so skewed strata are
+    visible before training. Eval harnesses (knn_label_classifier,
+    markov_transition_accuracy, oov_rate_report) use the 2-fold special
+    case of this assignment.
+
+    Scale: a per-row hash + one map-side-combinable rollup to
+    |sources|×k rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    fold = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % _KFOLD_K
+    return (
+        docs.select(
+            "source",
+            fold.cast("int").alias("fold"),
+            F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias(
+                "n_tokens"
+            ),
+        )
+        .groupBy("source", "fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "fold")
+    )

@@ -974,3 +974,58 @@ def test_cdc_boundaries_shift_locally(spark, monkeypatch):
     assert abs(rows[3][2] - rows[1][2]) <= 1
     for r in rows.values():
         assert r[3] == pytest.approx(r[1] / r[2])
+
+
+# ---------------------------------------------------------------------------
+# Session paths
+# ---------------------------------------------------------------------------
+
+
+def test_session_paths_split_on_gap_and_ordered(spark, monkeypatch):
+    """Events A,B then a 40-minute gap then C,A: two sessions with paths
+    'A>B' and 'C>A' — the gap splits, the path preserves event order."""
+    import datetime as _dt
+
+    t0 = _dt.datetime(2024, 1, 1, 9, 0, 0)
+    events = spark.createDataFrame(
+        [
+            (1, 1, "A", t0),
+            (2, 1, "B", t0 + _dt.timedelta(minutes=5)),
+            (3, 1, "C", t0 + _dt.timedelta(minutes=45)),
+            (4, 1, "A", t0 + _dt.timedelta(minutes=46)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    _patch(monkeypatch, analytics_ops, {"events": events})
+    rows = _rows(analytics_ops.session_top_paths(spark, "x"))
+    assert rows == [("A>B", 1, 1), ("C>A", 1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold
+# ---------------------------------------------------------------------------
+
+
+def test_kfold_assignment_content_stable(spark, monkeypatch):
+    """Folds are a pure function of doc_id: the same doc lands in the same
+    fold regardless of corpus contents, and every fold id is in [0, 5)."""
+    from autonomus_datapipeline_spark.workloads import curation_ops
+
+    docs1 = spark.createDataFrame(
+        [(i, "w w w", "s") for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    docs2 = spark.createDataFrame(
+        [(i, "w w w", "s") for i in range(60)],  # grown corpus
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n: docs1)
+    r1 = _rows(curation_ops.stratified_kfold_assignment(spark, "x"))
+    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n: docs2)
+    r2 = _rows(curation_ops.stratified_kfold_assignment(spark, "x"))
+    assert all(0 <= r[1] < 5 for r in r1 + r2)
+    assert sum(r[2] for r in r1) == 30 and sum(r[2] for r in r2) == 60
+    # growth only ADDS docs per fold — no existing doc moved
+    f1 = {r[1]: r[2] for r in r1}
+    f2 = {r[1]: r[2] for r in r2}
+    assert all(f2.get(k, 0) >= v for k, v in f1.items())

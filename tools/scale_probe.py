@@ -138,6 +138,20 @@ PROBE_QUERIES = [
     "kmeans_elbow_inertia",
     "oov_rate_report",
     "ols_price_quantity_fit",
+    # round-5 waves 13-18
+    "purchase_attribution_linear",
+    "cuped_adjusted_ab",
+    "quantile_normalize_deciles",
+    "trimmed_mean_order_value",
+    "hhi_supplier_concentration",
+    "daily_revenue_peaks",
+    "burrows_delta_stylometry",
+    "lpa_modularity_score",
+    "winnowing_match_pairs",
+    "churn_label_table",
+    "anova_f_order_value",
+    "degree_assortativity",
+    "content_defined_chunks",
 ]
 
 
