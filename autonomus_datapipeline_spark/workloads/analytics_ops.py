@@ -477,7 +477,7 @@ def chi_square_event_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         raw.select("event_type")
         .distinct()
-        .crossJoin(raw.select("hr").distinct())
+        .crossJoin(F.broadcast(raw.select("hr").distinct()))
         .join(raw, ["event_type", "hr"], "left")
         .select("event_type", "hr", F.coalesce("o", F.lit(0.0)).alias("o"))
     )

@@ -726,3 +726,58 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("column_name")
+
+
+# ---------------------------------------------------------------------------
+# Temporal consistency audit (cross-field date-order invariants)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "temporal_consistency_audit",
+    oracle="""
+    WITH joined AS (
+        SELECT o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS od,
+               CAST(l.l_shipdate AS DATE) AS sd
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(CASE WHEN sd < od THEN 1 END) AS BIGINT)
+               AS n_violations,
+           CAST(MIN(CASE WHEN sd < od THEN o_orderkey END) AS BIGINT)
+               AS sample_orderkey,
+           CAST(MAX(date_diff('day', od, sd)) AS BIGINT) AS max_lead_days,
+           CAST(MIN(date_diff('day', od, sd)) AS BIGINT) AS min_lead_days
+    FROM joined
+    """,
+)
+def temporal_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field temporal invariant audit: a line item must not ship
+    before its order is placed — the date-order consistency rule every
+    warehouse enforces alongside referential integrity
+    (referential_integrity_audit checks the keys; this checks the
+    physics). Reports the violation count, the smallest offending order
+    key for triage, and the observed lead-time envelope. All-integer.
+
+    Scale: one shuffled join on the order key and a scalar conditional
+    aggregate — a single pass, no window.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    viol = F.when(F.col("sd") < F.col("od"), 1)
+    lead = F.datediff("sd", "od")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.count(viol).cast("bigint").alias("n_violations"),
+        F.min(F.when(F.col("sd") < F.col("od"), F.col("o_orderkey")))
+        .cast("bigint")
+        .alias("sample_orderkey"),
+        F.max(lead).cast("bigint").alias("max_lead_days"),
+        F.min(lead).cast("bigint").alias("min_lead_days"),
+    )

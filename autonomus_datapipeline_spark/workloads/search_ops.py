@@ -806,3 +806,70 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift between corpus halves (model/data drift monitor)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH halves AS (
+        SELECT vec_id % 2 = 0 AS first_half, embedding
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT first_half, t.p,
+               CAST(SUM(CAST(CAST(embedding[t.p] AS DOUBLE) AS DECIMAL(38,12)))
+                    AS DOUBLE) / COUNT(*) AS mu
+        FROM halves, range(1, {_DIM + 1}) t(p)
+        GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT a.p, a.mu AS mu_a, b.mu AS mu_b
+        FROM dims a JOIN dims b ON b.p = a.p
+        WHERE a.first_half AND NOT b.first_half
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM(CAST((mu_a - mu_b) * (mu_a - mu_b) AS DECIMAL(38,12)))
+                AS DOUBLE) AS drift_sq,
+           sqrt(CAST(SUM(CAST((mu_a - mu_b) * (mu_a - mu_b)
+                              AS DECIMAL(38,12))) AS DOUBLE)) AS drift_l2
+    FROM paired
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: the L2 distance between the per-dimension
+    centroids of two corpus halves (even vs odd ids — the deterministic
+    stand-in for 'last week vs this week') — the cheapest embedding-space
+    drift alarm, run before trusting a frozen ANN codebook
+    (ann_ivf_frozen_topk) on new data. Per-dim means are exact-decimal
+    sums divided once; the squared-diff sum rides the decimal accumulator
+    and sqrt is IEEE-exact.
+
+    Scale: one posexplode-shaped aggregate to 2×{_DIM} rows (map-side
+    combinable on (half, dim)), then a {_DIM}-row join — no pairwise
+    anything.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    halves = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("first_half"),
+        F.posexplode("embedding").alias("p0", "x"),
+    )
+    dims = halves.groupBy("first_half", "p0").agg(
+        (
+            F.sum(F.col("x").cast("double").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    a = dims.where("first_half").select("p0", F.col("mu").alias("mu_a"))
+    b = dims.where(~F.col("first_half")).select("p0", F.col("mu").alias("mu_b"))
+    paired = a.join(b, "p0")
+    d2 = (F.col("mu_a") - F.col("mu_b")) * (F.col("mu_a") - F.col("mu_b"))
+    return paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.sum(d2.cast("decimal(38,12)")).cast("double").alias("drift_sq"),
+        F.sqrt(F.sum(d2.cast("decimal(38,12)")).cast("double")).alias("drift_l2"),
+    )

@@ -1885,7 +1885,7 @@ def cramers_v_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         raw.select("seg")
         .distinct()
-        .crossJoin(raw.select("pri").distinct())
+        .crossJoin(F.broadcast(raw.select("pri").distinct()))
         .join(raw, ["seg", "pri"], "left")
         .select("seg", "pri", F.coalesce("obs", F.lit(0.0)).alias("obs"))
     )

@@ -1029,3 +1029,43 @@ def test_kfold_assignment_content_stable(spark, monkeypatch):
     f1 = {r[1]: r[2] for r in r1}
     f2 = {r[1]: r[2] for r in r2}
     assert all(f2.get(k, 0) >= v for k, v in f1.items())
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_drift_exact_shift(spark, monkeypatch):
+    """Even-id vectors at x, odd-id at x+1 in dim 1 only → drift_l2 = 1."""
+    emb = spark.createDataFrame(
+        [(i, [1.0 if i % 2 else 2.0] + [0.0] * 63) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    _patch(monkeypatch, search_ops, {"embeddings": emb})
+    (row,) = _rows(search_ops.embedding_centroid_drift(spark, "x"))
+    n_dims, drift_sq, drift_l2 = row
+    assert n_dims == 64
+    assert drift_sq == pytest.approx(1.0)
+    assert drift_l2 == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Temporal consistency
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_audit_flags_backdated_ship(spark, monkeypatch):
+    import datetime as _dt
+
+    orders = spark.createDataFrame(
+        [(1, _dt.date(2024, 1, 10)), (2, _dt.date(2024, 1, 10))],
+        "o_orderkey long, o_orderdate date",
+    )
+    li = spark.createDataFrame(
+        [(1, _dt.date(2024, 1, 12)), (2, _dt.date(2024, 1, 8))],
+        "l_orderkey long, l_shipdate date",
+    )
+    _patch(monkeypatch, audit_ops, {"orders": orders, "lineitem": li})
+    (row,) = _rows(audit_ops.temporal_consistency_audit(spark, "x"))
+    assert row == (2, 1, 2, 2, -2)
