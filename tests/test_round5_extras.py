@@ -1069,3 +1069,34 @@ def test_temporal_audit_flags_backdated_ship(spark, monkeypatch):
     _patch(monkeypatch, audit_ops, {"orders": orders, "lineitem": li})
     (row,) = _rows(audit_ops.temporal_consistency_audit(spark, "x"))
     assert row == (2, 1, 2, 2, -2)
+
+
+# ---------------------------------------------------------------------------
+# Registry contract guards
+# ---------------------------------------------------------------------------
+
+
+def test_driver_verified_names_all_registered():
+    """Every name in the proven set must exist in the registry — a typo
+    here would silently park a NEW query behind the driver's 50-row
+    correctness window (never driver-checked) or re-emit a proven one."""
+    from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY
+    from autonomus_datapipeline_spark.workloads.registry import (
+        _DRIVER_VERIFIED,
+        oracle_sql,
+        queries,
+    )
+
+    unknown = _DRIVER_VERIFIED - set(QUERY_REGISTRY)
+    assert not unknown, f"_DRIVER_VERIFIED names not in registry: {unknown}"
+    q = list(queries())
+    # unproven block strictly precedes the proven block
+    seen_proven = False
+    for name in q:
+        if name in _DRIVER_VERIFIED:
+            seen_proven = True
+        else:
+            assert not seen_proven, f"unproven {name} after proven block"
+    # contract surfaces are complete and aligned
+    assert set(q) == set(QUERY_REGISTRY)
+    assert set(oracle_sql()) == set(QUERY_REGISTRY)
