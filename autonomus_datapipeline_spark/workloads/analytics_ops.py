@@ -1593,3 +1593,77 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _PATH_TOP)
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Trending report (heavy-hitter rank shifts between time halves)
+# ---------------------------------------------------------------------------
+
+_TREND_TOP = 20
+_TREND_SPLIT = "2024-01-16"
+
+
+@query(
+    "trending_users_report",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id,
+               CAST(COUNT(CASE WHEN ts < TIMESTAMP '{_TREND_SPLIT} 00:00:00'
+                          THEN 1 END) AS BIGINT) AS n_first,
+               CAST(COUNT(CASE WHEN ts >= TIMESTAMP '{_TREND_SPLIT} 00:00:00'
+                          THEN 1 END) AS BIGINT) AS n_second
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT user_id, n_first, n_second,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_second DESC, user_id)
+                    AS INT) AS rk_second,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_first DESC, user_id)
+                    AS INT) AS rk_first
+        FROM counts
+    )
+    SELECT user_id, n_first, n_second, rk_first, rk_second,
+           CAST(rk_first - rk_second AS INT) AS rank_gain
+    FROM ranked
+    WHERE rk_second <= {_TREND_TOP}
+    ORDER BY rk_second
+    """,
+)
+def trending_users_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending heavy hitters: the top {_TREND_TOP} users of the second
+    half-month with their first-half counts and rank shift — 'who is
+    rising' (positive rank_gain = climbed), the report behind trending
+    feeds and the before/after twin of countmin_heavy_hitters' static
+    top-k. Both period counts ride ONE conditional aggregate (a single
+    scan, not two), and both rankings reuse one |users|-sized rollup.
+
+    Scale: one map-side-combinable conditional rollup on user_id; two
+    range-partitioned ranking sorts over |users| rows; bounded output.
+    """
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(f"{_TREND_SPLIT} 00:00:00").cast("timestamp_ntz")
+    counts = e.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < split, 1)).cast("bigint").alias("n_first"),
+        F.count(F.when(F.col("ts") >= split, 1)).cast("bigint").alias("n_second"),
+    )
+    w2 = Window.orderBy(F.desc("n_second"), "user_id")
+    w1 = Window.orderBy(F.desc("n_first"), "user_id")
+    ranked = counts.select(
+        "user_id",
+        "n_first",
+        "n_second",
+        F.row_number().over(w1).cast("int").alias("rk_first"),
+        F.row_number().over(w2).cast("int").alias("rk_second"),
+    )
+    return (
+        ranked.where(F.col("rk_second") <= _TREND_TOP)
+        .select(
+            "user_id",
+            "n_first",
+            "n_second",
+            "rk_first",
+            "rk_second",
+            (F.col("rk_first") - F.col("rk_second")).cast("int").alias("rank_gain"),
+        )
+        .orderBy("rk_second")
+    )

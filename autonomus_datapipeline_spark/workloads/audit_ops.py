@@ -781,3 +781,75 @@ def temporal_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(lead).cast("bigint").alias("max_lead_days"),
         F.min(lead).cast("bigint").alias("min_lead_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew Gini (quantified partition-skew audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "key_skew_gini",
+    oracle="""
+    WITH kc AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    ranked AS (
+        SELECT x,
+               CAST(ROW_NUMBER() OVER (ORDER BY x, user_id)
+                    AS DECIMAL(38,0)) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(x) OVER () AS s
+        FROM kc
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+           CAST(MAX(s) AS BIGINT) AS n_rows,
+           CAST(MAX(x) AS BIGINT) AS max_key_rows,
+           CAST(CAST(MAX(x) AS DECIMAL(38,0)) * MAX(n) AS DOUBLE)
+             / CAST(MAX(s) AS DECIMAL(38,0)) AS hot_key_factor,
+           CAST(2 * SUM(i * CAST(x AS DECIMAL(38,0)))
+                - (MAX(n) + 1) * CAST(MAX(s) AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(CAST(MAX(n) AS DECIMAL(38,0)) * MAX(s) AS DOUBLE)
+               AS skew_gini
+    FROM ranked
+    """,
+)
+def key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew quantified: the Gini coefficient of per-user row
+    counts plus the hot-key factor (max key's rows ÷ fair share) — the
+    two numbers that decide, BEFORE running a user-keyed join or window,
+    whether operators/skew.py salting is needed (Gini ≈ 0 → uniform keys,
+    hot_key_factor ≫ AQE's skew threshold → salt). Same sorted-rank
+    identity as gini_revenue_concentration, applied to the key histogram
+    (all-integer inputs, one double division per output).
+
+    Scale: the key histogram is one map-side-combinable aggregate; the
+    rank window sorts |keys| rows (range-partitioned); scalar output.
+    """
+    e = load_table(spark, sf_dir, "events")
+    kc = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w_rank = Window.orderBy("x", "user_id")
+    w_all = Window.partitionBy()
+    ranked = kc.select(
+        "x",
+        F.row_number().over(w_rank).cast("decimal(38,0)").alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("s"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_keys"),
+        F.max("s").cast("bigint").alias("n_rows"),
+        F.max("x").cast("bigint").alias("max_key_rows"),
+        (
+            (F.max("x").cast("decimal(38,0)") * F.max("n")).cast("double")
+            / F.max("s").cast("decimal(38,0)").cast("double")
+        ).alias("hot_key_factor"),
+        (
+            (
+                2 * F.sum(F.col("i") * F.col("x").cast("decimal(38,0)"))
+                - (F.max("n") + 1) * F.max("s").cast("decimal(38,0)")
+            ).cast("double")
+            / (F.max("n").cast("decimal(38,0)") * F.max("s")).cast("double")
+        ).alias("skew_gini"),
+    )

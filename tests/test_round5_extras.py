@@ -1100,3 +1100,60 @@ def test_driver_verified_names_all_registered():
     # contract surfaces are complete and aligned
     assert set(q) == set(QUERY_REGISTRY)
     assert set(oracle_sql()) == set(QUERY_REGISTRY)
+
+
+# ---------------------------------------------------------------------------
+# Trending report
+# ---------------------------------------------------------------------------
+
+
+def test_trending_rank_gain(spark, monkeypatch):
+    """User 2 dominates the second half after being behind in the first →
+    positive rank_gain; user 1 slips to rank 2 with negative gain."""
+    import datetime as _dt
+
+    first, second = _dt.datetime(2024, 1, 10), _dt.datetime(2024, 1, 20)
+    rows_in = (
+        [(i, 1, first) for i in range(3)]            # u1: 3 early
+        + [(10 + i, 2, first) for i in range(1)]     # u2: 1 early
+        + [(20 + i, 1, second) for i in range(1)]    # u1: 1 late
+        + [(30 + i, 2, second) for i in range(4)]    # u2: 4 late
+    )
+    events = spark.createDataFrame(
+        rows_in, "event_id long, user_id long, ts timestamp"
+    )
+    _patch(monkeypatch, analytics_ops, {"events": events})
+    rows = _rows(analytics_ops.trending_users_report(spark, "x"))
+    assert rows[0] == (2, 1, 4, 2, 1, 1)   # climbed 2 → 1
+    assert rows[1] == (1, 3, 1, 1, 2, -1)  # slipped 1 → 2
+
+
+# ---------------------------------------------------------------------------
+# Key skew Gini
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_uniform_vs_hot(spark, monkeypatch):
+    """Uniform keys → Gini 0 and hot_key_factor 1; one hot key drives both
+    up."""
+    import datetime as _dt
+    from autonomus_datapipeline_spark.workloads import audit_ops as _audit
+
+    t = _dt.datetime(2024, 1, 1)
+    uniform = spark.createDataFrame(
+        [(i, i % 4, t) for i in range(8)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    _patch(monkeypatch, _audit, {"events": uniform})
+    (row,) = _rows(_audit.key_skew_gini(spark, "x"))
+    assert row[0] == 4 and row[1] == 8
+    assert row[3] == pytest.approx(1.0) and row[4] == pytest.approx(0.0)
+
+    hot = spark.createDataFrame(
+        [(i, 1 if i < 6 else 2, t) for i in range(8)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    _patch(monkeypatch, _audit, {"events": hot})
+    (row,) = _rows(_audit.key_skew_gini(spark, "x"))
+    assert row[2] == 6 and row[3] == pytest.approx(6 * 2 / 8)
+    assert row[4] > 0
