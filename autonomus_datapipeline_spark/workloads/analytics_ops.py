@@ -1667,3 +1667,156 @@ def trending_users_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk_second")
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase interval distribution
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "reorder_interval_quantiles",
+    oracle="""
+    WITH gaps AS (
+        SELECT CAST(date_diff('day',
+                   LAG(CAST(o_orderdate AS DATE)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        FROM orders
+    ),
+    hist AS (
+        SELECT gap_days AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM gaps WHERE gap_days IS NOT NULL GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, c,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS n
+        FROM hist
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_intervals,
+           CAST(MIN(v) AS BIGINT) AS min_days,
+           CAST(MIN(CASE WHEN 4 * cum >= n THEN v END) AS BIGINT) AS p25_days,
+           CAST(MIN(CASE WHEN 2 * cum >= n THEN v END) AS BIGINT)
+               AS median_days,
+           CAST(MIN(CASE WHEN 4 * cum >= 3 * n THEN v END) AS BIGINT)
+               AS p75_days,
+           CAST(MAX(v) AS BIGINT) AS max_days
+    FROM cum
+    """,
+)
+def reorder_interval_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence: the exact quartiles of the day gaps
+    between a customer's consecutive orders — the inter-arrival
+    distribution that sets replenishment-reminder timing and the
+    expected-next-order feature for churn models (churn_label_table's
+    natural covariate). One LAG per customer, then the value-histogram
+    quantile method (integer cross-multiplied quartile cuts over the
+    bounded gap-day domain).
+
+    Scale: one custkey window shuffle; the histogram bounds every later
+    stage by the distinct-gap domain, not the order count.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("bigint")
+        .alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    hist = gaps.groupBy(F.col("gap_days").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_intervals"),
+        F.min("v").cast("bigint").alias("min_days"),
+        F.min(F.when(4 * F.col("cum") >= F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("p25_days"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("median_days"),
+        F.min(F.when(4 * F.col("cum") >= 3 * F.col("n"), F.col("v")))
+        .cast("bigint")
+        .alias("p75_days"),
+        F.max("v").cast("bigint").alias("max_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning revenue split by month
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "new_vs_returning_revenue",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS first_m
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+           CAST(COUNT(CASE WHEN CAST(date_trunc('month', o.o_orderdate)
+                                     AS DATE) = f.first_m THEN 1 END)
+                AS BIGINT) AS n_new_orders,
+           CAST(COUNT(CASE WHEN CAST(date_trunc('month', o.o_orderdate)
+                                     AS DATE) <> f.first_m THEN 1 END)
+                AS BIGINT) AS n_returning_orders,
+           CAST(SUM(CASE WHEN CAST(date_trunc('month', o.o_orderdate)
+                                   AS DATE) = f.first_m
+                    THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END)
+                AS DOUBLE) AS new_revenue,
+           CAST(SUM(CASE WHEN CAST(date_trunc('month', o.o_orderdate)
+                                   AS DATE) <> f.first_m
+                    THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END)
+                AS DOUBLE) AS returning_revenue
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning revenue split per month: orders in a customer's
+    FIRST month are acquisition revenue, everything later is retention
+    revenue — the top-line growth decomposition every subscription/
+    commerce dashboard opens with (cohort_ltv_matrix is its cohort-
+    resolved refinement). Revenue stays decimal-exact until the final
+    cast; NULL sums for months with no new (or no returning) orders stay
+    NULL on both engines.
+
+    Scale: the first-month rollup shuffles once on custkey and re-joins
+    the fact table on the same key; the report is calendar-bounded.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("first_m")
+    )
+    m = F.date_trunc("month", "o_orderdate").cast("date")
+    dec = "decimal(38,6)"
+    is_new = m == F.col("first_m")
+    return (
+        o.join(firsts, "o_custkey")
+        .groupBy(m.alias("month"))
+        .agg(
+            F.count(F.when(is_new, 1)).cast("bigint").alias("n_new_orders"),
+            F.count(F.when(~is_new, 1)).cast("bigint").alias("n_returning_orders"),
+            F.sum(F.when(is_new, F.col("o_totalprice").cast(dec)))
+            .cast("double")
+            .alias("new_revenue"),
+            F.sum(F.when(~is_new, F.col("o_totalprice").cast(dec)))
+            .cast("double")
+            .alias("returning_revenue"),
+        )
+        .orderBy("month")
+    )

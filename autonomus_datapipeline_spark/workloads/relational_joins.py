@@ -1189,3 +1189,86 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres price index (year-over-year, base-year basket)
+# ---------------------------------------------------------------------------
+
+_LPI_BASE_YR = 1995
+_LPI_CUR_YR = 1996
+
+
+@query(
+    "laspeyres_price_index",
+    oracle=f"""
+    WITH py AS (
+        SELECT l_partkey,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS rev,
+               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE EXTRACT(year FROM o.o_orderdate)
+              IN ({_LPI_BASE_YR}, {_LPI_CUR_YR})
+        GROUP BY 1, 2
+    ),
+    paired AS (
+        SELECT b.l_partkey,
+               CAST(b.rev AS DOUBLE) / CAST(b.qty AS DOUBLE) AS p0,
+               CAST(c.rev AS DOUBLE) / CAST(c.qty AS DOUBLE) AS p1,
+               CAST(b.qty AS DOUBLE) AS q0
+        FROM py b JOIN py c ON c.l_partkey = b.l_partkey
+        WHERE b.yr = {_LPI_BASE_YR} AND c.yr = {_LPI_CUR_YR}
+          AND b.qty > 0 AND c.qty > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CAST(p1 * q0 AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(p0 * q0 AS DECIMAL(38,6))) AS DOUBLE)
+               AS laspeyres_index
+    FROM paired
+    """,
+)
+def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres price index {_LPI_CUR_YR} vs {_LPI_BASE_YR}: Σp₁q₀/Σp₀q₀
+    over the parts traded in BOTH years (base-year basket weights) — the
+    CPI-style inflation measure for the catalog, and the index-number
+    family's entry in the registry (unit prices are revenue/quantity per
+    part-year). Both basket sums ride the decimal accumulator; unit
+    prices are per-row IEEE divisions of decimal-exact sums.
+
+    Scale: one join + (part, year) rollup (map-side combinable), a
+    self-join on the part key restricted to the two years, and a scalar
+    reduction.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,6)"
+    py = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(F.year("o_orderdate").isin(_LPI_BASE_YR, _LPI_CUR_YR))
+        .groupBy("l_partkey", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(dec)).alias("rev"),
+            F.sum(F.col("l_quantity").cast(dec)).alias("qty"),
+        )
+    )
+    b = py.where(F.col("yr") == _LPI_BASE_YR).select(
+        "l_partkey",
+        (F.col("rev").cast("double") / F.col("qty").cast("double")).alias("p0"),
+        F.col("qty").cast("double").alias("q0"),
+    )
+    c = py.where(F.col("yr") == _LPI_CUR_YR).select(
+        "l_partkey",
+        (F.col("rev").cast("double") / F.col("qty").cast("double")).alias("p1"),
+        F.col("qty").alias("cqty"),
+    )
+    paired = b.where(F.col("q0") > 0).join(
+        c.where(F.col("cqty") > 0), "l_partkey"
+    )
+    return paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        (
+            F.sum((F.col("p1") * F.col("q0")).cast(dec)).cast("double")
+            / F.sum((F.col("p0") * F.col("q0")).cast(dec)).cast("double")
+        ).alias("laspeyres_index"),
+    )

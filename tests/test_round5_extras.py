@@ -1157,3 +1157,92 @@ def test_key_skew_uniform_vs_hot(spark, monkeypatch):
     (row,) = _rows(_audit.key_skew_gini(spark, "x"))
     assert row[2] == 6 and row[3] == pytest.approx(6 * 2 / 8)
     assert row[4] > 0
+
+
+# ---------------------------------------------------------------------------
+# Laspeyres index
+# ---------------------------------------------------------------------------
+
+
+def test_laspeyres_uniform_price_rise(spark, monkeypatch):
+    """Every common part's unit price rises 10% → index = 1.1 exactly
+    (base-year quantities cancel); a part traded only in one year is
+    excluded from the basket."""
+    import datetime as _dt
+    from autonomus_datapipeline_spark.workloads import relational_joins
+
+    d95, d96 = _dt.date(1995, 6, 1), _dt.date(1996, 6, 1)
+    orders = spark.createDataFrame(
+        [(1, d95), (2, d96)], "o_orderkey long, o_orderdate date"
+    )
+    li = spark.createDataFrame(
+        [
+            (1, 100, 2.0, 20.0),   # part 100 @ 10/unit in 1995
+            (2, 100, 3.0, 33.0),   # part 100 @ 11/unit in 1996 (+10%)
+            (1, 200, 1.0, 50.0),   # part 200 @ 50/unit in 1995
+            (2, 200, 2.0, 110.0),  # part 200 @ 55/unit in 1996 (+10%)
+            (2, 300, 1.0, 9.0),    # 1996-only part — excluded
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double",
+    )
+    monkeypatch.setattr(
+        relational_joins,
+        "load_table",
+        lambda s, d, n: {"orders": orders, "lineitem": li}[n],
+    )
+    (row,) = _rows(relational_joins.laspeyres_price_index(spark, "x"))
+    assert row[0] == 2
+    assert row[1] == pytest.approx(1.1)
+
+
+# ---------------------------------------------------------------------------
+# Reorder intervals
+# ---------------------------------------------------------------------------
+
+
+def test_reorder_gaps_exact_quartiles(spark, monkeypatch):
+    """Gaps [10, 20, 30] → p25 = 10, median = 20, p75 = 30 under the
+    ceil-threshold convention; singleton customers contribute nothing."""
+    import datetime as _dt
+
+    base = _dt.date(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 1, base),
+            (2, 1, base + _dt.timedelta(days=10)),
+            (3, 1, base + _dt.timedelta(days=30)),
+            (4, 1, base + _dt.timedelta(days=60)),
+            (5, 2, base),  # single order → no interval
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date",
+    )
+    _patch(monkeypatch, analytics_ops, {"orders": orders})
+    (row,) = _rows(analytics_ops.reorder_interval_quantiles(spark, "x"))
+    assert row == (3, 10, 10, 20, 30, 30)
+
+
+# ---------------------------------------------------------------------------
+# New vs returning
+# ---------------------------------------------------------------------------
+
+
+def test_new_vs_returning_split(spark, monkeypatch):
+    import datetime as _dt
+
+    orders = spark.createDataFrame(
+        [
+            (1, 1, _dt.date(2024, 1, 5), 100.0),
+            (2, 1, _dt.date(2024, 1, 20), 50.0),   # same month → still new
+            (3, 1, _dt.date(2024, 2, 5), 70.0),    # returning
+            (4, 2, _dt.date(2024, 2, 10), 40.0),   # new in Feb
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate date,"
+        " o_totalprice double",
+    )
+    _patch(monkeypatch, analytics_ops, {"orders": orders})
+    rows = _rows(analytics_ops.new_vs_returning_revenue(spark, "x"))
+    assert rows == [
+        (_dt.date(2024, 1, 1), 2, 0, 150.0, None),
+        (_dt.date(2024, 2, 1), 1, 1, 40.0, 70.0),
+    ]
