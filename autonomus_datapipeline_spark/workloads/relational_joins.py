@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from autonomus_datapipeline_spark.workloads.registry import (
     davg,
@@ -1271,4 +1272,78 @@ def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("p1") * F.col("q0")).cast(dec)).cast("double")
             / F.sum((F.col("p0") * F.col("q0")).cast(dec)).cast("double")
         ).alias("laspeyres_index"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC inventory classification (cumulative revenue classes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "abc_part_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS r
+        FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+        SELECT l_partkey, r,
+               SUM(r) OVER (ORDER BY r DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(r) OVER () AS tot
+        FROM rev
+    ),
+    classed AS (
+        SELECT r,
+               CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                    WHEN 20 * cum <= 19 * tot THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS DOUBLE) AS class_revenue
+    FROM classed GROUP BY 1 ORDER BY 1
+    """,
+)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    while cumulative share ≤ 80 %, B to 95 %, C after — the inventory-
+    policy partition (count A parts daily, B weekly, C quarterly), and
+    the 3-class refinement of cumulative_share_pareto80's single cut.
+    Class boundaries are integer cross-multiplications on EXACT DECIMAL
+    cumulative revenue (5·cum ≤ 4·tot, 20·cum ≤ 19·tot), so boundary
+    parts classify identically on both engines.
+
+    Scale: per-part rollup (map-side combinable), one range-partitioned
+    ranking window over |parts|, a 3-row report.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("r")
+    )
+    w_cum = (
+        Window.orderBy(F.desc("r"), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "r",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(w_all).alias("tot"),
+    )
+    abc = (
+        F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
+        .when(20 * F.col("cum") <= 19 * F.col("tot"), "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.select("r", abc.alias("abc_class"))
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+        .orderBy("abc_class")
     )

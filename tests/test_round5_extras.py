@@ -1246,3 +1246,22 @@ def test_new_vs_returning_split(spark, monkeypatch):
         (_dt.date(2024, 1, 1), 2, 0, 150.0, None),
         (_dt.date(2024, 2, 1), 1, 1, 40.0, 70.0),
     ]
+
+
+# ---------------------------------------------------------------------------
+# ABC classification
+# ---------------------------------------------------------------------------
+
+
+def test_abc_boundary_classification(spark, monkeypatch):
+    """Revenues [80, 15, 5]: the top part's cumulative share is exactly
+    80% → class A (≤ comparison); next reaches exactly 95% → B; rest C."""
+    from autonomus_datapipeline_spark.workloads import relational_joins
+
+    li = spark.createDataFrame(
+        [(1, 80.0), (2, 15.0), (3, 5.0)],
+        "l_partkey long, l_extendedprice double",
+    )
+    monkeypatch.setattr(relational_joins, "load_table", lambda s, d, n: li)
+    rows = _rows(relational_joins.abc_part_classification(spark, "x"))
+    assert rows == [("A", 1, 80.0), ("B", 1, 15.0), ("C", 1, 5.0)]
