@@ -1921,3 +1921,249 @@ def cramers_v_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") * (F.least(F.col("r"), F.col("c")) - 1))
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (doubled tie-averaged ranks — all-integer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "spearman_rho_qty_price",
+    oracle="""
+    WITH rows_ AS (
+        SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+    ),
+    rx AS (
+        SELECT v AS x, 2 * cb + c + 1 AS r2 FROM (
+            SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c,
+                   SUM(COUNT(*)) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                     - COUNT(*) AS cb
+            FROM rows_ GROUP BY x
+        ) t
+    ),
+    ry AS (
+        SELECT v AS y, 2 * cb + c + 1 AS r2 FROM (
+            SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c,
+                   SUM(COUNT(*)) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+                     - COUNT(*) AS cb
+            FROM rows_ GROUP BY y
+        ) t
+    ),
+    paired AS (
+        SELECT CAST(rx.r2 AS DECIMAL(38,0)) AS u,
+               CAST(ry.r2 AS DECIMAL(38,0)) AS v
+        FROM rows_ r JOIN rx ON rx.x = r.x JOIN ry ON ry.y = r.y
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(u) AS DOUBLE) AS su,
+               CAST(SUM(v) AS DOUBLE) AS sv,
+               CAST(SUM(u * v) AS DOUBLE) AS suv,
+               CAST(SUM(u * u) AS DOUBLE) AS suu,
+               CAST(SUM(v * v) AS DOUBLE) AS svv
+        FROM paired
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           (n * suv - su * sv)
+             / sqrt((n * suu - su * su) * (n * svv - sv * sv))
+               AS spearman_rho
+    FROM s
+    """,
+)
+def spearman_rho_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price —
+    the nonparametric complement to stats_correlation's Pearson (robust
+    to outliers and any monotone transform). Tie-averaged ranks use the
+    DOUBLED-rank trick (2·cb + c + 1 — the Mann-Whitney lesson: the
+    average of a tied rank run stays an integer when doubled, and the
+    factor 2 cancels in the correlation), assigned via histogram joins —
+    no per-row sort, no row_number over raw data. Sufficient statistics
+    are exact integer sums converted once to double.
+
+    Scale: two value-histogram aggregates (map-side combinable), two
+    shuffled joins re-attaching ranks on the value keys, one scalar
+    statistics aggregate. The rank maps are distinct-value-sized.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
+
+    def rank_map(df, col):
+        w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        hist = df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        return hist.select(
+            F.col("v").alias(col),
+            (
+                2 * (F.sum("c").over(w_cum) - F.col("c")) + F.col("c") + 1
+            ).cast("decimal(38,0)").alias(f"r2_{col}"),
+        )
+
+    paired = (
+        rows_.join(rank_map(rows_, "x"), "x")
+        .join(rank_map(rows_, "y"), "y")
+        .select(F.col("r2_x").alias("u"), F.col("r2_y").alias("v"))
+    )
+    s = paired.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("u").cast("double").alias("su"),
+        F.sum("v").cast("double").alias("sv"),
+        F.sum(F.col("u") * F.col("v")).cast("double").alias("suv"),
+        F.sum(F.col("u") * F.col("u")).cast("double").alias("suu"),
+        F.sum(F.col("v") * F.col("v")).cast("double").alias("svv"),
+    )
+    n, su, sv = F.col("n"), F.col("su"), F.col("sv")
+    suv, suu, svv = F.col("suv"), F.col("suu"), F.col("svv")
+    return s.select(
+        n.cast("bigint").alias("n_rows"),
+        (
+            (n * suv - su * sv)
+            / F.sqrt((n * suu - su * su) * (n * svv - sv * sv))
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall's tau-b on the (quantity × price-decile) ordinal grid
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kendall_tau_b_qty_price",
+    oracle="""
+    WITH rows_ AS (
+        SELECT l_quantity AS x,
+               CAST(NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                                    l_linenumber) AS INT) AS yb
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT x, yb, CAST(COUNT(*) AS BIGINT) AS n FROM rows_ GROUP BY 1, 2
+    ),
+    conc AS (
+        SELECT CAST(SUM(CAST(a.n AS DECIMAL(38,0)) * b.n) AS DECIMAL(38,0))
+                   AS c
+        FROM cells a JOIN cells b ON b.x > a.x AND b.yb > a.yb
+    ),
+    disc AS (
+        SELECT CAST(SUM(CAST(a.n AS DECIMAL(38,0)) * b.n) AS DECIMAL(38,0))
+                   AS d
+        FROM cells a JOIN cells b ON b.x > a.x AND b.yb < a.yb
+    ),
+    marg AS (
+        SELECT CAST(SUM(n) AS DECIMAL(38,0)) AS nt,
+               CAST(SUM(CAST(rx AS DECIMAL(38,0)) * (rx - 1)) / 2
+                    AS DECIMAL(38,0)) AS n1,
+               CAST(SUM(CAST(ry AS DECIMAL(38,0)) * (ry - 1)) / 2
+                    AS DECIMAL(38,0)) AS n2
+        FROM (
+            SELECT SUM(n) AS n, 0 AS rx, 0 AS ry FROM cells
+            UNION ALL
+            SELECT 0, SUM(n), 0 FROM cells GROUP BY x
+            UNION ALL
+            SELECT 0, 0, SUM(n) FROM cells GROUP BY yb
+        ) u
+    )
+    SELECT CAST(m.nt AS BIGINT) AS n_rows,
+           CAST(COALESCE(c.c, 0) AS DOUBLE) AS concordant,
+           CAST(COALESCE(d.d, 0) AS DOUBLE) AS discordant,
+           CAST(COALESCE(c.c, 0) - COALESCE(d.d, 0) AS DOUBLE)
+             / sqrt(CAST(m.nt * (m.nt - 1) / 2 - m.n1 AS DOUBLE)
+                    * CAST(m.nt * (m.nt - 1) / 2 - m.n2 AS DOUBLE))
+               AS tau_b
+    FROM conc c CROSS JOIN disc d CROSS JOIN marg m
+    """,
+)
+def kendall_tau_b_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between quantity and price DECILE — computed on the
+    bounded ordinal contingency grid instead of the O(n²) pair space:
+    concordant/discordant pair counts are cell-product sums over the
+    (|x-values| × 10)-cell grid (a few hundred cells regardless of row
+    count — the only way Kendall scales to 100 TB), and the tie
+    corrections n₁/n₂ come from the marginals. Every count is exact
+    DECIMAL(38,0); one sqrt + one division at the end. Spearman
+    (spearman_rho_qty_price) weights by rank distance; τ-b counts pure
+    order agreement.
+
+    Scale: the price decile is one range-partitioned NTILE; the grid
+    aggregate is map-side combinable; the cell self-joins are
+    bounded-square (grid², not rows²).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_ = li.select(
+        F.col("l_quantity").alias("x"),
+        F.ntile(10)
+        .over(Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .cast("int")
+        .alias("yb"),
+    )
+    cells = rows_.groupBy("x", "yb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("yb").alias("ay"), F.col("n").alias("an")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("yb").alias("by"), F.col("n").alias("bn")
+    )
+    conc = (
+        a.join(b, (F.col("bx") > F.col("ax")) & (F.col("by") > F.col("ay")))
+        .agg(
+            F.sum(F.col("an").cast("decimal(38,0)") * F.col("bn"))
+            .cast("decimal(38,0)")
+            .alias("c")
+        )
+    )
+    disc = (
+        a.join(b, (F.col("bx") > F.col("ax")) & (F.col("by") < F.col("ay")))
+        .agg(
+            F.sum(F.col("an").cast("decimal(38,0)") * F.col("bn"))
+            .cast("decimal(38,0)")
+            .alias("d")
+        )
+    )
+    nt = cells.agg(F.sum("n").cast("decimal(38,0)").alias("nt"))
+    n1 = (
+        cells.groupBy("x")
+        .agg(F.sum("n").alias("rx"))
+        .agg(
+            (
+                F.sum(F.col("rx").cast("decimal(38,0)") * (F.col("rx") - 1)) / 2
+            )
+            .cast("decimal(38,0)")
+            .alias("n1")
+        )
+    )
+    n2 = (
+        cells.groupBy("yb")
+        .agg(F.sum("n").alias("ry"))
+        .agg(
+            (
+                F.sum(F.col("ry").cast("decimal(38,0)") * (F.col("ry") - 1)) / 2
+            )
+            .cast("decimal(38,0)")
+            .alias("n2")
+        )
+    )
+    joined = (
+        conc.crossJoin(F.broadcast(disc))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    n0 = F.col("nt") * (F.col("nt") - 1) / 2
+    c0 = F.coalesce(F.col("c"), F.lit(0))
+    d0 = F.coalesce(F.col("d"), F.lit(0))
+    return joined.select(
+        F.col("nt").cast("bigint").alias("n_rows"),
+        c0.cast("double").alias("concordant"),
+        d0.cast("double").alias("discordant"),
+        (
+            (c0 - d0).cast("double")
+            / F.sqrt(
+                (n0 - F.col("n1")).cast("double")
+                * (n0 - F.col("n2")).cast("double")
+            )
+        ).alias("tau_b"),
+    )

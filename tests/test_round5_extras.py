@@ -1265,3 +1265,52 @@ def test_abc_boundary_classification(spark, monkeypatch):
     monkeypatch.setattr(relational_joins, "load_table", lambda s, d, n: li)
     rows = _rows(relational_joins.abc_part_classification(spark, "x"))
     assert rows == [("A", 1, 80.0), ("B", 1, 15.0), ("C", 1, 5.0)]
+
+
+# ---------------------------------------------------------------------------
+# Rank correlations
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_perfect_monotone(spark, monkeypatch):
+    """y strictly monotone in x (nonlinear) → ρ = 1 exactly; reversing
+    gives −1."""
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    li_up = spark.createDataFrame(
+        [(float(x), float(x**3)) for x in range(1, 8)],
+        "l_quantity double, l_extendedprice double",
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li_up)
+    (row,) = _rows(_so.spearman_rho_qty_price(spark, "x"))
+    assert row[0] == 7 and row[1] == pytest.approx(1.0)
+
+    li_down = spark.createDataFrame(
+        [(float(x), float(-(x**3))) for x in range(1, 8)],
+        "l_quantity double, l_extendedprice double",
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li_down)
+    (row,) = _rows(_so.spearman_rho_qty_price(spark, "x"))
+    assert row[1] == pytest.approx(-1.0)
+
+
+def test_kendall_tau_grid_counts(spark, monkeypatch):
+    """A strictly increasing staircase bucketed into deciles: 0 discordant
+    pairs, C = n0 − within-decile ties = 180, and τ-b = 180/√(190·180)
+    = √(18/19) — the tie correction is exactly the bucketing loss."""
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    li = spark.createDataFrame(
+        [
+            (float(i), float(i * 10), i, 1)
+            for i in range(1, 21)
+        ],
+        "l_quantity double, l_extendedprice double, l_orderkey long,"
+        " l_linenumber int",
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li)
+    (row,) = _rows(_so.kendall_tau_b_qty_price(spark, "x"))
+    n, conc, disc, tau = row
+    assert n == 20 and disc == 0.0
+    assert conc == 180.0
+    assert tau == pytest.approx((18 / 19) ** 0.5)
