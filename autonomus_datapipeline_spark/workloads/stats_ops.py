@@ -2167,3 +2167,201 @@ def kendall_tau_b_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation (quantity ~ price, controlling for discount)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "partial_correlation_qty_price",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sy,
+               CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sz,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxz,
+               CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+                    AS DOUBLE) AS syz,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+                    AS DOUBLE) AS szz
+        FROM lineitem
+    ),
+    r AS (
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               (n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS rxy,
+               (n * sxz - sx * sz)
+                 / sqrt((n * sxx - sx * sx) * (n * szz - sz * sz)) AS rxz,
+               (n * syz - sy * sz)
+                 / sqrt((n * syy - sy * sy) * (n * szz - sz * sz)) AS ryz
+        FROM s
+    )
+    SELECT n_rows, rxy, rxz, ryz,
+           CASE WHEN (1 - rxz * rxz) * (1 - ryz * ryz) > 0
+                THEN (rxy - rxz * ryz)
+                     / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) END
+               AS partial_rxy_given_z
+    FROM r
+    """,
+)
+def partial_correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of quantity and price CONTROLLING for discount:
+    r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — the confounder
+    check that separates a direct association from one routed through a
+    third variable (stats_correlation reports the raw pairwise r's; this
+    answers 'does the association survive the control'). All three
+    Pearsons come from ONE scan of nine decimal-exact sufficient
+    statistics; the partial is a fixed IEEE expression over them.
+
+    Scale: a single scalar aggregate — the one-pass multi-moment pattern
+    (ols_price_quantity_fit with one more variable).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,6)"
+    x, y, z = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+
+    def ds(c, a):
+        return F.sum(c.cast(dec)).cast("double").alias(a)
+
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        ds(x, "sx"), ds(y, "sy"), ds(z, "sz"),
+        ds(x * y, "sxy"), ds(x * z, "sxz"), ds(y * z, "syz"),
+        ds(x * x, "sxx"), ds(y * y, "syy"), ds(z * z, "szz"),
+    )
+    n = F.col("n")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (n * sab - sa * sb) / F.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+
+    rxy = corr(F.col("sxy"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("syy"))
+    rxz = corr(F.col("sxz"), F.col("sx"), F.col("sz"), F.col("sxx"), F.col("szz"))
+    ryz = corr(F.col("syz"), F.col("sy"), F.col("sz"), F.col("syy"), F.col("szz"))
+    r = s.select(
+        n.cast("bigint").alias("n_rows"),
+        rxy.alias("rxy"),
+        rxz.alias("rxz"),
+        ryz.alias("ryz"),
+    )
+    return r.select(
+        "n_rows",
+        "rxy",
+        "rxz",
+        "ryz",
+        F.when(
+            (1 - F.col("rxz") * F.col("rxz"))
+            * (1 - F.col("ryz") * F.col("ryz"))
+            > 0,
+            (F.col("rxy") - F.col("rxz") * F.col("ryz"))
+            / F.sqrt(
+                (1 - F.col("rxz") * F.col("rxz"))
+                * (1 - F.col("ryz") * F.col("ryz"))
+            ),
+        ).alias("partial_rxy_given_z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson statistic on daily-revenue trend residuals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "durbin_watson_trend_residuals",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxx
+        FROM daily
+    ),
+    resid AS (
+        SELECT d.x,
+               d.y - ((s.sy - (s.n * s.sxy - s.sx * s.sy)
+                              / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n
+                      + (s.n * s.sxy - s.sx * s.sy)
+                        / (s.n * s.sxx - s.sx * s.sx) * d.x) AS e
+        FROM daily d CROSS JOIN s
+    ),
+    lagged AS (
+        SELECT e, LAG(e) OVER (ORDER BY x) AS ep FROM resid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CAST((e - ep) * (e - ep) AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(e * e AS DECIMAL(38,6))) AS DOUBLE) AS dw_stat
+    FROM lagged
+    """,
+)
+def durbin_watson_trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation diagnostic on the daily-revenue
+    linear-trend residuals: DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² — near 2 means the
+    trend fit left white noise, near 0 strong positive autocorrelation
+    (a seasonal or regime component the model missed; the ACF query
+    shows WHERE, this one-number test says WHETHER). The fit reuses the
+    OLS sufficient-statistics closed form; residuals are per-row IEEE
+    expressions; both quadratic sums ride the decimal accumulator
+    (the lag numerator excludes the first day — standard DW).
+
+    Scale: daily rollup, one broadcast of the 1-row statistics, one
+    ordered window over the calendar-bounded grid.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,6)"
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("x")
+    ).agg(F.sum(F.col("o_totalprice").cast(dec)).cast("double").alias("y"))
+    s = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x").cast("decimal(38,0)") * F.col("x")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    resid = daily.crossJoin(F.broadcast(s)).select(
+        "x", (F.col("y") - (intercept + slope * F.col("x"))).alias("e")
+    )
+    w = Window.orderBy("x")
+    lagged = resid.select("e", F.lag("e").over(w).alias("ep"))
+    return lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        (
+            F.sum(
+                ((F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))).cast(
+                    dec
+                )
+            ).cast("double")
+            / F.sum((F.col("e") * F.col("e")).cast(dec)).cast("double")
+        ).alias("dw_stat"),
+    )

@@ -1314,3 +1314,68 @@ def test_kendall_tau_grid_counts(spark, monkeypatch):
     assert n == 20 and disc == 0.0
     assert conc == 180.0
     assert tau == pytest.approx((18 / 19) ** 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Partial correlation
+# ---------------------------------------------------------------------------
+
+
+def test_partial_correlation_removes_confounder(spark, monkeypatch):
+    """x and y both equal z plus independent structure: when the x-y
+    association is ENTIRELY through z (x = z, y = z on a spread of z),
+    the partial correlation collapses to ~0 while raw rxy ≈ 1... here we
+    use y = z and x = z so rxy = rxz = ryz = 1 — degenerate; instead use
+    x = z + small alternation, y = z: controlling for z should shrink
+    |partial| far below |rxy|."""
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    rows_in = []
+    for i in range(1, 21):
+        z = float(i)
+        x = z + (0.5 if i % 2 == 0 else -0.5)
+        y = z
+        rows_in.append((x, y, z))
+    li = spark.createDataFrame(
+        rows_in, "l_quantity double, l_extendedprice double, l_discount double"
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li)
+    (row,) = _rows(_so.partial_correlation_qty_price(spark, "x"))
+    n, rxy, rxz, ryz, partial = row
+    assert n == 20
+    assert rxy > 0.99
+    # y IS z → ryz = 1 exactly → the degenerate-control guard yields NULL
+    assert partial is None
+    rows_in2 = [(float(i) + (0.5 if i % 2 else -0.5), float(i) + (0.3 if i % 3 else -0.3), float(i)) for i in range(1, 21)]
+    li2 = spark.createDataFrame(
+        rows_in2, "l_quantity double, l_extendedprice double, l_discount double"
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li2)
+    (row2,) = _rows(_so.partial_correlation_qty_price(spark, "x"))
+    assert abs(row2[4]) < abs(row2[1])  # control shrinks the association
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson
+# ---------------------------------------------------------------------------
+
+
+def test_durbin_watson_alternating_residuals_near_four(spark, monkeypatch):
+    """A perfectly alternating series around a flat trend has maximal
+    NEGATIVE autocorrelation → DW ≈ 4; (e−e_prev)² = (2a)² each step."""
+    import datetime as _dt
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    base = _dt.date(1992, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (base + _dt.timedelta(days=d), 100.0 + (10.0 if d % 2 else -10.0))
+            for d in range(20)
+        ],
+        "o_orderdate date, o_totalprice double",
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    (row,) = _rows(_so.durbin_watson_trend_residuals(spark, "x"))
+    n_days, dw = row
+    assert n_days == 20
+    assert dw == pytest.approx(4.0, rel=0.15)
