@@ -2365,3 +2365,257 @@ def durbin_watson_trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.sum((F.col("e") * F.col("e")).cast(dec)).cast("double")
         ).alias("dw_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired test (conversion shift between periods)
+# ---------------------------------------------------------------------------
+
+_MCN_SPLIT = "1995-01-01"
+
+
+@query(
+    "mcnemar_conversion_shift",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN o_orderdate < DATE '{_MCN_SPLIT}'
+                        AND o_orderpriority = '1-URGENT'
+                   THEN 1 ELSE 0 END) AS before_conv,
+               MAX(CASE WHEN o_orderdate >= DATE '{_MCN_SPLIT}'
+                        AND o_orderpriority = '1-URGENT'
+                   THEN 1 ELSE 0 END) AS after_conv
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN before_conv = 1 AND after_conv = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS b_only_before,
+           CAST(SUM(CASE WHEN before_conv = 0 AND after_conv = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c_only_after,
+           CAST(SUM(CASE WHEN before_conv = 1 AND after_conv = 0
+                    THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN before_conv = 0 AND after_conv = 1
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             * CAST(SUM(CASE WHEN before_conv = 1 AND after_conv = 0
+                        THEN 1 ELSE 0 END)
+                    - SUM(CASE WHEN before_conv = 0 AND after_conv = 1
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+             / (SUM(CASE WHEN before_conv = 1 AND after_conv = 0
+                    THEN 1 ELSE 0 END)
+                + SUM(CASE WHEN before_conv = 0 AND after_conv = 1
+                      THEN 1 ELSE 0 END)) AS mcnemar_chi2
+    FROM per_cust
+    """,
+)
+def mcnemar_conversion_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test: did individual customers CHANGE their
+    urgent-ordering behavior across the {_MCN_SPLIT} split? Only the
+    discordant customers matter — b converted before-only, c after-only
+    — and χ² = (b−c)²/(b+c); the concordant majority cancels out, which
+    is exactly what the unpaired two-proportion z-test
+    (ab_conversion_ztest) cannot do. All-integer inputs, one fixed IEEE
+    expression.
+
+    Scale: one conditional per-customer rollup (custkey shuffle) and a
+    scalar aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit(_MCN_SPLIT).cast("date")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(
+            F.when((F.col("o_orderdate") < split) & urgent, 1).otherwise(0)
+        ).alias("before_conv"),
+        F.max(
+            F.when((F.col("o_orderdate") >= split) & urgent, 1).otherwise(0)
+        ).alias("after_conv"),
+    )
+    b = F.sum(
+        F.when((F.col("before_conv") == 1) & (F.col("after_conv") == 0), 1)
+        .otherwise(0)
+    )
+    c = F.sum(
+        F.when((F.col("before_conv") == 0) & (F.col("after_conv") == 1), 1)
+        .otherwise(0)
+    )
+    return per_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        b.cast("bigint").alias("b_only_before"),
+        c.cast("bigint").alias("c_only_after"),
+        ((b - c).cast("double") * (b - c).cast("double") / (b + c)).alias(
+            "mcnemar_chi2"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson rate-shift test per event type
+# ---------------------------------------------------------------------------
+
+_PRS_SPLIT = "2024-01-16"
+
+
+@query(
+    "poisson_rate_shift",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN ts < TIMESTAMP '{_PRS_SPLIT} 00:00:00'
+                      THEN 1 END) AS BIGINT) AS k1,
+           CAST(COUNT(CASE WHEN ts >= TIMESTAMP '{_PRS_SPLIT} 00:00:00'
+                      THEN 1 END) AS BIGINT) AS k2,
+           CAST(COUNT(CASE WHEN ts < TIMESTAMP '{_PRS_SPLIT} 00:00:00'
+                      THEN 1 END)
+                - COUNT(CASE WHEN ts >= TIMESTAMP '{_PRS_SPLIT} 00:00:00'
+                        THEN 1 END) AS DOUBLE)
+             / sqrt(CAST(COUNT(*) AS DOUBLE)) AS z_stat
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def poisson_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-shift test per event type: under equal rates across
+    two equal-length periods, k₁ − k₂ has variance k₁ + k₂, so
+    z = (k₁−k₂)/√(k₁+k₂) flags types whose arrival rate changed — the
+    count-data companion to the KS (values) and McNemar (paired flags)
+    shift tests. All-integer counts, sqrt IEEE-exact.
+
+    Scale: one conditional map-side-combinable aggregate over the scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    split = F.lit(f"{_PRS_SPLIT} 00:00:00").cast("timestamp_ntz")
+    k1 = F.count(F.when(F.col("ts") < split, 1))
+    k2 = F.count(F.when(F.col("ts") >= split, 1))
+    return (
+        e.groupBy("event_type")
+        .agg(
+            k1.cast("bigint").alias("k1"),
+            k2.cast("bigint").alias("k2"),
+            (
+                (k1 - k2).cast("double")
+                / F.sqrt(F.count(F.lit(1)).cast("double"))
+            ).alias("z_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chow test for a structural break in the revenue trend
+# ---------------------------------------------------------------------------
+
+_CHOW_SPLIT = "1995-06-01"
+
+
+def _ols_ssr_sql(pred: str) -> str:
+    """Per-segment sufficient statistics + SSR via the closed form
+    SSR = Syy_c − slope·Sxy_c with centered moments from raw sums."""
+    return f"""
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,6)))
+                    AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+        FROM daily WHERE {pred}
+    """
+
+
+@query(
+    "chow_test_revenue_break",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y,
+               CAST(o_orderdate AS DATE) < DATE '{_CHOW_SPLIT}' AS pre
+        FROM orders GROUP BY 1, 3
+    ),
+    sp AS ({_ols_ssr_sql("TRUE")}),
+    s1 AS ({_ols_ssr_sql("pre")}),
+    s2 AS ({_ols_ssr_sql("NOT pre")}),
+    ssr AS (
+        SELECT
+          (sp.syy - sp.sy * sp.sy / sp.n)
+            - (sp.n * sp.sxy - sp.sx * sp.sy) / (sp.n * sp.sxx - sp.sx * sp.sx)
+              * (sp.sxy - sp.sx * sp.sy / sp.n) AS ssr_p,
+          (s1.syy - s1.sy * s1.sy / s1.n)
+            - (s1.n * s1.sxy - s1.sx * s1.sy) / (s1.n * s1.sxx - s1.sx * s1.sx)
+              * (s1.sxy - s1.sx * s1.sy / s1.n) AS ssr_1,
+          (s2.syy - s2.sy * s2.sy / s2.n)
+            - (s2.n * s2.sxy - s2.sx * s2.sy) / (s2.n * s2.sxx - s2.sx * s2.sx)
+              * (s2.sxy - s2.sx * s2.sy / s2.n) AS ssr_2,
+          sp.n AS nt
+        FROM sp CROSS JOIN s1 CROSS JOIN s2
+    )
+    SELECT CAST(nt AS BIGINT) AS n_days,
+           ssr_p, ssr_1 + ssr_2 AS ssr_split,
+           CASE WHEN ssr_1 + ssr_2 > 0
+                THEN ((ssr_p - ssr_1 - ssr_2) / 2)
+                     / ((ssr_1 + ssr_2) / (nt - 4)) END AS chow_f
+    FROM ssr
+    """,
+)
+def chow_test_revenue_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break in the daily-revenue trend at
+    {_CHOW_SPLIT}: F = ((SSRpooled − SSR₁ − SSR₂)/k)/((SSR₁+SSR₂)/(n−2k))
+    with k = 2 line parameters — the FORMAL test for the break the CUSUM
+    query locates (cusum_changepoint_daily_orders finds the argmax day;
+    Chow says whether fitting two lines beats one). All three SSRs come
+    from the same closed-form sufficient statistics as
+    ols_price_quantity_fit, computed over pooled / pre / post slices of
+    one daily rollup.
+
+    Scale: one calendar-bounded daily aggregate scanned three times for
+    the statistics (Spark collapses them under one job), all scalars.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    dec = "decimal(38,6)"
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("x"),
+        (F.col("o_orderdate").cast("date") < F.lit(_CHOW_SPLIT).cast("date")).alias(
+            "pre"
+        ),
+    ).agg(F.sum(F.col("o_totalprice").cast(dec)).cast("double").alias("y"))
+
+    def stats(df):
+        return df.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+            F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+            F.sum((F.col("x").cast("decimal(38,0)") * F.col("x")).cast(dec))
+            .cast("double")
+            .alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+        )
+
+    def ssr(prefix):
+        n, sx, sy = (F.col(f"{prefix}n"), F.col(f"{prefix}sx"), F.col(f"{prefix}sy"))
+        sxy, sxx, syy = (
+            F.col(f"{prefix}sxy"),
+            F.col(f"{prefix}sxx"),
+            F.col(f"{prefix}syy"),
+        )
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return (syy - sy * sy / n) - slope * (sxy - sx * sy / n)
+
+    sp = stats(daily).select([F.col(c).alias(f"p_{c}") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+    s1 = stats(daily.where("pre")).select([F.col(c).alias(f"a_{c}") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+    s2 = stats(daily.where(~F.col("pre"))).select([F.col(c).alias(f"b_{c}") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")])
+    joined = sp.crossJoin(F.broadcast(s1)).crossJoin(F.broadcast(s2))
+    ssr_p, ssr_1, ssr_2 = ssr("p_"), ssr("a_"), ssr("b_")
+    return joined.select(
+        F.col("p_n").cast("bigint").alias("n_days"),
+        ssr_p.alias("ssr_p"),
+        (ssr_1 + ssr_2).alias("ssr_split"),
+        F.when(
+            ssr_1 + ssr_2 > 0,
+            ((ssr_p - ssr_1 - ssr_2) / 2)
+            / ((ssr_1 + ssr_2) / (F.col("p_n") - 4)),
+        ).alias("chow_f"),
+    )

@@ -1379,3 +1379,83 @@ def test_durbin_watson_alternating_residuals_near_four(spark, monkeypatch):
     n_days, dw = row
     assert n_days == 20
     assert dw == pytest.approx(4.0, rel=0.15)
+
+
+# ---------------------------------------------------------------------------
+# McNemar
+# ---------------------------------------------------------------------------
+
+
+def test_mcnemar_discordant_only(spark, monkeypatch):
+    """2 before-only, 1 after-only, concordant customers ignored →
+    χ² = (2−1)²/3."""
+    import datetime as _dt
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    pre, post = _dt.date(1994, 6, 1), _dt.date(1995, 6, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, pre, "1-URGENT"), (1, post, "5-LOW"),    # before-only
+            (2, pre, "1-URGENT"), (2, post, "5-LOW"),    # before-only
+            (3, pre, "5-LOW"), (3, post, "1-URGENT"),    # after-only
+            (4, pre, "1-URGENT"), (4, post, "1-URGENT"), # concordant
+        ],
+        "o_custkey long, o_orderdate date, o_orderpriority string",
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    (row,) = _rows(_so.mcnemar_conversion_shift(spark, "x"))
+    n, b, c, chi2 = row
+    assert (n, b, c) == (4, 2, 1)
+    assert chi2 == pytest.approx(1 / 3)
+
+
+# ---------------------------------------------------------------------------
+# Poisson rate shift
+# ---------------------------------------------------------------------------
+
+
+def test_poisson_rate_z(spark, monkeypatch):
+    """k1=9, k2=4 → z = 5/√13."""
+    import datetime as _dt
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    t1, t2 = _dt.datetime(2024, 1, 10), _dt.datetime(2024, 1, 20)
+    events = spark.createDataFrame(
+        [(i, "A", t1) for i in range(9)] + [(100 + i, "A", t2) for i in range(4)],
+        "event_id long, event_type string, ts timestamp",
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: events)
+    (row,) = _rows(_so.poisson_rate_shift(spark, "x"))
+    assert row[1] == 9 and row[2] == 4
+    assert row[3] == pytest.approx(5 / 13**0.5)
+
+
+# ---------------------------------------------------------------------------
+# Chow test
+# ---------------------------------------------------------------------------
+
+
+def test_chow_detects_slope_break(spark, monkeypatch):
+    """Pre-split slope +5/day, post-split slope −5/day: two lines fit far
+    better than one → large positive F and near-zero split SSR."""
+    import datetime as _dt
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    rows_in = []
+    base_pre = _dt.date(1995, 5, 1)
+    for d in range(10):
+        rows_in.append((base_pre + _dt.timedelta(days=d), 100.0 + 5.0 * d))
+    base_post = _dt.date(1995, 6, 10)
+    for d in range(10):
+        rows_in.append((base_post + _dt.timedelta(days=d), 200.0 - 5.0 * d))
+    orders = spark.createDataFrame(
+        rows_in, "o_orderdate date, o_totalprice double"
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    (row,) = _rows(_so.chow_test_revenue_break(spark, "x"))
+    n_days, ssr_p, ssr_split, f = row
+    assert n_days == 20
+    # both halves fit their lines EXACTLY → degenerate-denominator guard
+    assert ssr_split == pytest.approx(0.0, abs=1e-3)
+    assert ssr_p > 1000
+    assert f is None or f > 100
