@@ -2619,3 +2619,114 @@ def chow_test_revenue_break(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((ssr_1 + ssr_2) / (F.col("p_n") - 4)),
         ).alias("chow_f"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Delete-one-group jackknife variance of the mean (deterministic resampling)
+# ---------------------------------------------------------------------------
+
+_JK_GROUPS = 10
+
+
+@query(
+    "jackknife_mean_variance",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT (ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) * 256
+                + ascii(substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)))
+               % {_JK_GROUPS} AS g,
+               o_totalprice AS v
+        FROM orders
+    ),
+    per_g AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(v AS DECIMAL(38,6))) AS s
+        FROM bucketed GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(s) AS DECIMAL(38,6)) AS st,
+               CAST(COUNT(*) AS BIGINT) AS gn
+        FROM per_g
+    ),
+    loo AS (
+        SELECT CAST(t.st - p.s AS DOUBLE) / (t.nt - p.n) AS theta_i,
+               t.gn, t.nt, CAST(t.st AS DOUBLE) / t.nt AS theta_all
+        FROM per_g p CROSS JOIN tot t
+    ),
+    tb AS (
+        SELECT CAST(SUM(CAST(theta_i AS DECIMAL(38,6))) AS DOUBLE)
+                 / MAX(gn) AS theta_bar
+        FROM loo
+    )
+    SELECT CAST(MAX(l.gn) AS BIGINT) AS n_groups,
+           CAST(MAX(l.nt) AS BIGINT) AS n_rows,
+           MAX(l.theta_all) AS mean_estimate,
+           sqrt((MAX(l.gn) - 1.0) / MAX(l.gn)
+                * CAST(SUM(CAST((l.theta_i - t.theta_bar)
+                                * (l.theta_i - t.theta_bar)
+                                AS DECIMAL(38,6))) AS DOUBLE))
+               AS jackknife_se
+    FROM loo l CROSS JOIN tb t
+    GROUP BY t.theta_bar
+    """,
+)
+def jackknife_mean_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error of the mean order value —
+    the DETERMINISTIC resampling method (md5 buckets replace random
+    resamples, so the estimate is reproducible and cross-engine
+    checkable, unlike a bootstrap): θᵢ are the leave-one-bucket-out
+    means, SE = √((g−1)/g · Σ(θᵢ − θ̄)²). Leave-one-out means come from
+    EXACT per-bucket decimal sums (no recomputation per replicate — the
+    whole jackknife is one rollup plus algebra); the deviation sum rides
+    the decimal accumulator.
+
+    Scale: one hash-bucket rollup (map-side combinable to g rows) — the
+    jackknife over a 100 TB table costs exactly one aggregate.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    g = (
+        F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+    ) % _JK_GROUPS
+    per_g = o.groupBy(g.alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("s"),
+    )
+    tot = per_g.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("decimal(38,6)").alias("st"),
+        F.count(F.lit(1)).cast("bigint").alias("gn"),
+    )
+    loo = per_g.crossJoin(F.broadcast(tot)).select(
+        ((F.col("st") - F.col("s")).cast("double") / (F.col("nt") - F.col("n"))).alias(
+            "theta_i"
+        ),
+        "gn",
+        "nt",
+        (F.col("st").cast("double") / F.col("nt")).alias("theta_all"),
+    )
+    tb = loo.agg(
+        (
+            F.sum(F.col("theta_i").cast("decimal(38,6)")).cast("double")
+            / F.max("gn")
+        ).alias("theta_bar")
+    )
+    gn = F.max("gn")
+    dev2 = F.sum(
+        (
+            (F.col("theta_i") - F.col("theta_bar"))
+            * (F.col("theta_i") - F.col("theta_bar"))
+        ).cast("decimal(38,6)")
+    ).cast("double")
+    return (
+        loo.crossJoin(F.broadcast(tb))
+        .groupBy("theta_bar")
+        .agg(
+            gn.cast("bigint").alias("n_groups"),
+            F.max("nt").cast("bigint").alias("n_rows"),
+            F.max("theta_all").alias("mean_estimate"),
+            F.sqrt((gn - F.lit(1.0)) / gn * dev2).alias("jackknife_se"),
+        )
+        .drop("theta_bar")
+    )

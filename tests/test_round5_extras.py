@@ -1459,3 +1459,42 @@ def test_chow_detects_slope_break(spark, monkeypatch):
     assert ssr_split == pytest.approx(0.0, abs=1e-3)
     assert ssr_p > 1000
     assert f is None or f > 100
+
+
+# ---------------------------------------------------------------------------
+# Jackknife
+# ---------------------------------------------------------------------------
+
+
+def test_jackknife_se_matches_direct_computation(spark, monkeypatch):
+    """The query's SE must equal the hand-computed delete-one-group
+    jackknife on the same md5 buckets."""
+    import hashlib
+    import math as _math
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    vals = {k: float(10 + 7 * (k % 5)) for k in range(1, 41)}
+    orders = spark.createDataFrame(
+        [(k, v) for k, v in vals.items()], "o_orderkey long, o_totalprice double"
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    (row,) = _rows(_so.jackknife_mean_variance(spark, "x"))
+    n_groups, n_rows, mean_est, se = row
+
+    def bucket(k):
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        return (ord(h[0]) * 256 + ord(h[1])) % 10
+
+    groups = {}
+    for k, v in vals.items():
+        groups.setdefault(bucket(k), []).append(v)
+    g = len(groups)
+    tot_n, tot_s = len(vals), sum(vals.values())
+    thetas = [
+        (tot_s - sum(vs)) / (tot_n - len(vs)) for vs in groups.values()
+    ]
+    tb = sum(thetas) / g
+    se_direct = _math.sqrt((g - 1) / g * sum((t - tb) ** 2 for t in thetas))
+    assert (n_groups, n_rows) == (g, 40)
+    assert mean_est == pytest.approx(tot_s / tot_n)
+    assert se == pytest.approx(se_direct, rel=1e-4)
