@@ -2730,3 +2730,79 @@ def jackknife_mean_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("theta_bar")
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend estimator (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+        FROM orders GROUP BY 1
+    ),
+    slopes AS (
+        SELECT (b.y - a.y) / (b.x - a.x) AS m
+        FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    hist AS (SELECT m AS v, CAST(COUNT(*) AS BIGINT) AS c FROM slopes GROUP BY 1),
+    cum AS (
+        SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(c) OVER () AS n
+        FROM hist
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           MIN(CASE WHEN 2 * cum >= n THEN v END) AS theil_sen_slope
+    FROM cum
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise slopes of the
+    daily-revenue series — the breakdown-resistant alternative to the
+    OLS slope (ols_revenue_trend_by_priority): up to 29% of days can be
+    corrupted (outages, flash sales) without moving the estimate. Each
+    pairwise slope is one IEEE division of decimal-exact day revenues;
+    the median uses the value-histogram method over the slope values
+    (identical double values group identically on both engines, and the
+    2·cum ≥ n threshold is the integer cross-multiplication).
+
+    Scale: the pair join is CALENDAR²-bounded (days², never rows²) — the
+    only reason Theil-Sen is computable at 100 TB is running it on the
+    pre-aggregated grid; the slope histogram then bounds the median scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("x")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("y")
+    )
+    a = daily.select(F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = daily.select(F.col("x").alias("bx"), F.col("y").alias("by"))
+    slopes = a.join(b, F.col("bx") > F.col("ax")).select(
+        ((F.col("by") - F.col("ay")) / (F.col("bx") - F.col("ax"))).alias("m")
+    )
+    hist = slopes.groupBy(F.col("m").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "v",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("v"))).alias(
+            "theil_sen_slope"
+        ),
+    )

@@ -1498,3 +1498,29 @@ def test_jackknife_se_matches_direct_computation(spark, monkeypatch):
     assert (n_groups, n_rows) == (g, 40)
     assert mean_est == pytest.approx(tot_s / tot_n)
     assert se == pytest.approx(se_direct, rel=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen
+# ---------------------------------------------------------------------------
+
+
+def test_theil_sen_resists_outlier(spark, monkeypatch):
+    """A clean slope-2 line with one wild outlier day still estimates
+    slope 2 (the outlier corrupts < 29% of pairs); OLS would not."""
+    import datetime as _dt
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    base = _dt.date(1992, 1, 1)
+    rows_in = [
+        (base + _dt.timedelta(days=d), 100.0 + 2.0 * d) for d in range(9)
+    ]
+    rows_in.append((base + _dt.timedelta(days=9), 10000.0))  # outlier
+    orders = spark.createDataFrame(
+        rows_in, "o_orderdate date, o_totalprice double"
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    (row,) = _rows(_so.theil_sen_daily_trend(spark, "x"))
+    n_pairs, slope = row
+    assert n_pairs == 45
+    assert slope == pytest.approx(2.0)

@@ -152,6 +152,25 @@ PROBE_QUERIES = [
     "anova_f_order_value",
     "degree_assortativity",
     "content_defined_chunks",
+    # round-5 waves 19-27
+    "session_top_paths",
+    "stratified_kfold_assignment",
+    "embedding_centroid_drift",
+    "temporal_consistency_audit",
+    "trending_users_report",
+    "key_skew_gini",
+    "laspeyres_price_index",
+    "reorder_interval_quantiles",
+    "new_vs_returning_revenue",
+    "abc_part_classification",
+    "spearman_rho_qty_price",
+    "kendall_tau_b_qty_price",
+    "partial_correlation_qty_price",
+    "durbin_watson_trend_residuals",
+    "mcnemar_conversion_shift",
+    "poisson_rate_shift",
+    "chow_test_revenue_break",
+    "jackknife_mean_variance",
 ]
 
 
