@@ -2806,3 +2806,85 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theil_sen_slope"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean (clamp the tails at the exact percentile boundary values)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "winsorized_mean_order_value",
+    oracle=f"""
+    WITH hist AS (
+        SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT v, c,
+               SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ce,
+               SUM(c) OVER () AS n
+        FROM hist
+    ),
+    bounds AS (
+        SELECT MIN(CASE WHEN ce * 100 >= n * {_TRIM_PCT} THEN v END) AS lo,
+               MIN(CASE WHEN ce * 100 >= n * {100 - _TRIM_PCT} THEN v END)
+                   AS hi
+        FROM cum
+    )
+    SELECT CAST(MAX(c.n) AS BIGINT) AS n_rows,
+           MAX(b.lo) AS lo_bound,
+           MAX(b.hi) AS hi_bound,
+           CAST(SUM(CAST(GREATEST(LEAST(c.v, b.hi), b.lo) * c.c
+                         AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(MAX(c.n) AS BIGINT) AS winsorized_mean
+    FROM cum c CROSS JOIN bounds b
+    """,
+)
+def winsorized_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_TRIM_PCT}%-winsorized mean of order values: tail values are
+    CLAMPED to the exact p{_TRIM_PCT}/p{100 - _TRIM_PCT} boundary values
+    instead of dropped (trimmed_mean_order_value's sibling — winsorizing
+    keeps n constant, which matters when the mean feeds a ratio). The
+    boundaries come from the value histogram via integer
+    cross-multiplied thresholds; the clamped weighted sum rides the
+    decimal accumulator.
+
+    Scale: the same one-histogram shape as the trimmed mean — no raw-row
+    sort, everything bounded by the distinct-value grid.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    hist = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = hist.select(
+        "v",
+        "c",
+        F.sum("c").over(w_cum).alias("ce"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    bounds = cum.agg(
+        F.min(
+            F.when(F.col("ce") * 100 >= F.col("n") * _TRIM_PCT, F.col("v"))
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("ce") * 100 >= F.col("n") * (100 - _TRIM_PCT), F.col("v")
+            )
+        ).alias("hi"),
+    )
+    clamped = F.greatest(F.least(F.col("v"), F.col("hi")), F.col("lo"))
+    return (
+        cum.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.max("lo").alias("lo_bound"),
+            F.max("hi").alias("hi_bound"),
+            (
+                F.sum((clamped * F.col("c")).cast("decimal(38,6)")).cast("double")
+                / F.max("n").cast("bigint")
+            ).alias("winsorized_mean"),
+        )
+    )

@@ -1524,3 +1524,24 @@ def test_theil_sen_resists_outlier(spark, monkeypatch):
     n_pairs, slope = row
     assert n_pairs == 45
     assert slope == pytest.approx(2.0)
+
+
+# ---------------------------------------------------------------------------
+# Winsorized mean
+# ---------------------------------------------------------------------------
+
+
+def test_winsorized_clamps_tails(spark, monkeypatch):
+    """Values 1..20 with 5% winsorization: the p5 boundary is 1 and p95 is
+    19 (ceil thresholds), so only the 20 clamps (→19): mean = (Σ1..19 +
+    19)/20 = 209/20."""
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    orders = spark.createDataFrame(
+        [(float(v),) for v in range(1, 21)], "o_totalprice double"
+    )
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    (row,) = _rows(_so.winsorized_mean_order_value(spark, "x"))
+    n, lo, hi, wmean = row
+    assert n == 20 and lo == 1.0 and hi == 19.0
+    assert wmean == pytest.approx(209 / 20)
