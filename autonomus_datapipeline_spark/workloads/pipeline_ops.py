@@ -1392,3 +1392,164 @@ def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup blocking (Hernández-Stolfo windowed pairs)
+# ---------------------------------------------------------------------------
+
+_SN_WINDOW = 3
+_SN_KEYLEN = 24
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      1, {_SN_KEYLEN}) AS sk,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, sk, h,
+               ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS rn
+        FROM keyed
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.h = b.h AS exact_dup,
+               CAST(b.rn - a.rn AS INT) AS rank_gap
+        FROM ordered a JOIN ordered b
+          ON b.rn > a.rn AND b.rn <= a.rn + {_SN_WINDOW}
+        WHERE a.sk = b.sk OR a.h = b.h
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(COUNT(CASE WHEN exact_dup THEN 1 END) AS BIGINT)
+               AS n_exact_dups,
+           CAST(MIN(CASE WHEN exact_dup THEN doc_a END) AS BIGINT)
+               AS sample_doc_a,
+           CAST(MAX(rank_gap) AS INT) AS max_rank_gap
+    FROM pairs
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup blocking (Hernández-Stolfo): documents
+    sorted by a normalized {_SN_KEYLEN}-char prefix key, candidate pairs
+    drawn only from a {_SN_WINDOW}-row sliding window over the sort order
+    — the THIRD blocking strategy in the dedup family (MinHash-LSH
+    buckets by content sketch, SimHash by fingerprint bands; sorted
+    neighborhood catches near-dups that share a prefix but diverge later,
+    at O(n·w) candidates). Pairs are kept when the sort key matches or
+    the content hash proves an exact dup; the report counts candidates
+    and confirmed exact dups.
+
+    Scale: one range-partitioned sort (the same distributed sort every
+    ranking window uses) plus a rank-band self-join bounded by w — at
+    100 TB the join keys on rank div w blocks so each task sees only
+    adjacent runs. No corpus-sized broadcast anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    keyed = docs.select(
+        "doc_id",
+        F.substring(norm, 1, _SN_KEYLEN).alias("sk"),
+        F.md5(norm).alias("h"),
+    )
+    w = Window.orderBy("sk", "doc_id")
+    ordered = keyed.select(
+        "doc_id", "sk", "h", F.row_number().over(w).alias("rn")
+    )
+    a = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sk").alias("ska"),
+        F.col("h").alias("ha"),
+        F.col("rn").alias("rna"),
+    )
+    b = ordered.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sk").alias("skb"),
+        F.col("h").alias("hb"),
+        F.col("rn").alias("rnb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("rnb") > F.col("rna"))
+            & (F.col("rnb") <= F.col("rna") + _SN_WINDOW),
+        )
+        .where((F.col("ska") == F.col("skb")) | (F.col("ha") == F.col("hb")))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("ha") == F.col("hb")).alias("exact_dup"),
+            (F.col("rnb") - F.col("rna")).cast("int").alias("rank_gap"),
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.count(F.when(F.col("exact_dup"), 1)).cast("bigint").alias("n_exact_dups"),
+        F.min(F.when(F.col("exact_dup"), F.col("doc_a")))
+        .cast("bigint")
+        .alias("sample_doc_a"),
+        F.max("rank_gap").cast("int").alias("max_rank_gap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-blocking diagnostic (block-size histogram for entity resolution)
+# ---------------------------------------------------------------------------
+
+_PB_KEYLEN = 12
+
+
+@query(
+    "prefix_blocking_histogram",
+    oracle=f"""
+    WITH blocks AS (
+        SELECT substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      1, {_PB_KEYLEN}) AS bk,
+               CAST(COUNT(*) AS BIGINT) AS sz
+        FROM documents GROUP BY 1
+    )
+    SELECT sz AS block_size,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(sz * (sz - 1) / 2 * COUNT(*) AS BIGINT) AS n_pairs_generated
+    FROM blocks GROUP BY 1 ORDER BY 1
+    """,
+)
+def prefix_blocking_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-key quality diagnostic: the block-size histogram of a
+    {_PB_KEYLEN}-char normalized-prefix key, with the pair count each
+    size class would generate (Σ C(sz,2) per class) — the number that
+    decides whether a blocking key is usable BEFORE running the pair
+    join (a single huge block is the quadratic bomb; cf. the df caps on
+    the n-gram joins and key_skew_gini for join keys). All-integer.
+
+    Scale: one map-side-combinable aggregate to the block histogram, one
+    bounded rollup. This audit costs one scan and can veto a blocking
+    strategy that would cost n².
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    blocks = docs.groupBy(
+        F.substring(norm, 1, _PB_KEYLEN).alias("bk")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    return (
+        blocks.groupBy(F.col("sz").alias("block_size"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks"))
+        .select(
+            "block_size",
+            "n_blocks",
+            (
+                F.col("block_size")
+                * (F.col("block_size") - 1)
+                / 2
+                * F.col("n_blocks")
+            )
+            .cast("bigint")
+            .alias("n_pairs_generated"),
+        )
+        .orderBy("block_size")
+    )

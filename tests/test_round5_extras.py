@@ -1545,3 +1545,53 @@ def test_winsorized_clamps_tails(spark, monkeypatch):
     n, lo, hi, wmean = row
     assert n == 20 and lo == 1.0 and hi == 19.0
     assert wmean == pytest.approx(209 / 20)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood blocking
+# ---------------------------------------------------------------------------
+
+
+def test_sorted_neighborhood_finds_adjacent_dup(spark, monkeypatch):
+    """Two identical docs sort adjacently and are confirmed exact dups;
+    an unrelated doc generates no candidate pair."""
+    from autonomus_datapipeline_spark.workloads import pipeline_ops
+
+    docs = spark.createDataFrame(
+        [
+            (5, "alpha beta gamma delta epsilon", "s"),
+            (2, "alpha beta gamma delta epsilon", "s"),
+            (9, "zz completely different text here", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(pipeline_ops, "load_table", lambda s, d, n: docs)
+    (row,) = _rows(pipeline_ops.sorted_neighborhood_pairs(spark, "x"))
+    n_pairs, n_exact, sample_a, max_gap = row
+    assert n_pairs == 1 and n_exact == 1
+    assert sample_a == 2 and max_gap == 1
+
+
+# ---------------------------------------------------------------------------
+# Prefix blocking histogram
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_blocking_pair_counts(spark, monkeypatch):
+    """A 3-doc block generates C(3,2)=3 pairs; two singleton blocks
+    generate none."""
+    from autonomus_datapipeline_spark.workloads import pipeline_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same prefix here one", "s"),
+            (2, "same prefix here two", "s"),
+            (3, "same prefix here three", "s"),
+            (4, "other text entirely", "s"),
+            (5, "third unrelated doc", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    monkeypatch.setattr(pipeline_ops, "load_table", lambda s, d, n: docs)
+    rows = _rows(pipeline_ops.prefix_blocking_histogram(spark, "x"))
+    assert rows == [(1, 2, 0), (3, 1, 3)]
