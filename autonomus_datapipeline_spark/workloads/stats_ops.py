@@ -2888,3 +2888,122 @@ def winsorized_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe variance-equality test (median-based Levene)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "brown_forsythe_variance_test",
+    oracle="""
+    WITH g AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    hist AS (
+        SELECT seg, x AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM g GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT seg, v, c,
+               SUM(c) OVER (PARTITION BY seg ORDER BY v
+                            ROWS UNBOUNDED PRECEDING) AS ce,
+               SUM(c) OVER (PARTITION BY seg) AS n
+        FROM hist
+    ),
+    med AS (
+        SELECT seg, MIN(CASE WHEN 2 * ce >= n THEN v END) AS m
+        FROM cum GROUP BY 1
+    ),
+    dev AS (
+        SELECT g.seg, ABS(g.x - med.m) AS d
+        FROM g JOIN med ON med.seg = g.seg
+    ),
+    per AS (
+        SELECT seg,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+               CAST(SUM(CAST(d * d AS DECIMAL(38,6))) AS DOUBLE) AS sdd
+        FROM dev GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               CAST(SUM(CAST(n AS DECIMAL(38,6))) AS DOUBLE) AS nt,
+               CAST(SUM(CAST(sd AS DECIMAL(38,6))) AS DOUBLE) AS sdt,
+               CAST(SUM(CAST(sdd AS DECIMAL(38,6))) AS DOUBLE) AS sddt,
+               CAST(SUM(CAST(sd * sd / n AS DECIMAL(38,6))) AS DOUBLE) AS sq
+        FROM per
+    )
+    SELECT CAST(k AS INT) AS n_groups,
+           CAST(nt AS BIGINT) AS n_rows,
+           ((sq - sdt * sdt / nt) / (k - 1))
+             / ((sddt - sq) / (nt - k)) AS bf_stat
+    FROM agg
+    """,
+)
+def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test for equal variances across market segments —
+    the robust (median-centered) Levene statistic that validates the
+    homoscedasticity assumption BEFORE reading anova_f_order_value's F:
+    a one-way ANOVA on the absolute deviations from each group's EXACT
+    median (per-group value-histogram median, the 2·cum ≥ n threshold),
+    using the same sufficient-statistics SSB/SSW closed form. Exact
+    medians, exact counts, decimal-snapped deviation sums, one fixed
+    IEEE formula.
+
+    Scale: per-group value histograms (map-side combinable), a
+    |groups|-row median table broadcast into the deviation projection,
+    one statistics rollup. Two scans of the joined fact, zero windows
+    over raw rows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dec = "decimal(38,6)"
+    g = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("x")
+    )
+    hist = g.groupBy("seg", F.col("x").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cc")
+    )
+    w_cum = (
+        Window.partitionBy("seg")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("seg")
+    cum = hist.select(
+        "seg",
+        "v",
+        F.sum("cc").over(w_cum).alias("ce"),
+        F.sum("cc").over(w_all).alias("n"),
+    )
+    med = cum.groupBy("seg").agg(
+        F.min(F.when(2 * F.col("ce") >= F.col("n"), F.col("v"))).alias("m")
+    )
+    dev = g.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(F.col("x") - F.col("m")).alias("d")
+    )
+    per = dev.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("d").cast(dec)).cast("double").alias("sd"),
+        F.sum((F.col("d") * F.col("d")).cast(dec)).cast("double").alias("sdd"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(F.col("n").cast(dec)).cast("double").alias("nt"),
+        F.sum(F.col("sd").cast(dec)).cast("double").alias("sdt"),
+        F.sum(F.col("sdd").cast(dec)).cast("double").alias("sddt"),
+        F.sum((F.col("sd") * F.col("sd") / F.col("n")).cast(dec))
+        .cast("double")
+        .alias("sq"),
+    )
+    k, nt = F.col("k"), F.col("nt")
+    ssb = F.col("sq") - F.col("sdt") * F.col("sdt") / nt
+    ssw = F.col("sddt") - F.col("sq")
+    return agg.select(
+        k.cast("int").alias("n_groups"),
+        nt.cast("bigint").alias("n_rows"),
+        ((ssb / (k - 1)) / (ssw / (nt - k))).alias("bf_stat"),
+    )

@@ -1595,3 +1595,41 @@ def test_prefix_blocking_pair_counts(spark, monkeypatch):
     monkeypatch.setattr(pipeline_ops, "load_table", lambda s, d, n: docs)
     rows = _rows(pipeline_ops.prefix_blocking_histogram(spark, "x"))
     assert rows == [(1, 2, 0), (3, 1, 3)]
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe
+# ---------------------------------------------------------------------------
+
+
+def test_brown_forsythe_unequal_spread(spark, monkeypatch):
+    """Group A tight around its median, group B wide: |deviations| are
+    (0,1,1) vs (0,10,10) → hand-computed BF F = 81/4 on the deviation
+    ANOVA."""
+    from autonomus_datapipeline_spark.workloads import stats_ops as _so
+
+    cust = spark.createDataFrame(
+        [(1, "A"), (2, "B")], "c_custkey long, c_mktsegment string"
+    )
+    orders = spark.createDataFrame(
+        [(1, 99.0), (1, 100.0), (1, 101.0), (2, 90.0), (2, 100.0), (2, 110.0)],
+        "o_custkey long, o_totalprice double",
+    )
+    monkeypatch.setattr(
+        _so, "load_table", lambda s, d, n: {"customer": cust, "orders": orders}[n]
+    )
+    (row,) = _rows(_so.brown_forsythe_variance_test(spark, "x"))
+    n_groups, n_rows, bf = row
+    assert (n_groups, n_rows) == (2, 6)
+    # deviations A: (1,0,1) sum 2, ssA = 2 - 4/3 = 2/3
+    # deviations B: (10,0,10) sum 20, ssB = 200 - 400/3 = 200/3
+    # SSB = (4/3 + 400/3) - 484/6 = 121/3... direct: F = (SSB/1)/(SSW/4)
+    import statistics as _st
+    devA, devB = [1.0, 0.0, 1.0], [10.0, 0.0, 10.0]
+    all_d = devA + devB
+    gm = sum(all_d) / 6
+    ssb = 3 * (sum(devA) / 3 - gm) ** 2 + 3 * (sum(devB) / 3 - gm) ** 2
+    ssw = sum((d - sum(devA) / 3) ** 2 for d in devA) + sum(
+        (d - sum(devB) / 3) ** 2 for d in devB
+    )
+    assert bf == pytest.approx((ssb / 1) / (ssw / 4))
