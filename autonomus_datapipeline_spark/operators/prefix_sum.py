@@ -1,0 +1,346 @@
+"""Distributed prefix-sum / global-rank / NTILE — no single-partition windows.
+
+An unpartitioned ``Window.orderBy(...)`` is the one construct in Spark that
+silently serializes: ``WindowExec`` requires *all* rows in ONE partition
+("No Partition Defined for Window operation" warning), so a global cumsum /
+row_number / NTILE over a data-proportional input becomes a single-task sort
+at 100 TB no matter how many executors exist.
+
+This module provides the scale-correct plan shape for global ordered
+statistics — the classic two-pass distributed prefix-sum:
+
+1. bucket every row by an ORDER-PRESERVING coarse key (equi-width over the
+   [min, max] of the leading sort key — deterministic, data-derived, never a
+   physical partition id, so the result cannot depend on AQE or partition
+   placement);
+2. run the window PARTITIONED BY bucket (parallel local sorts — this is the
+   heavy, data-proportional stage, and it scales with the bucket count);
+3. roll up per-bucket totals (map-side combinable, ≤ n_buckets+2 rows),
+   turn them into exclusive prefix offsets with a bucket² triangular join
+   (bounded by the constant bucket count, not by data — and window-free, so
+   nothing in this module ever hits WindowExec's unpartitioned path), and
+   broadcast the offsets back.
+
+``cum_global(row) = cum_local(row) + offset(bucket(row))`` — exactly the
+answer of the single-partition window, at shuffle-parallel cost.
+
+Equal leading keys always land in the same bucket (the bucket is a pure
+function of the key value), so ties are ordered entirely inside one local
+window by the caller's tiebreak columns — callers must pass a TOTAL order,
+same as they already must for deterministic results anywhere in this repo.
+
+``tests/test_plans.py`` enforces the invariant registry-wide: every Window
+node in every registered query's optimized plan must carry a non-empty
+partition spec.
+
+Reference parity note: the reference engine is single-node and has no
+distributed-window analog; this module exists so the same statistics keep
+their semantics at cluster scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "string_order_proxy",
+    "with_global_running",
+    "with_global_ntile",
+    "with_global_shift",
+    "ranked_head",
+]
+
+_DEFAULT_BUCKETS = 64
+
+
+def string_order_proxy(col: Column | str) -> Column:
+    """Order-preserving bigint proxy of a string's first 7 bytes.
+
+    Spark compares strings by UTF-8 binary order, so the zero-right-padded
+    first 7 bytes read as a big-endian integer sort exactly like the string
+    prefix does. Use as ``bucket_by`` when a global order leads with a
+    string column: the proxy is coarse (ties beyond 7 bytes share a
+    bucket), which only affects load balance — the in-bucket window still
+    orders by the true string.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    hx = F.rpad(F.substring(F.hex(F.encode(c, "UTF-8")), 1, 14), 14, "0")
+    return F.conv(hx, 16, 10).cast("bigint")
+
+
+def _direction(col_name: str, asc: bool) -> Column:
+    c = F.col(col_name)
+    return c.asc() if asc else c.desc()
+
+
+def _bucket_expr(
+    key: Column, mn: Column, mx: Column, n_buckets: int, asc: bool
+) -> Column:
+    """Order-preserving equi-width bucket of ``key`` in [mn, mx].
+
+    Monotone non-decreasing along the GLOBAL sort direction: ascending keys
+    map to ascending buckets; for descending sorts the bucket is mirrored so
+    bucket order is always ascending. NULL keys follow Spark's defaults
+    (ASC → NULLS FIRST → bucket -1; DESC → NULLS LAST → bucket n_buckets).
+
+    Bucketing happens in double — monotone (numeric→double casts preserve
+    ≤), and only LOAD BALANCE depends on it, never values: rows sharing a
+    bucket are fully ordered by the caller's total order inside the local
+    window. Non-numeric keys (double cast → NULL) degrade to one bucket —
+    correct, just serial; callers with string leading keys should pre-map
+    them to a numeric proxy if the input is data-proportional.
+    """
+    kd = key.try_cast("double")
+    span = mx - mn
+    raw = F.when(span <= 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((kd - mn) / span * n_buckets).cast("int"),
+        )
+    )
+    if not asc:
+        raw = F.lit(n_buckets - 1) - raw
+    null_bucket = F.lit(-1 if asc else n_buckets)
+    # The trailing -2 coalesce catches non-castable keys (see docstring); it
+    # also keeps the bucket join null-safe.
+    return F.coalesce(F.when(key.isNull(), null_bucket).otherwise(raw), F.lit(-2))
+
+
+def with_global_running(
+    df: DataFrame,
+    order: Sequence[tuple[str, bool]],
+    *,
+    sums: dict[str, Column | str] | None = None,
+    row_number: str | None = None,
+    totals: dict[str, Column | str] | None = None,
+    total_count: str | None = None,
+    maxes_excl: dict[str, Column | str] | None = None,
+    bucket_by: Column | None = None,
+    n_buckets: int = _DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Attach global running statistics over a total order, distributedly.
+
+    ``order``
+        total order as (column_name, ascending) pairs; the FIRST column
+        should be numeric/date-castable (it drives bucketing) and the full
+        list must break all ties (determinism contract, same as any ranked
+        query in this repo).
+    ``sums``
+        out_name → expression: inclusive running sum over the order
+        (``SUM(e) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``).
+    ``row_number``
+        name for the global 1-based row number, if wanted.
+    ``totals``
+        out_name → expression: grand total of the expression attached as a
+        constant column (``SUM(e) OVER ()``).
+    ``total_count``
+        name for the grand row count constant column (``COUNT(*) OVER ()``).
+    ``maxes_excl``
+        out_name → expression: running max over STRICTLY PRECEDING rows
+        (``MAX(e) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND
+        1 PRECEDING)`` — NULL for the globally first row), the skyline /
+        strict-improvement primitive.
+    ``bucket_by``
+        optional explicit bucket key — any expression monotone along the
+        order's leading column (e.g. :func:`string_order_proxy` for string
+        leading keys). Defaults to the leading order column itself.
+
+    Plan shape: one scalar min/max aggregate of the leading key (broadcast),
+    one hash shuffle on the bucket for the local windows, one tiny
+    map-side-combinable per-bucket rollup, a constant-size (≤ n_buckets²)
+    triangular offset join, and a broadcast join back. Nothing
+    single-partition is data-proportional, and no window anywhere has an
+    empty partition spec.
+    """
+    sums = dict(sums or {})
+    totals = dict(totals or {})
+    maxes_excl = dict(maxes_excl or {})
+    lead_col, lead_asc = order[0]
+
+    def _as_col(e: Column | str) -> Column:
+        return F.col(e) if isinstance(e, str) else e
+
+    # Internal accumulators: the running sums, plus an implicit row counter
+    # when a row number or grand count is requested.
+    acc: dict[str, Column] = {f"_ps_s_{k}": _as_col(v) for k, v in sums.items()}
+    if row_number is not None or total_count is not None:
+        acc["_ps_s__rn"] = F.lit(1)
+    mx_acc: dict[str, Column] = {f"_ps_m_{k}": _as_col(v) for k, v in maxes_excl.items()}
+    tot_acc: dict[str, Column] = {f"_ps_t_{k}": _as_col(v) for k, v in totals.items()}
+
+    bucket_key = bucket_by if bucket_by is not None else F.col(lead_col)
+    mnmx = df.agg(
+        F.min(bucket_key.try_cast("double")).alias("_ps_mn"),
+        F.max(bucket_key.try_cast("double")).alias("_ps_mx"),
+    )
+    d = df.crossJoin(F.broadcast(mnmx))
+    d = d.withColumn(
+        "_psb",
+        _bucket_expr(bucket_key, F.col("_ps_mn"), F.col("_ps_mx"), n_buckets, lead_asc),
+    ).drop("_ps_mn", "_ps_mx")
+
+    order_cols = [_direction(c, a) for c, a in order]
+    w_local = (
+        Window.partitionBy("_psb")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_local_excl = (
+        Window.partitionBy("_psb")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = d.select(
+        "*",
+        *[F.sum(e).over(w_local).alias(name) for name, e in acc.items()],
+        *[F.max(e).over(w_local_excl).alias(name) for name, e in mx_acc.items()],
+    )
+
+    # Per-bucket totals (≤ n_buckets+2 rows) → exclusive prefix offsets via a
+    # triangular self-join (bucket² pairs, a constant), grand totals via one
+    # scalar rollup. Window-free by construction. A lower bucket's FULL max
+    # is a valid exclusive-max contribution for every row of a higher bucket.
+    bucket_tot = d.groupBy("_psb").agg(
+        *[F.sum(e).alias(name) for name, e in acc.items()],
+        *[F.max(e).alias(name) for name, e in mx_acc.items()],
+    )
+    lower = bucket_tot.select(
+        F.col("_psb").alias("_psb_lo"),
+        *[F.col(name).alias(f"_lo{name}") for name in acc],
+        *[F.col(name).alias(f"_lo{name}") for name in mx_acc],
+    )
+    offsets = (
+        bucket_tot.select("_psb")
+        .join(F.broadcast(lower), F.col("_psb_lo") < F.col("_psb"), "left")
+        .groupBy("_psb")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"_lo{name}"), F.lit(0)).alias(f"_off{name}")
+                for name in acc
+            ],
+            *[F.max(f"_lo{name}").alias(f"_off{name}") for name in mx_acc],
+        )
+    )
+    out = local.join(F.broadcast(offsets), "_psb")
+    if acc or tot_acc:
+        grand = d.agg(
+            *[F.sum(e).alias(f"_tot{name}") for name, e in acc.items()],
+            *[F.sum(e).alias(f"_tot{name}") for name, e in tot_acc.items()],
+        )
+        out = out.crossJoin(F.broadcast(grand))
+    for k in sums:
+        out = out.withColumn(k, F.col(f"_ps_s_{k}") + F.col(f"_off_ps_s_{k}"))
+    if row_number is not None:
+        out = out.withColumn(
+            row_number,
+            (F.col("_ps_s__rn") + F.col("_off_ps_s__rn")).cast("bigint"),
+        )
+    for k in maxes_excl:
+        # greatest() skips NULLs: first row of a bucket has NULL local excl
+        # max and inherits the lower-bucket offset; the global first row
+        # (NULL both sides) stays NULL — exactly the unpartitioned frame.
+        out = out.withColumn(
+            k, F.greatest(F.col(f"_ps_m_{k}"), F.col(f"_off_ps_m_{k}"))
+        )
+    for k in totals:
+        out = out.withColumn(k, F.col(f"_tot_ps_t_{k}"))
+    if total_count is not None:
+        out = out.withColumn(total_count, F.col("_tot_ps_s__rn").cast("bigint"))
+    drop = ["_psb"] + [
+        c
+        for c in out.columns
+        if c.startswith("_ps_s_")
+        or c.startswith("_ps_t_")
+        or c.startswith("_ps_m_")
+        or c.startswith("_off_ps_")
+        or c.startswith("_tot_ps_")
+    ]
+    return out.drop(*drop)
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order: Sequence[tuple[str, bool]],
+    n_tiles: int,
+    out: str,
+    *,
+    n_buckets: int = _DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Global ``NTILE(n_tiles)`` over a total order, distributedly.
+
+    Reproduces Spark/DuckDB NTILE semantics exactly from the global row
+    number rn and total count n: with q = n div k and r = n mod k, the
+    first r tiles hold q+1 rows and the rest hold q —
+    ``rn ≤ r(q+1) → ⌈rn/(q+1)⌉``, else ``r + ⌈(rn − r(q+1))/q⌉``. All
+    arithmetic is integer (``div``), so tile boundaries are
+    engine-identical.
+    """
+    d = with_global_running(
+        df, order, row_number="_psrn", total_count="_psn", n_buckets=n_buckets
+    )
+    k = int(n_tiles)
+    tile = F.expr(
+        f"CASE WHEN _psrn <= (_psn % {k}) * (_psn div {k} + 1) "
+        f"THEN (_psrn - 1) div (_psn div {k} + 1) + 1 "
+        f"ELSE (_psn % {k}) "
+        f"   + (_psrn - (_psn % {k}) * (_psn div {k} + 1) - 1) "
+        f"     div (_psn div {k}) + 1 END"
+    )
+    return d.withColumn(out, tile.cast("int")).drop("_psrn", "_psn")
+
+
+def with_global_shift(
+    df: DataFrame,
+    order: Sequence[tuple[str, bool]],
+    shifts: dict[str, tuple[str, int]],
+    *,
+    bucket_by: Column | None = None,
+    n_buckets: int = _DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Global ``LAG``/``LEAD`` over a total order, distributedly.
+
+    ``shifts``: out_name → (source_column, offset); offset +1 is
+    ``LAG(src, 1)`` (value one row earlier in the order), -1 is
+    ``LEAD(src, 1)``. Missing neighbors are NULL, matching the window
+    functions. Implemented as global row number + an equi-join on the
+    shifted row number — two bucket-parallel shuffles, ROWS semantics
+    preserved even over sparse grids (a ``key - 1`` join would silently
+    switch to RANGE semantics).
+    """
+    d = with_global_running(
+        df, order, row_number="_ps_shift_rn", bucket_by=bucket_by, n_buckets=n_buckets
+    )
+    for out, (src, off) in shifts.items():
+        prev = d.select(
+            (F.col("_ps_shift_rn") + int(off)).alias("_ps_shift_key"),
+            F.col(src).alias(out),
+        )
+        d = d.join(prev, d["_ps_shift_rn"] == prev["_ps_shift_key"], "left").drop(
+            "_ps_shift_key"
+        )
+    return d.drop("_ps_shift_rn")
+
+
+def ranked_head(
+    df: DataFrame,
+    order: Sequence[tuple[str, bool]],
+    k: int,
+    rank_name: str,
+    *,
+    cast: str = "int",
+) -> DataFrame:
+    """Top-k with a 1-based rank column — the distributed replacement for
+    ``row_number().over(Window.orderBy(...)) ... WHERE rk <= k``.
+
+    ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject (per-partition
+    heaps + one k-row merge — fully distributed, no global sort, no
+    single-partition window); the rank is then re-derived over the ≤ k
+    surviving rows with the window-free prefix-sum primitive. ``order``
+    must be a total order for the rank to be deterministic.
+    """
+    top = df.orderBy(*[_direction(c, a) for c, a in order]).limit(int(k))
+    ranked = with_global_running(top, order, row_number="_ps_rk", n_buckets=4)
+    return ranked.withColumn(rank_name, F.col("_ps_rk").cast(cast)).drop("_ps_rk")
