@@ -71,6 +71,28 @@ def string_order_proxy(col: Column | str) -> Column:
     return F.conv(hx, 16, 10).cast("bigint")
 
 
+def _auto_bucket_key(df: DataFrame, lead_col: str) -> Column:
+    """Order-preserving numeric bucket proxy for the leading sort column.
+
+    Numeric/date-like leading keys bucket on their own value; date,
+    timestamp, and string columns need a monotone numeric proxy because
+    ``CAST(x AS DOUBLE)`` is NULL for them and a NULL bucket key would
+    collapse everything into one bucket (correct but serial).
+    """
+    c = F.col(lead_col)
+    try:
+        dtype = dict(df.dtypes)[lead_col.split(".")[-1]]
+    except KeyError:
+        return c
+    if dtype == "date":
+        return F.datediff(c, F.lit("1970-01-01").cast("date"))
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(c.cast("timestamp"))
+    if dtype == "string":
+        return string_order_proxy(c)
+    return c
+
+
 def _direction(col_name: str, asc: bool) -> Column:
     c = F.col(col_name)
     return c.asc() if asc else c.desc()
@@ -146,7 +168,11 @@ def with_global_running(
     ``bucket_by``
         optional explicit bucket key — any expression monotone along the
         order's leading column (e.g. :func:`string_order_proxy` for string
-        leading keys). Defaults to the leading order column itself.
+        leading keys). Defaults to the leading order column itself, with
+        automatic order-preserving numeric proxies for date (days since
+        epoch), timestamp (epoch seconds), and string (first-7-byte
+        integer) leading columns — those types don't cast to double, and
+        without a proxy every row would fall into one bucket.
 
     Plan shape: one scalar min/max aggregate of the leading key (broadcast),
     one hash shuffle on the bucket for the local windows, one tiny
@@ -171,7 +197,11 @@ def with_global_running(
     mx_acc: dict[str, Column] = {f"_ps_m_{k}": _as_col(v) for k, v in maxes_excl.items()}
     tot_acc: dict[str, Column] = {f"_ps_t_{k}": _as_col(v) for k, v in totals.items()}
 
-    bucket_key = bucket_by if bucket_by is not None else F.col(lead_col)
+    bucket_key = (
+        bucket_by
+        if bucket_by is not None
+        else _auto_bucket_key(df, lead_col)
+    )
     mnmx = df.agg(
         F.min(bucket_key.try_cast("double")).alias("_ps_mn"),
         F.max(bucket_key.try_cast("double")).alias("_ps_mx"),
@@ -305,22 +335,42 @@ def with_global_shift(
     ``shifts``: out_name → (source_column, offset); offset +1 is
     ``LAG(src, 1)`` (value one row earlier in the order), -1 is
     ``LEAD(src, 1)``. Missing neighbors are NULL, matching the window
-    functions. Implemented as global row number + an equi-join on the
-    shifted row number — two bucket-parallel shuffles, ROWS semantics
-    preserved even over sparse grids (a ``key - 1`` join would silently
-    switch to RANGE semantics).
+    functions. Implemented as global row number + an equi-join on shifted
+    row numbers — ROWS semantics preserved even over sparse grids (a
+    ``key - 1`` join would silently switch to RANGE semantics).
+
+    All shifts of one source column ride ONE union + ONE aggregate + ONE
+    left join keyed on the target row number (k chained joins would give
+    each join the previous join's whole tree as input — plan size and
+    recompute grow with k; measured 8.3 s → sub-second on the ±3-frame
+    peak-detection query). ``F.max`` inside the pivot is identity: each
+    (target_rn, out_name) pair occurs at most once.
     """
     d = with_global_running(
         df, order, row_number="_ps_shift_rn", bucket_by=bucket_by, n_buckets=n_buckets
     )
+    by_src: dict[str, list[tuple[str, int]]] = {}
     for out, (src, off) in shifts.items():
-        prev = d.select(
-            (F.col("_ps_shift_rn") + int(off)).alias("_ps_shift_key"),
-            F.col(src).alias(out),
+        by_src.setdefault(src, []).append((out, int(off)))
+    for src, items in by_src.items():
+        legs = [
+            d.select(
+                (F.col("_ps_shift_rn") + off).alias("_ps_t"),
+                F.lit(out).alias("_ps_o"),
+                F.col(src).alias("_ps_v"),
+            )
+            for out, off in items
+        ]
+        u = legs[0]
+        for leg in legs[1:]:
+            u = u.unionByName(leg)
+        agg = u.groupBy("_ps_t").agg(
+            *[
+                F.max(F.when(F.col("_ps_o") == out, F.col("_ps_v"))).alias(out)
+                for out, _ in items
+            ]
         )
-        d = d.join(prev, d["_ps_shift_rn"] == prev["_ps_shift_key"], "left").drop(
-            "_ps_shift_key"
-        )
+        d = d.join(agg, d["_ps_shift_rn"] == agg["_ps_t"], "left").drop("_ps_t")
     return d.drop("_ps_shift_rn")
 
 
@@ -340,7 +390,19 @@ def ranked_head(
     single-partition window); the rank is then re-derived over the ≤ k
     surviving rows with the window-free prefix-sum primitive. ``order``
     must be a total order for the rank to be deterministic.
+
+    The ≤ k-row head is ``cache()``-ed: the prefix-sum machinery reads its
+    input from several subplans, and column pruning specializes each
+    branch's subtree so ReuseExchange can never dedup them — without the
+    cache an expensive upstream (an iterative HITS loop, a corpus scan)
+    re-executes 4-5×. Caching ≤ k rows is free at any scale, stays lazy
+    (nothing runs at plan-construction time), and keeps the upstream plan
+    visible inside the InMemoryRelation for the plan regression tests.
     """
-    top = df.orderBy(*[_direction(c, a) for c, a in order]).limit(int(k))
+    top = (
+        df.orderBy(*[_direction(c, a) for c, a in order])
+        .limit(int(k))
+        .cache()
+    )
     ranked = with_global_running(top, order, row_number="_ps_rk", n_buckets=4)
     return ranked.withColumn(rank_name, F.col("_ps_rk").cast(cast)).drop("_ps_rk")

@@ -21,6 +21,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from autonomus_datapipeline_spark.operators.prefix_sum import (
+    ranked_head,
+    with_global_running,
+    with_global_shift,
+)
 from autonomus_datapipeline_spark.workloads.registry import (
     dsum,
     load_table,
@@ -606,22 +611,21 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly-later dates in one window pass, keep grid points that beat
     it, and semi-join the winners back to the fact table.
 
-    The single-partition window is over the date grid, not the fact table,
-    so it stays tiny at 100 TB. Equality joins on values read from the
-    same parquet are exact; no arithmetic at all — zero drift surface.
+    The running max runs as a distributed prefix-max (strictly-preceding
+    frame of operators/prefix_sum.py) over the date grid — grid-sized
+    today AND partition-parallel if the grid ever grows. Equality joins
+    on values read from the same parquet are exact; no arithmetic at all
+    — zero drift surface.
     """
     o = load_table(spark, sf_dir, "orders")
     grid = o.groupBy(F.col("o_orderdate").alias("d")).agg(
         F.max("o_totalprice").alias("mp")
     )
-    w = (
-        Window.orderBy(F.desc("d"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    sky = (
-        grid.select("d", "mp", F.max("mp").over(w).alias("later_max"))
-        .where(F.col("later_max").isNull() | (F.col("mp") > F.col("later_max")))
-    )
+    sky = with_global_running(
+        grid, [("d", False)], maxes_excl={"later_max": "mp"}
+    ).where(
+        F.col("later_max").isNull() | (F.col("mp") > F.col("later_max"))
+    ).select("d", "mp", "later_max")
     return (
         o.join(
             F.broadcast(sky),
@@ -903,15 +907,14 @@ def hits_copurchase_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("hq"),
         )
-    w = Window.orderBy(F.desc("aq"), "p")
     return (
-        a.select(
+        ranked_head(a, [("aq", False), ("p", True)], _HITS_TOP, "rk")
+        .select(
             F.col("p").alias("part"),
             F.col("aq").alias("authority_q"),
             (F.col("aq").cast("double") / F.lit(1e12)).alias("authority"),
-            F.row_number().over(w).cast("int").alias("rk"),
+            "rk",
         )
-        .where(F.col("rk") <= _HITS_TOP)
         .orderBy("rk")
     )
 
@@ -1275,22 +1278,35 @@ def daily_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily sums — no float tie ambiguity at equal-revenue days (strict >
     drops plateaus on both engines identically).
 
-    Scale: one daily rollup, three frames over one calendar-bounded
-    ordered window (Spark evaluates them in a single Window node).
+    Scale: one daily rollup, then ±{_PEAK_HALF_WIN} neighbor values via
+    distributed rank-shift joins over the calendar-bounded grid — no
+    unpartitioned window node anywhere in the plan.
     """
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r")
     )
-    w_before = Window.orderBy("day").rowsBetween(-_PEAK_HALF_WIN, -1)
-    w_after = Window.orderBy("day").rowsBetween(1, _PEAK_HALF_WIN)
-    w_full = Window.orderBy("day").rowsBetween(-_PEAK_HALF_WIN, _PEAK_HALF_WIN)
-    windowed = daily.select(
+    # The three ROWS frames become ±1..±HALF_WIN rank-shift columns from
+    # the distributed prefix-sum operator: max over a bounded frame is
+    # greatest() of the shifted neighbors (greatest() skips NULLs exactly
+    # like a window max over a truncated edge frame), and the full-window
+    # row count is 1 + the number of non-NULL neighbors.
+    hw = _PEAK_HALF_WIN
+    shifts = {f"_lag{i}": ("r", i) for i in range(1, hw + 1)}
+    shifts.update({f"_lead{i}": ("r", -i) for i in range(1, hw + 1)})
+    shifted = with_global_shift(daily, [("day", True)], shifts)
+    lags = [F.col(f"_lag{i}") for i in range(1, hw + 1)]
+    leads = [F.col(f"_lead{i}") for i in range(1, hw + 1)]
+    n_present = sum(
+        (F.when(c.isNotNull(), 1).otherwise(0) for c in lags + leads),
+        F.lit(1),
+    )
+    windowed = shifted.select(
         "day",
         "r",
-        F.max("r").over(w_before).alias("max_before"),
-        F.max("r").over(w_after).alias("max_after"),
-        F.count(F.lit(1)).over(w_full).alias("w_cnt"),
+        F.greatest(*lags).alias("max_before"),
+        F.greatest(*leads).alias("max_after"),
+        n_present.alias("w_cnt"),
     )
     return (
         windowed.where(
@@ -1581,16 +1597,10 @@ def session_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("path")
     )
-    w_rk = Window.orderBy(F.desc("c"), "path")
+    pcounts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("c"))
     return (
-        paths.groupBy("path")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select(
-            "path",
-            F.col("c").cast("bigint").alias("n_sessions"),
-            F.row_number().over(w_rk).cast("int").alias("rk"),
-        )
-        .where(F.col("rk") <= _PATH_TOP)
+        ranked_head(pcounts, [("c", False), ("path", True)], _PATH_TOP, "rk")
+        .select("path", F.col("c").cast("bigint").alias("n_sessions"), "rk")
         .orderBy("rk")
     )
 
@@ -1637,8 +1647,9 @@ def trending_users_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k. Both period counts ride ONE conditional aggregate (a single
     scan, not two), and both rankings reuse one |users|-sized rollup.
 
-    Scale: one map-side-combinable conditional rollup on user_id; two
-    range-partitioned ranking sorts over |users| rows; bounded output.
+    Scale: one map-side-combinable conditional rollup on user_id; one
+    distributed prefix-sum rank over |users| rows plus one TakeOrdered
+    top-k (no unpartitioned ranking windows); bounded output.
     """
     e = load_table(spark, sf_dir, "events")
     split = F.lit(f"{_TREND_SPLIT} 00:00:00").cast("timestamp_ntz")
@@ -1646,17 +1657,28 @@ def trending_users_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("ts") < split, 1)).cast("bigint").alias("n_first"),
         F.count(F.when(F.col("ts") >= split, 1)).cast("bigint").alias("n_second"),
     )
-    w2 = Window.orderBy(F.desc("n_second"), "user_id")
-    w1 = Window.orderBy(F.desc("n_first"), "user_id")
-    ranked = counts.select(
+    # rk_first is the FULL |users| rank (the report shows where a trending
+    # user came from), so it rides the distributed prefix-sum row number;
+    # rk_second only matters for the top rows, so it is a TakeOrdered
+    # head + a rank over the surviving ≤ _TREND_TOP rows.
+    with_first = with_global_running(
+        counts,
+        [("n_first", False), ("user_id", True)],
+        row_number="rk_first0",
+    ).select(
         "user_id",
         "n_first",
         "n_second",
-        F.row_number().over(w1).cast("int").alias("rk_first"),
-        F.row_number().over(w2).cast("int").alias("rk_second"),
+        F.col("rk_first0").cast("int").alias("rk_first"),
+    )
+    ranked = ranked_head(
+        with_first,
+        [("n_second", False), ("user_id", True)],
+        _TREND_TOP,
+        "rk_second",
     )
     return (
-        ranked.where(F.col("rk_second") <= _TREND_TOP)
+        ranked
         .select(
             "user_id",
             "n_first",
@@ -1731,13 +1753,9 @@ def reorder_interval_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = gaps.groupBy(F.col("gap_days").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = hist.select(
-        "v",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("n"),
-    )
+    cum = with_global_running(
+        hist, [("v", True)], sums={"cum": "c"}, totals={"n": "c"}
+    ).select("v", "cum", "n")
     return cum.agg(
         F.max("n").cast("bigint").alias("n_intervals"),
         F.min("v").cast("bigint").alias("min_days"),

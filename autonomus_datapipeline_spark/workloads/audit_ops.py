@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from autonomus_datapipeline_spark.operators.prefix_sum import with_global_running
 from autonomus_datapipeline_spark.workloads.registry import load_table, query
 
 _TOKS = "regexp_split_to_array(lower(text), '\\s+')"
@@ -825,18 +826,19 @@ def key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (all-integer inputs, one double division per output).
 
     Scale: the key histogram is one map-side-combinable aggregate; the
-    rank window sorts |keys| rows (range-partitioned); scalar output.
+    rank is a distributed prefix-sum over |keys| rows (an unpartitioned
+    ranking window would serialize exactly the skewed-key table this
+    query exists to diagnose); scalar output.
     """
     e = load_table(spark, sf_dir, "events")
     kc = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-    w_rank = Window.orderBy("x", "user_id")
-    w_all = Window.partitionBy()
-    ranked = kc.select(
-        "x",
-        F.row_number().over(w_rank).cast("decimal(38,0)").alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("x").over(w_all).alias("s"),
-    )
+    ranked = with_global_running(
+        kc,
+        [("x", True), ("user_id", True)],
+        row_number="i0",
+        totals={"s": "x"},
+        total_count="n",
+    ).select("x", F.col("i0").cast("decimal(38,0)").alias("i"), "n", "s")
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_keys"),
         F.max("s").cast("bigint").alias("n_rows"),

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from autonomus_datapipeline_spark.operators.prefix_sum import with_global_ntile
 from autonomus_datapipeline_spark.operators.text import _e4_half_up
 from autonomus_datapipeline_spark.workloads.pipeline_ops import (
     _TOKS,
@@ -801,13 +802,9 @@ def lm_score_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     perdoc = scored.groupBy("doc_id").agg(
         F.expr("sum(pq) div count(*)").cast("bigint").alias("mean_pq")
     )
-    banded = perdoc.select(
-        "mean_pq",
-        F.ntile(3)
-        .over(Window.orderBy(F.desc("mean_pq"), "doc_id"))
-        .cast("int")
-        .alias("tercile"),
-    )
+    banded = with_global_ntile(
+        perdoc, [("mean_pq", False), ("doc_id", True)], 3, "tercile"
+    ).select("mean_pq", "tercile")
     bucket = (
         F.when(F.col("tercile") == 1, "head")
         .when(F.col("tercile") == 2, "middle")
@@ -1019,9 +1016,11 @@ def quantile_normalize_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     total tiebreak on both engines; means are exact integer sums divided
     once.
 
-    Scale: two range-partitioned NTILE sorts (per-source and pooled) over
-    the |docs| length rows, then bounded 10-row-per-source rollups — no
-    fact-table join, no window over raw text.
+    Scale: the per-source NTILE is a source-partitioned window; the
+    POOLED NTILE is a distributed prefix-sum NTILE over the |docs|
+    length rows (an unpartitioned pooled window would serialize the
+    corpus), then bounded 10-row-per-source rollups — no fact-table
+    join, no window over raw text.
     """
     docs = load_table(spark, sf_dir, "documents")
     lens = docs.select(
@@ -1037,13 +1036,9 @@ def quantile_normalize_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("decile"),
     )
-    pool_d = lens.select(
-        "n_tokens",
-        F.ntile(10)
-        .over(Window.orderBy("n_tokens", "doc_id"))
-        .cast("int")
-        .alias("decile"),
-    )
+    pool_d = with_global_ntile(
+        lens, [("n_tokens", True), ("doc_id", True)], 10, "decile"
+    ).select("n_tokens", "decile")
     src_m = src_d.groupBy("source", "decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),

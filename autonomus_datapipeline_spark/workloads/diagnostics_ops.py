@@ -24,6 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from autonomus_datapipeline_spark.operators.prefix_sum import (
+    ranked_head,
+    with_global_running,
+    with_global_shift,
+)
 from autonomus_datapipeline_spark.workloads.registry import (
     load_table,
     query,
@@ -77,23 +82,22 @@ def cusum_changepoint_daily_orders(spark: SparkSession, sf_dir: str) -> DataFram
     exact ties), and only the before/after means are final-step doubles.
 
     Scale: one map-side-combinable daily aggregate to a calendar-bounded
-    grid, one cumulative window over that grid, one ranking window. The
+    grid, a distributed prefix-sum over that grid (bucket-partitioned —
+    no unpartitioned window anywhere), and a TakeOrdered argmax. The
     fact table is scanned once.
     """
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.count(F.lit(1)).cast("bigint").alias("x")
     )
-    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    w_t = Window.orderBy("day")
-    cum = daily.select(
-        "day",
-        F.row_number().over(w_t).cast("bigint").alias("t"),
-        F.sum("x").over(w_cum).alias("ct"),
-        F.sum("x").over(w_all).alias("s"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-    )
+    cum = with_global_running(
+        daily,
+        [("day", True)],
+        sums={"ct": "x"},
+        row_number="t",
+        totals={"s": "x"},
+        total_count="n",
+    ).select("day", "t", "ct", "s", "n")
     dn = F.abs(
         F.col("n").cast("decimal(38,0)") * F.col("ct")
         - F.col("t").cast("decimal(38,0)") * F.col("s")
@@ -101,12 +105,10 @@ def cusum_changepoint_daily_orders(spark: SparkSession, sf_dir: str) -> DataFram
     scored = cum.where(F.col("t") < F.col("n")).select(
         "day", "t", "ct", "s", "n", dn.alias("dn")
     )
-    w_rk = Window.orderBy(F.desc("dn"), "day")
+    # argmax via TakeOrderedAndProject (per-partition heaps) — no window.
     return (
-        scored.select(
-            "*", F.row_number().over(w_rk).alias("rn")
-        )
-        .where(F.col("rn") == 1)
+        scored.orderBy(F.desc("dn"), "day")
+        .limit(1)
         .select(
             F.col("day").alias("change_day"),
             F.col("t").cast("bigint").alias("t"),
@@ -164,21 +166,40 @@ def trend_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the decimal accumulator. dow is Spark's Sunday=1 convention
     (DuckDB's Sunday=0 shifted in the oracle).
 
-    Scale: daily rollup (map-side combinable), one 7-row sliding window
-    and one 7-row rollup over the calendar-bounded grid.
+    Scale: daily rollup (map-side combinable), then the sliding sum as
+    prefix-sum differences over the calendar-bounded grid (distributed
+    bucketed cumsum + two rank-shift joins — no unpartitioned window).
     """
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r")
     )
-    w7 = Window.orderBy("day").rowsBetween(-3, 3)
-    trended = daily.select(
+    # Centered 7-row ROWS frame as prefix-sum differences: w_sum(i) =
+    # S(i+3) − S(i−4) with S the global running sum — the two neighbor
+    # values arrive via rank-shift joins, so no unpartitioned window runs
+    # over the grid. Full windows (w_cnt == 7) are exactly rows with both
+    # neighbors in range: rn ≥ 4 and rn ≤ n − 3 (S(0) = 0 for rn = 4).
+    cum = with_global_running(
+        daily,
+        [("day", True)],
+        sums={"cs": "r"},
+        row_number="rn",
+        total_count="n_rows",
+    )
+    trended = with_global_shift(
+        cum, [("day", True)], {"cs_lead3": ("cs", -3), "cs_lag4": ("cs", 4)}
+    ).select(
         "day",
         "r",
-        F.sum("r").over(w7).alias("w_sum"),
-        F.count(F.lit(1)).over(w7).alias("w_cnt"),
+        (
+            F.col("cs_lead3") - F.coalesce(F.col("cs_lag4"), F.lit(0))
+        ).alias("w_sum"),
+        "rn",
+        "n_rows",
     )
-    detr = trended.where(F.col("w_cnt") == 7).select(
+    detr = trended.where(
+        (F.col("rn") >= 4) & (F.col("rn") <= F.col("n_rows") - 3)
+    ).select(
         F.dayofweek("day").cast("int").alias("dow"),
         (
             F.col("r").cast("double") - F.col("w_sum").cast("double") / 7
@@ -314,20 +335,21 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay in exact decimal (rank × revenue is a DECIMAL(38,0)×DECIMAL(38,6)
     product); the final division is one double op.
 
-    Scale: per-customer rollup (one shuffle), a range-partitioned ranking
-    window over |customers|, and a scalar aggregate. No driver-side math.
+    Scale: per-customer rollup (one shuffle), a distributed prefix-sum
+    rank over |customers| (operators/prefix_sum.py — an unpartitioned
+    ranking window would drag every customer through one task), and a
+    scalar aggregate. No driver-side math.
     """
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("x")
     )
-    w_rank = Window.orderBy("x", "o_custkey")
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "x",
-        F.row_number().over(w_rank).cast("decimal(38,0)").alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-    )
+    ranked = with_global_running(
+        rev,
+        [("x", True), ("o_custkey", True)],
+        row_number="i0",
+        total_count="n",
+    ).select("x", F.col("i0").cast("decimal(38,0)").alias("i"), "n")
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_customers"),
         F.sum("x").cast("double").alias("total_revenue"),
@@ -397,16 +419,19 @@ def market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .where(F.col("support") >= _TRI_MIN_SUPPORT)
     )
-    w = Window.orderBy(F.desc("support"), "part_a", "part_b", "part_c")
     return (
-        tri.select(
-            "part_a",
-            "part_b",
-            "part_c",
-            "support",
-            F.row_number().over(w).cast("int").alias("rk"),
+        ranked_head(
+            tri,
+            [
+                ("support", False),
+                ("part_a", True),
+                ("part_b", True),
+                ("part_c", True),
+            ],
+            _TRI_TOP,
+            "rk",
         )
-        .where(F.col("rk") <= _TRI_TOP)
+        .select("part_a", "part_b", "part_c", "support", "rk")
         .orderBy("rk")
     )
 

@@ -12,6 +12,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from autonomus_datapipeline_spark.operators import cdc, skew
+from autonomus_datapipeline_spark.operators.prefix_sum import (
+    with_global_running,
+    with_global_shift,
+)
 from autonomus_datapipeline_spark.workloads.registry import (
     load_table,
     query,
@@ -255,12 +259,14 @@ def categorical_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-based or first-seen encoders), broadcast-joined back — the
     distributed StringIndexer shape."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.orderBy("event_type")
-    ids = (
-        e.select("event_type")
-        .distinct()
-        .withColumn("type_id", (F.dense_rank().over(w) - 1).cast("int"))
-    )
+    # dense_rank over DISTINCT values == row_number — computed as a
+    # distributed prefix-sum rank (string leading key buckets on its
+    # order-preserving 7-byte prefix proxy), never an unpartitioned window.
+    ids = with_global_running(
+        e.select("event_type").distinct(),
+        [("event_type", True)],
+        row_number="_rn",
+    ).select("event_type", (F.col("_rn") - 1).cast("int").alias("type_id"))
     return e.join(F.broadcast(ids), "event_type").select(
         "event_id", "event_type", "type_id"
     )
@@ -553,14 +559,9 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("revenue"),
     )
-    w = Window.orderBy("yr")
     return (
-        yearly.select(
-            "yr",
-            "n_orders",
-            "revenue",
-            F.lag("revenue").over(w).alias("prev_rev"),
-        )
+        with_global_shift(yearly, [("yr", True)], {"prev_rev": ("revenue", 1)})
+        .select("yr", "n_orders", "revenue", "prev_rev")
         .select(
             "yr",
             "n_orders",

@@ -22,6 +22,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from autonomus_datapipeline_spark.operators import dedup
+from autonomus_datapipeline_spark.operators.prefix_sum import (
+    ranked_head,
+    with_global_ntile,
+    with_global_running,
+)
 from autonomus_datapipeline_spark.workloads.pipeline_ops import (
     _TOKS,
     _e4_sql,
@@ -203,13 +208,9 @@ def funnel_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = conv.groupBy(F.col("delta_s").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = hist.select(
-        "v",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("n"),
-    )
+    cum = with_global_running(
+        hist, [("v", True)], sums={"cum": "c"}, totals={"n": "c"}
+    ).select("v", "cum", "n")
     return cum.agg(
         F.max("n").cast("bigint").alias("n_converted"),
         F.min("v").cast("bigint").alias("min_secs"),
@@ -275,11 +276,10 @@ def interval_overlap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.sum("delta").alias("delta"))
     )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     return (
-        merged.select(
-            F.col("d").alias("day"),
-            F.sum("delta").over(w).cast("bigint").alias("n_open"),
+        with_global_running(merged, [("d", True)], sums={"n_open": "delta"})
+        .select(
+            F.col("d").alias("day"), F.col("n_open").cast("bigint").alias("n_open")
         )
         .orderBy(F.desc("n_open"), "day")
         .limit(_IOC_TOP)
@@ -410,25 +410,22 @@ def cumulative_share_pareto80(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative sum would make the boundary row order-dependent).
 
     Scale: per-customer revenue is one map-side-combinable aggregate; the
-    ranking window runs over |customers| rows. At 100 TB the global sort
-    becomes a two-phase range-partitioned sort (Spark's window already
-    does this via range partitioning on the sort key).
+    ranked cumulative sum is a distributed prefix-sum over |customers|
+    (operators/prefix_sum.py — an unpartitioned window would pull every
+    customer through one task; Spark never range-partitions a window
+    with an empty partition spec).
     """
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r")
     )
-    w_cum = (
-        Window.orderBy(F.desc("r"), "o_custkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy()
-    w_rn = Window.orderBy(F.desc("r"), "o_custkey")
-    ranked = rev.select(
-        F.sum("r").over(w_cum).alias("cum"),
-        F.sum("r").over(w_all).alias("tot"),
-        F.row_number().over(w_rn).alias("rn"),
-    )
+    ranked = with_global_running(
+        rev,
+        [("r", False), ("o_custkey", True)],
+        sums={"cum": "r"},
+        row_number="rn",
+        totals={"tot": "r"},
+    ).select("cum", "tot", "rn")
     n_top80 = F.min(
         F.when(5 * F.col("cum") >= 4 * F.col("tot"), F.col("rn"))
     ).cast("bigint")
@@ -852,8 +849,10 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak; monetary sums stay in exact decimal until the final cast.
 
     Scale: one aggregate over orders (map-side combinable on custkey);
-    the quintile windows sort the |customers| rollup — Spark range-
-    partitions the sort, no single-node bottleneck; the segment rollup is
+    each quintile is a distributed NTILE (bucketed prefix-sum row numbers
+    + exact NTILE arithmetic, operators/prefix_sum.py) over the
+    |customers| rollup — the previous unpartitioned-NTILE windows would
+    each pull every customer through a single task; the segment rollup is
     125 rows.
     """
     o = load_table(spark, sf_dir, "orders")
@@ -867,20 +866,26 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("monetary"),
     )
-    scored = rfm.select(
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy("recency", "o_custkey"))
-        .cast("int")
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), "o_custkey"))
-        .cast("int")
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
-        .cast("int")
-        .alias("m"),
+    # Three INDEPENDENT slim NTILEs joined back on custkey — chaining the
+    # three with_global_ntile calls would feed each one the previous one's
+    # whole plan as input (the prefix-sum machinery reads its input from
+    # several subplans, so plan size and recompute compound per link:
+    # measured 8.8 s; this shape runs sub-second and each quintile sort
+    # shuffles only (custkey, metric)).
+    def tile(metric: str, asc: bool, out: str):
+        return with_global_ntile(
+            rfm.select("o_custkey", metric),
+            [(metric, asc), ("o_custkey", True)],
+            5,
+            out,
+        ).select("o_custkey", out)
+
+    scored = (
+        rfm.select("o_custkey", "monetary")
+        .join(tile("recency", True, "r"), "o_custkey")
+        .join(tile("frequency", False, "f"), "o_custkey")
+        .join(tile("monetary", False, "m"), "o_custkey")
+        .select("monetary", "r", "f", "m")
     )
     return (
         scored.groupBy(
@@ -925,18 +930,17 @@ def order_value_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     exact-decimal mean — the monotonic lookup used to calibrate scores
     against realized value and to spot heavy-tail concentration.
 
-    Scale: one range-partitioned sort of the price column (Spark's window
-    does a distributed range sort, not a single-node one), then a 10-row
-    rollup.
+    Scale: the decile cut is a distributed NTILE over RAW orders
+    (bucketed prefix-sum — Spark's unpartitioned NTILE window would sort
+    the whole fact table in one task), then a 10-row rollup.
     """
     o = load_table(spark, sf_dir, "orders")
-    scored = o.select(
-        "o_totalprice",
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("o_totalprice"), "o_orderkey"))
-        .cast("int")
-        .alias("decile"),
-    )
+    scored = with_global_ntile(
+        o.select("o_totalprice", "o_orderkey"),
+        [("o_totalprice", False), ("o_orderkey", True)],
+        10,
+        "decile",
+    ).select("o_totalprice", "decile")
     return (
         scored.groupBy("decile")
         .agg(
@@ -1008,18 +1012,19 @@ def event_bigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         F.count_distinct("user_id").cast("bigint").alias("user_support"),
     )
-    w_rk = Window.orderBy(
-        F.desc("user_support"), F.desc("n_occurrences"), "prev_type", "event_type"
-    )
     return (
-        bigrams.select(
-            "prev_type",
-            "event_type",
-            "n_occurrences",
-            "user_support",
-            F.row_number().over(w_rk).cast("int").alias("rk"),
+        ranked_head(
+            bigrams,
+            [
+                ("user_support", False),
+                ("n_occurrences", False),
+                ("prev_type", True),
+                ("event_type", True),
+            ],
+            _SEQ_TOP,
+            "rk",
         )
-        .where(F.col("rk") <= _SEQ_TOP)
+        .select("prev_type", "event_type", "n_occurrences", "user_support", "rk")
         .orderBy("rk")
     )
 
@@ -1082,19 +1087,20 @@ def event_trigram_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         F.count_distinct("user_id").cast("bigint").alias("user_support"),
     )
-    w_rk = Window.orderBy(
-        F.desc("user_support"), F.desc("n_occurrences"), "t1", "t2", "t3"
-    )
     return (
-        trigrams.select(
-            "t1",
-            "t2",
-            "t3",
-            "n_occurrences",
-            "user_support",
-            F.row_number().over(w_rk).cast("int").alias("rk"),
+        ranked_head(
+            trigrams,
+            [
+                ("user_support", False),
+                ("n_occurrences", False),
+                ("t1", True),
+                ("t2", True),
+                ("t3", True),
+            ],
+            _SEQ_TOP,
+            "rk",
         )
-        .where(F.col("rk") <= _SEQ_TOP)
+        .select("t1", "t2", "t3", "n_occurrences", "user_support", "rk")
         .orderBy("rk")
     )
 

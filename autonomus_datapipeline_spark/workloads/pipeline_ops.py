@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from autonomus_datapipeline_spark.operators import dedup, multimodal, similarity, text
+from autonomus_datapipeline_spark.operators.prefix_sum import (
+    ranked_head,
+    with_global_running,
+)
 from autonomus_datapipeline_spark.workloads._ivf_centroids import IVF_CENTROIDS
 from autonomus_datapipeline_spark.workloads.registry import load_table, query
 
@@ -1099,8 +1103,9 @@ def quality_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = scored.groupBy(F.col("quality_score").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select("v", F.sum("c").over(w).alias("cum"))
+    cum = with_global_running(hist, [("v", True)], sums={"cum": "c"}).select(
+        "v", "cum"
+    )
     total = scored.agg(F.count(F.lit(1)).alias("n"))
     thr = (
         cum.crossJoin(F.broadcast(total))
@@ -1371,10 +1376,12 @@ def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= _WMP_MIN_SHARED)
     )
-    w = Window.orderBy(F.desc("n_shared"), "doc_a", "doc_b")
-    ranked = pairs.select(
-        "doc_a", "doc_b", "n_shared", F.row_number().over(w).cast("int").alias("rk")
-    ).where(F.col("rk") <= _WMP_TOP)
+    ranked = ranked_head(
+        pairs,
+        [("n_shared", False), ("doc_a", True), ("doc_b", True)],
+        _WMP_TOP,
+        "rk",
+    )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
@@ -1445,10 +1452,10 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the content hash proves an exact dup; the report counts candidates
     and confirmed exact dups.
 
-    Scale: one range-partitioned sort (the same distributed sort every
-    ranking window uses) plus a rank-band self-join bounded by w — at
-    100 TB the join keys on rank div w blocks so each task sees only
-    adjacent runs. No corpus-sized broadcast anywhere.
+    Scale: the global rank is a distributed prefix-sum (bucketed on a
+    7-byte order-preserving prefix proxy of the sort key — never an
+    unpartitioned ranking window) plus a rank-band self-join bounded by
+    w. No corpus-sized broadcast anywhere.
     """
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
@@ -1457,27 +1464,39 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(norm, 1, _SN_KEYLEN).alias("sk"),
         F.md5(norm).alias("h"),
     )
-    w = Window.orderBy("sk", "doc_id")
-    ordered = keyed.select(
-        "doc_id", "sk", "h", F.row_number().over(w).alias("rn")
-    )
+    ordered = with_global_running(
+        keyed, [("sk", True), ("doc_id", True)], row_number="rn"
+    ).select("doc_id", "sk", "h", "rn")
+    # Rank-block equi-join: a row's window partners live in at most two
+    # rn-div-w blocks, so the left side explodes into (its block, next
+    # block) and the band condition rides a plain hash equi-join — no
+    # inequality-only join (which Spark can only plan as a cartesian /
+    # nested-loop) ever touches the corpus-sized sides. A pair matches in
+    # exactly one block (b carries a single block key), so no dedup needed.
     a = ordered.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sk").alias("ska"),
         F.col("h").alias("ha"),
         F.col("rn").alias("rna"),
+        F.explode(
+            F.array(
+                F.expr(f"rn div {_SN_WINDOW}"),
+                F.expr(f"rn div {_SN_WINDOW}") + 1,
+            )
+        ).alias("blk"),
     )
     b = ordered.select(
         F.col("doc_id").alias("doc_b"),
         F.col("sk").alias("skb"),
         F.col("h").alias("hb"),
         F.col("rn").alias("rnb"),
+        F.expr(f"rn div {_SN_WINDOW}").alias("blk"),
     )
     pairs = (
-        a.join(
-            b,
+        a.join(b, "blk")
+        .where(
             (F.col("rnb") > F.col("rna"))
-            & (F.col("rnb") <= F.col("rna") + _SN_WINDOW),
+            & (F.col("rnb") <= F.col("rna") + _SN_WINDOW)
         )
         .where((F.col("ska") == F.col("skb")) | (F.col("ha") == F.col("hb")))
         .select(

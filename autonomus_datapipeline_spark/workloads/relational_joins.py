@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from autonomus_datapipeline_spark.operators.prefix_sum import with_global_running
 from autonomus_datapipeline_spark.workloads.registry import (
     davg,
     dsum,
@@ -1316,23 +1317,20 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative revenue (5·cum ≤ 4·tot, 20·cum ≤ 19·tot), so boundary
     parts classify identically on both engines.
 
-    Scale: per-part rollup (map-side combinable), one range-partitioned
-    ranking window over |parts|, a 3-row report.
+    Scale: per-part rollup (map-side combinable), a distributed
+    prefix-sum over |parts| for the ranked cumulative revenue (an
+    unpartitioned window would serialize the part table), a 3-row report.
     """
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("r")
     )
-    w_cum = (
-        Window.orderBy(F.desc("r"), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "r",
-        F.sum("r").over(w_cum).alias("cum"),
-        F.sum("r").over(w_all).alias("tot"),
-    )
+    ranked = with_global_running(
+        rev,
+        [("r", False), ("l_partkey", True)],
+        sums={"cum": "r"},
+        totals={"tot": "r"},
+    ).select("r", "cum", "tot")
     abc = (
         F.when(5 * F.col("cum") <= 4 * F.col("tot"), "A")
         .when(20 * F.col("cum") <= 19 * F.col("tot"), "B")

@@ -23,6 +23,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from autonomus_datapipeline_spark.operators import dedup
+from autonomus_datapipeline_spark.operators.prefix_sum import (
+    ranked_head,
+    with_global_ntile,
+    with_global_running,
+    with_global_shift,
+)
 from autonomus_datapipeline_spark.workloads.analytics_ops import _PR_EDGES_CTE
 from autonomus_datapipeline_spark.workloads.pipeline_ops import _TOKS, _sql_shingles
 from autonomus_datapipeline_spark.workloads.registry import (
@@ -85,9 +91,11 @@ def ks_two_sample_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     double.
 
     Scale: one join + per-value histogram aggregate (map-side combinable),
-    then a cumulative window over the DISTINCT-VALUE domain — bounded by
-    the price grid, not the row count. The cross-multiplication is
-    DECIMAL(38,0) so counts up to 10¹⁸ cannot overflow.
+    then the distributed prefix-sum (operators/prefix_sum.py) over the
+    distinct-value domain — o_totalprice is near-unique, so the cumulative
+    step is ≈|orders|-sized and must never run as a single-partition
+    window. The cross-multiplication is DECIMAL(38,0) so counts up to
+    10¹⁸ cannot overflow.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -104,14 +112,12 @@ def ks_two_sample_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g1").cast("bigint").alias("c1"),
         F.sum("g2").cast("bigint").alias("c2"),
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = hist.select(
-        F.sum("c1").over(w_cum).alias("cum1"),
-        F.sum("c2").over(w_cum).alias("cum2"),
-        F.sum("c1").over(w_all).alias("n1"),
-        F.sum("c2").over(w_all).alias("n2"),
-    )
+    cum = with_global_running(
+        hist,
+        [("v", True)],
+        sums={"cum1": "c1", "cum2": "c2"},
+        totals={"n1": "c1", "n2": "c2"},
+    ).select("cum1", "cum2", "n1", "n2")
     dn = F.abs(
         F.col("cum1").cast("decimal(38,0)") * F.col("n2")
         - F.col("cum2").cast("decimal(38,0)") * F.col("n1")
@@ -180,8 +186,9 @@ def mann_whitney_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     effect size (P(X1 > X2) + ½P(tie)) — the probability a random
     {_KS_SEG_A} order outspends a random {_KS_SEG_B} one.
 
-    Scale: identical shape to the KS query — histogram aggregate, one
-    window over the distinct-value grid, DECIMAL(38,0) products.
+    Scale: identical shape to the KS query — histogram aggregate, a
+    distributed prefix-sum over the near-unique value grid (never a
+    single-partition window), DECIMAL(38,0) products.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -198,14 +205,17 @@ def mann_whitney_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g1").cast("bigint").alias("c1"),
         (F.sum("g1") + F.sum("g2")).cast("bigint").alias("c"),
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    ranked = hist.select(
+    ranked = with_global_running(
+        hist,
+        [("v", True)],
+        sums={"ce": "c"},
+        totals={"n1": "c1", "n2": F.col("c") - F.col("c1")},
+    ).select(
         "c1",
         "c",
-        (F.sum("c").over(w_cum) - F.col("c")).alias("cb"),
-        F.sum("c1").over(w_all).alias("n1"),
-        F.sum(F.col("c") - F.col("c1")).over(w_all).alias("n2"),
+        (F.col("ce") - F.col("c")).alias("cb"),
+        "n1",
+        "n2",
     )
     r1_x2 = F.sum(
         F.col("c1").cast("decimal(38,0)") * (2 * F.col("cb") + F.col("c") + 1)
@@ -528,12 +538,11 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("cnt").cast("bigint").alias("cm_estimate"))
     )
-    w = Window.orderBy(F.desc("n"), "user_id")
-    top = (
-        ucnt.select(
-            "user_id", "n", F.row_number().over(w).cast("int").alias("rk")
-        )
-        .where(F.col("rk") <= _CM_TOP)
+    top = ranked_head(
+        ucnt.select("user_id", "n"),
+        [("n", False), ("user_id", True)],
+        _CM_TOP,
+        "rk",
     )
     return (
         top.join(est, "user_id")
@@ -731,14 +740,11 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
-    w_rk = Window.orderBy(F.desc("n_members"), "label")
     return (
-        sizes.select(
-            F.col("label").alias("community"),
-            "n_members",
-            F.row_number().over(w_rk).cast("int").alias("rk"),
+        ranked_head(
+            sizes, [("n_members", False), ("label", True)], _LPA_TOP, "rk"
         )
-        .where(F.col("rk") <= _LPA_TOP)
+        .select(F.col("label").alias("community"), "n_members", "rk")
         .orderBy("rk")
     )
 
@@ -999,15 +1005,9 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.orderBy(F.desc("df"), "shingle")
     return (
-        agg.select(
-            "shingle",
-            "df",
-            "postings_csv",
-            F.row_number().over(w).cast("int").alias("rk"),
-        )
-        .where(F.col("rk") <= _INV_TOP)
+        ranked_head(agg, [("df", False), ("shingle", True)], _INV_TOP, "rk")
+        .select("shingle", "df", "postings_csv", "rk")
         .orderBy("rk")
     )
 
@@ -1419,21 +1419,17 @@ def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial runs in hundredths without any sort of raw rows or floating
     rank arithmetic. The weighted sum rides the decimal accumulator.
 
-    Scale: one map-side-combinable histogram aggregate, one cumulative
-    window over the distinct-value grid, one scalar rollup.
+    Scale: one map-side-combinable histogram aggregate, a distributed
+    prefix-sum over the near-unique value grid (operators/prefix_sum.py —
+    never a single-partition window), one scalar rollup.
     """
     o = load_table(spark, sf_dir, "orders")
     hist = o.groupBy(F.col("o_totalprice").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = hist.select(
-        "v",
-        (F.sum("c").over(w_cum) - F.col("c")).alias("cb"),
-        F.sum("c").over(w_cum).alias("ce"),
-        F.sum("c").over(w_all).alias("n"),
-    )
+    cum = with_global_running(
+        hist, [("v", True)], sums={"ce": "c"}, totals={"n": "c"}
+    ).select("v", (F.col("ce") - F.col("c")).alias("cb"), "ce", "n")
     lo, hi = _TRIM_PCT, 100 - _TRIM_PCT
     kept = cum.where(
         (F.col("ce") * 100 > F.col("n") * lo)
@@ -1707,15 +1703,9 @@ def hazard_table_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = lt.groupBy("lifetime_m").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ended")
     )
-    w = (
-        Window.orderBy(F.desc("lifetime_m"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cum = hist.select(
-        F.col("lifetime_m").alias("k"),
-        "n_ended",
-        F.sum("n_ended").over(w).alias("n_at_risk"),
-    )
+    cum = with_global_running(
+        hist, [("lifetime_m", False)], sums={"n_at_risk": "n_ended"}
+    ).select(F.col("lifetime_m").alias("k"), "n_ended", "n_at_risk")
     return cum.select(
         F.col("k").cast("int").alias("month_offset"),
         F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
@@ -1989,15 +1979,19 @@ def spearman_rho_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_ = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
 
     def rank_map(df, col):
-        w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
         hist = df.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).cast("bigint").alias("c")
         )
-        return hist.select(
+        # Distributed prefix-sum: l_extendedprice is near-unique, so this
+        # rank map is ≈|lineitem|-sized — a single-partition window here
+        # would serialize the whole rank assignment.
+        return with_global_running(
+            hist, [("v", True)], sums={"ce": "c"}
+        ).select(
             F.col("v").alias(col),
-            (
-                2 * (F.sum("c").over(w_cum) - F.col("c")) + F.col("c") + 1
-            ).cast("decimal(38,0)").alias(f"r2_{col}"),
+            (2 * (F.col("ce") - F.col("c")) + F.col("c") + 1)
+            .cast("decimal(38,0)")
+            .alias(f"r2_{col}"),
         )
 
     paired = (
@@ -2086,18 +2080,22 @@ def kendall_tau_b_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     (spearman_rho_qty_price) weights by rank distance; τ-b counts pure
     order agreement.
 
-    Scale: the price decile is one range-partitioned NTILE; the grid
-    aggregate is map-side combinable; the cell self-joins are
-    bounded-square (grid², not rows²).
+    Scale: the price decile is a distributed NTILE (bucketed prefix-sum,
+    operators/prefix_sum.py — NOT an unpartitioned window, which would
+    funnel all of lineitem through one task); the grid aggregate is
+    map-side combinable; the cell self-joins are bounded-square (grid²,
+    not rows²).
     """
     li = load_table(spark, sf_dir, "lineitem")
-    rows_ = li.select(
-        F.col("l_quantity").alias("x"),
-        F.ntile(10)
-        .over(Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
-        .cast("int")
-        .alias("yb"),
-    )
+    # with_global_ntile = distributed NTILE (bucketed prefix-sum row
+    # numbers + the exact NTILE arithmetic) — this was the suite's worst
+    # single-partition window (an unpartitioned sort of ALL of lineitem).
+    rows_ = with_global_ntile(
+        li.select("l_quantity", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        [("l_extendedprice", True), ("l_orderkey", True), ("l_linenumber", True)],
+        10,
+        "yb",
+    ).select(F.col("l_quantity").alias("x"), "yb")
     cells = rows_.groupBy("x", "yb").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
@@ -2107,8 +2105,12 @@ def kendall_tau_b_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cells.select(
         F.col("x").alias("bx"), F.col("yb").alias("by"), F.col("n").alias("bn")
     )
+    # The cell grid is (|x-values| × 10)-bounded — broadcast the inner side
+    # so the inequality-only pair join plans as BroadcastNestedLoopJoin,
+    # never CartesianProduct (post-r6 size estimates stopped auto-choosing
+    # the broadcast).
     conc = (
-        a.join(b, (F.col("bx") > F.col("ax")) & (F.col("by") > F.col("ay")))
+        a.join(F.broadcast(b), (F.col("bx") > F.col("ax")) & (F.col("by") > F.col("ay")))
         .agg(
             F.sum(F.col("an").cast("decimal(38,0)") * F.col("bn"))
             .cast("decimal(38,0)")
@@ -2116,7 +2118,7 @@ def kendall_tau_b_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     disc = (
-        a.join(b, (F.col("bx") > F.col("ax")) & (F.col("by") < F.col("ay")))
+        a.join(F.broadcast(b), (F.col("bx") > F.col("ax")) & (F.col("by") < F.col("ay")))
         .agg(
             F.sum(F.col("an").cast("decimal(38,0)") * F.col("bn"))
             .cast("decimal(38,0)")
@@ -2352,8 +2354,9 @@ def durbin_watson_trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame
     resid = daily.crossJoin(F.broadcast(s)).select(
         "x", (F.col("y") - (intercept + slope * F.col("x"))).alias("e")
     )
-    w = Window.orderBy("x")
-    lagged = resid.select("e", F.lag("e").over(w).alias("ep"))
+    lagged = with_global_shift(resid, [("x", True)], {"ep": ("e", 1)}).select(
+        "e", "ep"
+    )
     return lagged.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         (
@@ -2793,13 +2796,9 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = slopes.groupBy(F.col("m").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = hist.select(
-        "v",
-        F.sum("c").over(w_cum).alias("cum"),
-        F.sum("c").over(w_all).alias("n"),
-    )
+    cum = with_global_running(
+        hist, [("v", True)], sums={"cum": "c"}, totals={"n": "c"}
+    ).select("v", "cum", "n")
     return cum.agg(
         F.max("n").cast("bigint").alias("n_pairs"),
         F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("v"))).alias(
@@ -2857,14 +2856,9 @@ def winsorized_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = o.groupBy(F.col("o_totalprice").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_all = Window.partitionBy()
-    cum = hist.select(
-        "v",
-        "c",
-        F.sum("c").over(w_cum).alias("ce"),
-        F.sum("c").over(w_all).alias("n"),
-    )
+    cum = with_global_running(
+        hist, [("v", True)], sums={"ce": "c"}, totals={"n": "c"}
+    ).select("v", "c", "ce", "n")
     bounds = cum.agg(
         F.min(
             F.when(F.col("ce") * 100 >= F.col("n") * _TRIM_PCT, F.col("v"))

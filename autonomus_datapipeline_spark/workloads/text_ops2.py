@@ -8,6 +8,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from autonomus_datapipeline_spark.operators.prefix_sum import (
+    ranked_head,
+    with_global_running,
+)
 from autonomus_datapipeline_spark.workloads.pipeline_ops import _sql_shingles
 from autonomus_datapipeline_spark.workloads.registry import load_table, query
 
@@ -349,13 +353,12 @@ def vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table a tokenizer-training (BPE/unigram) run starts from, and the
     coverage curve that picks a vocab size.
 
-    Scale: one shuffle to the token counts (map-side combined); the window
-    functions run over the AGGREGATED vocabulary, which is orders of
-    magnitude smaller than the corpus (the unpartitioned window is
-    vocab-sized by construction, never corpus-sized — for a 10^7-type
-    vocabulary the rank/cumsum step is still a single-partition
-    metadata-scale sort, and cum_share is integer math until one final
-    division)."""
+    Scale: one shuffle to the token counts (map-side combined); the
+    rank/cumsum runs as a distributed prefix-sum over the aggregated
+    vocabulary (a 10^7-token vocab would serialize in an unpartitioned
+    window; note the Zipf head concentrates low counts into one bucket —
+    load imbalance only, values are exact). cum_share is integer math
+    until one final division."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
@@ -364,17 +367,19 @@ def vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("doc_id").alias("doc_freq"),
     )
-    order = [F.desc("n"), F.asc("token")]
-    w_rank = Window.orderBy(*order)
-    w_cum = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
-    w_tot = Window.partitionBy()
-    ranked = counts.select(
+    ranked = with_global_running(
+        counts,
+        [("n", False), ("token", True)],
+        sums={"cum": "n"},
+        row_number="rank0",
+        totals={"total": "n"},
+    ).select(
         "token",
         "n",
         "doc_freq",
-        F.row_number().over(w_rank).cast("int").alias("rank"),
-        F.sum("n").over(w_tot).alias("total"),
-        F.sum("n").over(w_cum).alias("cum"),
+        F.col("rank0").cast("int").alias("rank"),
+        "total",
+        "cum",
     )
     return ranked.where(F.col("rank") <= _VOCAB_TOP).select(
         "token",
@@ -463,16 +468,9 @@ def concordance_keyword_context(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("right_ctx"),
         )
     )
-    w = Window.orderBy("doc_id", "pos")
     return (
-        hits.select(
-            "doc_id",
-            "pos",
-            "left_ctx",
-            "right_ctx",
-            F.row_number().over(w).cast("int").alias("rk"),
-        )
-        .where(F.col("rk") <= _KWIC_TOP)
+        ranked_head(hits, [("doc_id", True), ("pos", True)], _KWIC_TOP, "rk")
+        .select("doc_id", "pos", "left_ctx", "right_ctx", "rk")
         .orderBy("rk")
     )
 
@@ -559,12 +557,12 @@ def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("t")
     )
-    w_rn = Window.orderBy(F.desc("c"), "t")
+    # Top-k via TakeOrderedAndProject — the rank itself is never needed.
     mfw = (
         tok.groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
-        .select("t", F.row_number().over(w_rn).alias("rn"))
-        .where(F.col("rn") <= _BD_TOP_WORDS)
+        .orderBy(F.desc("c"), "t")
+        .limit(_BD_TOP_WORDS)
         .select("t")
     )
     src_tot = tok.groupBy("source").agg(
@@ -609,14 +607,13 @@ def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("delta")
         )
     )
-    w = Window.orderBy("delta", "source_a", "source_b")
     return (
-        deltas.select(
-            "source_a",
-            "source_b",
-            "delta",
-            F.row_number().over(w).cast("int").alias("rk"),
+        ranked_head(
+            deltas,
+            [("delta", True), ("source_a", True), ("source_b", True)],
+            _BD_TOP_PAIRS,
+            "rk",
         )
-        .where(F.col("rk") <= _BD_TOP_PAIRS)
+        .select("source_a", "source_b", "delta", "rk")
         .orderBy("rk")
     )

@@ -351,13 +351,59 @@ def test_grid_epsilon_join_is_shuffled_on_cells(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def _plan_simple_no_autobroadcast(spark, name, sf_dir) -> str:
+    """Simple-mode plan (expressions inline, one line per node) with
+    auto-broadcast off — the shape `_unbounded_broadcasts` parses."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERY_REGISTRY[name].fn(spark, sf_dir)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def _unbounded_broadcasts(plan: str) -> list[str]:
+    """BroadcastExchange nodes whose subtree is NOT part of the prefix-sum
+    operator's constant-size internals (1-row min/max + ≤ n_buckets offset
+    tables, all carrying ``_ps``-prefixed helper columns). Those bounded
+    broadcasts are safe at any scale; anything else must justify itself.
+    Expects a SIMPLE-mode plan (expressions inline per node line)."""
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-"))
+
+    bad = []
+    for idx, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = depth(line)
+        subtree = []
+        for nxt in lines[idx + 1:]:
+            if depth(nxt) <= d:
+                break
+            subtree.append(nxt)
+        scalar_agg = bool(subtree) and "HashAggregate(keys=[]" in subtree[0]
+        if not scalar_agg and not any("_ps" in sub for sub in subtree):
+            bad.append(line.strip()[:120])
+    return bad
+
+
 def test_lpa_label_join_not_broadcast(spark, sf_dir):
     """LPA's per-round neighbor-label join runs against the |nodes|-sized
     label vector — corpus-sized, so no explicit broadcast hint allowed
     (auto-broadcast disabled to expose hints, like the verify-join
-    guards)."""
-    plan = _plan_no_autobroadcast(spark, "label_propagation_communities", sf_dir)
-    assert "BroadcastExchange" not in plan
+    guards). The constant-size prefix-sum internals (ranked_head's
+    offset/total tables) are the one sanctioned exception."""
+    plan = _plan_simple_no_autobroadcast(
+        spark, "label_propagation_communities", sf_dir
+    )
+    assert not _unbounded_broadcasts(plan)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
@@ -380,9 +426,9 @@ def test_inverted_index_prunes_before_collect(spark, sf_dir):
     never materialize posting lists: the shingle stream joins the
     filtered (vocabulary-sized but unbounded-at-100TB) df table WITHOUT
     an explicit broadcast hint, and collect_list sits above that join."""
-    plan = _plan_no_autobroadcast(spark, "inverted_index_postings", sf_dir)
+    plan = _plan_simple_no_autobroadcast(spark, "inverted_index_postings", sf_dir)
     assert "collect_list" in plan
-    assert "BroadcastExchange" not in plan
+    assert not _unbounded_broadcasts(plan)
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 
@@ -413,3 +459,47 @@ def test_seasonal_backtest_broadcasts_model(spark, sf_dir):
     """The 7-row dow-mean model must broadcast into the test projection."""
     plan = plan_of(spark, "seasonal_naive_backtest", sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide invariant: no single-partition windows, anywhere
+# ---------------------------------------------------------------------------
+
+
+def _unpartitioned_windows(df) -> list[str]:
+    """Window nodes with an empty partition spec in the optimized logical
+    plan — each one is a WindowExec that moves ALL rows to one partition
+    ("No Partition Defined for Window operation"), the one silent
+    serialization point Spark offers. Walks children AND innerChildren so
+    subquery plans are covered."""
+    bad: list[str] = []
+
+    def walk(node) -> None:
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                bad.append(node.simpleString(10))
+        for seq in (node.children(), node.innerChildren()):
+            for i in range(seq.size()):
+                walk(seq.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
+def test_no_unpartitioned_window_in_any_registered_query(spark, sf_dir):
+    """Every Window node in every registered query's optimized plan must
+    carry a non-empty partition spec. Global rank/cumsum/NTILE/shift go
+    through operators/prefix_sum.py (bucketed two-pass prefix-sum) or
+    TakeOrderedAndProject — never an unpartitioned window, which would
+    single-task data-proportional inputs at 100 TB regardless of cluster
+    size."""
+    offenders: dict[str, list[str]] = {}
+    for name, entry in QUERY_REGISTRY.items():
+        df = entry.fn(spark, sf_dir)
+        bad = _unpartitioned_windows(df)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"{len(offenders)} queries have single-partition windows: "
+        + "; ".join(f"{k}: {v[0]}" for k, v in sorted(offenders.items()))
+    )
