@@ -126,25 +126,32 @@ def exact_topk_rerank(pairs: DataFrame, k: int) -> DataFrame:
     the output, so the result is identical to scoring every pair exactly.
     """
     denom = F.sqrt("q_nsq") * F.sqrt("c_nsq")
+    # The window shuffle carries ONLY (ids, fast cosine) — the vectors are
+    # consumed map-side and never ride the exchange (r6: the two 64-dim
+    # payloads dominated the pair-shuffle width; at 100 TB the pair count
+    # dwarfs the corpus, so re-deriving the candidate join for the ≤ ~k
+    # survivors is strictly cheaper than shipping vectors per pair).
+    slim = pairs.withColumn(
+        "cos_fast", dot_fast(F.col("q_vec"), F.col("c_vec")) / denom
+    ).select("query_id", "neighbor_id", "cos_fast")
     wf = Window.partitionBy("query_id").orderBy(
         F.desc("cos_fast"), F.asc("neighbor_id")
     )
     wq = Window.partitionBy("query_id")
-    ranked = (
-        pairs.withColumn(
-            "cos_fast", dot_fast(F.col("q_vec"), F.col("c_vec")) / denom
-        )
-        .withColumn("rk_fast", F.row_number().over(wf))
-        .withColumn(
-            "kth_fast",
-            F.min(F.when(F.col("rk_fast") <= k, F.col("cos_fast"))).over(wq),
-        )
+    ranked = slim.withColumn("rk_fast", F.row_number().over(wf)).withColumn(
+        "kth_fast",
+        F.min(F.when(F.col("rk_fast") <= k, F.col("cos_fast"))).over(wq),
     )
     survivors = ranked.filter(
         (F.col("rk_fast") <= k)
         | (F.col("cos_fast") >= F.col("kth_fast") - 2 * _PREFILTER_MARGIN)
-    )
-    scored = survivors.withColumn(
+    ).select("query_id", "neighbor_id")
+    # Survivor set is ~k per query — broadcast it back into the candidate
+    # subtree to re-attach vectors, then run the expensive exact-decimal
+    # dot on those few rows only. (query_id, neighbor_id) is unique in
+    # `pairs` (one bucket/cell match per pair), so the join cannot fan out.
+    enriched = pairs.join(F.broadcast(survivors), ["query_id", "neighbor_id"])
+    scored = enriched.withColumn(
         "cosine",
         F.round(dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double") / denom, 6),
     )
