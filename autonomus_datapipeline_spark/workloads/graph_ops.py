@@ -418,8 +418,10 @@ def _payload_fp_cte(name: str, source: str) -> str:
             SELECT doc_id,
                    md5(substr(h, CAST(2 * k + 1 AS INT), {2 * _PFP_GRAM})) AS gh
             FROM (SELECT doc_id, h, n_kpos,
-                         unnest(range(0, n_kpos, 2)) AS k
+                         unnest(range(0, n_kpos)) AS k
                   FROM {p}_hxt) u
+            WHERE k = 0
+               OR substr(h, CAST(2 * k + 2 AS INT), 1) IN ('0', '4', '8', 'C')
         ) g
     ),
     {p}_wmin AS (
@@ -502,9 +504,9 @@ def multimodal_payload_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "find every near-copy of THESE assets" at 100 TB. Corpus-wide near-dup
     CLUSTERING belongs to the text-level operators (simhash/minhash).
 
-    Scale: fingerprinting is one md5 per payload byte + a 64-way
-    conditional-min agg (map-side combined); the probe join touches only
-    buckets a probe occupies.
+    Scale: fingerprinting is one md5 per ~4 payload bytes (content-defined
+    gram sampling) + a 64-way conditional-min agg (map-side combined); the
+    probe join touches only buckets a probe occupies.
     """
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.select(
