@@ -127,3 +127,68 @@ class Catalog:
             layer, pipeline, v, self.data_path(layer, pipeline, v),
             self.read_meta(layer, pipeline, v),
         )
+
+
+# ---------------------------------------------------------------------------
+# Object-store (s3a://) wiring
+# ---------------------------------------------------------------------------
+
+
+def s3a_session_confs(
+    endpoint: str | None = None,
+    *,
+    access_key: str = "",
+    secret_key: str = "",
+    path_style: bool = True,
+    magic_committer: bool = True,
+) -> dict[str, str]:
+    """Session confs for an ``s3a://`` warehouse root (reference
+    bronze_ingestion.py:40-60 configures the same endpoint/path-style/creds
+    block per session for its MinIO layers).
+
+    Two pieces matter at scale beyond credentials:
+
+    * ``fs.s3a.path.style.access`` — MinIO/on-prem S3 endpoints route by
+      path, not virtual host;
+    * the **magic committer** — the default FileOutputCommitter v1/v2
+      finalizes output with directory RENAMES, which on S3 are O(data)
+      copies and non-atomic; the magic committer targets multipart-upload
+      completion instead (zero-rename, task-commit atomic), which is the
+      only safe way to run the partitioned-append bronze sink against an
+      object store.
+
+    The returned dict is applied via ``spark.conf.set`` / builder config.
+    This sandbox ships no ``hadoop-aws`` jar, so the repo exercises this as
+    a configuration contract plus an S3-API layout round-trip test
+    (tests/test_objectstore.py); on a real cluster the same dict is the
+    entire s3a switch — the Catalog's path math is already scheme-agnostic.
+    """
+    confs: dict[str, str] = {}
+    if endpoint:
+        confs["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        # Local/MinIO endpoints are plain HTTP.
+        confs["spark.hadoop.fs.s3a.connection.ssl.enabled"] = "false"
+    if access_key:
+        confs["spark.hadoop.fs.s3a.access.key"] = access_key
+        confs["spark.hadoop.fs.s3a.secret.key"] = secret_key
+        confs["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        )
+    if path_style:
+        confs["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    if magic_committer:
+        confs.update(
+            {
+                "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+                "spark.hadoop.fs.s3a.committer.name": "magic",
+                "spark.sql.sources.commitProtocolClass": (
+                    "org.apache.spark.internal.io.cloud."
+                    "PathOutputCommitProtocol"
+                ),
+                "spark.sql.parquet.output.committer.class": (
+                    "org.apache.spark.internal.io.cloud."
+                    "BindingParquetOutputCommitter"
+                ),
+            }
+        )
+    return confs
