@@ -142,6 +142,8 @@ def with_global_running(
     maxes_excl: dict[str, Column | str] | None = None,
     bucket_by: Column | None = None,
     n_buckets: int = _DEFAULT_BUCKETS,
+    partition_by: Sequence[str] = (),
+    materialize: str | None = None,
 ) -> DataFrame:
     """Attach global running statistics over a total order, distributedly.
 
@@ -173,6 +175,26 @@ def with_global_running(
         epoch), timestamp (epoch seconds), and string (first-7-byte
         integer) leading columns — those types don't cast to double, and
         without a proxy every row would fall into one bucket.
+    ``partition_by``
+        optional LOW-CARDINALITY partition columns: every statistic
+        restarts per partition (``… OVER (PARTITION BY p ORDER BY …)``)
+        while the heavy sort stays bucket-parallel WITHIN each partition —
+        the fix for the "5 segments = 5 tasks" shape where a partitioned
+        window's per-partition content is data-proportional. Min/max,
+        offsets, and grand totals become per-partition tables joined back
+        by broadcast, so the partition count must stay broadcast-small
+        (≲10⁵ partitions × buckets); HIGH-cardinality keys (per-user
+        windows) don't need this operator — they are already parallel.
+        Partition keys must be non-null (the re-attach joins are plain
+        equi-joins).
+    ``materialize``
+        ``"cache"`` or ``"localCheckpoint"``: persist the bucketed input
+        before the window/rollup branches. The operator reads its input
+        from several subplans and column pruning specializes each branch,
+        so ReuseExchange cannot dedup them — an EXPENSIVE input (corpus
+        scan + regex, a pair join) would re-execute ~4×. Opt in when the
+        input costs more to recompute than to persist; small aggregate
+        inputs should stay lazy (default).
 
     Plan shape: one scalar min/max aggregate of the leading key (broadcast),
     one hash shuffle on the bucket for the local windows, one tiny
@@ -197,29 +219,48 @@ def with_global_running(
     mx_acc: dict[str, Column] = {f"_ps_m_{k}": _as_col(v) for k, v in maxes_excl.items()}
     tot_acc: dict[str, Column] = {f"_ps_t_{k}": _as_col(v) for k, v in totals.items()}
 
+    pb = list(partition_by)
     bucket_key = (
         bucket_by
         if bucket_by is not None
         else _auto_bucket_key(df, lead_col)
     )
-    mnmx = df.agg(
+    mn_agg = [
         F.min(bucket_key.try_cast("double")).alias("_ps_mn"),
         F.max(bucket_key.try_cast("double")).alias("_ps_mx"),
-    )
-    d = df.crossJoin(F.broadcast(mnmx))
+    ]
+    if pb:
+        mnmx = df.groupBy(*pb).agg(*mn_agg)
+        ren = mnmx.select(
+            *[F.col(c).alias(f"_psp_{c}") for c in pb], "_ps_mn", "_ps_mx"
+        )
+        cond = None
+        for c in pb:
+            eq = F.col(c).eqNullSafe(F.col(f"_psp_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        d = df.join(F.broadcast(ren), cond).drop(*[f"_psp_{c}" for c in pb])
+    else:
+        mnmx = df.agg(*mn_agg)
+        d = df.crossJoin(F.broadcast(mnmx))
     d = d.withColumn(
         "_psb",
         _bucket_expr(bucket_key, F.col("_ps_mn"), F.col("_ps_mx"), n_buckets, lead_asc),
     ).drop("_ps_mn", "_ps_mx")
+    if materialize == "cache":
+        d = d.cache()
+    elif materialize == "localCheckpoint":
+        d = d.localCheckpoint()
+    elif materialize is not None:
+        raise ValueError(f"unknown materialize mode: {materialize!r}")
 
     order_cols = [_direction(c, a) for c, a in order]
     w_local = (
-        Window.partitionBy("_psb")
+        Window.partitionBy(*pb, "_psb")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     w_local_excl = (
-        Window.partitionBy("_psb")
+        Window.partitionBy(*pb, "_psb")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -229,23 +270,35 @@ def with_global_running(
         *[F.max(e).over(w_local_excl).alias(name) for name, e in mx_acc.items()],
     )
 
-    # Per-bucket totals (≤ n_buckets+2 rows) → exclusive prefix offsets via a
-    # triangular self-join (bucket² pairs, a constant), grand totals via one
-    # scalar rollup. Window-free by construction. A lower bucket's FULL max
-    # is a valid exclusive-max contribution for every row of a higher bucket.
-    bucket_tot = d.groupBy("_psb").agg(
+    # Per-(partition, bucket) totals → exclusive prefix offsets via a
+    # triangular self-join WITHIN each partition (partitions × bucket²
+    # pairs — constant per partition), grand totals via one rollup per
+    # partition (scalar when unpartitioned). Window-free by construction.
+    # A lower bucket's FULL max is a valid exclusive-max contribution for
+    # every row of a higher bucket of the same partition.
+    bucket_tot = d.groupBy(*pb, "_psb").agg(
         *[F.sum(e).alias(name) for name, e in acc.items()],
         *[F.max(e).alias(name) for name, e in mx_acc.items()],
     )
     lower = bucket_tot.select(
+        *[F.col(c).alias(f"_pso_{c}") for c in pb],
         F.col("_psb").alias("_psb_lo"),
         *[F.col(name).alias(f"_lo{name}") for name in acc],
         *[F.col(name).alias(f"_lo{name}") for name in mx_acc],
     )
+    lo_cond = F.col("_psb_lo") < F.col("_psb")
+    pb_eq = None
+    for c in pb:
+        eq = F.col(c).eqNullSafe(F.col(f"_pso_{c}"))
+        pb_eq = eq if pb_eq is None else (pb_eq & eq)
     offsets = (
-        bucket_tot.select("_psb")
-        .join(F.broadcast(lower), F.col("_psb_lo") < F.col("_psb"), "left")
-        .groupBy("_psb")
+        bucket_tot.select(*pb, "_psb")
+        .join(
+            F.broadcast(lower),
+            lo_cond if pb_eq is None else (pb_eq & lo_cond),
+            "left",
+        )
+        .groupBy(*pb, "_psb")
         .agg(
             *[
                 F.coalesce(F.sum(f"_lo{name}"), F.lit(0)).alias(f"_off{name}")
@@ -254,13 +307,18 @@ def with_global_running(
             *[F.max(f"_lo{name}").alias(f"_off{name}") for name in mx_acc],
         )
     )
-    out = local.join(F.broadcast(offsets), "_psb")
+    out = local.join(F.broadcast(offsets), [*pb, "_psb"])
     if acc or tot_acc:
-        grand = d.agg(
+        g_aggs = [
             *[F.sum(e).alias(f"_tot{name}") for name, e in acc.items()],
             *[F.sum(e).alias(f"_tot{name}") for name, e in tot_acc.items()],
-        )
-        out = out.crossJoin(F.broadcast(grand))
+        ]
+        if pb:
+            grand = d.groupBy(*pb).agg(*g_aggs)
+            out = out.join(F.broadcast(grand), pb)
+        else:
+            grand = d.agg(*g_aggs)
+            out = out.crossJoin(F.broadcast(grand))
     for k in sums:
         out = out.withColumn(k, F.col(f"_ps_s_{k}") + F.col(f"_off_ps_s_{k}"))
     if row_number is not None:
@@ -298,6 +356,7 @@ def with_global_ntile(
     out: str,
     *,
     n_buckets: int = _DEFAULT_BUCKETS,
+    partition_by: Sequence[str] = (),
 ) -> DataFrame:
     """Global ``NTILE(n_tiles)`` over a total order, distributedly.
 
@@ -309,7 +368,12 @@ def with_global_ntile(
     engine-identical.
     """
     d = with_global_running(
-        df, order, row_number="_psrn", total_count="_psn", n_buckets=n_buckets
+        df,
+        order,
+        row_number="_psrn",
+        total_count="_psn",
+        n_buckets=n_buckets,
+        partition_by=partition_by,
     )
     k = int(n_tiles)
     tile = F.expr(
@@ -329,6 +393,7 @@ def with_global_shift(
     *,
     bucket_by: Column | None = None,
     n_buckets: int = _DEFAULT_BUCKETS,
+    partition_by: Sequence[str] = (),
 ) -> DataFrame:
     """Global ``LAG``/``LEAD`` over a total order, distributedly.
 
@@ -346,15 +411,24 @@ def with_global_shift(
     peak-detection query). ``F.max`` inside the pivot is identity: each
     (target_rn, out_name) pair occurs at most once.
     """
+    pb = list(partition_by)
     d = with_global_running(
-        df, order, row_number="_ps_shift_rn", bucket_by=bucket_by, n_buckets=n_buckets
+        df,
+        order,
+        row_number="_ps_shift_rn",
+        bucket_by=bucket_by,
+        n_buckets=n_buckets,
+        partition_by=pb,
     )
     by_src: dict[str, list[tuple[str, int]]] = {}
     for out, (src, off) in shifts.items():
         by_src.setdefault(src, []).append((out, int(off)))
     for src, items in by_src.items():
+        # The row number restarts per partition, so the join (and the
+        # shifted-target key) carries the partition columns too.
         legs = [
             d.select(
+                *[F.col(c).alias(f"_psg_{c}") for c in pb],
                 (F.col("_ps_shift_rn") + off).alias("_ps_t"),
                 F.lit(out).alias("_ps_o"),
                 F.col(src).alias("_ps_v"),
@@ -364,13 +438,18 @@ def with_global_shift(
         u = legs[0]
         for leg in legs[1:]:
             u = u.unionByName(leg)
-        agg = u.groupBy("_ps_t").agg(
+        agg = u.groupBy(*[f"_psg_{c}" for c in pb], "_ps_t").agg(
             *[
                 F.max(F.when(F.col("_ps_o") == out, F.col("_ps_v"))).alias(out)
                 for out, _ in items
             ]
         )
-        d = d.join(agg, d["_ps_shift_rn"] == agg["_ps_t"], "left").drop("_ps_t")
+        cond = d["_ps_shift_rn"] == agg["_ps_t"]
+        for c in pb:
+            cond = cond & (d[c] == agg[f"_psg_{c}"])
+        d = d.join(agg, cond, "left").drop(
+            "_ps_t", *[f"_psg_{c}" for c in pb]
+        )
     return d.drop("_ps_shift_rn")
 
 

@@ -1028,14 +1028,16 @@ def quantile_normalize_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("n_tokens"),
     )
-    src_d = lens.select(
-        "source",
-        "n_tokens",
-        F.ntile(10)
-        .over(Window.partitionBy("source").orderBy("n_tokens", "doc_id"))
-        .cast("int")
-        .alias("decile"),
-    )
+    # Per-source distributed NTILE: a source-partitioned window caps
+    # parallelism at |sources| with |docs|/|sources| rows per task; the
+    # partitioned prefix-sum keeps each source's sort bucket-parallel.
+    src_d = with_global_ntile(
+        lens,
+        [("n_tokens", True), ("doc_id", True)],
+        10,
+        "decile",
+        partition_by=["source"],
+    ).select("source", "n_tokens", "decile")
     pool_d = with_global_ntile(
         lens, [("n_tokens", True), ("doc_id", True)], 10, "decile"
     ).select("n_tokens", "decile")

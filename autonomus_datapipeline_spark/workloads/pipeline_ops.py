@@ -1464,8 +1464,14 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(norm, 1, _SN_KEYLEN).alias("sk"),
         F.md5(norm).alias("h"),
     )
+    # materialize="cache": the input is a corpus scan + normalize-regex +
+    # md5 — recomputing it per prefix-sum branch would re-read the corpus
+    # ~4×; the cached projection is 3 slim columns per doc.
     ordered = with_global_running(
-        keyed, [("sk", True), ("doc_id", True)], row_number="rn"
+        keyed,
+        [("sk", True), ("doc_id", True)],
+        row_number="rn",
+        materialize="cache",
     ).select("doc_id", "sk", "h", "rn")
     # Rank-block equi-join: a row's window partners live in at most two
     # rn-div-w blocks, so the left side explodes into (its block, next

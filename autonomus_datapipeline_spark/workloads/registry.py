@@ -218,6 +218,8 @@ _R6_TOUCHED: tuple[str, ...] = (
     "order_value_decile_calibration", "event_bigram_support",
     "event_trigram_support", "abc_part_classification",
     "lm_score_quality_buckets", "quantile_normalize_deciles",
+    # partitioned prefix-sum rewrites (per-segment / per-source / per-domain)
+    "brown_forsythe_variance_test", "domain_cap_sample",
     # ANN re-rank + fingerprint changes
     "ann_lsh_topk", "ann_ivf_frozen_topk", "ann_ivf_portable_topk",
     "ann_ivf_incremental_assign", "ann_recall_report", "ann_mrr_report",

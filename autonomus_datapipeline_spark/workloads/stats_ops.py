@@ -2796,8 +2796,14 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = slopes.groupBy(F.col("m").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
+    # materialize="cache": the histogram sits on a days²-bounded pair join
+    # — cheap to hold, expensive to recompute per prefix-sum branch.
     cum = with_global_running(
-        hist, [("v", True)], sums={"cum": "c"}, totals={"n": "c"}
+        hist,
+        [("v", True)],
+        sums={"cum": "c"},
+        totals={"n": "c"},
+        materialize="cache",
     ).select("v", "cum", "n")
     return cum.agg(
         F.max("n").cast("bigint").alias("n_pairs"),
@@ -2961,18 +2967,17 @@ def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = g.groupBy("seg", F.col("x").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cc")
     )
-    w_cum = (
-        Window.partitionBy("seg")
-        .orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("seg")
-    cum = hist.select(
-        "seg",
-        "v",
-        F.sum("cc").over(w_cum).alias("ce"),
-        F.sum("cc").over(w_all).alias("n"),
-    )
+    # Per-segment prefix-sum: a Window.partitionBy("seg") over the
+    # near-unique value histogram caps parallelism at |segments| (5) with
+    # ≈|orders|/5 rows per task; the partitioned prefix-sum keeps the sort
+    # bucket-parallel WITHIN each segment.
+    cum = with_global_running(
+        hist,
+        [("v", True)],
+        sums={"ce": "cc"},
+        totals={"n": "cc"},
+        partition_by=["seg"],
+    ).select("seg", "v", "ce", "n")
     med = cum.groupBy("seg").agg(
         F.min(F.when(2 * F.col("ce") >= F.col("n"), F.col("v"))).alias("m")
     )

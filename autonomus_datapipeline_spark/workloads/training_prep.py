@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from autonomus_datapipeline_spark.operators.prefix_sum import with_global_running
 from autonomus_datapipeline_spark.workloads.registry import load_table, query
 
 _TOKS = "regexp_split_to_array(lower(text), '\\s+')"
@@ -103,18 +104,27 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful of boilerplate-heavy domains from dominating the training mix
     (complement of the fraction-based ``stratified_sample``: a hard ceiling,
     not a rate). Selection is a deterministic md5 order, so the "random" cap
-    is reproducible with no RNG state; the window partitions by source, so
-    at 100 TB it is one shuffle by domain with no global sort. kept_id_sum
+    is reproducible with no RNG state; the rank is a per-domain distributed
+    prefix-sum (md5-bucketed within each domain), so a handful of huge
+    domains cannot serialize into single tasks at 100 TB. kept_id_sum
     (exact BIGINT sum of retained ids) lets the oracle value-check the exact
     membership, not just the counts."""
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy(
-        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    keyed = docs.select(
+        "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h")
     )
     kept = F.col("rk") <= _DOMAIN_CAP
+    # Per-domain distributed rank: the domain-partitioned window would run
+    # one task per domain over that domain's WHOLE document set; the
+    # partitioned prefix-sum buckets each domain's md5 order (uniform, so
+    # load-balanced) and keeps the rank shuffle-parallel.
     return (
-        docs.select("source", "doc_id")
-        .withColumn("rk", F.row_number().over(w))
+        with_global_running(
+            keyed,
+            [("_h", True), ("doc_id", True)],
+            row_number="rk",
+            partition_by=["source"],
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_total"),

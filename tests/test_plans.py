@@ -351,46 +351,56 @@ def test_grid_epsilon_join_is_shuffled_on_cells(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def _plan_simple_no_autobroadcast(spark, name, sf_dir) -> str:
-    """Simple-mode plan (expressions inline, one line per node) with
-    auto-broadcast off — the shape `_unbounded_broadcasts` parses."""
+_PS_PREFIXES = ("_ps", "_lo", "_off", "_tot")
+
+
+def _unbounded_broadcasts(spark, name, sf_dir) -> list[list[str]]:
+    """BroadcastExchangeExec nodes that are NOT part of the prefix-sum
+    operator's constant-size internals — identified structurally on the
+    JVM physical plan (text parsing truncates long field lists): a
+    broadcast is bounded iff every output attribute carries a prefix-sum
+    helper prefix, or its subtree roots in a zero-grouping (scalar)
+    aggregate. Built with auto-broadcast disabled so only explicit hints
+    survive."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         df = QUERY_REGISTRY[name].fn(spark, sf_dir)
-        return df._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                "simple"
-            )
-        )
+        plan = df._jdf.queryExecution().executedPlan()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    if plan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        plan = plan.initialPlan()
+    bad: list[list[str]] = []
 
+    def scalar_agg_below(node) -> bool:
+        # descend through single-child wrappers (Project, WSCG, …)
+        seen = 0
+        while seen < 8:
+            nm = node.getClass().getSimpleName()
+            if nm.endswith("AggregateExec"):
+                return node.groupingExpressions().isEmpty()
+            ch = node.children()
+            if ch.size() != 1:
+                return False
+            node = ch.apply(0)
+            seen += 1
+        return False
 
-def _unbounded_broadcasts(plan: str) -> list[str]:
-    """BroadcastExchange nodes whose subtree is NOT part of the prefix-sum
-    operator's constant-size internals (1-row min/max + ≤ n_buckets offset
-    tables, all carrying ``_ps``-prefixed helper columns). Those bounded
-    broadcasts are safe at any scale; anything else must justify itself.
-    Expects a SIMPLE-mode plan (expressions inline per node line)."""
-    lines = plan.splitlines()
+    def walk(node) -> None:
+        if node.getClass().getSimpleName().startswith("BroadcastExchange"):
+            outs = node.output()
+            names = [outs.apply(i).name() for i in range(outs.size())]
+            ok = all(n.startswith(_PS_PREFIXES) for n in names)
+            if not ok and node.children().size() == 1:
+                ok = scalar_agg_below(node.children().apply(0))
+            if not ok:
+                bad.append(names)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
 
-    def depth(line: str) -> int:
-        return len(line) - len(line.lstrip(" :+-"))
-
-    bad = []
-    for idx, line in enumerate(lines):
-        if "BroadcastExchange" not in line:
-            continue
-        d = depth(line)
-        subtree = []
-        for nxt in lines[idx + 1:]:
-            if depth(nxt) <= d:
-                break
-            subtree.append(nxt)
-        scalar_agg = bool(subtree) and "HashAggregate(keys=[]" in subtree[0]
-        if not scalar_agg and not any("_ps" in sub for sub in subtree):
-            bad.append(line.strip()[:120])
+    walk(plan)
     return bad
 
 
@@ -400,10 +410,10 @@ def test_lpa_label_join_not_broadcast(spark, sf_dir):
     (auto-broadcast disabled to expose hints, like the verify-join
     guards). The constant-size prefix-sum internals (ranked_head's
     offset/total tables) are the one sanctioned exception."""
-    plan = _plan_simple_no_autobroadcast(
+    assert not _unbounded_broadcasts(
         spark, "label_propagation_communities", sf_dir
     )
-    assert not _unbounded_broadcasts(plan)
+    plan = _plan_no_autobroadcast(spark, "label_propagation_communities", sf_dir)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
@@ -426,9 +436,9 @@ def test_inverted_index_prunes_before_collect(spark, sf_dir):
     never materialize posting lists: the shingle stream joins the
     filtered (vocabulary-sized but unbounded-at-100TB) df table WITHOUT
     an explicit broadcast hint, and collect_list sits above that join."""
-    plan = _plan_simple_no_autobroadcast(spark, "inverted_index_postings", sf_dir)
+    assert not _unbounded_broadcasts(spark, "inverted_index_postings", sf_dir)
+    plan = _plan_no_autobroadcast(spark, "inverted_index_postings", sf_dir)
     assert "collect_list" in plan
-    assert not _unbounded_broadcasts(plan)
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 

@@ -278,3 +278,108 @@ def test_no_empty_partition_windows_in_plan(frame):
 
     walk(got._jdf.queryExecution().optimizedPlan())
     assert empties and not any(empties)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned variants: per-partition restart vs real partitioned windows
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def seg_frame(spark):
+    random.seed(11)
+    rows = [
+        (i, ["A", "B", "C"][i % 3], random.randint(0, 99), random.random())
+        for i in range(2000)
+    ]
+    return spark.createDataFrame(rows, "id long, seg string, k long, x double").cache()
+
+
+def test_partitioned_running_matches_partitioned_window(seg_frame):
+    w = Window.partitionBy("seg").orderBy("x", "id")
+    wf = w.rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.partitionBy("seg")
+    ref = {
+        r["id"]: (r["cum"], r["rn"], r["tot"], r["n"])
+        for r in seg_frame.select(
+            "id",
+            F.sum("k").over(wf).alias("cum"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.sum("k").over(wp).alias("tot"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        ).collect()
+    }
+    got = ps.with_global_running(
+        seg_frame,
+        [("x", True), ("id", True)],
+        sums={"cum": "k"},
+        row_number="rn",
+        totals={"tot": "k"},
+        total_count="n",
+        n_buckets=8,
+        partition_by=["seg"],
+    )
+    assert {
+        r["id"]: (r["cum"], r["rn"], r["tot"], r["n"])
+        for r in got.select("id", "cum", "rn", "tot", "n").collect()
+    } == ref
+
+
+def test_partitioned_ntile_matches_partitioned_window(seg_frame):
+    w = Window.partitionBy("seg").orderBy(F.desc("x"), "id")
+    ref = {
+        r["id"]: r["t"]
+        for r in seg_frame.select(
+            "id", F.ntile(7).over(w).cast("int").alias("t")
+        ).collect()
+    }
+    got = ps.with_global_ntile(
+        seg_frame,
+        [("x", False), ("id", True)],
+        7,
+        "t",
+        n_buckets=8,
+        partition_by=["seg"],
+    )
+    assert {r["id"]: r["t"] for r in got.select("id", "t").collect()} == ref
+
+
+def test_partitioned_shift_matches_partitioned_lag_lead(seg_frame):
+    w = Window.partitionBy("seg").orderBy("x", "id")
+    ref = {
+        r["id"]: (r["p"], r["nx"])
+        for r in seg_frame.select(
+            "id",
+            F.lag("k").over(w).alias("p"),
+            F.lead("k").over(w).alias("nx"),
+        ).collect()
+    }
+    got = ps.with_global_shift(
+        seg_frame,
+        [("x", True), ("id", True)],
+        {"p": ("k", 1), "nx": ("k", -1)},
+        n_buckets=8,
+        partition_by=["seg"],
+    )
+    assert {
+        r["id"]: (r["p"], r["nx"]) for r in got.select("id", "p", "nx").collect()
+    } == ref
+
+
+def test_partitioned_windows_in_plan_carry_partition_spec(seg_frame):
+    got = ps.with_global_running(
+        seg_frame,
+        [("x", True), ("id", True)],
+        sums={"cum": "k"},
+        partition_by=["seg"],
+    )
+    specs = []
+
+    def walk(p):
+        if p.nodeName() == "Window":
+            specs.append(p.partitionSpec().size())
+        for i in range(p.children().size()):
+            walk(p.children().apply(i))
+
+    walk(got._jdf.queryExecution().optimizedPlan())
+    assert specs and all(sz >= 2 for sz in specs)  # (seg, _psb)

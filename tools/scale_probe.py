@@ -128,6 +128,27 @@ PROBE_QUERIES = [
     "table_profile_orders",
     "dbscan_grid_clusters",
     "lm_score_quality_buckets",
+    # round-6: prefix-sum rewrites (the old single-partition-window family),
+    # distributed NTILEs, TPC-H partsupp shapes, reshaped ANN/fingerprint
+    "kendall_tau_b_qty_price",
+    "order_value_decile_calibration",
+    "rfm_segmentation",
+    "cumulative_share_pareto80",
+    "abc_part_classification",
+    "key_skew_gini",
+    "trimmed_mean_order_value",
+    "vocab_zipf_stats",
+    "sorted_neighborhood_pairs",
+    "daily_revenue_peaks",
+    "quantile_normalize_deciles",
+    "brown_forsythe_variance_test",
+    "ann_lsh_topk",
+    "multimodal_payload_neardup",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_excess_stock_suppliers",
     "temperature_mix_weights",
     "cohort_ltv_matrix",
     "twap_event_value",
@@ -141,10 +162,7 @@ PROBE_QUERIES = [
     # round-5 waves 13-18
     "purchase_attribution_linear",
     "cuped_adjusted_ab",
-    "quantile_normalize_deciles",
-    "trimmed_mean_order_value",
     "hhi_supplier_concentration",
-    "daily_revenue_peaks",
     "burrows_delta_stylometry",
     "lpa_modularity_score",
     "winnowing_match_pairs",
@@ -158,13 +176,10 @@ PROBE_QUERIES = [
     "embedding_centroid_drift",
     "temporal_consistency_audit",
     "trending_users_report",
-    "key_skew_gini",
     "laspeyres_price_index",
     "reorder_interval_quantiles",
     "new_vs_returning_revenue",
-    "abc_part_classification",
     "spearman_rho_qty_price",
-    "kendall_tau_b_qty_price",
     "partial_correlation_qty_price",
     "durbin_watson_trend_residuals",
     "mcnemar_conversion_shift",
