@@ -411,12 +411,18 @@ def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil(n/2)) on both engines — an actual element, so no interpolation
     float to drift. Two windowed passes partitioned by event_type (the
     natural key; each type's sort is independent), the per-type
-    median/MAD tables are |types|-sized broadcasts back onto the data."""
+    median/MAD tables are |types|-sized broadcasts back onto the data.
+    Both rank passes are per-type distributed prefix-sums, so no single
+    task ever sorts a whole event type."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    w_rk = Window.partitionBy("event_type").orderBy("value")
-    w_n = Window.partitionBy("event_type")
-    r = ev.withColumn("rk", F.row_number().over(w_rk)).withColumn(
-        "n", F.count(F.lit(1)).over(w_n)
+    # Per-type distributed rank (bucket-parallel within each of the few
+    # event types — a type-partitioned window would sort |events|/|types|
+    # rows per single task). Rank ties among equal values are
+    # order-arbitrary in both shapes and cannot change the selected
+    # median (min-when picks by value).
+    r = with_global_running(
+        ev, [("value", True)], row_number="rk", total_count="n",
+        partition_by=["event_type"],
     )
     med = r.groupBy("event_type").agg(
         F.min(F.when(2 * F.col("rk") >= F.col("n") + 1, F.col("value"))).alias(
@@ -426,9 +432,9 @@ def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    w_ark = Window.partitionBy("event_type").orderBy("adev")
-    d2 = d.withColumn("ark", F.row_number().over(w_ark)).withColumn(
-        "n", F.count(F.lit(1)).over(w_n)
+    d2 = with_global_running(
+        d, [("adev", True)], row_number="ark", total_count="n",
+        partition_by=["event_type"],
     )
     mad = d2.groupBy("event_type").agg(
         F.min(F.when(2 * F.col("ark") >= F.col("n") + 1, F.col("adev"))).alias(

@@ -240,10 +240,11 @@ def embedding_dim_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     many values each clip bound would touch — run before quantization or
     outlier-sensitive indexing to spot corrupt dims.
 
-    Scale: dims explode to (dim, value) rows partitioned BY DIMENSION, so
-    the rank window sorts each dim's values independently (64 concurrent
-    sorts, never a global one); the threshold table is dim-count-sized and
-    re-attaches with a broadcast-sized join."""
+    Scale: dims explode to (dim, value) rows ranked by a PER-DIMENSION
+    distributed prefix-sum (bucket-parallel within every dim — a plain
+    dim-partitioned window would cap at 64 single-task sorts of |vectors|
+    rows each); the threshold table is dim-count-sized and re-attaches
+    with a broadcast-sized join."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.slice("embedding", 1, _GRAM_DIMS).alias("v")
     )
@@ -251,10 +252,14 @@ def embedding_dim_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i0") + 1).cast("int").alias("dim"),
         F.col("xf").cast("double").alias("x"),
     )
-    w = Window.partitionBy("dim").orderBy("x")
-    wn = Window.partitionBy("dim")
-    ranked = v.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    # Per-dim distributed rank: a dim-partitioned window caps parallelism
+    # at 64 tasks each sorting |vectors| rows; the partitioned prefix-sum
+    # buckets within each dim. Rank ties among equal x values are
+    # order-arbitrary in BOTH shapes and cannot change the selected
+    # threshold (min-when picks by value).
+    ranked = with_global_running(
+        v, [("x", True)], row_number="rk", total_count="n",
+        partition_by=["dim"],
     )
     thr = ranked.groupBy("dim").agg(
         F.min(
