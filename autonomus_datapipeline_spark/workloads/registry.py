@@ -220,6 +220,7 @@ _R6_TOUCHED: tuple[str, ...] = (
     "lm_score_quality_buckets", "quantile_normalize_deciles",
     # partitioned prefix-sum rewrites (per-segment / per-source / per-domain)
     "brown_forsythe_variance_test", "domain_cap_sample",
+    "embedding_dim_clip_report", "robust_outlier_mad",
     # ANN re-rank + fingerprint changes
     "ann_lsh_topk", "ann_ivf_frozen_topk", "ann_ivf_portable_topk",
     "ann_ivf_incremental_assign", "ann_recall_report", "ann_mrr_report",
