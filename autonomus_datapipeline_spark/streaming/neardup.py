@@ -1,0 +1,225 @@
+"""Streaming near-duplicate gate: continuous-ingestion dedup against a
+GROWING fingerprint index.
+
+The production shape for "don't let near-copies into the corpus" under
+continuous ingestion: every micro-batch is SimHash-fingerprinted, banded
+against the persisted corpus fingerprint index (pigeonhole-exact candidate
+generation — the 64 bits are split into ``max_hamming + 1`` contiguous
+blocks, so any pair within the Hamming threshold shares at least one
+identical block), Hamming-verified on 32-bit longs, and only
+novel documents are appended to BOTH the corpus sink and the fingerprint
+index — so later batches dedup against everything admitted before them.
+
+Shares batch semantics with the batch dedup family (operators/dedup.simhash
+fingerprints; the banding/verify arithmetic mirrors
+workloads/graph_ops.py:230-260) — batch and streaming agree on what counts
+as a near-dup. The index read-merge-overwrite per batch follows the
+checkpointed foreachBatch idempotency pattern of
+streaming/ingest.stream_upsert_to_table (retries re-merge, never
+double-append).
+
+Reference parity: the reference engine has no streaming or dedup surface;
+this extends the §2.D capability envelope like the rest of the dedup
+family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from autonomus_datapipeline_spark.operators.dedup import simhash
+
+_N_BITS = 64
+
+
+def _block_bounds(n_blocks: int) -> list[tuple[int, int]]:
+    """(start, length) pairs splitting _N_BITS into n_blocks contiguous
+    chunks as evenly as possible. Pigeonhole correctness holds for ANY
+    partition into max_hamming+1 non-empty blocks."""
+    base, extra = divmod(_N_BITS, n_blocks)
+    bounds, start = [], 0
+    for b in range(n_blocks):
+        length = base + (1 if b < extra else 0)
+        bounds.append((start, length))
+        start += length
+    return bounds
+
+
+def _blocks(fp: DataFrame, id_name: str, n_blocks: int) -> DataFrame:
+    """One row per (doc, band): contiguous bit-substrings of the
+    fingerprint."""
+    return fp.select(
+        F.col("doc_id").alias(id_name),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.substring("simhash", start + 1, length).alias(
+                            "block"
+                        ),
+                    )
+                    for b, (start, length) in enumerate(
+                        _block_bounds(n_blocks)
+                    )
+                ]
+            )
+        ).alias("_b"),
+    ).select(id_name, "_b.block_idx", "_b.block")
+
+
+def _halves(sh) -> list:
+    return [
+        F.conv(F.substring(sh, off + 1, 32), 2, 10).cast("long")
+        for off in range(0, _N_BITS, 32)
+    ]
+
+
+def _hamming(a_halves: list, b_halves: list):
+    total = F.lit(0)
+    for ha, hb in zip(a_halves, b_halves):
+        total = total + F.bit_count(ha.bitwiseXOR(hb))
+    return total.cast("int")
+
+
+def neardup_matches(
+    new_fp: DataFrame, index_fp: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """(new_id, index_id, hamming) for every new fingerprint within
+    ``max_hamming`` of an index fingerprint. Banded equi-join candidates
+    (never all-pairs, max_hamming+1 pigeonhole blocks) + long-XOR popcount
+    verify; the index side is NOT broadcast — it is corpus-sized."""
+    n_blocks = max_hamming + 1
+    cand = (
+        _blocks(new_fp, "new_id", n_blocks)
+        .join(_blocks(index_fp, "index_id", n_blocks), ["block_idx", "block"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    a = new_fp.select(
+        F.col("doc_id").alias("new_id"),
+        *[h.alias(f"a{i}") for i, h in enumerate(_halves(F.col("simhash")))],
+    )
+    b = index_fp.select(
+        F.col("doc_id").alias("index_id"),
+        *[h.alias(f"b{i}") for i, h in enumerate(_halves(F.col("simhash")))],
+    )
+    ham = _hamming(
+        [F.col(f"a{i}") for i in range(_N_BITS // 32)],
+        [F.col(f"b{i}") for i in range(_N_BITS // 32)],
+    )
+    return (
+        cand.join(a, "new_id")
+        .join(b, "index_id")
+        .select("new_id", "index_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def gate_batch(
+    batch_df: DataFrame,
+    index_fp: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """One micro-batch through the gate → (kept_docs, matches).
+
+    A batch document is rejected if it is within ``max_hamming`` of the
+    index OR of ANY batch document with a smaller doc_id (deterministic
+    canonical-lowest-id convention; when the lower document was itself
+    rejected against the index, its index match transitively covers this
+    one — at near-dup thresholds chain members are interchangeable, the
+    same convention dedup_keep_best_quality uses for cluster
+    representatives).
+    """
+    named = batch_df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    fp = simhash(named, "doc_id", "text", _N_BITS).localCheckpoint(eager=True)
+    vs_index = neardup_matches(fp, index_fp, max_hamming).select(
+        "new_id", "index_id", "hamming"
+    )
+    # intra-batch: candidate pairs by band, lower id wins
+    intra = (
+        neardup_matches(
+            fp,
+            fp.select(F.col("doc_id"), "simhash"),
+            max_hamming,
+        )
+        .filter(F.col("index_id") < F.col("new_id"))
+        .select("new_id", F.col("index_id").alias("batch_winner"), "hamming")
+    )
+    rejected = (
+        vs_index.select("new_id")
+        .unionByName(intra.select("new_id"))
+        .distinct()
+    )
+    kept = named.join(rejected, named.doc_id == rejected.new_id, "left_anti")
+    matches = vs_index.unionByName(
+        intra.select(
+            "new_id", F.col("batch_winner").alias("index_id"), "hamming"
+        )
+    )
+    return kept, matches
+
+
+def stream_neardup_gate(
+    stream: DataFrame,
+    index_path: str,
+    kept_path: str,
+    matches_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Checkpointed streaming wrapper: per micro-batch, gate against the
+    persisted fingerprint index, merge kept docs + match reports into
+    their sinks, and grow the index with the kept fingerprints. Every sink
+    is read-merge-dropDuplicates-overwrite (the
+    stream_upsert_to_table idempotency pattern), so a retried micro-batch
+    cannot double-admit a document or double-report a match."""
+
+    def _merge(spark, path: str, add: DataFrame, key_cols: list[str]) -> None:
+        try:
+            base = spark.read.parquet(path)
+            merged = base.unionByName(add)
+        except Exception:  # noqa: BLE001 — first batch: sink absent
+            merged = add
+        merged.dropDuplicates(key_cols).localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            index_fp = spark.read.parquet(index_path)
+        except Exception:  # noqa: BLE001 — first batch: empty index
+            index_fp = batch_df.sparkSession.createDataFrame(
+                [], "doc_id bigint, simhash string"
+            )
+        kept, matches = gate_batch(
+            batch_df, index_fp, id_col, text_col, max_hamming
+        )
+        kept = kept.localCheckpoint(eager=True)
+        _merge(spark, matches_path, matches, ["new_id", "index_id"])
+        _merge(spark, kept_path, kept, ["doc_id"])
+        _merge(
+            spark,
+            index_path,
+            index_fp.unionByName(simhash(kept, "doc_id", "text", _N_BITS)),
+            ["doc_id"],
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -444,3 +444,101 @@ def test_kafka_shaped_checkpoint_recovery_exactly_once(spark, tmp_path):
     got = {r["sensor_id"]: r["temperature"]
            for r in spark.read.parquet(sink).collect()}
     assert got["s0"] == 0.0 and got["s14"] == 14.0
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup gate (growing fingerprint index)
+# ---------------------------------------------------------------------------
+
+_BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "green bottles hang quietly on the old stone wall near the river"
+)
+_NOVEL_TEXT = (
+    "completely different content about distributed query engines "
+    "shuffle partitions broadcast joins and columnar parquet readers"
+)
+
+
+def _doc_schema():
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+
+
+def test_gate_batch_rejects_neardups_keeps_novel(spark):
+    from autonomus_datapipeline_spark.operators.dedup import simhash
+    from autonomus_datapipeline_spark.streaming.neardup import gate_batch
+
+    corpus = spark.createDataFrame([(1, _BASE_TEXT)], _doc_schema())
+    index_fp = simhash(corpus, "doc_id", "text", 64)
+    batch = spark.createDataFrame(
+        [
+            # near-copy of the indexed doc (one word changed)
+            (10, _BASE_TEXT.replace("lazy", "sleepy")),
+            # novel
+            (11, _NOVEL_TEXT),
+            # intra-batch near-copy of 11 (one word changed) — loses to 11
+            (12, _NOVEL_TEXT.replace("columnar", "vectorized")),
+        ],
+        _doc_schema(),
+    )
+    kept, matches = gate_batch(batch, index_fp, max_hamming=10)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11]
+    got = {(r["new_id"], r["index_id"]) for r in matches.collect()}
+    assert (10, 1) in got and (12, 11) in got
+
+
+def test_stream_neardup_gate_grows_index_across_batches(spark, tmp_path):
+    from autonomus_datapipeline_spark.streaming.neardup import stream_neardup_gate
+
+    src = tmp_path / "in"
+    src.mkdir()
+    paths = {
+        "index": str(tmp_path / "index"),
+        "kept": str(tmp_path / "kept"),
+        "matches": str(tmp_path / "matches"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+    def run():
+        stream = spark.readStream.schema(_doc_schema()).json(str(src))
+        q = stream_neardup_gate(
+            stream, paths["index"], paths["kept"], paths["matches"],
+            paths["ckpt"], max_hamming=10,
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two novel docs (empty index) → both admitted
+    _write_batch(src, "b1.json", [
+        {"doc_id": 1, "text": _BASE_TEXT},
+        {"doc_id": 2, "text": _NOVEL_TEXT},
+    ])
+    run()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(paths["kept"]).collect()
+    ) == [1, 2]
+
+    # batch 2: a near-copy of doc 2 (admitted in a PREVIOUS batch — proves
+    # the index grew) plus one genuinely new doc.
+    _write_batch(src, "b2.json", [
+        {"doc_id": 20, "text": _NOVEL_TEXT.replace("parquet", "orcfile")},
+        {"doc_id": 21, "text": "entirely unrelated short note on tax law "
+                               "amendments for municipal water utilities"},
+    ])
+    run()
+    kept_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(paths["kept"]).collect()
+    )
+    assert kept_ids == [1, 2, 21]
+    m = {(r["new_id"], r["index_id"]) for r in
+         spark.read.parquet(paths["matches"]).collect()}
+    assert (20, 2) in m
+    # the index holds exactly the admitted docs
+    idx = sorted(
+        r["doc_id"] for r in spark.read.parquet(paths["index"]).collect()
+    )
+    assert idx == [1, 2, 21]
