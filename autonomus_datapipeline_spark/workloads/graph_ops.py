@@ -800,3 +800,100 @@ def neardup_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
             coeff.alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingestion-gate admission report (batch mirror of the streaming near-dup
+# gate in streaming/neardup.py — value-checks the shared candidate/verify
+# code path under the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+
+def _gate_hamming_sql(left: str, right: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN substr({left}.simhash, {i + 1}, 1) <> "
+        f"substr({right}.simhash, {i + 1}, 1) THEN 1 ELSE 0 END)"
+        for i in range(_SH_BITS)
+    )
+
+
+def _gate_admission_oracle() -> str:
+    return f"""
+    WITH {pipeline_ops._simhash_cte(_SH_BITS, "documents").strip()},
+    idx AS (SELECT doc_id, simhash FROM fp WHERE doc_id % 2 = 0),
+    newb AS (SELECT doc_id, simhash FROM fp WHERE doc_id % 2 = 1),
+    vs_index AS (
+        SELECT n.doc_id AS new_id, COUNT(*) AS c
+        FROM newb n JOIN idx x
+          ON ({_gate_hamming_sql("n", "x")}) <= {_SH_MAX_HAMMING}
+        GROUP BY n.doc_id
+    ),
+    intra AS (
+        SELECT b.doc_id AS new_id, COUNT(*) AS c
+        FROM newb b JOIN newb a
+          ON a.doc_id < b.doc_id
+         AND ({_gate_hamming_sql("b", "a")}) <= {_SH_MAX_HAMMING}
+        GROUP BY b.doc_id
+    )
+    SELECT n.doc_id AS new_id,
+           CAST(COALESCE(v.c, 0) AS BIGINT) AS n_index_matches,
+           CAST(COALESCE(i.c, 0) AS BIGINT) AS n_batch_matches,
+           (COALESCE(v.c, 0) = 0 AND COALESCE(i.c, 0) = 0) AS admitted
+    FROM newb n
+    LEFT JOIN vs_index v ON v.new_id = n.doc_id
+    LEFT JOIN intra i ON i.new_id = n.doc_id
+    """
+
+
+@query("neardup_gate_admission", oracle=_gate_admission_oracle())
+def neardup_gate_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mirror of the streaming ingestion gate
+    (streaming/neardup.py): even doc_ids play the persisted corpus
+    fingerprint index, odd doc_ids play one incoming micro-batch; a batch
+    document is admitted iff it is not within Hamming ``_SH_MAX_HAMMING``
+    of any index document NOR of a lower-id batch document. Runs the SAME
+    ``neardup_matches`` banding/verify the streaming gate executes per
+    micro-batch, so the oracle value-checks the gate's admission rule —
+    not just a lookalike.
+
+    Scale: both match passes are pigeonhole-banded equi-joins (never
+    all-pairs), the verify is O(1) long-XOR popcount per candidate, and
+    the final admission flags come from two aggregated left joins keyed on
+    doc_id — one shuffle each, no window, no driver state.
+    """
+    from autonomus_datapipeline_spark.streaming.neardup import neardup_matches
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Eager materialization: the fp subtree otherwise recomputes once per
+    # banding side in each of the two neardup_matches calls.
+    fp = dedup.simhash(docs, "doc_id", "text", _SH_BITS).localCheckpoint(
+        eager=True
+    )
+    idx = fp.filter(F.col("doc_id") % 2 == 0)
+    newb = fp.filter(F.col("doc_id") % 2 == 1)
+    vs_index = (
+        neardup_matches(newb, idx, _SH_MAX_HAMMING)
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_idx"))
+    )
+    intra = (
+        neardup_matches(newb, newb, _SH_MAX_HAMMING)
+        .filter(F.col("index_id") < F.col("new_id"))
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_batch"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        newb.select(F.col("doc_id").alias("new_id"))
+        .join(vs_index, "new_id", "left")
+        .join(intra, "new_id", "left")
+        .select(
+            "new_id",
+            F.coalesce("c_idx", zero).alias("n_index_matches"),
+            F.coalesce("c_batch", zero).alias("n_batch_matches"),
+            (
+                F.coalesce("c_idx", zero).eqNullSafe(0)
+                & F.coalesce("c_batch", zero).eqNullSafe(0)
+            ).alias("admitted"),
+        )
+    )

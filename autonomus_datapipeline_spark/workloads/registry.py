@@ -195,6 +195,8 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # lead the contract: a rewritten query needs driver re-proof before its
 # name re-enters _DRIVER_VERIFIED.
 _R6_TOUCHED: tuple[str, ...] = (
+    # new in r6: batch mirror of the streaming near-dup ingestion gate
+    "neardup_gate_admission",
     # new TPC-H shapes over the synthesized partsupp
     "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
     "q16_supplier_part_counts", "q20_excess_stock_suppliers",
