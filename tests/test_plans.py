@@ -12,6 +12,12 @@ from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY
 
 
 def plan_of(spark, name, sf_dir) -> str:
+    # Plan assertions must be order-independent: a query constructed earlier
+    # in the session (e.g. by the CartesianProduct sweep, under the DEFAULT
+    # broadcast threshold) registers its ranked_head cache() subtree, and a
+    # later construction under a different conf gets the stale InMemoryRelation
+    # substituted — hiding the join strategy the test wants to see.
+    spark.catalog.clearCache()
     df = QUERY_REGISTRY[name].fn(spark, sf_dir)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -365,6 +371,7 @@ def _unbounded_broadcasts(spark, name, sf_dir) -> list[list[str]]:
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
+        spark.catalog.clearCache()  # see plan_of: drop stale cached subtrees
         df = QUERY_REGISTRY[name].fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan()
     finally:
