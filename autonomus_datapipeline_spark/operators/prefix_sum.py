@@ -357,6 +357,7 @@ def with_global_ntile(
     *,
     n_buckets: int = _DEFAULT_BUCKETS,
     partition_by: Sequence[str] = (),
+    materialize: str | None = None,
 ) -> DataFrame:
     """Global ``NTILE(n_tiles)`` over a total order, distributedly.
 
@@ -374,6 +375,7 @@ def with_global_ntile(
         total_count="_psn",
         n_buckets=n_buckets,
         partition_by=partition_by,
+        materialize=materialize,
     )
     k = int(n_tiles)
     tile = F.expr(

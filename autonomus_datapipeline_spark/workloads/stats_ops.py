@@ -1984,9 +1984,12 @@ def spearman_rho_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Distributed prefix-sum: l_extendedprice is near-unique, so this
         # rank map is ≈|lineitem|-sized — a single-partition window here
-        # would serialize the whole rank assignment.
+        # would serialize the whole rank assignment. materialize="cache":
+        # the histogram sits on a full-table scan + shuffle that the
+        # prefix-sum branches would otherwise recompute; the cached rows
+        # are (value, count) pairs — far narrower than the scan.
         return with_global_running(
-            hist, [("v", True)], sums={"ce": "c"}
+            hist, [("v", True)], sums={"ce": "c"}, materialize="cache"
         ).select(
             F.col("v").alias(col),
             (2 * (F.col("ce") - F.col("c")) + F.col("c") + 1)
