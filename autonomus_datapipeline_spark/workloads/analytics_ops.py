@@ -1294,7 +1294,9 @@ def daily_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     hw = _PEAK_HALF_WIN
     shifts = {f"_lag{i}": ("r", i) for i in range(1, hw + 1)}
     shifts.update({f"_lead{i}": ("r", -i) for i in range(1, hw + 1)})
-    shifted = with_global_shift(daily, [("day", True)], shifts)
+    shifted = with_global_shift(
+        daily, [("day", True)], shifts, materialize="cache"
+    )
     lags = [F.col(f"_lag{i}") for i in range(1, hw + 1)]
     leads = [F.col(f"_lead{i}") for i in range(1, hw + 1)]
     n_present = sum(

@@ -187,7 +187,8 @@ def trend_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_count="n_rows",
     )
     trended = with_global_shift(
-        cum, [("day", True)], {"cs_lead3": ("cs", -3), "cs_lag4": ("cs", 4)}
+        cum, [("day", True)], {"cs_lead3": ("cs", -3), "cs_lag4": ("cs", 4)},
+        materialize="cache",
     ).select(
         "day",
         "r",

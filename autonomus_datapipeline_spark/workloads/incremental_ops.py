@@ -560,7 +560,10 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("revenue"),
     )
     return (
-        with_global_shift(yearly, [("yr", True)], {"prev_rev": ("revenue", 1)})
+        with_global_shift(
+            yearly, [("yr", True)], {"prev_rev": ("revenue", 1)},
+            materialize="cache",
+        )
         .select("yr", "n_orders", "revenue", "prev_rev")
         .select(
             "yr",

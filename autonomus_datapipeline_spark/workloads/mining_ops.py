@@ -856,6 +856,10 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     125 rows.
     """
     o = load_table(spark, sf_dir, "orders")
+    # cache(): the three quintile passes AND the scored base all read this
+    # rollup — uncached, the orders scan + groupBy executes 4×. The cache
+    # is |customers|-sized (MEMORY_AND_DISK, spills rather than OOMs) and
+    # strictly cheaper than three extra full orders scans at any scale.
     rfm = o.groupBy("o_custkey").agg(
         F.datediff(
             F.lit(_RFM_ANCHOR).cast("date"),
@@ -865,7 +869,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recency"),
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("monetary"),
-    )
+    ).cache()
     # Three INDEPENDENT slim NTILEs joined back on custkey — chaining the
     # three with_global_ntile calls would feed each one the previous one's
     # whole plan as input (the prefix-sum machinery reads its input from

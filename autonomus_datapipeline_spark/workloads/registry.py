@@ -180,66 +180,72 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         "doc_chunking_overlap", "embedding_int8_quantization",
         "grouped_token_quantiles", "hard_negative_mining",
         "scd2_user_value_history",
-        # Dropped in r6 (rewritten, must be driver re-proven): the whole
-        # ann_* family + embedding_cosine_topk (exact_topk_rerank shuffle
-        # slimming), multimodal_payload_neardup (content-defined gram
-        # sampling), categorical_encode / quality_threshold_filter /
-        # vocab_zipf_stats (prefix-sum rewrites).
+        # CORRECTNESS_r06.json: hash_match == true (50 rows sampled; only
+        # the 6 below remain untouched by the r7 prefix-sum/ANN
+        # restructure — the other 44 r6-proven names were re-touched in r7
+        # and live in _R7_TOUCHED until re-proven).
+        "neardup_gate_admission", "q2_min_cost_supplier",
+        "q9_product_type_profit", "q11_important_stock",
+        "q16_supplier_part_counts", "q20_excess_stock_suppliers",
     }
 )
 
 
-# Queries whose PLANS changed in round 6 (prefix-sum rewrites, ANN re-rank
-# slimming, content-defined fingerprint sampling, new TPC-H shapes). The
-# driver's correctness file caps at 50 rows in queries() order, so these
-# lead the contract: a rewritten query needs driver re-proof before its
-# name re-enters _DRIVER_VERIFIED.
-_R6_TOUCHED: tuple[str, ...] = (
-    # new in r6: batch mirror of the streaming near-dup ingestion gate
-    "neardup_gate_admission",
-    # new TPC-H shapes over the synthesized partsupp
-    "q2_min_cost_supplier", "q9_product_type_profit", "q11_important_stock",
-    "q16_supplier_part_counts", "q20_excess_stock_suppliers",
-    # prefix-sum rewrites (stats/diagnostics/mining/analytics/…)
-    "ks_two_sample_order_value", "mann_whitney_order_value",
-    "countmin_heavy_hitters", "label_propagation_communities",
-    "inverted_index_postings", "trimmed_mean_order_value",
-    "hazard_table_monthly", "spearman_rho_qty_price",
-    "kendall_tau_b_qty_price", "durbin_watson_trend_residuals",
-    "theil_sen_daily_trend", "winsorized_mean_order_value",
-    "cusum_changepoint_daily_orders", "trend_seasonal_decompose",
-    "gini_revenue_concentration", "market_basket_triples",
-    "quality_threshold_filter", "winnowing_match_pairs",
-    "sorted_neighborhood_pairs", "vocab_zipf_stats",
+# Queries whose PLANS changed in round 7 (prefix-sum core restructure:
+# grand-totals from the bucket rollup + single merged broadcast + bounds
+# fast path; window-free ranked_head; ANN re-rank phase-2 re-attach from
+# base tables + fast-norm phase 1; shift-caller caching; robust_outlier_mad
+# med/mad caching) plus the round-6 names the r6 driver sample missed.
+# The driver's correctness file caps at 50 rows in queries() order, so
+# these lead the contract: a rewritten query needs driver re-proof before
+# its name re-enters _DRIVER_VERIFIED. Never-driver-proven names go first.
+_R7_TOUCHED: tuple[str, ...] = (
+    # never driver-proven (r6 sample missed them; multimodal + ivf-assign
+    # are r6-shaped and unchanged in r7)
+    "multimodal_payload_neardup", "ann_ivf_incremental_assign",
+    # ANN re-rank restructure (phase-2 base-table re-attach, fast norms)
+    "ann_lsh_topk", "ann_ivf_frozen_topk", "ann_ivf_portable_topk",
+    "ann_recall_report", "ann_mrr_report", "embedding_cosine_topk",
+    "robust_outlier_mad", "hard_negative_mining", "knn_label_classifier",
+    # prefix-sum core restructure touches every caller
+    "categorical_encode", "orders_yoy_growth", "quality_threshold_filter",
+    "winnowing_match_pairs", "sorted_neighborhood_pairs", "vocab_zipf_stats",
     "concordance_keyword_context", "burrows_delta_stylometry",
-    "pareto_frontier_orders", "hits_copurchase_2iter",
-    "daily_revenue_peaks", "session_top_paths", "trending_users_report",
-    "reorder_interval_quantiles", "categorical_encode", "orders_yoy_growth",
-    "key_skew_gini", "funnel_time_to_conversion", "interval_overlap_count",
+    "lm_score_quality_buckets", "quantile_normalize_deciles",
+    "abc_part_classification", "domain_cap_sample",
+    "embedding_dim_clip_report", "key_skew_gini", "pareto_frontier_orders",
+    "hits_copurchase_2iter", "daily_revenue_peaks", "session_top_paths",
+    "trending_users_report", "reorder_interval_quantiles",
+    "funnel_time_to_conversion", "interval_overlap_count",
     "cumulative_share_pareto80", "rfm_segmentation",
     "order_value_decile_calibration", "event_bigram_support",
-    "event_trigram_support", "abc_part_classification",
-    "lm_score_quality_buckets", "quantile_normalize_deciles",
-    # partitioned prefix-sum rewrites (per-segment / per-source / per-domain)
-    "brown_forsythe_variance_test", "domain_cap_sample",
-    "embedding_dim_clip_report", "robust_outlier_mad",
-    # ANN re-rank + fingerprint changes
-    "ann_lsh_topk", "ann_ivf_frozen_topk", "ann_ivf_portable_topk",
-    "ann_ivf_incremental_assign", "ann_recall_report", "ann_mrr_report",
-    "embedding_cosine_topk", "multimodal_payload_neardup",
+    "event_trigram_support", "ks_two_sample_order_value",
+    "mann_whitney_order_value", "countmin_heavy_hitters",
+    "label_propagation_communities", "inverted_index_postings",
+    "trimmed_mean_order_value", "hazard_table_monthly",
+    "spearman_rho_qty_price", "kendall_tau_b_qty_price",
+    "durbin_watson_trend_residuals", "theil_sen_daily_trend",
+    "winsorized_mean_order_value", "brown_forsythe_variance_test",
+    "cusum_changepoint_daily_orders", "trend_seasonal_decompose",
+    "gini_revenue_concentration", "market_basket_triples",
 )
 
 
 def _contract_order() -> list[str]:
-    """Registry names: r6-touched first, then other driver-unproven names,
-    then the driver-proven tail (stable within each block)."""
+    """Registry names: r7-touched first, then other driver-unproven names,
+    then the driver-proven tail (stable within each block). A touched name
+    never rides the verified tail even if an older round proved its
+    pre-rewrite shape."""
     names = list(QUERY_REGISTRY)
-    touched = [n for n in _R6_TOUCHED if n in QUERY_REGISTRY]
+    touched = [n for n in _R7_TOUCHED if n in QUERY_REGISTRY]
+    tset = set(touched)
     rest_unproven = [
         n for n in names
-        if n not in _DRIVER_VERIFIED and n not in set(touched)
+        if n not in _DRIVER_VERIFIED and n not in tset
     ]
-    verified = [n for n in names if n in _DRIVER_VERIFIED]
+    verified = [
+        n for n in names if n in _DRIVER_VERIFIED and n not in tset
+    ]
     return touched + rest_unproven + verified
 
 

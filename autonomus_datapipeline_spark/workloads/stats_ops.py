@@ -2357,7 +2357,9 @@ def durbin_watson_trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame
     resid = daily.crossJoin(F.broadcast(s)).select(
         "x", (F.col("y") - (intercept + slope * F.col("x"))).alias("e")
     )
-    lagged = with_global_shift(resid, [("x", True)], {"ep": ("e", 1)}).select(
+    lagged = with_global_shift(
+        resid, [("x", True)], {"ep": ("e", 1)}, materialize="cache"
+    ).select(
         "e", "ep"
     )
     return lagged.agg(

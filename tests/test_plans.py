@@ -357,7 +357,7 @@ def test_grid_epsilon_join_is_shuffled_on_cells(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-_PS_PREFIXES = ("_ps", "_lo", "_off", "_tot")
+_PS_PREFIXES = ("_ps", "_lo", "_off", "_tot", "_rh")
 
 
 def _unbounded_broadcasts(spark, name, sf_dir) -> list[list[str]]:

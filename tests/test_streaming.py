@@ -542,3 +542,64 @@ def test_stream_neardup_gate_grows_index_across_batches(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(paths["index"]).collect()
     )
     assert idx == [1, 2, 21]
+    # append-only sinks: batch 2 must NOT have rewritten batch 1's
+    # partitions — each admitted doc lives in the partition of the batch
+    # that admitted it.
+    kept_by_batch = {
+        r["doc_id"]: r["batch_id"]
+        for r in spark.read.parquet(paths["kept"]).collect()
+    }
+    assert kept_by_batch[1] == kept_by_batch[2] == 0
+    assert kept_by_batch[21] == 1
+
+
+def test_neardup_gate_replayed_batch_is_idempotent(spark, tmp_path):
+    """Structured Streaming's retry contract: a micro-batch may be
+    re-delivered with the SAME batch_id after a failure. Replaying must
+    not double-admit documents, double-report matches, or grow the index
+    twice — the batch's sink partitions are replaced, not appended."""
+    from autonomus_datapipeline_spark.streaming.neardup import (
+        gate_and_append_batch,
+    )
+
+    paths = {
+        "index": str(tmp_path / "index"),
+        "kept": str(tmp_path / "kept"),
+        "matches": str(tmp_path / "matches"),
+    }
+    b0 = spark.createDataFrame(
+        [(1, _BASE_TEXT), (2, _NOVEL_TEXT)], _doc_schema()
+    )
+    b1 = spark.createDataFrame(
+        [
+            # near-copy of doc 2 → rejected against the batch-0 index
+            (20, _NOVEL_TEXT.replace("parquet", "orcfile")),
+            (21, "entirely unrelated short note on tax law amendments"),
+        ],
+        _doc_schema(),
+    )
+
+    def snapshot():
+        return {
+            name: sorted(
+                tuple(r) for r in spark.read.parquet(path).collect()
+            )
+            for name, path in paths.items()
+        }
+
+    gate_and_append_batch(b0, 0, paths["index"], paths["kept"],
+                          paths["matches"], max_hamming=10)
+    gate_and_append_batch(b1, 1, paths["index"], paths["kept"],
+                          paths["matches"], max_hamming=10)
+    first = snapshot()
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(paths["kept"]).collect()) == [1, 2, 21]
+    # replay batch 1 (same batch_id, same data) — full retry semantics
+    gate_and_append_batch(b1, 1, paths["index"], paths["kept"],
+                          paths["matches"], max_hamming=10)
+    assert snapshot() == first
+    # replay batch 0 too: its gate reads batch_id < 0 → empty index, the
+    # same state the original attempt saw
+    gate_and_append_batch(b0, 0, paths["index"], paths["kept"],
+                          paths["matches"], max_hamming=10)
+    assert snapshot() == first
