@@ -192,6 +192,45 @@ def _append_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
     )
 
 
+def compact_gate_sink(spark, path: str, upto_batch_id: int) -> int:
+    """Periodic sink maintenance: fold every ``batch_id <= upto_batch_id``
+    partition into the single partition ``batch_id=upto_batch_id`` and
+    drop the older ones, so long-running streams don't accumulate one tiny
+    partition per micro-batch (small-file pressure on the index scan).
+
+    Safe w.r.t. the gate's replay contract as long as ``upto_batch_id`` is
+    a COMMITTED batch (Structured Streaming only ever replays the last
+    uncommitted batch, whose id is strictly greater): compacted rows keep
+    a batch_id every future batch's ``batch_id < N`` index read still
+    includes, and the swap itself is idempotent — a re-run re-reads
+    whatever partitions remain and rewrites the same consolidated
+    partition. Cost is O(rows ≤ upto), run at an operator-chosen cadence
+    (e.g. every ~100 batches), never per batch. Returns the row count.
+    """
+    merged = (
+        spark.read.parquet(path)
+        .filter(F.col("batch_id") <= upto_batch_id)
+        .drop("batch_id")
+        # materialize BEFORE writing: the write overwrites a partition of
+        # the same path being read
+        .localCheckpoint(eager=True)
+    )
+    n = merged.count()
+    _append_batch_partition(merged, path, upto_batch_id)
+    # drop the now-folded older partitions via the Hadoop FS API (public
+    # Spark surface; works for local, HDFS, and s3a alike)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if name.startswith("batch_id="):
+            bid = int(name.split("=", 1)[1])
+            if bid < upto_batch_id:
+                fs.delete(status.getPath(), True)
+    return n
+
+
 def gate_and_append_batch(
     batch_df: DataFrame,
     batch_id: int,

@@ -603,3 +603,57 @@ def test_neardup_gate_replayed_batch_is_idempotent(spark, tmp_path):
     gate_and_append_batch(b0, 0, paths["index"], paths["kept"],
                           paths["matches"], max_hamming=10)
     assert snapshot() == first
+
+
+def test_neardup_gate_sink_compaction_preserves_gating(spark, tmp_path):
+    """compact_gate_sink folds committed batch partitions into one without
+    changing sink contents, and later batches still gate correctly against
+    the compacted index (compacted rows keep batch_id <= the compaction
+    point, so every future `batch_id < N` read includes them)."""
+    from autonomus_datapipeline_spark.streaming.neardup import (
+        compact_gate_sink,
+        gate_and_append_batch,
+    )
+
+    paths = {
+        "index": str(tmp_path / "index"),
+        "kept": str(tmp_path / "kept"),
+        "matches": str(tmp_path / "matches"),
+    }
+    gate_and_append_batch(
+        spark.createDataFrame([(1, _BASE_TEXT)], _doc_schema()), 0,
+        paths["index"], paths["kept"], paths["matches"], max_hamming=10,
+    )
+    gate_and_append_batch(
+        spark.createDataFrame([(2, _NOVEL_TEXT)], _doc_schema()), 1,
+        paths["index"], paths["kept"], paths["matches"], max_hamming=10,
+    )
+    rows_before = sorted(
+        (r["doc_id"], r["simhash"])
+        for r in spark.read.parquet(paths["index"]).collect()
+    )
+    n = compact_gate_sink(spark, paths["index"], upto_batch_id=1)
+    assert n == 2
+    idx = spark.read.parquet(paths["index"])
+    rows_after = sorted(
+        (r["doc_id"], r["simhash"]) for r in idx.collect()
+    )
+    assert rows_after == rows_before
+    # one physical partition left, and it's the compaction point
+    assert set(r["batch_id"] for r in idx.collect()) == {1}
+    # batch 2 still rejects a near-copy of compacted doc 1 and admits novelty
+    gate_and_append_batch(
+        spark.createDataFrame(
+            [(30, _BASE_TEXT.replace("lazy", "sleepy")),
+             (31, "short treatise on municipal drainage easements")],
+            _doc_schema(),
+        ), 2,
+        paths["index"], paths["kept"], paths["matches"], max_hamming=10,
+    )
+    kept_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(paths["kept"]).collect()
+    )
+    assert kept_ids == [1, 2, 31]
+    m = {(r["new_id"], r["index_id"]) for r in
+         spark.read.parquet(paths["matches"]).collect()}
+    assert (30, 1) in m
