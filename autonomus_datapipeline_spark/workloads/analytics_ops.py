@@ -722,14 +722,15 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    # cache(): the degree table is read by the edge checkpoint build, the
-    # n-nodes scalar, the rank init, AND the final degree join — uncached,
-    # each of those re-executes the expensive within-order pair fan-out
-    # behind it (~4 executions of e0; measured ~4.7 → ~3.6 s at sf0.1).
-    # |parts|-sized, same persist scope as the iteration vectors.
+    # Deliberately NOT cache()d: the degree table is read ~4× (edge
+    # checkpoint build, n-nodes scalar, rank init, final join), but a
+    # cache() here measured SLOWER cold (6.4 vs 5.1 s at sf0.1) — the
+    # InMemoryRelation pin defeats AQE on every consumer join and the
+    # repeated agg is map-side combinable anyway. The expensive pair
+    # fan-out itself is amortized by the edges localCheckpoint below.
     deg = e0.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
-    ).cache()
+    )
     # One materialization of the fan-out; every iteration reuses it.
     edges = e0.join(deg, "src").localCheckpoint()
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))

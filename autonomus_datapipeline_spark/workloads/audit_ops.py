@@ -424,16 +424,16 @@ def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, [("value", True)], row_number="rk", total_count="n",
         partition_by=["event_type"],
     )
-    # |types|-sized → cache: every downstream re-scan of `d` would
-    # otherwise rebuild the ENTIRE pass-1 rank machinery inside this
-    # broadcast (the second prefix-sum pass reads `d` from ~3 subplans,
-    # so the first pass ran ~4× — measured 3.1 s vs ~1 s cached). Caching
-    # the tiny aggregate is scale-free; the events scan itself stays lazy.
+    # Deliberately NOT cache()d even though `d` re-reads it from several
+    # subplans: caching this |types|-sized aggregate measured 2× SLOWER
+    # cold (5.1 vs 2.5 s at sf0.1) — the InMemoryRelation pin blocks AQE
+    # replanning of the broadcast joins that consume it, which costs far
+    # more than re-running the map-side-combinable agg.
     med = r.groupBy("event_type").agg(
         F.min(F.when(2 * F.col("rk") >= F.col("n") + 1, F.col("value"))).alias(
             "med"
         )
-    ).cache()
+    )
     d = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
@@ -445,7 +445,7 @@ def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(2 * F.col("ark") >= F.col("n") + 1, F.col("adev"))).alias(
             "mad"
         )
-    ).cache()
+    )
     return (
         d.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")

@@ -856,10 +856,12 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     125 rows.
     """
     o = load_table(spark, sf_dir, "orders")
-    # cache(): the three quintile passes AND the scored base all read this
-    # rollup — uncached, the orders scan + groupBy executes 4×. The cache
-    # is |customers|-sized (MEMORY_AND_DISK, spills rather than OOMs) and
-    # strictly cheaper than three extra full orders scans at any scale.
+    # Deliberately NOT cache()d: the three quintile passes and the scored
+    # base all read this rollup, but a cache() here measured 2.6× SLOWER
+    # cold (5.6 vs 2.1 s at sf0.1) — pinning the subtree as an
+    # InMemoryRelation blocks AQE's runtime replanning of every downstream
+    # join, which costs more than the three extra map-side-combinable
+    # re-aggregations it saves.
     rfm = o.groupBy("o_custkey").agg(
         F.datediff(
             F.lit(_RFM_ANCHOR).cast("date"),
@@ -869,7 +871,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recency"),
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("monetary"),
-    ).cache()
+    )
     # Three INDEPENDENT slim NTILEs joined back on custkey — chaining the
     # three with_global_ntile calls would feed each one the previous one's
     # whole plan as input (the prefix-sum machinery reads its input from

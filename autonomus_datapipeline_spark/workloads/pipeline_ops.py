@@ -640,6 +640,113 @@ def ann_ivf_frozen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup prune threshold: within-cell cosine at or above this marks the
+# higher-id member as a semantic duplicate of the lower-id one.
+_SEMDEDUP_TAU = 0.3
+
+
+@query(
+    "semdedup_cell_prune",
+    oracle=f"""
+    WITH {_sql_cents_cte()},
+    {_NORM_CTE},
+    {_sql_ivf_frozen_cand_cte()},
+    sd_pairs AS (
+        SELECT aa.cell_id, aa.vec_id AS id_a, ab.vec_id AS id_b
+        FROM fassigned aa JOIN fassigned ab
+          ON ab.cell_id = aa.cell_id AND aa.vec_id < ab.vec_id
+    ),
+    sd_dots AS (
+        SELECT sp.cell_id, sp.id_a, sp.id_b, CAST({_DOT} AS DOUBLE) AS dot
+        FROM sd_pairs sp
+        JOIN embeddings a ON a.vec_id = sp.id_a
+        JOIN embeddings b ON b.vec_id = sp.id_b,
+             range(1, {_DIM + 1}) t(p)
+        GROUP BY 1, 2, 3
+    ),
+    sd_pruned AS (
+        SELECT DISTINCT d.cell_id, d.id_b
+        FROM sd_dots d
+        JOIN norms na ON na.vec_id = d.id_a
+        JOIN norms nb ON nb.vec_id = d.id_b
+        WHERE ROUND(d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6)
+              >= {_SEMDEDUP_TAU}
+    ),
+    sd_members AS (SELECT cell_id, COUNT(*) AS nm FROM fassigned GROUP BY 1),
+    sd_prn AS (SELECT cell_id, COUNT(*) AS np FROM sd_pruned GROUP BY 1)
+    SELECT m.cell_id,
+           CAST(m.nm AS BIGINT) AS n_members,
+           CAST(COALESCE(p.np, 0) AS BIGINT) AS n_pruned,
+           CAST(m.nm - COALESCE(p.np, 0) AS BIGINT) AS n_kept
+    FROM sd_members m LEFT JOIN sd_prn p USING (cell_id)
+    ORDER BY m.cell_id
+    """,
+)
+def semdedup_cell_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest frozen-codebook
+    centroid, then prune, WITHIN each cell only, every vector whose cosine
+    to a lower-id cell-mate reaches the threshold — keeping one
+    representative per semantic near-dup group without ever comparing
+    across cells. Reports per-cell members / pruned / kept.
+
+    This is the cluster-bucketed scale path for embedding-cosine dedup:
+    `embedding_neardup_pairs` bounds the quadratic term with a GIVEN
+    blocking key (label), while here the blocking key is LEARNED (the same
+    offline-trained codebook the frozen-IVF ANN ships), so it applies to
+    corpora with no natural block column. At 100 TB the codebook is trained
+    once on a sample with k ∝ corpus/target-cell-size (SemDeDup uses 50k
+    clusters for LAION), assignment is one corpus scan against a broadcast
+    codebook, and the within-cell stage is `blocked_neardup_pairs`' Arrow
+    matmul prefilter + exact-decimal scoring on survivors — Σ cell² work,
+    never n². The 16-key shuffle here is a toy-codebook artifact; the
+    production k keeps cells both worker-sized and numerous.
+
+    Determinism: cell assignment compares exact-decimal distances
+    (ties → lower cell id) and the prune compares the exact-decimal cosine
+    rounded to 6 — both engines replay bit-identically.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(IVF_CENTROIDS)],
+        "cell_id int, cvec array<double>",
+    )
+    clustered = (
+        similarity.nearest_cells_exact(emb, cent, 1, "embedding", "vec_id")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cell_id",
+            F.col("vec").alias("embedding"),
+        )
+        # two consumers below (pair generation + member counts) with
+        # different downstream exchanges — ReuseExchange cannot dedupe them
+        .localCheckpoint(eager=True)
+    )
+    pairs = similarity.blocked_neardup_pairs(clustered, "cell_id", _SEMDEDUP_TAU)
+    pruned = pairs.select(
+        F.col("block").alias("cell_id"), F.col("id_b").alias("vec_id")
+    ).distinct()
+    members = clustered.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    npruned = pruned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pruned")
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        members.join(npruned, "cell_id", "left")
+        .select(
+            "cell_id",
+            "n_members",
+            F.coalesce("n_pruned", zero).alias("n_pruned"),
+            (F.col("n_members") - F.coalesce("n_pruned", zero))
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+        .orderBy("cell_id")
+    )
+
+
 @query(
     "ann_recall_report",
     oracle=f"""

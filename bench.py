@@ -25,6 +25,7 @@ BENCH_SIDECAR.json in the repo root.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -99,6 +100,16 @@ def main() -> None:
     for name, spec in QUERY_REGISTRY.items():
         runs: list[float] = []
         for _ in range(n_runs):
+            # Each timed run starts cache-cold. Spark's CacheManager matches
+            # analyzed plans structurally, so a repeated query would silently
+            # reuse the previous run's cache()d subtrees (warm-biased
+            # medians), and caches leaking across QUERIES inflate later
+            # queries' GC/eviction cost — production runs one job per
+            # application and never sees either effect. The gc.collect()
+            # drops lingering py4j DataFrame refs so the ContextCleaner can
+            # free localCheckpoint blocks from earlier queries too.
+            spark.catalog.clearCache()
+            gc.collect()
             t0 = time.time()
             try:
                 spec.fn(spark, sf_dir).count()

@@ -151,3 +151,67 @@ def test_pca_project_matches_numpy(spark):
     proj = np.stack([got[i] for i in range(60)])
     v = proj.var(axis=0)
     assert v[0] > v[1] > v[2]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup cell prune (workloads/pipeline_ops.semdedup_cell_prune)
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_summary(spark, emb, centroids, tau):
+    """Mirror of the semdedup_cell_prune query body over hand centroids."""
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)],
+        "cell_id int, cvec array<double>",
+    )
+    clustered = similarity.nearest_cells_exact(
+        emb, cent, 1, "embedding", "vec_id"
+    ).select(
+        F.col("id").alias("vec_id"), "cell_id", F.col("vec").alias("embedding")
+    )
+    pairs = similarity.blocked_neardup_pairs(clustered, "cell_id", tau)
+    pruned = pairs.select(
+        F.col("block").alias("cell_id"), F.col("id_b").alias("vec_id")
+    ).distinct()
+    return clustered, pruned
+
+
+def test_semdedup_prunes_within_cell_keeps_lowest_id(spark):
+    """Within a cell, every member cosine-close to a lower-id member is
+    pruned — one representative (the lowest id) survives per dup group."""
+    emb = _clustered_df(spark)  # ids 0-3 near +e1, ids 10-13 near +e2
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    clustered, pruned = _semdedup_summary(spark, emb, centroids, 0.99)
+    got = {r.vec_id for r in pruned.collect()}
+    # reps 0 and 10 survive; every other member is a near-dup of them
+    assert got == {1, 2, 3, 11, 12, 13}
+
+
+def test_semdedup_never_compares_across_cells(spark):
+    """Two near-identical vectors assigned to DIFFERENT cells are not a
+    candidate pair — SemDeDup's contract is within-cell pruning only."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    # both vectors sit on a cell boundary: 0 → cell 0, 1 → cell 1
+    centroids = [[1.0, 0.0], [0.0, 1.0]]
+    clustered, pruned = _semdedup_summary(spark, emb, centroids, -1.0)
+    cells = dict((r.vec_id, r.cell_id) for r in clustered.collect())
+    assert cells == {0: 0, 1: 1}
+    assert pruned.count() == 0  # tau=-1 would prune ANY same-cell pair
+
+
+def test_semdedup_cell_prune_query_invariants(spark, sf_dir):
+    """The registered query over the test tables: per-cell arithmetic holds
+    and membership partitions the corpus."""
+    from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY
+
+    out = QUERY_REGISTRY["semdedup_cell_prune"].fn(spark, sf_dir).collect()
+    assert len(out) >= 1
+    assert all(r.n_kept == r.n_members - r.n_pruned for r in out)
+    assert all(0 <= r.n_pruned <= r.n_members for r in out)
+    cells = [r.cell_id for r in out]
+    assert cells == sorted(cells) and len(set(cells)) == len(cells)
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_members for r in out) == n_emb
