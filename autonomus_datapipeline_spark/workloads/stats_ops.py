@@ -1989,12 +1989,12 @@ def spearman_rho_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # Distributed prefix-sum: l_extendedprice is near-unique, so this
         # rank map is ≈|lineitem|-sized — a single-partition window here
-        # would serialize the whole rank assignment. materialize="cache":
-        # the histogram sits on a full-table scan + shuffle that the
-        # prefix-sum branches would otherwise recompute; the cached rows
-        # are (value, count) pairs — far narrower than the scan.
+        # would serialize the whole rank assignment. No materialize: the
+        # recomputed branches are map-side-combinable scan+aggs, and the
+        # r6 cache here measured ~0.4 s SLOWER cold (the InMemoryRelation
+        # pin blocks AQE replanning downstream — see NOTES_BUILD r7b).
         return with_global_running(
-            hist, [("v", True)], sums={"ce": "c"}, materialize="cache"
+            hist, [("v", True)], sums={"ce": "c"}
         ).select(
             F.col("v").alias(col),
             (2 * (F.col("ce") - F.col("c")) + F.col("c") + 1)

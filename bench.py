@@ -17,6 +17,15 @@ Python-worker/Arrow path (spawning the pandas-UDF workers is a one-time
 ~3s session cost that otherwise lands on whichever mapInPandas query runs
 first — the r1-r3 `multimodal_frame_sample` phantom regression).
 
+Methodology (r7): every timed run starts CACHE-COLD (`clearCache()` before
+each run). Spark's CacheManager matches analyzed plans structurally, so
+without this, runs 2..N of any cache()-carrying query reused run 1's cache
+(warm-biased medians), other queries sharing a cached subtree got invisible
+speedups, and the never-unpersisted caches taxed later queries' GC. Numbers
+from r6 and earlier are warm-biased for the caching queries and their
+subtree-sharing neighbors — suite walls are not directly comparable across
+that boundary (measured ~+12% honest-cold vs the old methodology).
+
 The stdout JSON line is kept under ~1900 chars (the driver records a
 2000-char stdout tail) by listing only the slowest queries; the COMPLETE
 per-run data — every query, all run times, median and spread — is written to
@@ -25,7 +34,6 @@ BENCH_SIDECAR.json in the repo root.
 
 from __future__ import annotations
 
-import gc
 import json
 import os
 import statistics
@@ -105,11 +113,12 @@ def main() -> None:
             # reuse the previous run's cache()d subtrees (warm-biased
             # medians), and caches leaking across QUERIES inflate later
             # queries' GC/eviction cost — production runs one job per
-            # application and never sees either effect. The gc.collect()
-            # drops lingering py4j DataFrame refs so the ContextCleaner can
-            # free localCheckpoint blocks from earlier queries too.
+            # application and never sees either effect. (No gc.collect()
+            # here: forcing it queues a ContextCleaner block-removal storm
+            # that contends with the next timed run — measured +0.2-0.8 s
+            # on unrelated queries; CPython refcounting retires py4j refs
+            # promptly on its own.)
             spark.catalog.clearCache()
-            gc.collect()
             t0 = time.time()
             try:
                 spec.fn(spark, sf_dir).count()

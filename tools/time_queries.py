@@ -6,7 +6,6 @@ full-suite wall. Usage: python tools/time_queries.py [sf_dir] query [query ...]
 
 from __future__ import annotations
 
-import gc
 import os
 import statistics
 import sys
@@ -36,7 +35,6 @@ def main() -> None:
             # cache-cold per run, matching bench.py (CacheManager would
             # otherwise resurrect the previous run's cache()d subtrees)
             spark.catalog.clearCache()
-            gc.collect()
             t0 = time.time()
             QUERY_REGISTRY[name].fn(spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
