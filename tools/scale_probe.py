@@ -186,6 +186,8 @@ PROBE_QUERIES = [
     "poisson_rate_shift",
     "chow_test_revenue_break",
     "jackknife_mean_variance",
+    # round-7: cluster-bucketed semantic dedup (Σ cell² within-cell stage)
+    "semdedup_cell_prune",
 ]
 
 
