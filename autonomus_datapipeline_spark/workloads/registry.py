@@ -178,7 +178,10 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         # bug — fixed in r5, left unproven here so it leads the r5 file).
         "corpus_mix_sampling",
         "doc_chunking_overlap", "embedding_int8_quantization",
-        "grouped_token_quantiles", "hard_negative_mining",
+        "grouped_token_quantiles",
+        # hard_negative_mining: r4-proven but re-touched by the r7 ANN
+        # re-rank restructure — dropped here until driver re-proof (it
+        # rides _R7_TOUCHED at the front of the contract).
         "scd2_user_value_history",
         # CORRECTNESS_r06.json: hash_match == true (50 rows sampled; only
         # the 6 below remain untouched by the r7 prefix-sum/ANN
