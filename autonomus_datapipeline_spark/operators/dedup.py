@@ -149,7 +149,7 @@ def lsh_candidate_pairs(
     # subtree for each side. The banded table is docs × n_bands rows of
     # hashes — tiny relative to the corpus — so materialize it once (the
     # 100 TB analog: persist the signature table before pairing).
-    banded = banded.cache()
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
