@@ -1209,3 +1209,171 @@ def stratified_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 64  # feature-hash buckets (production: 10k+; B-sized state either way)
+_DSIR_TARGET = "src0"  # in-corpus proxy for the target distribution
+_DSIR_TOP = 50
+# ln(ratio) is quantized to 1e-6 before the integer weight sum: libm ln is
+# not IEEE-correctly-rounded, so Spark (JVM Math.log) and DuckDB (C log)
+# may differ in the last ulp (~1e-16 rel). A floor at 1e-6 granularity
+# flips only if ln·1e6 sits within ~1e-10 of an integer — ~1e-10 odds per
+# bucket, 64 buckets. All arithmetic before ln is exact-int products cast
+# to double (< 2^53, exactly representable), so the ln INPUT is identical.
+_DSIR_LQ = "1e6"
+
+
+def _dsir_bucket_sql(ng: str) -> str:
+    h = f"md5({ng})"
+    return (
+        f"(ascii(substr({h}, 1, 1)) * 256 + ascii(substr({h}, 2, 1)))"
+        f" % {_DSIR_B}"
+    )
+
+
+@query(
+    "dsir_importance_select",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+    uni AS (SELECT doc_id, source, unnest(tk) AS ng FROM toks),
+    bi AS (
+        SELECT doc_id, source, tk[i] || ' ' || tk[i + 1] AS ng
+        FROM (
+            SELECT doc_id, source, tk, unnest(range(1, len(tk))) AS i
+            FROM toks WHERE len(tk) >= 2
+        ) u
+    ),
+    ng AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    db AS (
+        SELECT doc_id, source, {_dsir_bucket_sql("ng")} AS b,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM ng GROUP BY 1, 2, 3
+    ),
+    pool AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cs FROM db GROUP BY 1),
+    tgt AS (
+        SELECT b, CAST(SUM(c) AS BIGINT) AS ct FROM db
+        WHERE source = '{_DSIR_TARGET}' GROUP BY 1
+    ),
+    tot AS (
+        SELECT (SELECT SUM(cs) FROM pool) AS s_tot,
+               (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS t_tot
+    ),
+    lq AS (
+        SELECT p.b,
+               CAST(FLOOR(ln(
+                   CAST((COALESCE(t.ct, 0) + 1) * (o.s_tot + {_DSIR_B}) AS DOUBLE)
+                   / CAST((p.cs + 1) * (o.t_tot + {_DSIR_B}) AS DOUBLE)
+               ) * {_DSIR_LQ}) AS BIGINT) AS lq
+        FROM pool p LEFT JOIN tgt t ON t.b = p.b CROSS JOIN tot o
+    ),
+    w AS (
+        SELECT d.doc_id, d.source,
+               CAST(SUM(d.c * l.lq) AS BIGINT) AS dsir_weight_q
+        FROM db d JOIN lq l ON l.b = d.b
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, source, dsir_weight_q, rk FROM (
+        SELECT doc_id, source, dsir_weight_q,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY dsir_weight_q DESC, doc_id) AS INT) AS rk
+        FROM w
+    ) r WHERE rk <= {_DSIR_TOP}
+    ORDER BY rk
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score every
+    pool document by its importance weight under a hashed-n-gram bag model
+    — Σ_b c_doc(b)·[ln p_target(b) − ln p_pool(b)] with add-1 smoothing
+    over {_DSIR_B} feature-hash buckets (unigrams + bigrams) — and keep
+    the top {_DSIR_TOP}. The target distribution is fit on the
+    '{_DSIR_TARGET}' slice; the pool is the whole corpus. This is the
+    standard cheap pre-training data selector: raw pool in, target-like
+    subset out, no model in the loop.
+
+    Scale: feature hashing keeps ALL fitted state {_DSIR_B}-sized
+    (broadcast) no matter the corpus; the corpus is tokenized once into a
+    checkpointed (doc, bucket, count) table consumed by both the fit
+    aggregates (map-side combinable, {_DSIR_B}-row outputs) and the
+    per-doc weight join; the only corpus-sized shuffles are the two
+    keyed aggregations. Weights are exact int64 sums of 1e-6-quantized
+    log-ratios (see _DSIR_LQ note), so ranking is engine-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), r"\s+").alias("tk")
+    )
+    uni = tk.select("doc_id", "source", F.explode("tk").alias("ng"))
+    bi = tk.where(F.size("tk") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 1),"
+                " i -> concat(tk[i - 1], ' ', tk[i]))"
+            )
+        ).alias("ng"),
+    )
+    ng = uni.unionByName(bi)
+    bucket = (
+        F.ascii(F.substring(F.md5("ng"), 1, 1)) * 256
+        + F.ascii(F.substring(F.md5("ng"), 2, 1))
+    ) % _DSIR_B
+    # one tokenize+hash pass; three consumers below (pool fit, target fit,
+    # weight join) read the checkpointed blocks, not the explode
+    db = (
+        ng.withColumn("b", bucket)
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    pool = db.groupBy("b").agg(F.sum("c").cast("bigint").alias("cs"))
+    tgt = (
+        db.where(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.sum("c").cast("bigint").alias("ct"))
+    )
+    tot = pool.agg(F.sum("cs").alias("s_tot")).crossJoin(
+        F.broadcast(
+            tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t_tot"))
+        )
+    )
+    lq = (
+        pool.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        * (F.col("s_tot") + _DSIR_B)
+                    ).cast("double")
+                    / ((F.col("cs") + 1) * (F.col("t_tot") + _DSIR_B)).cast(
+                        "double"
+                    )
+                )
+                * float(_DSIR_LQ)
+            )
+            .cast("bigint")
+            .alias("lq"),
+        )
+    )
+    w = (
+        db.join(F.broadcast(lq), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("c") * F.col("lq")).cast("bigint").alias("dsir_weight_q"))
+    )
+    from autonomus_datapipeline_spark.operators.prefix_sum import ranked_head
+
+    return (
+        ranked_head(
+            w, [("dsir_weight_q", False), ("doc_id", True)], _DSIR_TOP, "rk"
+        )
+        .select("doc_id", "source", "dsir_weight_q", "rk")
+        .orderBy("rk")
+    )

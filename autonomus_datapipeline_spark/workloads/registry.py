@@ -204,7 +204,7 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
 # its name re-enters _DRIVER_VERIFIED. Never-driver-proven names go first.
 _R7_TOUCHED: tuple[str, ...] = (
     # new in r7 (never driver-proven)
-    "semdedup_cell_prune",
+    "semdedup_cell_prune", "dsir_importance_select",
     # never driver-proven (r6 sample missed them; multimodal + ivf-assign
     # are r6-shaped and unchanged in r7)
     "multimodal_payload_neardup", "ann_ivf_incremental_assign",

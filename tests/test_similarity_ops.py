@@ -215,3 +215,51 @@ def test_semdedup_cell_prune_query_invariants(spark, sf_dir):
     assert cells == sorted(cells) and len(set(cells)) == len(cells)
     n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert sum(r.n_members for r in out) == n_emb
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance selection (workloads/curation_ops.dsir_importance_select)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_prefers_target_like_documents(spark, monkeypatch):
+    """Documents whose n-grams match the target slice's distribution rank
+    above off-distribution documents — including target-LIKE docs outside
+    the target source (the whole point of the selector)."""
+    from autonomus_datapipeline_spark.workloads import curation_ops
+
+    rows = []
+    for i in range(3):  # the target slice
+        rows.append((i, "alpha beta alpha beta alpha", "en", "src0", 0))
+    for i in range(3, 6):  # target-like pool docs, different source
+        rows.append((i, "alpha beta alpha beta alpha", "en", "srcX", 0))
+    for i in range(6, 12):  # off-distribution pool docs
+        rows.append((i, "gamma delta epsilon zeta eta theta", "en", "srcX", 0))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(
+        curation_ops, "load_table", lambda spark, sf, name: docs
+    )
+    out = curation_ops.dsir_importance_select(spark, "unused").collect()
+    assert [r.rk for r in out] == list(range(1, len(out) + 1))
+    # weights non-increasing in rank
+    ws = [r.dsir_weight_q for r in out]
+    assert ws == sorted(ws, reverse=True)
+    by_rank = [r.doc_id for r in out]
+    # all six alpha-beta docs (target + target-like) outrank every
+    # gamma-family doc
+    assert set(by_rank[:6]) == set(range(6))
+    # a strict gap separates the target-like block from the rest (sign is
+    # not guaranteed under add-1 smoothing with tiny counts; order is)
+    assert ws[5] > ws[6]
+
+
+def test_dsir_query_invariants(spark, sf_dir):
+    from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY
+
+    out = QUERY_REGISTRY["dsir_importance_select"].fn(spark, sf_dir).collect()
+    assert 0 < len(out) <= 50
+    assert [r.rk for r in out] == list(range(1, len(out) + 1))
+    ws = [r.dsir_weight_q for r in out]
+    assert ws == sorted(ws, reverse=True)
