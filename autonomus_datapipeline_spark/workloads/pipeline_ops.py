@@ -848,7 +848,15 @@ def ann_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    exact1 = similarity.cosine_topk(q, emb, 1).select("query_id", "neighbor_id")
+    # |queries| rows; both method branches join against it and their
+    # broadcast-build jobs would otherwise re-run the whole exact
+    # brute-force pipeline once per branch (cross-job re-execution —
+    # the HITS/PageRank lesson, NOTES_BUILD r7)
+    exact1 = (
+        similarity.cosine_topk(q, emb, 1)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
     reports = []
     for method, approx in (
         ("rp_lsh", similarity.lsh_topk_portable(q, emb, _ANN_K, _ANN_PLANES)),
