@@ -383,3 +383,33 @@ def test_partitioned_windows_in_plan_carry_partition_spec(seg_frame):
 
     walk(got._jdf.queryExecution().optimizedPlan())
     assert specs and all(sz >= 2 for sz in specs)  # (seg, _psb)
+
+
+def test_bounds_fast_path_matches_unbounded(frame):
+    """Supplying bounds= skips the min/max scan but must not change any
+    value — even DELIBERATELY loose bounds only skew bucket balance."""
+    base = ps.with_global_running(
+        frame, [("x", True), ("id", True)],
+        sums={"cum": "k"}, row_number="rn", total_count="n", n_buckets=16,
+    )
+    for lo, hi in [(0.0, 100.0), (-1e6, 1e6), (3.25, 3.25)]:
+        fast = ps.with_global_running(
+            frame, [("x", True), ("id", True)],
+            sums={"cum": "k"}, row_number="rn", total_count="n",
+            n_buckets=16, bounds=(lo, hi),
+        )
+        b = {r["id"]: r for r in base.collect()}
+        got = fast.collect()
+        assert len(got) == len(b)
+        assert all(
+            (r["cum"], r["rn"], r["n"]) == (b[r["id"]]["cum"], b[r["id"]]["rn"], b[r["id"]]["n"])
+            for r in got
+        )
+
+
+def test_bounds_rejected_with_partition_by(frame):
+    with pytest.raises(ValueError):
+        ps.with_global_running(
+            frame, [("x", True)], sums={"cum": "k"},
+            partition_by=["k"], bounds=(0.0, 1.0),
+        )
