@@ -187,7 +187,9 @@ PROBE_QUERIES = [
     "chow_test_revenue_break",
     "jackknife_mean_variance",
     # round-7: cluster-bucketed semantic dedup (Σ cell² within-cell stage)
+    # + hashed-n-gram importance selection (bucket-sized fitted state)
     "semdedup_cell_prune",
+    "dsir_importance_select",
 ]
 
 
