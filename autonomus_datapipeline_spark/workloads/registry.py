@@ -186,64 +186,106 @@ _DRIVER_VERIFIED: frozenset[str] = frozenset(
         # CORRECTNESS_r06.json: hash_match == true (50 rows sampled; only
         # the 6 below remain untouched by the r7 prefix-sum/ANN
         # restructure — the other 44 r6-proven names were re-touched in r7
-        # and live in _R7_TOUCHED until re-proven).
+        # and led the r7 contract until re-proven).
         "neardup_gate_admission", "q2_min_cost_supplier",
         "q9_product_type_profit", "q11_important_stock",
         "q16_supplier_part_counts", "q20_excess_stock_suppliers",
+        # CORRECTNESS_r07.json: hash_match == true (all 50 sampled rows —
+        # the r7-touched prefix-sum/ANN re-proof set plus the two new
+        # r7 queries). Names later re-touched in r8 are pulled back out
+        # via _R8_TOUCHED (a touched name never rides the verified tail).
+        "abc_part_classification", "ann_ivf_frozen_topk",
+        "ann_ivf_incremental_assign", "ann_ivf_portable_topk",
+        "ann_lsh_topk", "ann_mrr_report", "ann_recall_report",
+        "burrows_delta_stylometry", "categorical_encode",
+        "concordance_keyword_context", "countmin_heavy_hitters",
+        "cumulative_share_pareto80", "daily_revenue_peaks",
+        "domain_cap_sample", "dsir_importance_select",
+        "durbin_watson_trend_residuals", "embedding_cosine_topk",
+        "embedding_dim_clip_report", "event_bigram_support",
+        "event_trigram_support", "funnel_time_to_conversion",
+        "hard_negative_mining", "hazard_table_monthly",
+        "hits_copurchase_2iter", "interval_overlap_count",
+        "inverted_index_postings", "kendall_tau_b_qty_price",
+        "key_skew_gini", "knn_label_classifier",
+        "ks_two_sample_order_value", "label_propagation_communities",
+        "lm_score_quality_buckets", "mann_whitney_order_value",
+        "multimodal_payload_neardup", "order_value_decile_calibration",
+        "orders_yoy_growth", "pareto_frontier_orders",
+        "quality_threshold_filter", "quantile_normalize_deciles",
+        "reorder_interval_quantiles", "rfm_segmentation",
+        "robust_outlier_mad", "semdedup_cell_prune", "session_top_paths",
+        "sorted_neighborhood_pairs", "spearman_rho_qty_price",
+        "trending_users_report", "trimmed_mean_order_value",
+        "vocab_zipf_stats", "winnowing_match_pairs",
     }
 )
 
 
-# Queries whose PLANS changed in round 7 (prefix-sum core restructure:
-# grand-totals from the bucket rollup + single merged broadcast + bounds
-# fast path; window-free ranked_head; ANN re-rank phase-2 re-attach from
-# base tables + fast-norm phase 1; shift-caller caching; robust_outlier_mad
-# med/mad caching) plus the round-6 names the r6 driver sample missed.
-# The driver's correctness file caps at 50 rows in queries() order, so
-# these lead the contract: a rewritten query needs driver re-proof before
-# its name re-enters _DRIVER_VERIFIED. Never-driver-proven names go first.
-_R7_TOUCHED: tuple[str, ...] = (
-    # new in r7 (never driver-proven)
-    "semdedup_cell_prune", "dsir_importance_select",
-    # never driver-proven (r6 sample missed them; multimodal + ivf-assign
-    # are r6-shaped and unchanged in r7)
-    "multimodal_payload_neardup", "ann_ivf_incremental_assign",
-    # ANN re-rank restructure (phase-2 base-table re-attach, fast norms)
-    "ann_lsh_topk", "ann_ivf_frozen_topk", "ann_ivf_portable_topk",
-    "ann_recall_report", "ann_mrr_report", "embedding_cosine_topk",
-    "robust_outlier_mad", "hard_negative_mining", "knn_label_classifier",
-    # prefix-sum core restructure touches every caller
-    "categorical_encode", "orders_yoy_growth", "quality_threshold_filter",
-    "winnowing_match_pairs", "sorted_neighborhood_pairs", "vocab_zipf_stats",
-    "concordance_keyword_context", "burrows_delta_stylometry",
-    "lm_score_quality_buckets", "quantile_normalize_deciles",
-    "abc_part_classification", "domain_cap_sample",
-    "embedding_dim_clip_report", "key_skew_gini", "pareto_frontier_orders",
-    "hits_copurchase_2iter", "daily_revenue_peaks", "session_top_paths",
-    "trending_users_report", "reorder_interval_quantiles",
-    "funnel_time_to_conversion", "interval_overlap_count",
-    "cumulative_share_pareto80", "rfm_segmentation",
-    "order_value_decile_calibration", "event_bigram_support",
-    "event_trigram_support", "ks_two_sample_order_value",
-    "mann_whitney_order_value", "countmin_heavy_hitters",
-    "label_propagation_communities", "inverted_index_postings",
-    "trimmed_mean_order_value", "hazard_table_monthly",
-    "spearman_rho_qty_price", "kendall_tau_b_qty_price",
-    "durbin_watson_trend_residuals", "theil_sen_daily_trend",
-    "winsorized_mean_order_value", "brown_forsythe_variance_test",
-    "cusum_changepoint_daily_orders", "trend_seasonal_decompose",
-    "gini_revenue_concentration", "market_basket_triples",
+# The 60 registry names that have never appeared in any driver
+# CORRECTNESS_r*.json (rounds 1-7 sampled elsewhere; all 60 are green
+# under the judge's independent sf0.01 sweep and the full pytest oracle
+# suite at sf0.001, but driver rows are the only unconditional proof).
+# They lead the r8 contract so the driver's 50-row cap lands on them;
+# the ~10 past the cap clear in r9. Registry-registration order.
+_NEVER_DRIVER_PROVEN: tuple[str, ...] = (
+    "distribution_drift_tvd", "copurchase_pairs", "l_diversity_audit",
+    "table_profile_orders", "temporal_consistency_audit",
+    "retention_cohort_matrix", "activity_streaks",
+    "exp_decay_user_engagement", "wau_mau_rolling_ratio",
+    "near_time_duplicate_events", "rolling_zscore_anomaly",
+    "chi_square_event_hour", "monthly_priority_share_shift",
+    "pagerank_copurchase", "copurchase_degree_histogram",
+    "cohort_ltv_matrix", "twap_event_value", "bfs_hops_from_hub",
+    "seasonal_naive_backtest", "churn_label_table", "degree_assortativity",
+    "new_vs_returning_revenue", "bm25_doc_ranking",
+    "boilerplate_coverage_scores", "ngram_containment_pairs",
+    "source_token_tvd_matrix", "grid_epsilon_neighbors",
+    "dbscan_grid_clusters", "embedding_centroid_drift",
+    "market_basket_lift", "jaccard_knn_graph", "ngram_novelty_decay",
+    "weekday_seasonality_index", "kmeans_2iter_clusters",
+    "source_distinctive_terms_chi2", "markov_transition_accuracy",
+    "kmeans_elbow_inertia", "kmeans_silhouette_proxy", "acf_hourly_events",
+    "ewma_daily_revenue", "flesch_reading_buckets", "kcore_peeling_summary",
+    "bigram_lm_source_scores", "ab_conversion_ztest",
+    "ols_price_quantity_fit", "ols_revenue_trend_by_priority",
+    "cuped_adjusted_ab", "lpa_modularity_score", "covariate_balance_smd",
+    "anova_f_order_value", "cramers_v_segment_priority",
+    "partial_correlation_qty_price", "mcnemar_conversion_shift",
+    "poisson_rate_shift", "chow_test_revenue_break",
+    "jackknife_mean_variance", "benford_first_digit_audit",
+    "purchase_attribution_last_touch", "bloom_filter_fpr_audit",
+    "purchase_attribution_linear",
+)
+
+# Queries whose PLANS changed in round 8, plus the 7 r7-touched names the
+# r7 driver sample missed (their last driver proof predates the r7
+# prefix-sum restructure, so they stay out of _DRIVER_VERIFIED until
+# re-proven). They follow the never-proven backlog in the contract: a
+# rewritten query needs driver re-proof before its name re-enters
+# _DRIVER_VERIFIED.
+_R8_TOUCHED: tuple[str, ...] = (
+    # r7-touched, not sampled by the r7 driver (stale pre-r7 proof)
+    "theil_sen_daily_trend", "winsorized_mean_order_value",
+    "brown_forsythe_variance_test", "cusum_changepoint_daily_orders",
+    "trend_seasonal_decompose", "gini_revenue_concentration",
+    "market_basket_triples",
 )
 
 
 def _contract_order() -> list[str]:
-    """Registry names: r7-touched first, then other driver-unproven names,
-    then the driver-proven tail (stable within each block). A touched name
-    never rides the verified tail even if an older round proved its
-    pre-rewrite shape."""
+    """Registry names: never-driver-proven backlog first, then r8-touched
+    re-proof names, then other driver-unproven names, then the
+    driver-proven tail (stable within each block). A touched name never
+    rides the verified tail even if an older round proved its pre-rewrite
+    shape."""
     names = list(QUERY_REGISTRY)
-    touched = [n for n in _R7_TOUCHED if n in QUERY_REGISTRY]
-    tset = set(touched)
+    front = [n for n in _NEVER_DRIVER_PROVEN if n in QUERY_REGISTRY]
+    front += [
+        n for n in _R8_TOUCHED
+        if n in QUERY_REGISTRY and n not in set(front)
+    ]
+    tset = set(front)
     rest_unproven = [
         n for n in names
         if n not in _DRIVER_VERIFIED and n not in tset
@@ -251,7 +293,7 @@ def _contract_order() -> list[str]:
     verified = [
         n for n in names if n in _DRIVER_VERIFIED and n not in tset
     ]
-    return touched + rest_unproven + verified
+    return front + rest_unproven + verified
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
