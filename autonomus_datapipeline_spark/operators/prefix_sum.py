@@ -117,10 +117,20 @@ def _bucket_expr(
     """
     kd = key.try_cast("double")
     span = mx - mn
+    # Clamp BOTH edges: keys above mx pin to the top bucket (F.least) and
+    # keys below mn pin to bucket 0 (F.greatest). The lower clamp matters
+    # for caller-supplied bounds= — an unclamped key < mn would floor() to
+    # a negative bucket that collides with the ASC NULL bucket (-1) / the
+    # -2 non-castable sentinel (and, DESC-mirrored, lands past the NULL
+    # bucket), corrupting offsets. With data-derived min/max the clamp is
+    # a no-op.
     raw = F.when(span <= 0, F.lit(0)).otherwise(
-        F.least(
-            F.lit(n_buckets - 1),
-            F.floor((kd - mn) / span * n_buckets).cast("int"),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((kd - mn) / span * n_buckets).cast("int"),
+            ),
         )
     )
     if not asc:
@@ -195,7 +205,14 @@ def with_global_running(
         so ReuseExchange cannot dedup them — an EXPENSIVE input (corpus
         scan + regex, a pair join) would re-execute ~4×. Opt in when the
         input costs more to recompute than to persist; small aggregate
-        inputs should stay lazy (default).
+        inputs should stay lazy (default). NOTE: ``"cache"`` pins an
+        InMemoryRelation for the SESSION — the operator returns a lazy
+        DataFrame, so it cannot know when to unpersist. One-job-per-
+        application runs (production batch) and clearCache-per-run
+        harnesses (bench.py) are unaffected; a long-lived interactive
+        session re-invoking a caching caller should clear the cache
+        between runs or prefer ``"localCheckpoint"`` (blocks are freed by
+        GC once the result DataFrame is dropped).
     ``bounds``
         optional (min, max) of the bucket key as plain floats, when the
         caller already knows them (a bounded score, a fixed calendar
@@ -328,10 +345,11 @@ def with_global_running(
             )
             .groupBy(*pb, "_psb")
             .agg(
-                *[
-                    F.coalesce(F.sum(f"_lo{name}"), F.lit(0)).alias(f"_off{name}")
-                    for name in acc
-                ],
+                # Offsets stay NULL when no lower bucket holds a non-null
+                # value (first bucket, or all-NULL predecessors): the
+                # combine below needs to distinguish "no preceding values"
+                # (window SUM → NULL) from "preceding values sum to 0".
+                *[F.sum(f"_lo{name}").alias(f"_off{name}") for name in acc],
                 *[F.max(f"_lo{name}").alias(f"_off{name}") for name in mx_acc],
             )
         )
@@ -348,11 +366,26 @@ def with_global_running(
             offsets = offsets.crossJoin(grand)
     out = local.join(F.broadcast(offsets), [*pb, "_psb"])
     for k in sums:
-        out = out.withColumn(k, F.col(f"_ps_s_{k}") + F.col(f"_off_ps_s_{k}"))
+        # Window-SUM semantics: NULL iff the whole inclusive frame (lower
+        # buckets + local prefix) holds no non-null value; otherwise the
+        # sum of the non-nulls. A bare local+offset would go NULL whenever
+        # the local bucket prefix is all-NULL (e.g. trailing NULL-key rows
+        # under DESC), dropping the lower-bucket contribution.
+        lo_c, off_c = F.col(f"_ps_s_{k}"), F.col(f"_off_ps_s_{k}")
+        out = out.withColumn(
+            k,
+            F.when(
+                lo_c.isNotNull() | off_c.isNotNull(),
+                F.coalesce(lo_c, F.lit(0)) + F.coalesce(off_c, F.lit(0)),
+            ),
+        )
     if row_number is not None:
         out = out.withColumn(
             row_number,
-            (F.col("_ps_s__rn") + F.col("_off_ps_s__rn")).cast("bigint"),
+            (
+                F.col("_ps_s__rn")
+                + F.coalesce(F.col("_off_ps_s__rn"), F.lit(0))
+            ).cast("bigint"),
         )
     for k in maxes_excl:
         # greatest() skips NULLs: first row of a bucket has NULL local excl
@@ -386,8 +419,11 @@ def with_global_ntile(
     n_buckets: int = _DEFAULT_BUCKETS,
     partition_by: Sequence[str] = (),
     materialize: str | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Global ``NTILE(n_tiles)`` over a total order, distributedly.
+    ``bounds`` as in :func:`with_global_running` (skips the min/max scan
+    when the caller knows the bucket-key range; unpartitioned only).
 
     Reproduces Spark/DuckDB NTILE semantics exactly from the global row
     number rn and total count n: with q = n div k and r = n mod k, the
@@ -404,6 +440,7 @@ def with_global_ntile(
         n_buckets=n_buckets,
         partition_by=partition_by,
         materialize=materialize,
+        bounds=bounds,
     )
     k = int(n_tiles)
     tile = F.expr(
@@ -425,8 +462,11 @@ def with_global_shift(
     n_buckets: int = _DEFAULT_BUCKETS,
     partition_by: Sequence[str] = (),
     materialize: str | None = None,
+    bounds: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Global ``LAG``/``LEAD`` over a total order, distributedly.
+    ``bounds`` as in :func:`with_global_running` (skips the min/max scan
+    when the caller knows the bucket-key range; unpartitioned only).
 
     ``shifts``: out_name → (source_column, offset); offset +1 is
     ``LAG(src, 1)`` (value one row earlier in the order), -1 is
@@ -456,6 +496,7 @@ def with_global_shift(
         bucket_by=bucket_by,
         n_buckets=n_buckets,
         partition_by=pb,
+        bounds=bounds,
     )
     if materialize == "cache":
         d = d.cache()

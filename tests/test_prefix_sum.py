@@ -407,6 +407,39 @@ def test_bounds_fast_path_matches_unbounded(frame):
         )
 
 
+@pytest.mark.parametrize("asc", [True, False])
+def test_bounds_with_out_of_range_and_null_keys(spark, asc):
+    """Keys strictly below bounds[0] / above bounds[1] must clamp into the
+    edge buckets — never collide with the NULL bucket (ASC -1 / DESC
+    n_buckets) or the -2 non-castable sentinel. Pin against the
+    unpartitioned window on a frame with NULLs and data on both sides of
+    the supplied range."""
+    rows = [(i, float(v)) for i, v in enumerate([-50, -3, 0, 7, 12, 29, 30,
+                                                 31, 44, 60, 61, 95, 1e6])]
+    rows += [(100, None), (101, None)]
+    nl = spark.createDataFrame(rows, "id long, x double")
+    order = F.col("x").asc() if asc else F.col("x").desc()
+    w = Window.orderBy(order, "id")
+    ref = {
+        r["id"]: (r["rn"], r["cum"])
+        for r in nl.select(
+            "id",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.sum("x").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum"),
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["rn"], r["cum"])
+        for r in ps.with_global_running(
+            nl, [("x", asc), ("id", True)], sums={"cum": "x"},
+            row_number="rn", n_buckets=8, bounds=(30.0, 60.0),
+        ).collect()
+    }
+    assert got == ref
+
+
 def test_bounds_rejected_with_partition_by(frame):
     with pytest.raises(ValueError):
         ps.with_global_running(
