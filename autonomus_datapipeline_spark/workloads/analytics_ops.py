@@ -27,6 +27,7 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
     with_global_shift,
 )
 from autonomus_datapipeline_spark.workloads.registry import (
+    ORDERDATE_EPOCH_DAY_BOUNDS,
     dsum,
     load_table,
     query,
@@ -896,13 +897,18 @@ def hits_copurchase_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # build re-executes the whole upstream chain of join-aggregates (the
     # re-execution compounds per half-step — measured ~4.0 s → ~2.5 s at
     # sf0.1). Score vectors are |customers|/|parts|-sized — the same
-    # per-iteration persist MLlib's power iterations do.
+    # per-iteration persist MLlib's power iterations do. The handles are
+    # collected and unpersisted after the eager materialization below, so
+    # a long-lived session doesn't accumulate pinned InMemoryRelations
+    # across repeated invocations.
+    cached = []
     for _ in range(2):
         a_raw = (
             be.join(h, "c")
             .groupBy("p")
             .agg(F.sum("hq").cast("bigint").alias("raw"))
         ).cache()
+        cached.append(a_raw)
         a_tot = a_raw.agg(F.sum("raw").alias("tot"))
         a = a_raw.crossJoin(F.broadcast(a_tot)).select(
             "p",
@@ -915,6 +921,7 @@ def hits_copurchase_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c")
             .agg(F.sum("aq").cast("bigint").alias("raw"))
         ).cache()
+        cached.append(h_raw)
         h_tot = h_raw.agg(F.sum("raw").alias("tot"))
         h = h_raw.crossJoin(F.broadcast(h_tot)).select(
             "c",
@@ -922,7 +929,7 @@ def hits_copurchase_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("hq"),
         )
-    return (
+    out = (
         ranked_head(a, [("aq", False), ("p", True)], _HITS_TOP, "rk")
         .select(
             F.col("p").alias("part"),
@@ -931,7 +938,15 @@ def hits_copurchase_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
         .orderBy("rk")
+        # Eagerly materialize the top-k (tiny) so every half-step cache can
+        # be released before returning: the tot-broadcast jobs populate the
+        # caches during this one action, exactly as they would under a lazy
+        # collect, so this adds no extra jobs.
+        .localCheckpoint(eager=True)
     )
+    for c in cached:
+        c.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1310,7 +1325,9 @@ def daily_revenue_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     shifts = {f"_lag{i}": ("r", i) for i in range(1, hw + 1)}
     shifts.update({f"_lead{i}": ("r", -i) for i in range(1, hw + 1)})
     shifted = with_global_shift(
-        daily, [("day", True)], shifts, materialize="cache"
+        daily, [("day", True)], shifts, materialize="cache",
+        # dbgen calendar envelope is fixed — skips the min/max scan job
+        bounds=ORDERDATE_EPOCH_DAY_BOUNDS,
     )
     lags = [F.col(f"_lag{i}") for i in range(1, hw + 1)]
     leads = [F.col(f"_lead{i}") for i in range(1, hw + 1)]

@@ -812,6 +812,9 @@ def lm_score_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         3,
         "tercile",
         materialize="cache",
+        # mean_pq is a floor-quantized probability in picounits — its
+        # range is fixed by construction, so the min/max scan is skipped
+        bounds=(0.0, 1e12),
     ).select("mean_pq", "tercile")
     bucket = (
         F.when(F.col("tercile") == 1, "head")

@@ -30,6 +30,7 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
     with_global_shift,
 )
 from autonomus_datapipeline_spark.workloads.registry import (
+    ORDERDATE_EPOCH_DAY_BOUNDS,
     load_table,
     query,
     sql_davg,
@@ -97,6 +98,8 @@ def cusum_changepoint_daily_orders(spark: SparkSession, sf_dir: str) -> DataFram
         row_number="t",
         totals={"s": "x"},
         total_count="n",
+        # dbgen calendar envelope is fixed — skips the min/max scan job
+        bounds=ORDERDATE_EPOCH_DAY_BOUNDS,
     ).select("day", "t", "ct", "s", "n")
     dn = F.abs(
         F.col("n").cast("decimal(38,0)") * F.col("ct")

@@ -17,6 +17,7 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
     with_global_shift,
 )
 from autonomus_datapipeline_spark.workloads.registry import (
+    ORDER_YEAR_BOUNDS,
     load_table,
     query,
     sql_dsum,
@@ -563,6 +564,8 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_global_shift(
             yearly, [("yr", True)], {"prev_rev": ("revenue", 1)},
             materialize="cache",
+            # dbgen year envelope is fixed — skips the min/max scan job
+            bounds=ORDER_YEAR_BOUNDS,
         )
         .select("yr", "n_orders", "revenue", "prev_rev")
         .select(
