@@ -1,0 +1,151 @@
+"""Filesystem seam for sink maintenance (compaction, swaps, file audits).
+
+Maintenance paths need a handful of filesystem verbs Spark's public
+DataFrame API does not expose: list a sink's partition directories, delete
+folded partitions, rename a staged rewrite into place. The JVM gateway
+(``spark._jvm`` → Hadoop ``FileSystem``) can do all of that for every
+scheme Spark reads, but it is NOT a stable public surface across PySpark
+majors (Spark Connect sessions have no ``_jvm`` at all), so it must never
+be the only path.
+
+This module makes the filesystem an injectable seam:
+
+- :class:`LocalFS` — pure-Python (``os``/``shutil``) implementation for
+  plain paths and ``file:`` URIs. No JVM involvement at all; works under
+  Spark Connect.
+- :class:`JvmHadoopFS` — the Hadoop ``FileSystem`` bridge for ``hdfs:`` /
+  ``s3a:`` / anything else, used only when a classic-gateway session is
+  available.
+- :func:`resolve_fs` — picks LocalFS for local paths (the common case in
+  this repo's tests and any single-node run) and falls back to the JVM
+  bridge otherwise, with a clear error when neither applies.
+
+Callers (``streaming/neardup.compact_gate_sink``,
+``operators/maintenance``) accept an optional ``fs=`` so a deployment can
+supply its own implementation (e.g. a boto3-backed S3 lister) without
+touching engine code.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import shutil
+from urllib.parse import urlparse
+
+
+class LocalFS:
+    """Pure-Python filesystem verbs for local paths / ``file:`` URIs."""
+
+    @staticmethod
+    def _strip(path: str) -> str:
+        u = urlparse(path)
+        if u.scheme in ("", "file"):
+            return u.path or path
+        raise ValueError(f"LocalFS cannot handle scheme {u.scheme!r}: {path}")
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._strip(path))
+
+    def listdir(self, path: str) -> list[str]:
+        """Child entry NAMES of a directory (not full paths)."""
+        return sorted(os.listdir(self._strip(path)))
+
+    def delete(self, path: str) -> None:
+        p = self._strip(path)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+
+    def rename(self, src: str, dst: str) -> bool:
+        s, d = self._strip(src), self._strip(dst)
+        if not os.path.exists(s) or os.path.exists(d):
+            return False
+        os.rename(s, d)
+        return True
+
+    def list_files(self, path: str) -> list[tuple[str, int]]:
+        """(full_path, bytes) for every regular file under ``path``,
+        recursively."""
+        root = self._strip(path)
+        out: list[tuple[str, int]] = []
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                fp = os.path.join(dirpath, f)
+                out.append((fp, os.path.getsize(fp)))
+        return sorted(out)
+
+    def qualified(self, path: str) -> tuple[str, str, str]:
+        """(scheme, authority, normalized absolute path) — the identity
+        used to refuse in-place rewrites regardless of aliasing."""
+        return ("file", "", posixpath.normpath(os.path.abspath(self._strip(path))))
+
+
+class JvmHadoopFS:
+    """Hadoop ``FileSystem`` verbs via the classic JVM gateway.
+
+    Only constructed when the session actually has a gateway (classic
+    PySpark); resolve_fs never routes local paths here, so single-node /
+    Spark Connect runs stay JVM-free.
+    """
+
+    def __init__(self, spark):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    def _fs_path(self, path: str):
+        hp = self._jvm.org.apache.hadoop.fs.Path(path)
+        return hp.getFileSystem(self._conf), hp
+
+    def exists(self, path: str) -> bool:
+        fs, hp = self._fs_path(path)
+        return bool(fs.exists(hp))
+
+    def listdir(self, path: str) -> list[str]:
+        fs, hp = self._fs_path(path)
+        return sorted(
+            status.getPath().getName() for status in fs.listStatus(hp)
+        )
+
+    def delete(self, path: str) -> None:
+        fs, hp = self._fs_path(path)
+        fs.delete(hp, True)
+
+    def rename(self, src: str, dst: str) -> bool:
+        fs, sp = self._fs_path(src)
+        dp = self._jvm.org.apache.hadoop.fs.Path(dst)
+        return bool(fs.rename(sp, dp))
+
+    def list_files(self, path: str) -> list[tuple[str, int]]:
+        fs, hp = self._fs_path(path)
+        out: list[tuple[str, int]] = []
+        it = fs.listFiles(hp, True)
+        while it.hasNext():
+            status = it.next()
+            out.append((status.getPath().toString(), status.getLen()))
+        return sorted(out)
+
+    def qualified(self, path: str) -> tuple[str, str, str]:
+        fs, hp = self._fs_path(path)
+        uri = fs.makeQualified(hp).toUri()
+        return (
+            uri.getScheme() or "",
+            uri.getAuthority() or "",
+            posixpath.normpath(uri.getPath() or "/"),
+        )
+
+
+def resolve_fs(spark, path: str):
+    """LocalFS for local / ``file:`` paths (JVM-free); the Hadoop bridge
+    for remote schemes on classic-gateway sessions; a clear error when a
+    remote scheme meets a gateway-less session (inject your own ``fs=``)."""
+    scheme = urlparse(path).scheme
+    if scheme in ("", "file"):
+        return LocalFS()
+    if getattr(spark, "_jvm", None) is not None:
+        return JvmHadoopFS(spark)
+    raise RuntimeError(
+        f"no filesystem implementation for scheme {scheme!r} without a JVM "
+        "gateway (Spark Connect session?) — pass fs= explicitly"
+    )

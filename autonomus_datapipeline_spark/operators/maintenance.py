@@ -20,10 +20,11 @@ operations are mandatory housekeeping:
 from __future__ import annotations
 
 import math
-import posixpath
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from autonomus_datapipeline_spark.fsutil import resolve_fs
 
 
 def file_zone_map(df: DataFrame, stat_col: str) -> DataFrame:
@@ -80,25 +81,22 @@ def prune_files(zone_rows, lo, hi) -> list[str]:
     ]
 
 
-def parquet_file_sizes(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+def parquet_file_sizes(
+    spark: SparkSession, path: str, fs=None
+) -> list[tuple[str, int]]:
     """(path, bytes) for every parquet data file under ``path``.
 
-    Uses the Hadoop FileSystem API via the JVM gateway, so it works on any
-    scheme Spark can read (local, HDFS, object stores), not just local
-    disk.
+    Filesystem verbs go through the :mod:`..fsutil` seam: pure-Python for
+    local paths (JVM-free — works under Spark Connect), the Hadoop bridge
+    for HDFS/object-store schemes, or a caller-injected ``fs=``.
     """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(path)
-    fs = root.getFileSystem(conf)
-    out: list[tuple[str, int]] = []
-    it = fs.listFiles(root, True)
-    while it.hasNext():
-        status = it.next()
-        p = status.getPath()
-        if p.getName().endswith(".parquet"):
-            out.append((p.toString(), status.getLen()))
-    return out
+    if fs is None:
+        fs = resolve_fs(spark, path)
+    return [
+        (p, size)
+        for p, size in fs.list_files(path)
+        if p.endswith(".parquet")
+    ]
 
 
 def compact_parquet(
@@ -118,22 +116,9 @@ def compact_parquet(
     ``dir/../dir`` or a ``file:`` prefix cannot sneak an in-place rewrite
     past it.
     """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-
-    def _qualified(p: str) -> tuple[str, str, str]:
-        # makeQualified pins scheme+authority; normpath collapses '..'/'.'
-        # segments Hadoop Path keeps verbatim.
-        hp = jvm.org.apache.hadoop.fs.Path(p)
-        fs = hp.getFileSystem(conf)
-        uri = fs.makeQualified(hp).toUri()
-        return (
-            uri.getScheme() or "",
-            uri.getAuthority() or "",
-            posixpath.normpath(uri.getPath() or "/"),
-        )
-
-    if _qualified(src) == _qualified(dst):
+    # qualified() pins scheme+authority and collapses '..'/'.' aliases, so
+    # `dir/../dir` or a `file:` prefix cannot sneak an in-place rewrite by.
+    if resolve_fs(spark, src).qualified(src) == resolve_fs(spark, dst).qualified(dst):
         raise ValueError("compact_parquet requires dst != src (write then swap)")
     sizes = parquet_file_sizes(spark, src)
     total = sum(s for _, s in sizes)
@@ -147,35 +132,35 @@ def compact_parquet(
     }
 
 
-def promote_directory(spark: SparkSession, staged: str, target: str) -> str:
-    """Promote a staged rewrite over ``target`` via two FileSystem renames
+def promote_directory(
+    spark: SparkSession, staged: str, target: str, fs=None
+) -> str:
+    """Promote a staged rewrite over ``target`` via two filesystem renames
     (the compact-then-swap step): the previous ``target`` is moved aside to
     ``<target>__replaced`` (returned, for deferred deletion once no reader
     can still hold its file list) and ``staged`` takes its place. Renames
     are metadata operations on HDFS-like filesystems; on object stores a
-    table format's metadata commit replaces this.
+    table format's metadata commit replaces this. Filesystem verbs go
+    through the :mod:`..fsutil` seam (JVM-free for local paths).
     """
-    jvm = spark._jvm
-    conf = spark._jsc.hadoopConfiguration()
-    staged_p = jvm.org.apache.hadoop.fs.Path(staged)
-    target_p = jvm.org.apache.hadoop.fs.Path(target)
-    fs = target_p.getFileSystem(conf)
+    if fs is None:
+        fs = resolve_fs(spark, target)
     # Validate the staged side BEFORE touching target: a typo'd staged path
     # must not leave the live directory moved aside with nothing promoted.
-    if not fs.exists(staged_p):
+    if not fs.exists(staged):
         raise IOError(f"staged path {staged} does not exist; target untouched")
-    aside = jvm.org.apache.hadoop.fs.Path(target + "__replaced")
+    aside = target + "__replaced"
     if fs.exists(aside):
-        fs.delete(aside, True)
-    moved_aside = fs.exists(target_p)
-    if moved_aside and not fs.rename(target_p, aside):
+        fs.delete(aside)
+    moved_aside = fs.exists(target)
+    if moved_aside and not fs.rename(target, aside):
         raise IOError(f"could not move {target} aside")
-    if not fs.rename(staged_p, target_p):
+    if not fs.rename(staged, target):
         # roll the previous data back into place before failing
         if moved_aside:
-            fs.rename(aside, target_p)
+            fs.rename(aside, target)
         raise IOError(f"could not promote {staged} to {target}; target restored")
-    return str(aside.toString())
+    return aside
 
 
 def write_bucketed(
