@@ -120,14 +120,16 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_table(
     signatures: DataFrame, n_bands: int, rows_per_band: int
 ) -> DataFrame:
-    """Band the signature, bucket-join on (band index, band hash).
+    """(doc_id, band_idx, band_hash) — one row per LSH band per document.
 
-    The self-join is an equi-join on the banded hash — at 100 TB this
-    shuffles each side once on the bucket key and never materializes
-    non-colliding pairs. Returns (doc_a < doc_b, n_bands matched).
+    The shared banding of the batch pair-join (:func:`lsh_candidate_pairs`)
+    and the streaming MinHash ingestion gate
+    (streaming/neardup.minhash_gate_and_append_batch): both consume this
+    table, so batch and streaming agree on what counts as a band collision
+    by construction.
     """
     bands = F.array(
         *[
@@ -142,9 +144,21 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = signatures.select(
+    return signatures.select(
         "doc_id", F.explode(bands).alias("band")
     ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """Band the signature, bucket-join on (band index, band hash).
+
+    The self-join is an equi-join on the banded hash — at 100 TB this
+    shuffles each side once on the bucket key and never materializes
+    non-colliding pairs. Returns (doc_a < doc_b, n_bands matched).
+    """
+    banded = band_table(signatures, n_bands, rows_per_band)
     # The self-join would otherwise recompute the entire shingle→minhash
     # subtree for each side. The banded table is docs × n_bands rows of
     # hashes — tiny relative to the corpus — so materialize it once (the

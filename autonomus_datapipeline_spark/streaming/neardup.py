@@ -41,7 +41,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from autonomus_datapipeline_spark.operators.dedup import simhash
+from autonomus_datapipeline_spark.fsutil import resolve_fs
+from autonomus_datapipeline_spark.operators.dedup import (
+    band_table,
+    minhash_signatures,
+    shingle_table,
+    simhash,
+)
 
 _N_BITS = 64
 
@@ -192,7 +198,7 @@ def _append_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
     )
 
 
-def compact_gate_sink(spark, path: str, upto_batch_id: int) -> int:
+def compact_gate_sink(spark, path: str, upto_batch_id: int, fs=None) -> int:
     """Periodic sink maintenance: fold every ``batch_id <= upto_batch_id``
     partition into the single partition ``batch_id=upto_batch_id`` and
     drop the older ones, so long-running streams don't accumulate one tiny
@@ -202,32 +208,39 @@ def compact_gate_sink(spark, path: str, upto_batch_id: int) -> int:
     a COMMITTED batch (Structured Streaming only ever replays the last
     uncommitted batch, whose id is strictly greater): compacted rows keep
     a batch_id every future batch's ``batch_id < N`` index read still
-    includes, and the swap itself is idempotent — a re-run re-reads
-    whatever partitions remain and rewrites the same consolidated
-    partition. Cost is O(rows ≤ upto), run at an operator-chosen cadence
-    (e.g. every ~100 batches), never per batch. Returns the row count.
+    includes. CRASH-idempotent, not just replay-idempotent: if a previous
+    attempt died after writing the consolidated ``batch_id=upto``
+    partition but before deleting every older partition, a re-run's merge
+    sees the same row once from the consolidated partition and once from
+    each surviving original — the full-row ``dropDuplicates`` collapses
+    those (gate sink rows are unique per batch by construction — doc_ids
+    are admitted once, match pairs are distinct — and replayed partitions
+    are byte-identical, so an exact duplicate row across partitions can
+    only be a torn-compaction artifact). Cost is O(rows ≤ upto), run at an
+    operator-chosen cadence (e.g. every ~100 batches), never per batch.
+    Filesystem verbs go through the :mod:`..fsutil` seam (pure-Python for
+    local paths, Hadoop bridge for remote schemes, or caller-injected
+    ``fs=``). Returns the row count.
     """
+    if fs is None:
+        fs = resolve_fs(spark, path)
     merged = (
         spark.read.parquet(path)
         .filter(F.col("batch_id") <= upto_batch_id)
         .drop("batch_id")
+        .dropDuplicates()
         # materialize BEFORE writing: the write overwrites a partition of
         # the same path being read
         .localCheckpoint(eager=True)
     )
     n = merged.count()
     _append_batch_partition(merged, path, upto_batch_id)
-    # drop the now-folded older partitions via the Hadoop FS API (public
-    # Spark surface; works for local, HDFS, and s3a alike)
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    for status in fs.listStatus(hpath):
-        name = status.getPath().getName()
+    # drop the now-folded older partitions
+    for name in fs.listdir(path):
         if name.startswith("batch_id="):
             bid = int(name.split("=", 1)[1])
             if bid < upto_batch_id:
-                fs.delete(status.getPath(), True)
+                fs.delete(f"{path}/{name}")
     return n
 
 
@@ -248,11 +261,16 @@ def gate_and_append_batch(
     restricted to STRICTLY EARLIER batches and the write replaces only
     this batch's partition."""
     spark = batch_df.sparkSession
-    try:
+    # "Sink absent" (first batch) is the ONLY condition that may gate
+    # against an empty index. Any other read failure — corrupt footer,
+    # transient FS error, permissions — must raise so Structured Streaming
+    # fails and retries the micro-batch; swallowing it would silently
+    # re-admit near-duplicates of everything admitted so far.
+    if resolve_fs(spark, index_path).exists(index_path):
         index_fp = spark.read.parquet(index_path).filter(
             F.col("batch_id") < batch_id
         ).select("doc_id", "simhash")
-    except Exception:  # noqa: BLE001 — first batch: sink absent
+    else:
         index_fp = spark.createDataFrame([], "doc_id bigint, simhash string")
     kept, matches = gate_batch(
         batch_df, index_fp, id_col, text_col, max_hamming
@@ -263,6 +281,183 @@ def gate_and_append_batch(
     _append_batch_partition(
         simhash(kept, "doc_id", "text", _N_BITS), index_path, batch_id
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-banded variant of the gate (shingle-Jaccard near-dup detector)
+# ---------------------------------------------------------------------------
+
+# Defaults mirror the batch MinHash family (workloads/pipeline_ops.py
+# _MH_*): word bigrams, 12 salted-md5 permutations, 4 bands × 3 rows.
+_MH_SHINGLE = 2
+_MH_HASHES = 12
+_MH_BANDS = 4
+
+
+def minhash_band_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = _MH_SHINGLE,
+    n_hashes: int = _MH_HASHES,
+    n_bands: int = _MH_BANDS,
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) for every document — the index payload
+    of the MinHash gate. Built from the SAME shingle → signature → banding
+    operators the batch dedup family uses (operators/dedup.py), so batch
+    and streaming agree on what counts as a near-dup band collision.
+    Documents with fewer than ``shingle_n`` words produce no shingles and
+    therefore no bands — they can never collide and are always admitted."""
+    named = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    sh = shingle_table(named, "doc_id", "text", shingle_n)
+    sigs = minhash_signatures(sh, n_hashes)
+    return band_table(sigs, n_bands, n_hashes // n_bands)
+
+
+def minhash_matches(new_bands: DataFrame, index_bands: DataFrame) -> DataFrame:
+    """(new_id, index_id, n_bands) for every new document sharing ≥ 1 LSH
+    band with an index document. Pure equi-join on (band_idx, band_hash) —
+    non-colliding pairs are never materialized; the index side is
+    corpus-sized and is never broadcast."""
+    a = new_bands.select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+    )
+    b = index_bands.select(
+        F.col("doc_id").alias("index_id"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .groupBy("new_id", "index_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"))
+    )
+
+
+def minhash_gate_batch(
+    batch_df: DataFrame,
+    index_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = _MH_SHINGLE,
+    n_hashes: int = _MH_HASHES,
+    n_bands: int = _MH_BANDS,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One micro-batch through the MinHash gate →
+    (kept_docs, matches, batch_bands). ``batch_bands`` is the WHOLE
+    batch's (materialized) band table; callers filter it to the kept ids
+    for the index payload — against the kept set they actually persisted,
+    so the anti-join never re-executes.
+
+    Admission rule (same deterministic convention as the SimHash gate,
+    :func:`gate_batch`): a batch document is rejected iff it shares ≥ 1
+    band with the index OR with a batch document of smaller doc_id."""
+    named = batch_df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    bands = minhash_band_table(
+        named, "doc_id", "text", shingle_n, n_hashes, n_bands
+    ).localCheckpoint(eager=True)
+    vs_index = minhash_matches(bands, index_bands)
+    intra = (
+        minhash_matches(bands, bands)
+        .filter(F.col("index_id") < F.col("new_id"))
+    )
+    rejected = (
+        vs_index.select("new_id").unionByName(intra.select("new_id")).distinct()
+    )
+    kept = named.join(rejected, named.doc_id == rejected.new_id, "left_anti")
+    matches = vs_index.unionByName(intra)
+    return kept, matches, bands
+
+
+def minhash_gate_and_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    kept_path: str,
+    matches_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = _MH_SHINGLE,
+    n_hashes: int = _MH_HASHES,
+    n_bands: int = _MH_BANDS,
+) -> None:
+    """MinHash foreachBatch body with the shared sink discipline: every
+    sink is append-only parquet partitioned by batch_id, the gate reads
+    the band index restricted to STRICTLY EARLIER batches, and a
+    checkpoint-replayed retry atomically replaces only its own partition
+    with byte-identical content (see :func:`gate_and_append_batch`). The
+    index payload is the kept documents' (doc_id, band_idx, band_hash)
+    rows — n_bands rows per admitted doc, so the index stays
+    corpus-linear. :func:`compact_gate_sink` applies unchanged."""
+    spark = batch_df.sparkSession
+    # Same failure contract as the SimHash gate: only a genuinely absent
+    # sink may gate against an empty index; real read errors must raise so
+    # Structured Streaming retries the micro-batch.
+    if resolve_fs(spark, index_path).exists(index_path):
+        index_bands = spark.read.parquet(index_path).filter(
+            F.col("batch_id") < batch_id
+        ).select("doc_id", "band_idx", "band_hash")
+    else:
+        index_bands = spark.createDataFrame(
+            [], "doc_id bigint, band_idx int, band_hash string"
+        )
+    kept, matches, bands = minhash_gate_batch(
+        batch_df, index_bands, id_col, text_col, shingle_n, n_hashes, n_bands
+    )
+    kept = kept.localCheckpoint(eager=True)
+    _append_batch_partition(matches, matches_path, batch_id)
+    _append_batch_partition(kept, kept_path, batch_id)
+    # index payload: the kept documents' bands, filtered from the already-
+    # materialized batch band table against the already-persisted kept set
+    _append_batch_partition(
+        bands.join(kept.select("doc_id"), "doc_id", "left_semi"),
+        index_path,
+        batch_id,
+    )
+
+
+def stream_minhash_gate(
+    stream: DataFrame,
+    index_path: str,
+    kept_path: str,
+    matches_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = _MH_SHINGLE,
+    n_hashes: int = _MH_HASHES,
+    n_bands: int = _MH_BANDS,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Checkpointed streaming wrapper for the MinHash gate — identical
+    replay/append/O(batch) contract as :func:`stream_neardup_gate`, with
+    banded MinHash signatures (shingle-Jaccard collisions) instead of
+    SimHash Hamming blocks as the near-dup detector."""
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        minhash_gate_and_append_batch(
+            batch_df,
+            batch_id,
+            index_path,
+            kept_path,
+            matches_path,
+            id_col,
+            text_col,
+            shingle_n,
+            n_hashes,
+            n_bands,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(run_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def stream_neardup_gate(

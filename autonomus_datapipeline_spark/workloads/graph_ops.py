@@ -845,6 +845,99 @@ def _gate_admission_oracle() -> str:
     """
 
 
+def _minhash_gate_admission_oracle() -> str:
+    return f"""
+    WITH {pipeline_ops._minhash_bands_cte()},
+    idxb AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    newbnd AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    vs_index AS (
+        SELECT n.doc_id AS new_id, COUNT(DISTINCT x.doc_id) AS c
+        FROM newbnd n JOIN idxb x
+          ON x.band_idx = n.band_idx AND x.band_hash = n.band_hash
+        GROUP BY 1
+    ),
+    intra AS (
+        SELECT b.doc_id AS new_id, COUNT(DISTINCT a.doc_id) AS c
+        FROM newbnd b JOIN newbnd a
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+        GROUP BY 1
+    )
+    SELECT d.doc_id AS new_id,
+           CAST(COALESCE(v.c, 0) AS BIGINT) AS n_index_matches,
+           CAST(COALESCE(i.c, 0) AS BIGINT) AS n_batch_matches,
+           (COALESCE(v.c, 0) = 0 AND COALESCE(i.c, 0) = 0) AS admitted
+    FROM documents d
+    LEFT JOIN vs_index v ON v.new_id = d.doc_id
+    LEFT JOIN intra i ON i.new_id = d.doc_id
+    WHERE d.doc_id % 2 = 1
+    """
+
+
+@query("minhash_gate_admission", oracle=_minhash_gate_admission_oracle())
+def minhash_gate_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch mirror of the MinHash-banded streaming ingestion gate
+    (streaming/neardup.py minhash_gate_*): even doc_ids play the persisted
+    band index, odd doc_ids play one incoming micro-batch; a batch
+    document is admitted iff it shares NO LSH band with any index document
+    NOR with a lower-id batch document. Runs the SAME ``minhash_band_table``
+    / ``minhash_matches`` code path the streaming gate executes per
+    micro-batch, so the oracle value-checks the gate's admission rule —
+    the shingle-Jaccard complement of neardup_gate_admission's SimHash
+    Hamming rule.
+
+    Scale: banding is an equi-join on (band_idx, band_hash) — never
+    all-pairs; the admission flags come from two aggregated left joins
+    keyed on doc_id. Documents too short to shingle produce no bands and
+    are admitted by construction (mirrored by the oracle's left joins).
+    """
+    from autonomus_datapipeline_spark.streaming.neardup import (
+        minhash_band_table,
+        minhash_matches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Eager materialization: the band subtree otherwise recomputes once
+    # per side in each of the two minhash_matches calls.
+    bands = minhash_band_table(
+        docs,
+        "doc_id",
+        "text",
+        pipeline_ops._MH_SHINGLE,
+        pipeline_ops._MH_K,
+        pipeline_ops._MH_BANDS,
+    ).localCheckpoint(eager=True)
+    idxb = bands.filter(F.col("doc_id") % 2 == 0)
+    newbnd = bands.filter(F.col("doc_id") % 2 == 1)
+    vs_index = (
+        minhash_matches(newbnd, idxb)
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_idx"))
+    )
+    intra = (
+        minhash_matches(newbnd, newbnd)
+        .filter(F.col("index_id") < F.col("new_id"))
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_batch"))
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select(F.col("doc_id").alias("new_id"))
+        .join(vs_index, "new_id", "left")
+        .join(intra, "new_id", "left")
+        .select(
+            "new_id",
+            F.coalesce("c_idx", zero).alias("n_index_matches"),
+            F.coalesce("c_batch", zero).alias("n_batch_matches"),
+            (
+                F.coalesce("c_idx", zero).eqNullSafe(0)
+                & F.coalesce("c_batch", zero).eqNullSafe(0)
+            ).alias("admitted"),
+        )
+    )
+
+
 @query("neardup_gate_admission", oracle=_gate_admission_oracle())
 def neardup_gate_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch mirror of the streaming ingestion gate

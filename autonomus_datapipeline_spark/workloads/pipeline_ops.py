@@ -82,9 +82,11 @@ _MH_ROWS = _MH_K // _MH_BANDS
 _MH_SHINGLE = 2     # word bigrams
 
 
-def _minhash_oracle() -> str:
-    # Mirrors operators/dedup.py:minhash_signatures — four 32-bit hash
-    # values per salted md5 (disjoint 8-hex-char slices).
+def _minhash_bands_cte() -> str:
+    """CTE chain ``sh → mh → bands`` (doc_id, band_idx, band_hash) —
+    mirrors operators/dedup.py:minhash_signatures (four 32-bit hash values
+    per salted md5, disjoint 8-hex-char slices) + band_table. Shared by the
+    batch pair oracle below and the streaming-gate mirror in graph_ops."""
     mins = ",\n               ".join(
         f"MIN(substr(md5('{s // 4}:' || shingle), {(s % 4) * 8 + 1}, 8)) AS mh{s}"
         for s in range(_MH_K)
@@ -96,8 +98,7 @@ def _minhash_oracle() -> str:
         )
         for b in range(_MH_BANDS)
     )
-    return f"""
-    WITH {_sql_shingles(_MH_SHINGLE)},
+    return f"""{_sql_shingles(_MH_SHINGLE)},
     mh AS (
         SELECT doc_id,
                {mins}
@@ -105,7 +106,12 @@ def _minhash_oracle() -> str:
     ),
     bands AS (
         {band_selects}
-    )
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_bands_cte()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
     FROM bands a
     JOIN bands b ON a.band_idx = b.band_idx
@@ -1468,19 +1474,21 @@ def winnowing_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled join (doc-count-sized — never broadcast, the r4 lesson).
     """
     docs = load_table(spark, sf_dir, "documents")
-    # The fingerprint table feeds four branches (df cap, sizes, both join
-    # sides) — materialize it once or the explode+md5+window pipeline
-    # re-executes per branch (measured 10.4 s → 3.9 s at sf0.1).
-    fp = text.winnowing_fingerprints(
-        docs, "doc_id", "text", _WK, _WW
-    ).localCheckpoint()
-    common = (
-        fp.groupBy("fingerprint")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= _WMP_MAX_DF)
-        .select("fingerprint")
+    fp = text.winnowing_fingerprints(docs, "doc_id", "text", _WK, _WW)
+    # df cap as a count-over-fingerprint window: ONE shuffle of the
+    # fingerprint table, no groupBy+semi-join self-read. The capped table
+    # feeds three branches (sizes, both pair-join sides), so materialize
+    # the CAPPED table once — checkpointing the pre-cap table instead left
+    # each branch re-running the df rollup + semi-join (r8; the pre-cap
+    # checkpoint itself was the r4 fix for the explode+md5+window chain
+    # re-executing per branch, 10.4 s → 3.9 s at sf0.1).
+    w_df = Window.partitionBy("fingerprint")
+    fpc = (
+        fp.withColumn("_df", F.count(F.lit(1)).over(w_df))
+        .where(F.col("_df") <= _WMP_MAX_DF)
+        .drop("_df")
+        .localCheckpoint()
     )
-    fpc = fp.join(common, "fingerprint", "left_semi")
     sizes = fpc.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a = fpc.select(F.col("doc_id").alias("doc_a"), "fingerprint")
     b = fpc.select(F.col("doc_id").alias("doc_b"), "fingerprint")

@@ -657,3 +657,208 @@ def test_neardup_gate_sink_compaction_preserves_gating(spark, tmp_path):
     m = {(r["new_id"], r["index_id"]) for r in
          spark.read.parquet(paths["matches"]).collect()}
     assert (30, 1) in m
+
+
+def test_compact_gate_sink_torn_run_recovers_without_duplicates(spark, tmp_path):
+    """Crash-idempotency: a compaction that died after writing the
+    consolidated partition but BEFORE deleting every older partition must
+    be re-runnable without duplicating rows (the re-run's merge sees each
+    old row twice — once consolidated, once in the surviving original —
+    and collapses them)."""
+    import shutil
+
+    from autonomus_datapipeline_spark.streaming.neardup import (
+        compact_gate_sink,
+        gate_and_append_batch,
+    )
+
+    paths = {
+        "index": str(tmp_path / "index"),
+        "kept": str(tmp_path / "kept"),
+        "matches": str(tmp_path / "matches"),
+    }
+    gate_and_append_batch(
+        spark.createDataFrame([(1, _BASE_TEXT)], _doc_schema()), 0,
+        paths["index"], paths["kept"], paths["matches"], max_hamming=10,
+    )
+    gate_and_append_batch(
+        spark.createDataFrame([(2, _NOVEL_TEXT)], _doc_schema()), 1,
+        paths["index"], paths["kept"], paths["matches"], max_hamming=10,
+    )
+    rows_before = sorted(
+        (r["doc_id"], r["simhash"])
+        for r in spark.read.parquet(paths["index"]).collect()
+    )
+    # simulate the torn first attempt: save batch 0's partition, compact,
+    # then restore the old partition as the crash would have left it
+    saved = str(tmp_path / "saved_batch0")
+    shutil.copytree(f"{paths['index']}/batch_id=0", saved)
+    compact_gate_sink(spark, paths["index"], upto_batch_id=1)
+    shutil.copytree(saved, f"{paths['index']}/batch_id=0")
+    # re-run (what an operator does after the crash): no duplicate rows
+    n = compact_gate_sink(spark, paths["index"], upto_batch_id=1)
+    assert n == 2
+    idx = spark.read.parquet(paths["index"])
+    assert sorted((r["doc_id"], r["simhash"]) for r in idx.collect()) == rows_before
+    assert set(r["batch_id"] for r in idx.collect()) == {1}
+
+
+def test_gate_raises_on_corrupt_index_instead_of_empty_gating(spark, tmp_path):
+    """A genuinely unreadable index must FAIL the micro-batch (Structured
+    Streaming then retries) — not silently gate against an empty index."""
+    import pytest
+
+    from autonomus_datapipeline_spark.streaming.neardup import (
+        gate_and_append_batch,
+    )
+
+    index = tmp_path / "index"
+    (index / "batch_id=0").mkdir(parents=True)
+    (index / "batch_id=0" / "part-00000.parquet").write_bytes(b"not parquet")
+    with pytest.raises(Exception):
+        gate_and_append_batch(
+            spark.createDataFrame([(9, _NOVEL_TEXT)], _doc_schema()), 1,
+            str(index), str(tmp_path / "kept"), str(tmp_path / "matches"),
+        )
+    # and the sinks saw no partial admission
+    import os
+    assert not os.path.exists(tmp_path / "kept")
+
+
+def test_stream_minhash_gate_grows_index_across_batches(spark, tmp_path):
+    """MinHash-banded gate twin of the SimHash growth test: the band index
+    accumulates across micro-batches, near-copies of PREVIOUSLY admitted
+    docs are rejected, and sinks stay append-only per batch partition."""
+    from autonomus_datapipeline_spark.streaming.neardup import (
+        stream_minhash_gate,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    paths = {
+        "index": str(tmp_path / "index"),
+        "kept": str(tmp_path / "kept"),
+        "matches": str(tmp_path / "matches"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+    def run():
+        stream = spark.readStream.schema(_doc_schema()).json(str(src))
+        q = stream_minhash_gate(
+            stream, paths["index"], paths["kept"], paths["matches"],
+            paths["ckpt"],
+        )
+        q.awaitTermination(120)
+
+    _write_batch(src, "b1.json", [
+        {"doc_id": 1, "text": _BASE_TEXT},
+        {"doc_id": 2, "text": _NOVEL_TEXT},
+    ])
+    run()
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(paths["kept"]).collect()
+    ) == [1, 2]
+
+    # batch 2: a near-copy of doc 2 (one word swapped — shares 3 of 4 LSH
+    # bands, empirically pinned) + one genuinely new doc
+    _write_batch(src, "b2.json", [
+        {"doc_id": 20, "text": _NOVEL_TEXT.replace("parquet", "orcfile")},
+        {"doc_id": 21, "text": "entirely unrelated short note on tax law "
+                               "amendments for municipal water utilities"},
+    ])
+    run()
+    kept_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(paths["kept"]).collect()
+    )
+    assert kept_ids == [1, 2, 21]
+    m = {(r["new_id"], r["index_id"]) for r in
+         spark.read.parquet(paths["matches"]).collect()}
+    assert (20, 2) in m
+    # index holds exactly the admitted docs' bands (4 bands per doc)
+    idx = spark.read.parquet(paths["index"])
+    assert sorted(
+        r["doc_id"] for r in idx.select("doc_id").distinct().collect()
+    ) == [1, 2, 21]
+    assert idx.count() == 3 * 4
+    kept_by_batch = {
+        r["doc_id"]: r["batch_id"]
+        for r in spark.read.parquet(paths["kept"]).collect()
+    }
+    assert kept_by_batch[1] == kept_by_batch[2] == 0
+    assert kept_by_batch[21] == 1
+
+
+def test_minhash_gate_replayed_batch_is_idempotent(spark, tmp_path):
+    """Replay contract for the MinHash gate: re-delivering a batch with
+    the same batch_id replaces its own partitions with byte-identical
+    content — no double admission, no doubled index."""
+    from autonomus_datapipeline_spark.streaming.neardup import (
+        minhash_gate_and_append_batch,
+    )
+
+    paths = {
+        "index": str(tmp_path / "index"),
+        "kept": str(tmp_path / "kept"),
+        "matches": str(tmp_path / "matches"),
+    }
+    b0 = spark.createDataFrame(
+        [(1, _BASE_TEXT), (2, _NOVEL_TEXT)], _doc_schema()
+    )
+    b1 = spark.createDataFrame(
+        [
+            (20, _NOVEL_TEXT.replace("parquet", "orcfile")),
+            (21, "entirely unrelated short note on tax law amendments"),
+        ],
+        _doc_schema(),
+    )
+
+    def snapshot():
+        return {
+            name: sorted(
+                tuple(r) for r in spark.read.parquet(path).collect()
+            )
+            for name, path in paths.items()
+        }
+
+    minhash_gate_and_append_batch(b0, 0, paths["index"], paths["kept"],
+                                  paths["matches"])
+    minhash_gate_and_append_batch(b1, 1, paths["index"], paths["kept"],
+                                  paths["matches"])
+    first = snapshot()
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(paths["kept"]).collect()) == [1, 2, 21]
+    minhash_gate_and_append_batch(b1, 1, paths["index"], paths["kept"],
+                                  paths["matches"])
+    assert snapshot() == first
+    minhash_gate_and_append_batch(b0, 0, paths["index"], paths["kept"],
+                                  paths["matches"])
+    assert snapshot() == first
+
+
+def test_minhash_gate_intra_batch_lower_id_wins_and_short_docs_admitted(spark, tmp_path):
+    """Within one batch the smaller doc_id wins its near-dup pair; a doc
+    too short to produce a bigram shingle has no bands and is admitted."""
+    from autonomus_datapipeline_spark.streaming.neardup import (
+        minhash_gate_and_append_batch,
+    )
+
+    paths = {
+        "index": str(tmp_path / "index"),
+        "kept": str(tmp_path / "kept"),
+        "matches": str(tmp_path / "matches"),
+    }
+    b0 = spark.createDataFrame(
+        [
+            (5, _NOVEL_TEXT),
+            (6, _NOVEL_TEXT.replace("parquet", "orcfile")),  # loses to 5
+            (7, "stub"),  # single word: no bigram, no bands, admitted
+        ],
+        _doc_schema(),
+    )
+    minhash_gate_and_append_batch(b0, 0, paths["index"], paths["kept"],
+                                  paths["matches"])
+    assert sorted(r["doc_id"] for r in
+                  spark.read.parquet(paths["kept"]).collect()) == [5, 7]
+    m = {(r["new_id"], r["index_id"]) for r in
+         spark.read.parquet(paths["matches"]).collect()}
+    assert (6, 5) in m
