@@ -1532,6 +1532,11 @@ def lpa_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select("u", "label")
         )
+    # Three downstream subtrees read the final labels (la, lb for the
+    # intra-community edge count, plus the degree rollup) — without a
+    # materialization each would re-execute both LPA join+window rounds
+    # (the pagerank degree-table lesson, NOTES_BUILD r7b). |nodes|-sized.
+    labels = labels.localCheckpoint(eager=False)
     t = edges.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("td"))
     la = labels.select(F.col("u"), F.col("label").alias("la"))
     lb = labels.select(F.col("u").alias("v"), F.col("label").alias("lb"))
