@@ -93,6 +93,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Public TPC-H dbgen data envelope: o_orderdate spans [1992-01-01,
+# 1998-08-02]. Calendar-keyed prefix-sum callers pass these as `bounds=`
+# to skip the min/max scan job; expressed as epoch-day numbers (the
+# bucket proxy date keys use in operators/prefix_sum) resp. plain years.
+# Loose on purpose (through 1998-12-31): bounds only steer load balance,
+# never values — out-of-range keys clamp into the edge buckets.
+ORDERDATE_EPOCH_DAY_BOUNDS = (8035.0, 10591.0)
+ORDER_YEAR_BOUNDS = (1992.0, 1998.0)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic aggregation helpers (Spark side)
 # ---------------------------------------------------------------------------
@@ -270,6 +280,30 @@ _R8_TOUCHED: tuple[str, ...] = (
     "brown_forsythe_variance_test", "cusum_changepoint_daily_orders",
     "trend_seasonal_decompose", "gini_revenue_concentration",
     "market_basket_triples",
+    # r8 prefix-sum core change touches every with_global_* caller (the
+    # list below is machine-derived: every registry query whose analyzed
+    # plan contains the operator's internal columns): both bucket edges
+    # now clamp, and running-sum offsets stay NULL-distinguishing so an
+    # all-NULL local prefix inherits the lower-bucket sum (window-SUM
+    # semantics). ranked_head callers are NOT touched (window-free
+    # triangular rank, none of the changed machinery).
+    "categorical_encode", "orders_yoy_growth", "quality_threshold_filter",
+    "sorted_neighborhood_pairs", "vocab_zipf_stats",
+    "lm_score_quality_buckets", "quantile_normalize_deciles",
+    "abc_part_classification", "domain_cap_sample",
+    "embedding_dim_clip_report", "robust_outlier_mad", "key_skew_gini",
+    "pareto_frontier_orders", "daily_revenue_peaks", "trending_users_report",
+    "reorder_interval_quantiles", "funnel_time_to_conversion",
+    "interval_overlap_count", "cumulative_share_pareto80",
+    "rfm_segmentation", "order_value_decile_calibration",
+    "ks_two_sample_order_value", "mann_whitney_order_value",
+    "trimmed_mean_order_value", "hazard_table_monthly",
+    "spearman_rho_qty_price", "kendall_tau_b_qty_price",
+    "durbin_watson_trend_residuals",
+    # r8 plan changes: leak-free eager top-k (hits), window-based df cap +
+    # capped-table checkpoint (winnowing), post-LPA label checkpoint
+    # (modularity; also in the backlog above)
+    "hits_copurchase_2iter", "winnowing_match_pairs", "lpa_modularity_score",
 )
 
 
