@@ -21,7 +21,7 @@ Design rules for scale:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -177,6 +177,41 @@ def lsh_candidate_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def lsh_bucket_stars(
+    signatures: DataFrame, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """Connectivity-preserving LSH edge list: one star per band bucket
+    (every member links to the bucket's MINIMUM doc_id) instead of all
+    colliding pairs.
+
+    Every band bucket is a clique in the candidate-pair graph (its members
+    pairwise share that band), and a star connects exactly the same
+    members — so the transitive closure over bucket stars is IDENTICAL to
+    the closure over :func:`lsh_candidate_pairs` output, while the edge
+    count is band-table-linear (≤ docs × n_bands) instead of Σ occupancy².
+    This is the 100 TB-correct input for connected-components dedup: a
+    boilerplate-heavy bucket of k near-identical docs costs k star edges,
+    not k² candidate rows. Pair-scoring consumers (Hamming/Jaccard
+    verification, n_bands counts) still need the pair join; component
+    consumers should take this.
+
+    Returns (doc_a, doc_b) with doc_a = bucket min < doc_b, distinct, and
+    eagerly materialized: the consumer is an iterative loop whose first
+    step symmetrizes the edge list (two reads), and without the checkpoint
+    the whole shingle→signature→banding chain would execute once per read
+    (the same reason lsh_candidate_pairs materializes its banded table).
+    """
+    banded = band_table(signatures, n_bands, rows_per_band)
+    w = Window.partitionBy("band_idx", "band_hash")
+    return (
+        banded.withColumn("rep", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
 
 

@@ -62,7 +62,6 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .repartition(n_partitions, "a")
         .localCheckpoint(eager=True)
     )
     spark = edges.sparkSession
@@ -84,11 +83,12 @@ def _star_loop(sym: DataFrame, max_iter: int, rounds_out: list | None) -> DataFr
     """Alternating large-star / small-star contraction over a materialized
     symmetric edge list. Edges are kept canonical (u > v, pointing down);
     the fixed point is a star per component centered at its minimum id."""
-    E = (
-        sym.filter(F.col("a") > F.col("b"))
-        .select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # sym is distinct and checkpointed; the canonical projection is a
+    # narrow filter over it — no extra distinct (a>b preserves sym's
+    # distinctness) and no extra checkpoint (recompute is one cheap
+    # filter of the materialized RDD).
+    E = sym.filter(F.col("a") > F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
     )
     prev_count = E.count()
     rounds = 0

@@ -53,13 +53,18 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Iterative join-based min-label propagation (O(diameter) rounds, each a
     distributed join+agg); oracled by a DuckDB recursive-CTE transitive
-    closure over the identical pair-generation SQL.
+    closure over the pairwise candidate SQL. The Spark side feeds the loop
+    BUCKET STARS (operators/dedup.lsh_bucket_stars) instead of all
+    colliding pairs: every band bucket is a clique, so a member→bucket-min
+    star has the identical transitive closure at band-table-linear edge
+    count (never Σ occupancy²) — and the near-star input converges in
+    fewer contraction rounds.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingle_table(docs, "doc_id", "text", pipeline_ops._MH_SHINGLE)
     sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
-    pairs = dedup.lsh_candidate_pairs(sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS)
-    return graph.connected_components(pairs, "doc_a", "doc_b").select(
+    stars = dedup.lsh_bucket_stars(sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS)
+    return graph.connected_components(stars, "doc_a", "doc_b").select(
         F.col("node").alias("doc_id"), "component_id"
     )
 
@@ -143,8 +148,10 @@ def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingle_table(docs, "doc_id", "text", pipeline_ops._MH_SHINGLE)
     sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
-    pairs = dedup.lsh_candidate_pairs(sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS)
-    comp = graph.connected_components(pairs, "doc_a", "doc_b")
+    # Bucket stars, not pairwise candidates: identical components at
+    # band-table-linear edge count (see dedup_connected_components).
+    stars = dedup.lsh_bucket_stars(sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS)
+    comp = graph.connected_components(stars, "doc_a", "doc_b")
     # Single-pass accounting: one left join flags each doc as kept/dropped,
     # one aggregation counts both — instead of materializing the kept set
     # and anti-joining the corpus against it twice. No broadcast hint:
@@ -678,10 +685,12 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingle_table(docs, "doc_id", "text", pipeline_ops._MH_SHINGLE)
     sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
-    pairs = dedup.lsh_candidate_pairs(
+    # Bucket stars, not pairwise candidates: identical components at
+    # band-table-linear edge count (see dedup_connected_components).
+    stars = dedup.lsh_bucket_stars(
         sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS
     )
-    comp = graph.connected_components(pairs, "doc_a", "doc_b")
+    comp = graph.connected_components(stars, "doc_a", "doc_b")
     from autonomus_datapipeline_spark.operators import text as text_ops
 
     scored = docs.select(

@@ -304,6 +304,11 @@ _R8_TOUCHED: tuple[str, ...] = (
     # capped-table checkpoint (winnowing), post-LPA label checkpoint
     # (modularity; also in the backlog above)
     "hits_copurchase_2iter", "winnowing_match_pairs", "lpa_modularity_score",
+    # r8: CC consumers feed bucket stars instead of pairwise candidates
+    # (connectivity-identical, band-table-linear edge count); the star-loop
+    # dropped a redundant distinct+checkpoint
+    "dedup_connected_components", "dedup_apply_minhash",
+    "dedup_keep_best_quality",
 )
 
 

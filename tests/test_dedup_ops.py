@@ -221,3 +221,49 @@ def test_decode_features_real_codec_when_available(spark):
     )
     row = multimodal.decode_features(df, use_fake=False).collect()[0]
     assert (row.width, row.height, row.format) == (7, 5, "png")
+
+
+def test_bucket_stars_components_equal_pairwise_components(spark):
+    """lsh_bucket_stars is connectivity-equivalent to lsh_candidate_pairs:
+    every band bucket is a clique, so member→bucket-min stars yield the
+    IDENTICAL connected components at band-table-linear edge count. Pin
+    (node → component) equality on a corpus with duplicate clusters,
+    chained near-dups, and singletons."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base.replace("kappa", "kappa2")),  # near-dup of 1
+        (4, base.replace("kappa", "kappa2").replace("tau", "tau2")),  # chains via 3
+        (10, "completely different words about parquet shuffle joins and "
+             "broadcast exchanges in distributed query processing engines"),
+        (11, "completely different words about parquet shuffle joins and "
+             "broadcast exchanges in distributed query processing engines"),
+        (20, "a lone singleton document with its own unique vocabulary "
+             "entirely disjoint from every other text in this corpus"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.shingle_table(docs, "doc_id", "text", 2)
+    sigs = dedup.minhash_signatures(sh, 12).localCheckpoint(eager=True)
+    pairs = dedup.lsh_candidate_pairs(sigs, 4, 3)
+    stars = dedup.lsh_bucket_stars(sigs, 4, 3)
+    comp_pairs = {
+        (r["node"], r["component_id"])
+        for r in graph.connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    comp_stars = {
+        (r["node"], r["component_id"])
+        for r in graph.connected_components(stars, "doc_a", "doc_b").collect()
+    }
+    assert comp_stars == comp_pairs
+    # sanity: the clusters actually formed (1,2,3 together; 10,11 together)
+    comp = dict(comp_pairs)
+    assert comp[1] == comp[2] == comp[3]
+    assert comp[10] == comp[11]
+    # star edge list never exceeds the band table (linear), pairs may not
+    assert stars.count() <= 4 * sigs.count()
+    # every star edge points member -> bucket minimum
+    assert stars.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
