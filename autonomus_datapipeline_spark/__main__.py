@@ -93,13 +93,9 @@ def main(argv: list[str] | None = None) -> int:
         from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY
 
         df = QUERY_REGISTRY[args.name].fn(spark, args.sf_dir)
-        print(
-            df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    args.mode
-                )
-            )
-        )
+        # public surface (works on Spark Connect too): DataFrame.explain
+        # prints the requested mode directly
+        df.explain(mode=args.mode)
         return 0
 
     return 1

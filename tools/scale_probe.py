@@ -190,6 +190,10 @@ PROBE_QUERIES = [
     # + hashed-n-gram importance selection (bucket-sized fitted state)
     "semdedup_cell_prune",
     "dsir_importance_select",
+    # round-8: MinHash gate batch mirror (band equi-join admission) —
+    # dedup_connected_components above now rides bucket stars, so its
+    # probe factor doubles as the star-path check
+    "minhash_gate_admission",
 ]
 
 
