@@ -876,6 +876,23 @@ def hits_copurchase_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     a |customers|- or |parts|-sized vector — the exact loop shape MLlib
     uses for power iteration. The scalar L1 totals broadcast.
     """
+    out, cached = _hits_authority_plan(spark, sf_dir)
+    # Eagerly materialize the top-k (tiny) so every half-step cache can be
+    # released before returning: the tot-broadcast jobs populate the
+    # caches during this one action, exactly as they would under a lazy
+    # collect, so this adds no extra jobs.
+    out = out.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
+def _hits_authority_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The lazy HITS plan + its cache handles — split out so plan tests
+    can inspect the join structure that hits_copurchase_2iter's eager
+    checkpoint otherwise hides."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     be = (
@@ -938,15 +955,8 @@ def hits_copurchase_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
         .orderBy("rk")
-        # Eagerly materialize the top-k (tiny) so every half-step cache can
-        # be released before returning: the tot-broadcast jobs populate the
-        # caches during this one action, exactly as they would under a lazy
-        # collect, so this adds no extra jobs.
-        .localCheckpoint(eager=True)
     )
-    for c in cached:
-        c.unpersist()
-    return out
+    return out, cached
 
 
 # ---------------------------------------------------------------------------

@@ -18,11 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from autonomus_datapipeline_spark.operators.prefix_sum import with_global_ntile
+from autonomus_datapipeline_spark.operators.prefix_sum import (
+    with_global_ntile,
+    with_global_running,
+)
 from autonomus_datapipeline_spark.operators.text import _e4_half_up
 from autonomus_datapipeline_spark.workloads.pipeline_ops import (
     _TOKS,
     _e4_sql,
+    _quality_score_sql,
     _sql_shingles,
 )
 from autonomus_datapipeline_spark.workloads.registry import load_table, query
@@ -1379,4 +1383,142 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "dsir_weight_q", "rk")
         .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PPS systematic sampling (probability-proportional-to-size, grid inversion)
+# ---------------------------------------------------------------------------
+
+_PPS_K = 40  # sample size (grid points)
+
+
+@query(
+    "pps_systematic_sample",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS w FROM documents
+    ),
+    c AS (
+        SELECT doc_id, w,
+               SUM(w) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(w) OVER () AS tot
+        FROM t
+    ),
+    g AS (SELECT CAST(unnest(range(0, {_PPS_K})) AS BIGINT) AS j)
+    SELECT CAST(g.j AS INT) AS grid_idx,
+           CAST(((2 * g.j + 1) * c.tot) // {2 * _PPS_K} AS BIGINT)
+               AS grid_point,
+           c.doc_id,
+           c.w AS n_tokens
+    FROM c JOIN g
+      ON ((2 * g.j + 1) * c.tot) // {2 * _PPS_K} >= c.cum - c.w
+     AND ((2 * g.j + 1) * c.tot) // {2 * _PPS_K} < c.cum
+    """,
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay
+    {_PPS_K} evenly spaced grid points over the corpus's cumulative token
+    mass (midpoint rule, p_j = (2j+1)·W div 2k) and select the document
+    whose cumulative-weight interval contains each point — the classic
+    PPS design for building a length-weighted corpus sample / mixing
+    probe without any randomness. Everything is INTEGER arithmetic
+    (token counts, cumulative sums, floor division), so the selected set
+    is bit-identical across engines — no float inversion, no RNG seed
+    drift. A document longer than one stride is selected by several
+    consecutive grid points (standard PPS-systematic multiplicity).
+
+    Scale: the cumulative mass comes from the distributed prefix-sum
+    operator (bucketed local windows + offset rollup — no unpartitioned
+    window), the grid is k broadcast rows probed by a per-row interval
+    test (k ≤ 10³; for larger k, bucket the grid by cum-range and
+    equi-join), and the output is exactly k rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("w"),
+    )
+    c = with_global_running(
+        t, [("doc_id", True)], sums={"cum": "w"}, totals={"tot": "w"}
+    )
+    g = spark.range(_PPS_K).select(F.col("id").cast("bigint").alias("j"))
+    p = F.expr(f"((2 * j + 1) * tot) div {2 * _PPS_K}")
+    return (
+        c.join(
+            F.broadcast(g),
+            (p >= F.col("cum") - F.col("w")) & (p < F.col("cum")),
+        )
+        .select(
+            F.col("j").cast("int").alias("grid_idx"),
+            p.cast("bigint").alias("grid_point"),
+            "doc_id",
+            F.col("w").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection (greedy by quality under a corpus token budget)
+# ---------------------------------------------------------------------------
+
+_TB_BUDGET_FRAC = 4  # keep the best docs up to tot/4 tokens
+
+
+@query(
+    "token_budget_select",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+    scored AS (
+        SELECT doc_id, {_quality_score_sql()} AS q,
+               CAST(len(tk) AS BIGINT) AS w
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, q, w,
+               SUM(w) OVER (ORDER BY q DESC, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(w) OVER () AS tot
+        FROM scored
+    )
+    SELECT doc_id, q AS quality_score, w AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum * {_TB_BUDGET_FRAC} <= tot
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection: keep the highest-quality documents
+    (composite quality score, doc_id tiebreak) whose cumulative token
+    count fits a budget of total/{_TB_BUDGET_FRAC} — the greedy
+    knapsack every pretraining pipeline runs when the compute budget
+    fixes the token count, not the document count. The budget test is
+    exact integer cross-multiplication (cum·{_TB_BUDGET_FRAC} ≤ tot), so
+    the cut-off document is engine-identical; the quality score itself is
+    the integer-ten-thousandths composite shared with
+    text_quality_scores / dedup_keep_best_quality.
+
+    Scale: one scoring projection (codegen'd), one distributed prefix sum
+    over the quality order (bucketed — no unpartitioned window), one
+    filter. The grand total rides the prefix-sum rollup; the corpus is
+    scanned once.
+    """
+    from autonomus_datapipeline_spark.operators import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        text_ops.quality_features(F.col("text"))["quality_score"].alias("q"),
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("w"),
+    )
+    c = with_global_running(
+        scored,
+        [("q", False), ("doc_id", True)],
+        sums={"cum": "w"},
+        totals={"tot": "w"},
+    )
+    return c.where(F.col("cum") * _TB_BUDGET_FRAC <= F.col("tot")).select(
+        "doc_id",
+        F.col("q").alias("quality_score"),
+        F.col("w").alias("n_tokens"),
+        F.col("cum").cast("bigint").alias("cum_tokens"),
     )

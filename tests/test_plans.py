@@ -426,8 +426,22 @@ def test_lpa_label_join_not_broadcast(spark, sf_dir):
 
 def test_hits_broadcasts_only_scalar_totals(spark, sf_dir):
     """The HITS half-steps shuffle the edge list against the score vector;
-    the only broadcasts are the 1-row L1 totals."""
-    plan = plan_of(spark, "hits_copurchase_2iter", sf_dir)
+    the only broadcasts are the 1-row L1 totals. Inspect the LAZY plan via
+    the internal builder — the query fn eagerly checkpoints its (tiny)
+    result so it can unpersist the half-step caches, which hides the join
+    structure behind a LogicalRDD scan."""
+    from autonomus_datapipeline_spark.workloads.analytics_ops import (
+        _hits_authority_plan,
+    )
+
+    lazy, cached = _hits_authority_plan(spark, sf_dir)
+    plan = lazy._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    for c in cached:
+        c.unpersist()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row scalar totals only
 
