@@ -345,9 +345,14 @@ def jaccard_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingle_table(docs, "doc_id", "text", _JKG_SHINGLE)
+    # Eager materialization: the symmetrizing union below reads the pair
+    # table twice, and each read would otherwise re-execute the whole
+    # Σ df² inverted-index join + size re-attach chain (eager, not
+    # cache() — a lazily-cached table is computed concurrently by both
+    # union legs before the cache fills; the simhash lesson).
     pairs = dedup.ngram_jaccard_pairs(sh, max_df=_JKG_MAX_DF).select(
         "doc_a", "doc_b", "jaccard"
-    )
+    ).localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("neighbor_id"),
