@@ -270,17 +270,18 @@ def main() -> None:
             "  collapses exact duplicates BEFORE fingerprinting — identical\n"
             "  output rows at 1× and 10×, factor <1, duplication-proof by\n"
             "  construction. Always order exact-dedup → near-dup.\n"
-            "- The graph-downstream operators (neardup_triangle_count,\n"
-            "  minhash_jaccard_error, dedup_keep_best_quality) inherit the\n"
-            "  same dup-saturated candidate blow-up: 175× edges means\n"
-            "  legitimately more wedges/intersections per pair, and clique-\n"
-            "  shaped dup clusters are their worst case — the production\n"
-            "  mitigation is identical (exact-dedup first). Their >1 factors\n"
-            "  are edge-count-driven, not accidental quadratics: profiled in\n"
-            "  isolation, dedup_keep_best_quality runs the 10× corpus at\n"
-            "  ~1.8× wall (the larger probe-sequence number is run-order\n"
-            "  memory pressure from dozens of prior checkpointed queries in\n"
-            "  one session, not plan behavior).\n"
+            "- The PAIR-scoring graph operators (neardup_triangle_count,\n"
+            "  minhash_jaccard_error) inherit the dup-saturated candidate\n"
+            "  blow-up: 175× edges means legitimately more wedges/\n"
+            "  intersections per pair, and clique-shaped dup clusters are\n"
+            "  their worst case — the production mitigation is exact-dedup\n"
+            "  first. The COMPONENT-path dedup queries no longer inherit it\n"
+            "  (r8): they feed bucket STARS (operators/dedup.\n"
+            "  lsh_bucket_stars), whose edge count is band-table-linear in\n"
+            "  the duplicate count — a 10-way dup cluster costs 9 star\n"
+            "  edges, not 45 pair rows, so dedup_keep_best_quality and\n"
+            "  dedup_connected_components hold shuffle-linear factors on\n"
+            "  the duplicated corpus by construction.\n"
             "- ann_ivf_incremental_assign's flat ~12 s is Python-worker\n"
             "  spin-up + the 16-cell codebook broadcast dominating a tiny\n"
             "  batch; the data-dependent part is sub-second at both scales.\n\n"
