@@ -14,7 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from autonomus_datapipeline_spark.operators.prefix_sum import with_global_running
+from autonomus_datapipeline_spark.operators.prefix_sum import (
+    ranked_head,
+    with_global_running,
+)
 from autonomus_datapipeline_spark.workloads.registry import load_table, query
 
 _TOKS = "regexp_split_to_array(lower(text), '\\s+')"
@@ -375,4 +378,186 @@ def bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", "w2", "n_ab", "n_a", "n_b", lift.alias("lift"))
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(_COLL_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode (apply a fixed merge table to the corpus, GPT-2 loop semantics)
+# ---------------------------------------------------------------------------
+
+_BPE_ENC_MERGES = 20  # merge-table size (single counting pass, rank-ordered)
+_BPE_ENC_TOP = 50     # report: top tokens after encoding
+
+
+def _bpe_enc_oracle() -> str:
+    pat = "' '||m.a||' '||m.b||' '"
+    return f"""
+    WITH RECURSIVE vocab(word, wc) AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT)
+        FROM (SELECT unnest({_TOKS}) AS word FROM documents) u
+        WHERE length(word) >= 1
+        GROUP BY word
+    ),
+    pc AS (
+        SELECT substr(word, CAST(i AS INT), 1) AS a,
+               substr(word, CAST(i AS INT) + 1, 1) AS b,
+               SUM(wc) AS c
+        FROM (
+            SELECT word, wc, unnest(range(1, length(word))) AS i
+            FROM vocab WHERE length(word) >= 2
+        ) u
+        GROUP BY 1, 2
+    ),
+    merges AS (
+        SELECT a, b, rk FROM (
+            SELECT a, b,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, a, b) - 1 AS rk
+            FROM pc
+        ) r WHERE rk < {_BPE_ENC_MERGES}
+    ),
+    enc(word, wc, s, done) AS (
+        SELECT word, wc,
+               ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+                   || ' ',
+               false
+        FROM vocab
+        UNION ALL
+        SELECT e.word, e.wc,
+               CASE WHEN m.rk IS NULL THEN e.s
+                    ELSE substr(e.s, 1, strpos(e.s, {pat}) - 1)
+                         || ' '||m.a||m.b||' '
+                         || substr(e.s, strpos(e.s, {pat})
+                                   + length({pat}))
+               END,
+               m.rk IS NULL
+        FROM enc e
+        LEFT JOIN LATERAL (
+            SELECT rk, a, b FROM merges
+            WHERE strpos(e.s, ' '||a||' '||b||' ') > 0
+            ORDER BY rk LIMIT 1
+        ) m ON true
+        WHERE NOT e.done
+    ),
+    cnt AS (
+        SELECT token, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+        FROM (
+            SELECT unnest(string_split(trim(s), ' ')) AS token, wc
+            FROM enc WHERE done
+        ) t
+        GROUP BY token
+    )
+    SELECT token, n_occurrences, rk FROM (
+        SELECT token, n_occurrences,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token)
+                    AS INT) AS rk
+        FROM cnt
+    ) r WHERE rk <= {_BPE_ENC_TOP}
+    ORDER BY rk
+    """
+
+
+@query("bpe_encode_tokens", oracle=_bpe_enc_oracle())
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE at corpus scale: learn a {_BPE_ENC_MERGES}-entry merge
+    table (adjacent character pairs inside words, weighted by word
+    frequency, count-desc + pair-lexicographic rank — one counting pass,
+    i.e. a deployment-fixed merge table) and APPLY it with the standard
+    GPT-2 encoder loop: repeatedly merge the lowest-rank pair present,
+    leftmost occurrence first, until no table pair remains. Reports the
+    top {_BPE_ENC_TOP} resulting tokens by corpus occurrence count —
+    the complement of bpe_merge_candidates (which counts, but never
+    applies). The apply loop is rank-general (it handles multi-character
+    symbols), so the same operator serves a cascaded multi-level merge
+    table; with a single-pass table the merges happen to be
+    character-pairs only.
+
+    Determinism: integer pair counts with a total (count, a, b) tiebreak
+    pin the merge table; the encoder loop is deterministic by
+    construction; token counts are integers with a (count, token)
+    tiebreak on the top-k boundary. The DuckDB oracle replays the exact
+    loop with a recursive CTE (min-rank LATERAL pick + first-occurrence
+    string surgery over space-delimited symbol states).
+
+    Scale: the Python encoder runs over the DISTINCT-WORD table
+    (vocabulary-sized, Arrow-batched pandas UDF), never the corpus —
+    corpus token counts re-attach by weighting each word's tokens with
+    its frequency. The merge table is {_BPE_ENC_MERGES} broadcast rows;
+    pair counting is a map-side-combinable aggregate over the vocab.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    # vocab feeds BOTH the merge learning and the encode — materialize once
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .where(F.length("word") >= 1)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .localCheckpoint(eager=True)
+    )
+    pc = (
+        words.where(F.length("word") >= 2)
+        .select(
+            "word",
+            "wc",
+            F.explode(F.sequence(F.lit(1), F.length("word") - 1)).alias("i"),
+        )
+        .select(
+            F.expr("substring(word, i, 1)").alias("a"),
+            F.expr("substring(word, i + 1, 1)").alias("b"),
+            "wc",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("wc").alias("c"))
+    )
+    # the fitted merge table: _BPE_ENC_MERGES rows — a bounded collect of
+    # fitted state (the broadcast-small tokenizer artifact), rank order
+    # pinned by the total tiebreak
+    merges = [
+        (r["a"], r["b"])
+        for r in pc.orderBy(F.desc("c"), "a", "b")
+        .limit(_BPE_ENC_MERGES)
+        .collect()
+    ]
+
+    def enc(w: str) -> list[str]:
+        syms = list(w)
+        while True:
+            best = None
+            for a, b in merges:
+                for j in range(len(syms) - 1):
+                    if syms[j] == a and syms[j + 1] == b:
+                        best = j
+                        break
+                if best is not None:
+                    break
+            if best is None:
+                return syms
+            syms[best:best + 2] = [syms[best] + syms[best + 1]]
+
+    def encode_batches(batches):
+        for pdf in batches:
+            toks, wcs = [], []
+            for w, wc in zip(pdf["word"], pdf["wc"]):
+                for t in enc(w):
+                    toks.append(t)
+                    wcs.append(wc)
+            yield pd.DataFrame({"token": toks, "wc": wcs})
+
+    counts = (
+        words.mapInPandas(encode_batches, schema="token string, wc long")
+        .groupBy("token")
+        .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
+    )
+    return (
+        ranked_head(
+            counts,
+            [("n_occurrences", False), ("token", True)],
+            _BPE_ENC_TOP,
+            "rk",
+        )
+        .select("token", "n_occurrences", "rk")
+        .orderBy("rk")
     )

@@ -194,6 +194,9 @@ PROBE_QUERIES = [
     # dedup_connected_components above now rides bucket stars, so its
     # probe factor doubles as the star-path check
     "minhash_gate_admission",
+    # round-8: vocab-sized Python encode + corpus re-attach — the factor
+    # checks the vocab-not-corpus claim (10x corpus, ~same vocab)
+    "bpe_encode_tokens",
 ]
 
 
