@@ -389,6 +389,28 @@ _BPE_ENC_MERGES = 20  # merge-table size (single counting pass, rank-ordered)
 _BPE_ENC_TOP = 50     # report: top tokens after encoding
 
 
+def _bpe_apply(w: str, merges: list[tuple[str, str]]) -> list[str]:
+    """The GPT-2 encoder loop: repeatedly merge the LOWEST-RANK pair
+    present in the symbol sequence, leftmost occurrence first, until no
+    table pair remains. Rank-general — symbols may be multi-character, so
+    a cascaded merge table applies unchanged. The DuckDB oracle replays
+    exactly this loop (min-rank LATERAL pick + first-occurrence rewrite),
+    and tests pin the rank-priority/overlap edge cases directly."""
+    syms = list(w)
+    while True:
+        best = None
+        for a, b in merges:
+            for j in range(len(syms) - 1):
+                if syms[j] == a and syms[j + 1] == b:
+                    best = j
+                    break
+            if best is not None:
+                break
+        if best is None:
+            return syms
+        syms[best:best + 2] = [syms[best] + syms[best + 1]]
+
+
 def _bpe_enc_oracle() -> str:
     pat = "' '||m.a||' '||m.b||' '"
     return f"""
@@ -522,26 +544,11 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
 
-    def enc(w: str) -> list[str]:
-        syms = list(w)
-        while True:
-            best = None
-            for a, b in merges:
-                for j in range(len(syms) - 1):
-                    if syms[j] == a and syms[j + 1] == b:
-                        best = j
-                        break
-                if best is not None:
-                    break
-            if best is None:
-                return syms
-            syms[best:best + 2] = [syms[best] + syms[best + 1]]
-
     def encode_batches(batches):
         for pdf in batches:
             toks, wcs = [], []
             for w, wc in zip(pdf["word"], pdf["wc"]):
-                for t in enc(w):
+                for t in _bpe_apply(w, merges):
                     toks.append(t)
                     wcs.append(wc)
             yield pd.DataFrame({"token": toks, "wc": wcs})
