@@ -18,6 +18,8 @@ carries a total tiebreak order.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -743,6 +745,11 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
         F.col("ay") - F.col("by")
     ) * (F.col("ay") - F.col("by"))
+    # The ε-pair list feeds FOUR subtrees (core test, both core-edge semi
+    # sides via core, border attach) — without a materialization the
+    # 9×-fan-out probe join (the query's dominant CPU) re-executes per
+    # consumer (measured ~4-5× at sf0.1). Eager checkpoint, same rule as
+    # the banded-candidate tables in the dedup family.
     neigh_pairs = (
         probe.join(b, ["cx", "cy"])
         .where(
@@ -750,23 +757,72 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (dist2 <= F.lit(_GRID_EPS * _GRID_EPS))
         )
         .select("a", "b")
+        .localCheckpoint(eager=True)
     )
+    # core is itself read four times (both core-edge sides, isolated,
+    # border anti); checkpointed (NOT cache()d — an InMemoryRelation pin
+    # here would block AQE's replan of the downstream joins, NOTES r7b)
+    # it is a point-count-bounded leaf.
     core = (
         neigh_pairs.groupBy("a")
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= _GRID_MINPTS)
         .select(F.col("a").alias("vec_id"))
+        .localCheckpoint(eager=True)
     )
     core_edges = (
         neigh_pairs.join(core.select(F.col("vec_id").alias("a")), "a", "left_semi")
         .join(core.select(F.col("vec_id").alias("b")), "b", "left_semi")
         .select("a", "b")
     )
+    # Spanning contraction before CC — the DBSCAN densification guard: a
+    # dense cluster makes the core-core ε-graph near-quadratic (159k edges
+    # over ~2k cores at sf0.1), and the contraction loop pays per-edge
+    # cost every round. Re-grid cores at ε/√2 so every same-fine-cell
+    # pair is WITHIN ε by the diagonal bound (a genuine clique → one star
+    # per cell, the lsh_bucket_stars argument), and keep ONE verified
+    # representative edge per linked cell pair (cells are internally
+    # connected, so one bridge preserves the closure exactly). CC input
+    # shrinks from Σ occupancy² to #cells + #linked cell pairs; the
+    # cluster ids (min reachable core) are invariant to WHICH spanning
+    # subgraph feeds the loop, so the oracle's pairwise closure still
+    # value-matches. Fine-cell floats are Spark-internal only — the
+    # oracle never sees the grid.
+    fine = float(_GRID_EPS) / math.sqrt(2.0)
+    core_pts = cells.join(core, "vec_id", "left_semi").select(
+        "vec_id",
+        F.floor(F.col("px") / fine).cast("bigint").alias("fx"),
+        F.floor(F.col("py") / fine).cast("bigint").alias("fy"),
+    )
+    w_cell = Window.partitionBy("fx", "fy")
+    stars = (
+        core_pts.withColumn("rep", F.min("vec_id").over(w_cell))
+        .where(F.col("vec_id") != F.col("rep"))
+        .select(F.col("rep").alias("a"), F.col("vec_id").alias("b"))
+    )
+    ca = core_pts.select(
+        F.col("vec_id").alias("a"),
+        F.col("fx").alias("fxa"),
+        F.col("fy").alias("fya"),
+    )
+    cb = core_pts.select(
+        F.col("vec_id").alias("b"),
+        F.col("fx").alias("fxb"),
+        F.col("fy").alias("fyb"),
+    )
+    bridges = (
+        core_edges.join(ca, "a")
+        .join(cb, "b")
+        .where((F.col("fxa") != F.col("fxb")) | (F.col("fya") != F.col("fyb")))
+        .groupBy("fxa", "fya", "fxb", "fyb")
+        .agg(F.min(F.struct("a", "b")).alias("e"))
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+    )
     from autonomus_datapipeline_spark.operators import graph as graph_ops
 
-    cc = graph_ops.connected_components(core_edges, "a", "b").select(
-        F.col("node"), F.col("component_id").alias("cluster_id")
-    )
+    cc = graph_ops.connected_components(
+        stars.unionByName(bridges), "a", "b"
+    ).select(F.col("node"), F.col("component_id").alias("cluster_id"))
     isolated = core.join(
         cc.select(F.col("node").alias("vec_id")), "vec_id", "left_anti"
     ).select(F.col("vec_id").alias("node"), F.col("vec_id").alias("cluster_id"))
