@@ -136,13 +136,142 @@ class JvmHadoopFS:
         )
 
 
+class BotoS3FS:
+    """Pure-Python S3 maintenance verbs via boto3 — the JVM-free path for
+    ``s3://``/``s3a://`` sink maintenance (partition listing/deletion,
+    file-size audits) when no hadoop-aws jar or classic gateway exists.
+
+    Semantics notes:
+    - S3 has no directories; ``listdir``/``exists`` operate on key
+      prefixes with '/' as the delimiter, which matches how Spark lays
+      out ``batch_id=N`` partition "directories".
+    - ``rename`` is server-side copy + delete and therefore NOT atomic —
+      fine for the compaction sweeps that tolerate re-runs
+      (crash-idempotent by design), NOT a substitute for a table-format
+      commit in ``promote_directory``-style swaps (that function's
+      docstring already says object stores need a metadata commit).
+    """
+
+    def __init__(self, client=None, endpoint_url: str | None = None):
+        if client is None:
+            import boto3
+
+            client = boto3.client("s3", endpoint_url=endpoint_url)
+        self._c = client
+
+    @staticmethod
+    def _parse(path: str) -> tuple[str, str]:
+        u = urlparse(path)
+        if u.scheme not in ("s3", "s3a", "s3n"):
+            raise ValueError(f"BotoS3FS cannot handle scheme {u.scheme!r}")
+        return u.netloc, u.path.lstrip("/")
+
+    def _iter_keys(self, bucket: str, prefix: str):
+        token = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self._c.list_objects_v2(**kw)
+            yield from resp.get("Contents", [])
+            if not resp.get("IsTruncated"):
+                return
+            token = resp.get("NextContinuationToken")
+
+    def exists(self, path: str) -> bool:
+        bucket, key = self._parse(path)
+        prefix = key.rstrip("/")
+        for obj in self._iter_keys(bucket, prefix):
+            k = obj["Key"]
+            if k == prefix or k.startswith(prefix + "/"):
+                return True
+        return False
+
+    def listdir(self, path: str) -> list[str]:
+        bucket, key = self._parse(path)
+        prefix = key.rstrip("/") + "/" if key else ""
+        names: set[str] = set()
+        token = None
+        while True:
+            kw = {"Bucket": bucket, "Prefix": prefix, "Delimiter": "/"}
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self._c.list_objects_v2(**kw)
+            for cp in resp.get("CommonPrefixes", []):
+                names.add(cp["Prefix"][len(prefix):].rstrip("/"))
+            for obj in resp.get("Contents", []):
+                rest = obj["Key"][len(prefix):]
+                if rest:
+                    names.add(rest)
+            if not resp.get("IsTruncated"):
+                return sorted(names)
+            token = resp.get("NextContinuationToken")
+
+    def delete(self, path: str) -> None:
+        bucket, key = self._parse(path)
+        prefix = key.rstrip("/")
+        batch: list[dict] = []
+        for obj in self._iter_keys(bucket, prefix):
+            k = obj["Key"]
+            if k == prefix or k.startswith(prefix + "/"):
+                batch.append({"Key": k})
+                if len(batch) == 1000:
+                    self._c.delete_objects(
+                        Bucket=bucket, Delete={"Objects": batch}
+                    )
+                    batch = []
+        if batch:
+            self._c.delete_objects(Bucket=bucket, Delete={"Objects": batch})
+
+    def rename(self, src: str, dst: str) -> bool:
+        if not self.exists(src) or self.exists(dst):
+            return False
+        bucket, skey = self._parse(src)
+        dbucket, dkey = self._parse(dst)
+        sprefix = skey.rstrip("/")
+        for obj in list(self._iter_keys(bucket, sprefix)):
+            k = obj["Key"]
+            if not (k == sprefix or k.startswith(sprefix + "/")):
+                continue
+            new_key = dkey.rstrip("/") + k[len(sprefix):]
+            self._c.copy_object(
+                Bucket=dbucket,
+                Key=new_key,
+                CopySource={"Bucket": bucket, "Key": k},
+            )
+        self.delete(src)
+        return True
+
+    def list_files(self, path: str) -> list[tuple[str, int]]:
+        bucket, key = self._parse(path)
+        prefix = key.rstrip("/")
+        scheme = urlparse(path).scheme
+        out = []
+        for obj in self._iter_keys(bucket, prefix):
+            k = obj["Key"]
+            if k == prefix or k.startswith(prefix + "/"):
+                out.append((f"{scheme}://{bucket}/{k}", int(obj["Size"])))
+        return sorted(out)
+
+    def qualified(self, path: str) -> tuple[str, str, str]:
+        bucket, key = self._parse(path)
+        return ("s3", bucket, posixpath.normpath("/" + key))
+
+
 def resolve_fs(spark, path: str):
-    """LocalFS for local / ``file:`` paths (JVM-free); the Hadoop bridge
-    for remote schemes on classic-gateway sessions; a clear error when a
-    remote scheme meets a gateway-less session (inject your own ``fs=``)."""
+    """LocalFS for local / ``file:`` paths (JVM-free); boto3-backed S3
+    verbs for ``s3://``/``s3a://`` when boto3 is importable (also
+    JVM-free); the Hadoop bridge for other remote schemes on
+    classic-gateway sessions; a clear error otherwise (inject your own
+    ``fs=``)."""
     scheme = urlparse(path).scheme
     if scheme in ("", "file"):
         return LocalFS()
+    if scheme in ("s3", "s3a", "s3n"):
+        try:
+            return BotoS3FS()
+        except ImportError:
+            pass  # fall through to the JVM bridge
     if getattr(spark, "_jvm", None) is not None:
         return JvmHadoopFS(spark)
     raise RuntimeError(

@@ -73,8 +73,100 @@ def test_resolve_fs_local_never_touches_jvm(tmp_path):
 
 
 def test_resolve_fs_remote_without_gateway_raises():
+    # hdfs has no JVM-free implementation (s3/s3a route to boto3 instead)
     class _ConnectLike:
         _jvm = None
 
     with pytest.raises(RuntimeError, match="fs="):
-        resolve_fs(_ConnectLike(), "s3a://bucket/prefix")
+        resolve_fs(_ConnectLike(), "hdfs://nn/warehouse")
+
+
+# ---------------------------------------------------------------------------
+# BotoS3FS against a real S3 API (moto) — the JVM-free object-store path
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def s3fs_pair():
+    moto_server = pytest.importorskip("moto.server")
+    boto3 = pytest.importorskip("boto3")
+    from autonomus_datapipeline_spark.fsutil import BotoS3FS
+
+    port = 5992
+    server = moto_server.ThreadedMotoServer(port=port, verbose=False)
+    server.start()
+    client = boto3.client(
+        "s3",
+        endpoint_url=f"http://127.0.0.1:{port}",
+        aws_access_key_id="test",
+        aws_secret_access_key="test",
+        region_name="us-east-1",
+    )
+    client.create_bucket(Bucket="sink")
+    yield client, BotoS3FS(client=client)
+    server.stop()
+
+
+def _seed_gate_sink(client):
+    for bid in (0, 1, 2):
+        client.put_object(
+            Bucket="sink",
+            Key=f"index/batch_id={bid}/part-0000.parquet",
+            Body=b"x" * (10 + bid),
+        )
+    client.put_object(Bucket="sink", Key="index/_SUCCESS", Body=b"")
+
+
+def test_botos3fs_gate_sink_partition_sweep(s3fs_pair):
+    """The exact verb sequence compact_gate_sink drives: exists, listdir
+    of batch_id=* partition 'directories', recursive delete of the folded
+    ones — against a real S3 API, no JVM anywhere."""
+    client, fs = s3fs_pair
+    _seed_gate_sink(client)
+    assert fs.exists("s3a://sink/index")
+    assert not fs.exists("s3a://sink/absent")
+    names = fs.listdir("s3a://sink/index")
+    assert [n for n in names if n.startswith("batch_id=")] == [
+        "batch_id=0", "batch_id=1", "batch_id=2",
+    ]
+    # fold partitions < 2, exactly as compact_gate_sink does
+    for name in names:
+        if name.startswith("batch_id=") and int(name.split("=")[1]) < 2:
+            fs.delete(f"s3a://sink/index/{name}")
+    assert [
+        n for n in fs.listdir("s3a://sink/index") if n.startswith("batch_id=")
+    ] == ["batch_id=2"]
+    assert not fs.exists("s3a://sink/index/batch_id=0")
+    files = fs.list_files("s3a://sink/index/batch_id=2")
+    assert files == [("s3a://sink/index/batch_id=2/part-0000.parquet", 12)]
+
+
+def test_botos3fs_rename_and_qualified(s3fs_pair):
+    client, fs = s3fs_pair
+    client.put_object(Bucket="sink", Key="stage/a/f1", Body=b"12345")
+    client.put_object(Bucket="sink", Key="stage/f2", Body=b"1")
+    assert fs.rename("s3a://sink/stage", "s3a://sink/live") is True
+    assert not fs.exists("s3a://sink/stage")
+    assert sorted(k for k, _ in fs.list_files("s3a://sink/live")) == [
+        "s3a://sink/live/a/f1", "s3a://sink/live/f2",
+    ]
+    # Hadoop rename contract: False when src missing or dst occupied
+    assert fs.rename("s3a://sink/stage", "s3a://sink/elsewhere") is False
+    client.put_object(Bucket="sink", Key="other/f", Body=b"1")
+    assert fs.rename("s3a://sink/other", "s3a://sink/live") is False
+    # prefix-safety: deleting/listing 'live' never touches 'live2'
+    client.put_object(Bucket="sink", Key="live2/f", Body=b"1")
+    fs.delete("s3a://sink/live")
+    assert fs.exists("s3a://sink/live2")
+    q = fs.qualified("s3a://sink/x/../x/y")
+    assert q == ("s3", "sink", "/x/y")
+
+
+def test_resolve_fs_routes_s3_without_jvm(tmp_path):
+    from autonomus_datapipeline_spark.fsutil import BotoS3FS, resolve_fs
+
+    class _NoJvm:
+        _jvm = None
+
+    fs = resolve_fs(_NoJvm(), "s3a://bucket/prefix")
+    assert isinstance(fs, BotoS3FS)
