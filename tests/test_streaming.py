@@ -862,3 +862,57 @@ def test_minhash_gate_intra_batch_lower_id_wins_and_short_docs_admitted(spark, t
     m = {(r["new_id"], r["index_id"]) for r in
          spark.read.parquet(paths["matches"]).collect()}
     assert (6, 5) in m
+
+
+def test_compact_gate_sink_on_minhash_band_index(spark, tmp_path):
+    """compact_gate_sink is detector-agnostic: folding the MinHash gate's
+    band index (n_bands rows per admitted doc — multi-row, unlike the
+    SimHash one-fingerprint-per-doc index) must preserve every band row
+    exactly once, and later batches must still gate correctly against the
+    compacted index."""
+    from autonomus_datapipeline_spark.streaming.neardup import (
+        compact_gate_sink,
+        minhash_gate_and_append_batch,
+    )
+
+    paths = {
+        "index": str(tmp_path / "index"),
+        "kept": str(tmp_path / "kept"),
+        "matches": str(tmp_path / "matches"),
+    }
+    minhash_gate_and_append_batch(
+        spark.createDataFrame([(1, _BASE_TEXT)], _doc_schema()), 0,
+        paths["index"], paths["kept"], paths["matches"],
+    )
+    minhash_gate_and_append_batch(
+        spark.createDataFrame([(2, _NOVEL_TEXT)], _doc_schema()), 1,
+        paths["index"], paths["kept"], paths["matches"],
+    )
+    rows_before = sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"])
+        for r in spark.read.parquet(paths["index"]).collect()
+    )
+    assert len(rows_before) == 2 * 4  # 4 bands per admitted doc
+    n = compact_gate_sink(spark, paths["index"], upto_batch_id=1)
+    assert n == 8
+    idx = spark.read.parquet(paths["index"])
+    assert sorted(
+        (r["doc_id"], r["band_idx"], r["band_hash"]) for r in idx.collect()
+    ) == rows_before
+    assert set(r["batch_id"] for r in idx.collect()) == {1}
+    # batch 2 still rejects a near-copy of compacted doc 2, admits novelty
+    minhash_gate_and_append_batch(
+        spark.createDataFrame(
+            [(30, _NOVEL_TEXT.replace("parquet", "orcfile")),
+             (31, "entirely unrelated short note on tax law amendments")],
+            _doc_schema(),
+        ), 2,
+        paths["index"], paths["kept"], paths["matches"],
+    )
+    kept_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(paths["kept"]).collect()
+    )
+    assert kept_ids == [1, 2, 31]
+    m = {(r["new_id"], r["index_id"]) for r in
+         spark.read.parquet(paths["matches"]).collect()}
+    assert (30, 2) in m
