@@ -38,3 +38,42 @@ def test_merge_at_word_edges():
     assert _bpe_apply("ab", [("a", "b")]) == ["ab"]
     assert _bpe_apply("zab", [("a", "b")]) == ["z", "ab"]
     assert _bpe_apply("abz", [("a", "b")]) == ["ab", "z"]
+
+
+def test_bpe_apply_matches_reference_on_random_inputs():
+    """Property check: _bpe_apply agrees with an independently written
+    (rank, position)-argmin reference on random words and merge tables,
+    and always reconstructs the word when concatenated."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def reference(w, merges):
+        rank = {p: i for i, p in enumerate(merges)}
+        syms = list(w)
+        while True:
+            cands = [
+                (rank[(syms[j], syms[j + 1])], j)
+                for j in range(len(syms) - 1)
+                if (syms[j], syms[j + 1]) in rank
+            ]
+            if not cands:
+                return syms
+            _, j = min(cands)
+            syms = syms[:j] + [syms[j] + syms[j + 1]] + syms[j + 2:]
+
+    alphabet = "abc"
+    words = st.text(alphabet=alphabet, min_size=0, max_size=12)
+    pair = st.tuples(
+        st.text(alphabet=alphabet, min_size=1, max_size=2),
+        st.text(alphabet=alphabet, min_size=1, max_size=2),
+    )
+    tables = st.lists(pair, min_size=0, max_size=6, unique=True)
+
+    @settings(max_examples=300, deadline=None)
+    @given(words, tables)
+    def check(w, merges):
+        got = _bpe_apply(w, merges)
+        assert got == reference(w, merges)
+        assert "".join(got) == w
+
+    check()
