@@ -37,6 +37,9 @@ from urllib.parse import urlparse
 class LocalFS:
     """Pure-Python filesystem verbs for local paths / ``file:`` URIs."""
 
+    #: os.rename is a single syscall — safe for promote-style swaps.
+    atomic_rename = True
+
     @staticmethod
     def _strip(path: str) -> str:
         u = urlparse(path)
@@ -89,6 +92,12 @@ class JvmHadoopFS:
     PySpark); resolve_fs never routes local paths here, so single-node /
     Spark Connect runs stay JVM-free.
     """
+
+    #: Hadoop's FileSystem.rename contract is a metadata operation on
+    #: HDFS-like stores.  NOTE: s3a's implementation is still copy+delete
+    #: under the hood — object-store swaps belong to a table format's
+    #: metadata commit regardless of which bridge executes them.
+    atomic_rename = True
 
     def __init__(self, spark):
         self._jvm = spark._jvm
@@ -148,9 +157,13 @@ class BotoS3FS:
     - ``rename`` is server-side copy + delete and therefore NOT atomic —
       fine for the compaction sweeps that tolerate re-runs
       (crash-idempotent by design), NOT a substitute for a table-format
-      commit in ``promote_directory``-style swaps (that function's
-      docstring already says object stores need a metadata commit).
+      commit in ``promote_directory``-style swaps; the ``atomic_rename``
+      capability flag below lets such callers refuse this implementation.
     """
+
+    #: copy+delete emulation — promote_directory refuses this fs unless
+    #: the caller explicitly opts in (allow_non_atomic=True).
+    atomic_rename = False
 
     def __init__(self, client=None, endpoint_url: str | None = None):
         if client is None:
@@ -259,21 +272,24 @@ class BotoS3FS:
 
 
 def resolve_fs(spark, path: str):
-    """LocalFS for local / ``file:`` paths (JVM-free); boto3-backed S3
-    verbs for ``s3://``/``s3a://`` when boto3 is importable (also
-    JVM-free); the Hadoop bridge for other remote schemes on
-    classic-gateway sessions; a clear error otherwise (inject your own
-    ``fs=``)."""
+    """LocalFS for local / ``file:`` paths (JVM-free); the Hadoop bridge
+    for every remote scheme on classic-gateway sessions — including
+    ``s3://``/``s3a://``, because the JVM FileSystem runs under the SAME
+    credential chain Spark's own reads use (``fs.s3a.access.key``,
+    instance roles via hadoop-aws), which a side-channel boto3 client
+    does not; boto3-backed S3 verbs only as the JVM-free fallback (Spark
+    Connect / no gateway), where no Hadoop credential chain exists to
+    diverge from; a clear error otherwise (inject your own ``fs=``)."""
     scheme = urlparse(path).scheme
     if scheme in ("", "file"):
         return LocalFS()
+    if getattr(spark, "_jvm", None) is not None:
+        return JvmHadoopFS(spark)
     if scheme in ("s3", "s3a", "s3n"):
         try:
             return BotoS3FS()
         except ImportError:
-            pass  # fall through to the JVM bridge
-    if getattr(spark, "_jvm", None) is not None:
-        return JvmHadoopFS(spark)
+            pass
     raise RuntimeError(
         f"no filesystem implementation for scheme {scheme!r} without a JVM "
         "gateway (Spark Connect session?) — pass fs= explicitly"

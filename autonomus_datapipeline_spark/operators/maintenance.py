@@ -133,7 +133,8 @@ def compact_parquet(
 
 
 def promote_directory(
-    spark: SparkSession, staged: str, target: str, fs=None
+    spark: SparkSession, staged: str, target: str, fs=None,
+    allow_non_atomic: bool = False,
 ) -> str:
     """Promote a staged rewrite over ``target`` via two filesystem renames
     (the compact-then-swap step): the previous ``target`` is moved aside to
@@ -142,9 +143,27 @@ def promote_directory(
     are metadata operations on HDFS-like filesystems; on object stores a
     table format's metadata commit replaces this. Filesystem verbs go
     through the :mod:`..fsutil` seam (JVM-free for local paths).
+
+    The whole recipe is only crash-safe when the fs's rename IS a single
+    metadata operation: a copy+delete emulation (``fs.atomic_rename`` is
+    False, e.g. :class:`~..fsutil.BotoS3FS`) that dies mid-copy leaves
+    ``target`` partially populated, and the retry's exists(dst) probe then
+    wedges the swap with the live data already moved aside — so
+    promote_directory REFUSES such filesystems unless the caller opts in
+    with ``allow_non_atomic=True`` (accepting a visible-to-readers window
+    and manual cleanup on crash); a table format's metadata commit is the
+    real answer on object stores.
     """
     if fs is None:
         fs = resolve_fs(spark, target)
+    if not getattr(fs, "atomic_rename", True) and not allow_non_atomic:
+        raise ValueError(
+            "promote_directory needs an atomic rename; "
+            f"{type(fs).__name__} emulates rename as copy+delete, which can "
+            "strand a half-promoted target on crash. Use a table-format "
+            "metadata commit for object stores, or pass "
+            "allow_non_atomic=True to accept the risk."
+        )
     # Validate the staged side BEFORE touching target: a typo'd staged path
     # must not leave the live directory moved aside with nothing promoted.
     if not fs.exists(staged):

@@ -244,6 +244,24 @@ def compact_gate_sink(spark, path: str, upto_batch_id: int, fs=None) -> int:
     return n
 
 
+def _index_committed(spark, index_path: str, fs=None) -> bool:
+    """True iff the index sink holds at least one COMMITTED ``batch_id=``
+    partition. A directory that exists but has no such child (a crashed
+    first index write that left an empty dir or only ``_temporary`` /
+    ``_SUCCESS`` debris) is an ABSENT sink — reading it would fail
+    deterministically on every micro-batch retry, wedging the stream
+    forever on a state that holds no data at all. Anything beyond that
+    (corrupt footer on a committed partition, transient FS error,
+    permissions) still raises at read time so Structured Streaming fails
+    and retries — swallowing those would silently re-admit near-dups of
+    everything admitted so far."""
+    if fs is None:
+        fs = resolve_fs(spark, index_path)
+    if not fs.exists(index_path):
+        return False
+    return any(n.startswith("batch_id=") for n in fs.listdir(index_path))
+
+
 def gate_and_append_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -253,20 +271,19 @@ def gate_and_append_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    fs=None,
 ) -> None:
     """One micro-batch through the gate into the append-only sinks — the
     foreachBatch body, exposed so retries are testable: calling it twice
     with the same ``batch_id`` (the Structured Streaming replay contract)
     produces exactly the same sink state, because the gate reads the index
     restricted to STRICTLY EARLIER batches and the write replaces only
-    this batch's partition."""
+    this batch's partition. ``fs`` is the optional filesystem seam
+    (:mod:`..fsutil`) for the sink-existence probe, for deployments whose
+    index path needs an injected implementation (e.g. Spark Connect +
+    object store)."""
     spark = batch_df.sparkSession
-    # "Sink absent" (first batch) is the ONLY condition that may gate
-    # against an empty index. Any other read failure — corrupt footer,
-    # transient FS error, permissions — must raise so Structured Streaming
-    # fails and retries the micro-batch; swallowing it would silently
-    # re-admit near-duplicates of everything admitted so far.
-    if resolve_fs(spark, index_path).exists(index_path):
+    if _index_committed(spark, index_path, fs):
         index_fp = spark.read.parquet(index_path).filter(
             F.col("batch_id") < batch_id
         ).select("doc_id", "simhash")
@@ -382,6 +399,7 @@ def minhash_gate_and_append_batch(
     shingle_n: int = _MH_SHINGLE,
     n_hashes: int = _MH_HASHES,
     n_bands: int = _MH_BANDS,
+    fs=None,
 ) -> None:
     """MinHash foreachBatch body with the shared sink discipline: every
     sink is append-only parquet partitioned by batch_id, the gate reads
@@ -390,12 +408,11 @@ def minhash_gate_and_append_batch(
     with byte-identical content (see :func:`gate_and_append_batch`). The
     index payload is the kept documents' (doc_id, band_idx, band_hash)
     rows — n_bands rows per admitted doc, so the index stays
-    corpus-linear. :func:`compact_gate_sink` applies unchanged."""
+    corpus-linear. :func:`compact_gate_sink` applies unchanged. Same
+    failure contract and ``fs`` seam as the SimHash gate
+    (:func:`_index_committed`)."""
     spark = batch_df.sparkSession
-    # Same failure contract as the SimHash gate: only a genuinely absent
-    # sink may gate against an empty index; real read errors must raise so
-    # Structured Streaming retries the micro-batch.
-    if resolve_fs(spark, index_path).exists(index_path):
+    if _index_committed(spark, index_path, fs):
         index_bands = spark.read.parquet(index_path).filter(
             F.col("batch_id") < batch_id
         ).select("doc_id", "band_idx", "band_hash")
@@ -430,11 +447,13 @@ def stream_minhash_gate(
     n_hashes: int = _MH_HASHES,
     n_bands: int = _MH_BANDS,
     available_now: bool = True,
+    fs=None,
 ) -> StreamingQuery:
     """Checkpointed streaming wrapper for the MinHash gate — identical
     replay/append/O(batch) contract as :func:`stream_neardup_gate`, with
     banded MinHash signatures (shingle-Jaccard collisions) instead of
-    SimHash Hamming blocks as the near-dup detector."""
+    SimHash Hamming blocks as the near-dup detector. ``fs`` is threaded
+    into every foreachBatch body's sink probe."""
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
         minhash_gate_and_append_batch(
@@ -448,6 +467,7 @@ def stream_minhash_gate(
             shingle_n,
             n_hashes,
             n_bands,
+            fs=fs,
         )
 
     writer = (
@@ -470,6 +490,7 @@ def stream_neardup_gate(
     text_col: str = "text",
     max_hamming: int = 3,
     available_now: bool = True,
+    fs=None,
 ) -> StreamingQuery:
     """Checkpointed streaming wrapper: per micro-batch, gate against the
     persisted fingerprint index (all strictly earlier batch partitions),
@@ -477,7 +498,8 @@ def stream_neardup_gate(
     the sinks' ``batch_id=N`` partitions, and nothing else — per-batch
     cost is O(batch) + one incremental index scan, never a rewrite of the
     corpus so far. Retried micro-batches replace their own partition
-    idempotently (see :func:`gate_and_append_batch`)."""
+    idempotently (see :func:`gate_and_append_batch`). ``fs`` is threaded
+    into every foreachBatch body's sink probe."""
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> None:
         gate_and_append_batch(
@@ -489,6 +511,7 @@ def stream_neardup_gate(
             id_col,
             text_col,
             max_hamming,
+            fs=fs,
         )
 
     writer = (

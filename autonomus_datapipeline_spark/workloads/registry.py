@@ -193,6 +193,30 @@ _DRIVER_PROVEN_ROWS: frozenset[str] = frozenset(
         # re-rank restructure — dropped here until driver re-proof (it
         # rides _R7_TOUCHED at the front of the contract).
         "scd2_user_value_history",
+        # CORRECTNESS_r05.json: hash_match == true (never folded in when
+        # r5 landed — rediscovered in r9; the r7/r8 judge accounting
+        # counted these rows as currently-valid proofs, and the
+        # touch-tracking discipline guarantees any of them whose plan had
+        # changed since r5 would appear in a _R*_TOUCHED list instead).
+        "bigram_collocations", "bpe_merge_candidates",
+        "content_defined_chunks", "embedding_gram_block",
+        "event_transition_matrix", "functional_dependency_audit",
+        "funnel_conversion", "hhi_supplier_concentration",
+        "k_anonymity_audit", "laspeyres_price_index",
+        "minhash_jaccard_error", "neardup_clustering_coefficient",
+        "neardup_triangle_count", "ngram_diversity_report",
+        "oov_rate_report", "prefix_blocking_histogram",
+        "q10_returned_item_customers", "q12_priority_shipping",
+        "q13_customer_order_distribution", "q15_top_supplier",
+        "q17_small_quantity_revenue", "q18_large_volume_customers",
+        "q19_disjunctive_revenue", "q21_sole_late_supplier",
+        "q22_idle_rich_customers", "q3_shipping_priority",
+        "q4_order_priority_check", "q6_forecast_revenue",
+        "q8_market_share", "referential_integrity_audit",
+        "rolling_1h_user_value", "sla_latency_quantiles",
+        "snapshot_diff_report", "sql_window_top_customers",
+        "stratified_kfold_assignment", "temperature_mix_weights",
+        "token_length_histogram",
         # CORRECTNESS_r06.json: hash_match == true (50 rows sampled; only
         # the 6 below remain untouched by the r7 prefix-sum/ANN
         # restructure — the other 44 r6-proven names were re-touched in r7
@@ -228,39 +252,52 @@ _DRIVER_PROVEN_ROWS: frozenset[str] = frozenset(
         "sorted_neighborhood_pairs", "spearman_rho_qty_price",
         "trending_users_report", "trimmed_mean_order_value",
         "vocab_zipf_stats", "winnowing_match_pairs",
+        # CORRECTNESS_r08.json: hash_match == true (49 of 50 rows — the
+        # head of the never-driver-proven backlog; the one red row,
+        # ewma_daily_revenue, was a double->decimal cross-engine rounding
+        # divergence rewritten to all-integer weights in r9, so it stays
+        # unproven and leads the r9 contract). lpa_modularity_score and
+        # dbscan_grid_clusters were sampled AFTER their r8 plan rewrites
+        # (driver run postdates the r8/r8b commits), so these rows prove
+        # the current shapes.
+        "ab_conversion_ztest", "acf_hourly_events", "activity_streaks",
+        "anova_f_order_value", "bfs_hops_from_hub",
+        "bigram_lm_source_scores", "bm25_doc_ranking",
+        "boilerplate_coverage_scores", "chi_square_event_hour",
+        "churn_label_table", "cohort_ltv_matrix",
+        "copurchase_degree_histogram", "copurchase_pairs",
+        "covariate_balance_smd", "cuped_adjusted_ab",
+        "dbscan_grid_clusters", "degree_assortativity",
+        "distribution_drift_tvd", "embedding_centroid_drift",
+        "exp_decay_user_engagement", "flesch_reading_buckets",
+        "grid_epsilon_neighbors", "jaccard_knn_graph",
+        "kcore_peeling_summary", "kmeans_2iter_clusters",
+        "kmeans_elbow_inertia", "kmeans_silhouette_proxy",
+        "l_diversity_audit", "lpa_modularity_score", "market_basket_lift",
+        "markov_transition_accuracy", "monthly_priority_share_shift",
+        "near_time_duplicate_events", "new_vs_returning_revenue",
+        "ngram_containment_pairs", "ngram_novelty_decay",
+        "ols_price_quantity_fit", "ols_revenue_trend_by_priority",
+        "pagerank_copurchase", "retention_cohort_matrix",
+        "rolling_zscore_anomaly", "seasonal_naive_backtest",
+        "source_distinctive_terms_chi2", "source_token_tvd_matrix",
+        "table_profile_orders", "temporal_consistency_audit",
+        "twap_event_value", "wau_mau_rolling_ratio",
+        "weekday_seasonality_index",
     }
 )
 
 
-# The 60 registry names that have never appeared in any driver
-# CORRECTNESS_r*.json (rounds 1-7 sampled elsewhere; all 60 are green
-# under the judge's independent sf0.01 sweep and the full pytest oracle
-# suite at sf0.001, but driver rows are the only unconditional proof).
-# They lead the r8 contract so the driver's 50-row cap lands on them;
-# the ~10 past the cap clear in r9. Registry-registration order.
+# Registry names with no driver CORRECTNESS_r*.json proof yet. The r8
+# driver sample (50-row cap) landed on the head of the 60-name backlog and
+# proved 49; what remains is the 10 names past that cap plus
+# ewma_daily_revenue, whose r8 row was red (a double->decimal cast whose
+# rounding differs between Spark and DuckDB at the driver's full-precision
+# hash — rewritten in r9 to all-integer weights so both engines compute
+# bit-identically; see the query's docstring). They lead the r9 contract.
 _NEVER_DRIVER_PROVEN: tuple[str, ...] = (
-    "distribution_drift_tvd", "copurchase_pairs", "l_diversity_audit",
-    "table_profile_orders", "temporal_consistency_audit",
-    "retention_cohort_matrix", "activity_streaks",
-    "exp_decay_user_engagement", "wau_mau_rolling_ratio",
-    "near_time_duplicate_events", "rolling_zscore_anomaly",
-    "chi_square_event_hour", "monthly_priority_share_shift",
-    "pagerank_copurchase", "copurchase_degree_histogram",
-    "cohort_ltv_matrix", "twap_event_value", "bfs_hops_from_hub",
-    "seasonal_naive_backtest", "churn_label_table", "degree_assortativity",
-    "new_vs_returning_revenue", "bm25_doc_ranking",
-    "boilerplate_coverage_scores", "ngram_containment_pairs",
-    "source_token_tvd_matrix", "grid_epsilon_neighbors",
-    "dbscan_grid_clusters", "embedding_centroid_drift",
-    "market_basket_lift", "jaccard_knn_graph", "ngram_novelty_decay",
-    "weekday_seasonality_index", "kmeans_2iter_clusters",
-    "source_distinctive_terms_chi2", "markov_transition_accuracy",
-    "kmeans_elbow_inertia", "kmeans_silhouette_proxy", "acf_hourly_events",
-    "ewma_daily_revenue", "flesch_reading_buckets", "kcore_peeling_summary",
-    "bigram_lm_source_scores", "ab_conversion_ztest",
-    "ols_price_quantity_fit", "ols_revenue_trend_by_priority",
-    "cuped_adjusted_ab", "lpa_modularity_score", "covariate_balance_smd",
-    "anova_f_order_value", "cramers_v_segment_priority",
+    "ewma_daily_revenue",
+    "cramers_v_segment_priority",
     "partial_correlation_qty_price", "mcnemar_conversion_shift",
     "poisson_rate_shift", "chow_test_revenue_break",
     "jackknife_mean_variance", "benford_first_digit_audit",
@@ -301,9 +338,10 @@ _R8_TOUCHED: tuple[str, ...] = (
     "spearman_rho_qty_price", "kendall_tau_b_qty_price",
     "durbin_watson_trend_residuals",
     # r8 plan changes: leak-free eager top-k (hits), window-based df cap +
-    # capped-table checkpoint (winnowing), post-LPA label checkpoint
-    # (modularity; also in the backlog above)
-    "hits_copurchase_2iter", "winnowing_match_pairs", "lpa_modularity_score",
+    # capped-table checkpoint (winnowing). lpa_modularity_score's r8
+    # rewrite was driver-proven in r08 (sampled via the backlog after the
+    # r8 commits), so it is NOT held back here.
+    "hits_copurchase_2iter", "winnowing_match_pairs",
     # r8: CC consumers feed bucket stars instead of pairwise candidates
     # (connectivity-identical, band-table-linear edge count); the star-loop
     # dropped a redundant distinct+checkpoint
@@ -311,24 +349,36 @@ _R8_TOUCHED: tuple[str, ...] = (
     "dedup_keep_best_quality",
 )
 
+# Queries whose PLANS changed in round 9 (same discipline: a rewritten
+# query needs driver re-proof before its name re-enters _DRIVER_VERIFIED).
+_R9_TOUCHED: tuple[str, ...] = ()
+
 # The live proven set: a name whose plan was re-touched this round loses
 # its proof until a driver row re-proves the rewritten shape — the
 # subtraction keeps the historical record above verbatim while
 # guaranteeing every touched name rides the unproven front of the
 # contract (and the hygiene test's proven-block invariant holds).
-_DRIVER_VERIFIED: frozenset[str] = _DRIVER_PROVEN_ROWS - frozenset(_R8_TOUCHED)
+_DRIVER_VERIFIED: frozenset[str] = _DRIVER_PROVEN_ROWS - frozenset(
+    _R8_TOUCHED
+) - frozenset(_R9_TOUCHED)
 
 
 def _contract_order() -> list[str]:
-    """Registry names: never-driver-proven backlog first, then r8-touched
-    re-proof names, then other driver-unproven names, then the
-    driver-proven tail (stable within each block). A touched name never
-    rides the verified tail even if an older round proved its pre-rewrite
-    shape."""
+    """Registry names: never-driver-proven names first (the explicit
+    backlog, then any other name with no CORRECTNESS row ever — newly
+    registered queries land here by definition), then touched re-proof
+    names (newest round first: a stale proof outranks no proof at all, so
+    re-proofs queue BEHIND the never-proven), then the driver-proven tail
+    (stable within each block). A touched name never rides the verified
+    tail even if an older round proved its pre-rewrite shape."""
     names = list(QUERY_REGISTRY)
     front = [n for n in _NEVER_DRIVER_PROVEN if n in QUERY_REGISTRY]
     front += [
-        n for n in _R8_TOUCHED
+        n for n in names
+        if n not in _DRIVER_PROVEN_ROWS and n not in set(front)
+    ]
+    front += [
+        n for n in (*_R9_TOUCHED, *_R8_TOUCHED)
         if n in QUERY_REGISTRY and n not in set(front)
     ]
     tset = set(front)

@@ -365,11 +365,25 @@ def acf_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EWMA smoothing of daily revenue (exact dyadic weights, bounded lookback)
 # ---------------------------------------------------------------------------
 
-_EWMA_LOOKBACK = 16  # weights (3/4)^j, j = 0..15 — all exact in binary
+_EWMA_LOOKBACK = 8  # weights (3/4)^j, j = 0..7, scaled by 4^7 to integers
 
-_EWMA_W = [0.75**j for j in range(_EWMA_LOOKBACK)]
+# (3/4)^j scaled by 4^(LOOKBACK-1): wint_j = 3^j * 4^(7-j).  Small pure
+# integers (max 4^7 = 16384), so every weight, product, and partial sum is
+# EXACT in decimal arithmetic in BOTH engines — no double->decimal cast
+# anywhere, which is the one operation whose rounding is not cross-engine
+# portable (Spark rounds the exact binary expansion HALF_UP; DuckDB rounds
+# an approximate value*10^scale — they disagree whenever a product sits
+# within double-error of a half-grain boundary, ~0.2% of terms at 1e7
+# magnitude: the r8 driver-red row).  The weight scale is kept SMALL on
+# purpose: revenue stays at its native 2-decimal scale and the weighted
+# sum stays < 2^53 in hundredths, so the decimal->double casts of BOTH
+# division operands are exact and the final double is bit-identical
+# across engines (guaranteed while sum(r*w) < 2^53/100 ≈ 9e13).
+_EWMA_WINT = [
+    3**j * 4 ** (_EWMA_LOOKBACK - 1 - j) for j in range(_EWMA_LOOKBACK)
+]
 
-_EWMA_W_SQL = ", ".join(f"({j}, {w!r})" for j, w in enumerate(_EWMA_W))
+_EWMA_W_SQL = ", ".join(f"({j}, {w})" for j, w in enumerate(_EWMA_WINT))
 
 
 @query(
@@ -377,24 +391,23 @@ _EWMA_W_SQL = ", ".join(f"({j}, {w!r})" for j, w in enumerate(_EWMA_W))
     oracle=f"""
     WITH daily AS (
         SELECT CAST(o_orderdate AS DATE) AS d,
-               SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS r
+               SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS r
         FROM orders GROUP BY 1
     ),
     w AS (
-        SELECT j, CAST(wd AS DOUBLE) AS w
-        FROM (VALUES {_EWMA_W_SQL}) t(j, wd)
+        SELECT j, CAST(wi AS DECIMAL(5,0)) AS w
+        FROM (VALUES {_EWMA_W_SQL}) t(j, wi)
     ),
     contrib AS (
         SELECT CAST(s.d + to_days(CAST(w.j AS INT)) AS DATE) AS day,
-               w.w, s.r
+               w.w, CAST(s.r AS DECIMAL(20,2)) AS r
         FROM daily s CROSS JOIN w
     ),
     tgt AS (SELECT d AS day FROM daily)
     SELECT c.day,
            CAST(COUNT(*) AS BIGINT) AS n_terms,
-           CAST(SUM(CAST(CAST(c.r AS DOUBLE) * c.w AS DECIMAL(38,6)))
-                AS DOUBLE)
-             / CAST(SUM(CAST(c.w AS DECIMAL(38,6))) AS DOUBLE) AS ewma
+           CAST(CAST(SUM(c.r * c.w) AS DECIMAL(38,2)) AS DOUBLE)
+             / CAST(SUM(CAST(c.w AS BIGINT)) AS DOUBLE) AS ewma
     FROM contrib c JOIN tgt t ON t.day = c.day
     GROUP BY 1
     ORDER BY 1
@@ -404,11 +417,18 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average of daily revenue (α = 1/4,
     truncated at a {_EWMA_LOOKBACK}-day lookback, renormalized over the
     weights actually present — the "adjusted" EWMA). Determinism without
-    iteration: (3/4)^j is a dyadic rational, exact in IEEE double for
-    j < 16 (3¹⁵ < 2²⁴), so the weights are embedded as repr-roundtripped
-    LITERALS in both engines rather than computed with pow() (whose last
-    ulp is not cross-engine portable); each term r·w is one IEEE multiply
-    snapped to decimal and summed order-free.
+    iteration: the common 4^7 denominator cancels in the ratio, so the
+    weights are embedded as INTEGER literals 3^j·4^(7−j) and every
+    product/partial sum stays in exact decimal arithmetic; the only
+    floating-point op in the whole query is the final division of two
+    exactly-computed operands, both of which convert to double EXACTLY
+    (num < 2^53 in hundredths, den < 2^53), so the result is the single
+    correctly-rounded quotient in both engines — bit-identical.
+    There is deliberately NO double→decimal cast anywhere: that cast's
+    rounding is not cross-engine portable (Spark rounds the exact binary
+    expansion, DuckDB an approximate value·10^scale — the r8 driver-red
+    row), and no decimal wider than 2^53 of its own scale units is ever
+    cast to double (two-step int128→double→÷10^scale double-rounds).
 
     Scale: daily revenue is one map-side-combinable aggregate to a
     calendar-bounded grid; the lookback expansion is a {_EWMA_LOOKBACK}×
@@ -418,13 +438,17 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r")
+        F.sum(F.col("o_totalprice").cast("decimal(20,2)")).alias("r")
     )
     weights = spark.createDataFrame(
-        list(enumerate(_EWMA_W)), "j int, w double"
+        list(enumerate(_EWMA_WINT)), "j int, w long"
     )
+    # decimal(20,2) * decimal(5,0) -> decimal(26,2): exact (no precision
+    # loss) in both engines.
     contrib = daily.crossJoin(F.broadcast(weights)).select(
-        F.expr("date_add(d, j)").alias("day"), "w", "r"
+        F.expr("date_add(d, j)").alias("day"),
+        F.col("w").cast("decimal(5,0)").alias("w"),
+        F.col("r").cast("decimal(20,2)").alias("r"),
     )
     tgt = daily.select(F.col("d").alias("day"))
     return (
@@ -433,12 +457,10 @@ def ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_terms"),
             (
-                F.sum(
-                    (F.col("r").cast("double") * F.col("w")).cast(
-                        "decimal(38,6)"
-                    )
-                ).cast("double")
-                / F.sum(F.col("w").cast("decimal(38,6)")).cast("double")
+                F.sum(F.col("r") * F.col("w"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                / F.sum(F.col("w").cast("bigint")).cast("double")
             ).alias("ewma"),
         )
         .orderBy("day")

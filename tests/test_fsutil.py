@@ -170,3 +170,25 @@ def test_resolve_fs_routes_s3_without_jvm(tmp_path):
 
     fs = resolve_fs(_NoJvm(), "s3a://bucket/prefix")
     assert isinstance(fs, BotoS3FS)
+
+
+def test_resolve_fs_prefers_jvm_bridge_for_s3_on_gateway_sessions():
+    """A classic-gateway session's S3 credentials live in the Hadoop conf
+    (fs.s3a.access.key, instance roles) — the JVM bridge runs under that
+    same chain, while a side-channel boto3 client may have no credentials
+    at all (boto3.client() happily constructs without any).  resolve_fs
+    must therefore route s3/s3a to JvmHadoopFS whenever a gateway exists
+    and use BotoS3FS only as the JVM-free fallback."""
+    from autonomus_datapipeline_spark.fsutil import JvmHadoopFS, resolve_fs
+
+    class _Jsc:
+        @staticmethod
+        def hadoopConfiguration():
+            return object()
+
+    class _GatewaySession:
+        _jvm = object()
+        _jsc = _Jsc()
+
+    fs = resolve_fs(_GatewaySession(), "s3a://bucket/prefix")
+    assert isinstance(fs, JvmHadoopFS)

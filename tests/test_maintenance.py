@@ -87,6 +87,35 @@ def test_compact_then_promote_swaps_directories(spark, tmp_path):
     assert spark.read.parquet(aside).count() == 1_000
 
 
+def test_promote_refuses_non_atomic_rename_without_opt_in(spark, tmp_path):
+    """A copy+delete rename emulation (atomic_rename=False, e.g. BotoS3FS)
+    can strand a half-promoted target on crash, after which the retry's
+    exists(dst) probe wedges the swap with the live data already moved
+    aside — promote_directory must refuse it up front, before touching
+    either directory, unless the caller opts in."""
+    import pytest as _pytest
+
+    from autonomus_datapipeline_spark.fsutil import LocalFS
+
+    class _NonAtomicFS(LocalFS):
+        atomic_rename = False
+
+    target, staged = str(tmp_path / "t"), str(tmp_path / "staged")
+    spark.range(10).write.parquet(target)
+    spark.range(20).write.parquet(staged)
+    with _pytest.raises(ValueError, match="atomic"):
+        mnt.promote_directory(spark, staged, target, fs=_NonAtomicFS())
+    # refused BEFORE any rename: both directories untouched
+    assert spark.read.parquet(target).count() == 10
+    assert spark.read.parquet(staged).count() == 20
+    # explicit opt-in accepts the risk and performs the swap
+    aside = mnt.promote_directory(
+        spark, staged, target, fs=_NonAtomicFS(), allow_non_atomic=True
+    )
+    assert spark.read.parquet(target).count() == 20
+    assert spark.read.parquet(aside).count() == 10
+
+
 def test_ingest_compact_promote_zonemap_lifecycle(spark, tmp_path):
     """The storage lifecycle end-to-end: drip-fed appends accumulate small
     files -> compact to scan-sized files -> promote atomically -> zone-map

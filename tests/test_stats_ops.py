@@ -206,7 +206,8 @@ def test_acf_alternating_series_exact(spark, monkeypatch):
 
 def test_ewma_constant_series_stays_constant(spark, monkeypatch):
     """Constant daily revenue → the renormalized EWMA equals the constant
-    (up to the 1e-6 decimal snap) and n_terms grows to the lookback cap."""
+    EXACTLY (the arithmetic is exact decimal up to one final division) and
+    n_terms grows to the lookback cap."""
     base = dt.date(2024, 1, 1)
     orders = spark.createDataFrame(
         [(base + dt.timedelta(days=d), 100.0) for d in range(20)],
@@ -215,9 +216,39 @@ def test_ewma_constant_series_stays_constant(spark, monkeypatch):
     _patch_tables(monkeypatch, {"orders": orders})
     rows = _rows(stats_ops.ewma_daily_revenue(spark, "unused"))
     assert len(rows) == 20
-    assert [r[1] for r in rows] == [min(d + 1, 16) for d in range(20)]
+    assert [r[1] for r in rows] == [
+        min(d + 1, stats_ops._EWMA_LOOKBACK) for d in range(20)
+    ]
     for _day, _n, ewma in rows:
-        assert ewma == pytest.approx(100.0, abs=1e-4)
+        assert ewma == 100.0
+
+
+def test_ewma_bit_exact_vs_duckdb(spark, sf_dir):
+    """The r8 driver-red row was a sub-1e-10 cross-engine float drift the
+    10-sig-digit local gate couldn't see.  Pin the repaired design's claim
+    at FULL precision: every ewma double out of Spark must be bit-identical
+    (float.hex) to DuckDB's, because both operands of the one division are
+    exactly representable and exactly converted."""
+    import duckdb
+
+    from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY, TABLES
+
+    spec = QUERY_REGISTRY["ewma_daily_revenue"]
+    srows = {r["day"]: (r["n_terms"], r["ewma"]) for r in spec.fn(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    drows = {r[0]: (r[1], r[2]) for r in con.execute(spec.oracle).fetchall()}
+    drows = {
+        (k.date() if isinstance(k, dt.datetime) else k): v for k, v in drows.items()
+    }
+    assert set(srows) == set(drows)
+    for day, (n, e) in srows.items():
+        dn, de = drows[day]
+        assert n == dn
+        assert float(e).hex() == float(de).hex(), (day, e, de)
 
 
 # ---------------------------------------------------------------------------

@@ -725,6 +725,60 @@ def test_gate_raises_on_corrupt_index_instead_of_empty_gating(spark, tmp_path):
     assert not os.path.exists(tmp_path / "kept")
 
 
+def test_gate_treats_uncommitted_index_dir_as_absent(spark, tmp_path):
+    """An index directory that EXISTS but holds no committed ``batch_id=``
+    partition (a crashed first index write leaving an empty dir or only
+    ``_temporary`` debris) must gate against an empty index, not fail the
+    read — otherwise every micro-batch retry fails deterministically and
+    the stream is wedged forever on a sink that holds no data at all."""
+    from autonomus_datapipeline_spark.streaming.neardup import (
+        gate_and_append_batch,
+    )
+
+    index = tmp_path / "index"
+    (index / "_temporary").mkdir(parents=True)
+    gate_and_append_batch(
+        spark.createDataFrame([(9, _NOVEL_TEXT)], _doc_schema()), 0,
+        str(index), str(tmp_path / "kept"), str(tmp_path / "matches"),
+    )
+    kept = spark.read.parquet(str(tmp_path / "kept"))
+    assert [r["doc_id"] for r in kept.collect()] == [9]
+    idx = spark.read.parquet(str(index))
+    assert set(r["batch_id"] for r in idx.collect()) == {0}
+
+
+def test_gate_fs_injection_reaches_sink_probe(spark, tmp_path):
+    """fs= threads from the stream wrapper into the foreachBatch body's
+    sink-existence probe (the Spark Connect / object-store seam)."""
+    from autonomus_datapipeline_spark.fsutil import LocalFS
+    from autonomus_datapipeline_spark.streaming.neardup import (
+        gate_and_append_batch,
+        minhash_gate_and_append_batch,
+    )
+
+    class _RecordingFS(LocalFS):
+        def __init__(self):
+            self.calls = []
+
+        def exists(self, path):
+            self.calls.append(("exists", path))
+            return super().exists(path)
+
+        def listdir(self, path):
+            self.calls.append(("listdir", path))
+            return super().listdir(path)
+
+    for body in (gate_and_append_batch, minhash_gate_and_append_batch):
+        fs = _RecordingFS()
+        base = tmp_path / body.__name__
+        body(
+            spark.createDataFrame([(9, _NOVEL_TEXT)], _doc_schema()), 0,
+            str(base / "index"), str(base / "kept"), str(base / "matches"),
+            fs=fs,
+        )
+        assert ("exists", str(base / "index")) in fs.calls
+
+
 def test_stream_minhash_gate_grows_index_across_batches(spark, tmp_path):
     """MinHash-banded gate twin of the SimHash growth test: the band index
     accumulates across micro-batches, near-copies of PREVIOUSLY admitted
