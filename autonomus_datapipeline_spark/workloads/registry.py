@@ -351,7 +351,13 @@ _R8_TOUCHED: tuple[str, ...] = (
 
 # Queries whose PLANS changed in round 9 (same discipline: a rewritten
 # query needs driver re-proof before its name re-enters _DRIVER_VERIFIED).
-_R9_TOUCHED: tuple[str, ...] = ()
+# ewma_daily_revenue (never-proven: its r8 row was red) and
+# brown_forsythe_variance_test (already r8-touched) were both rewritten
+# for cross-engine bit-exactness; listed for the record even though both
+# already ride the unproven front.
+_R9_TOUCHED: tuple[str, ...] = (
+    "ewma_daily_revenue", "brown_forsythe_variance_test",
+)
 
 # The live proven set: a name whose plan was re-touched this round loses
 # its proof until a driver row re-proves the rewritten shape — the

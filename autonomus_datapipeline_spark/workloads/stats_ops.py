@@ -2936,7 +2936,8 @@ def winsorized_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "brown_forsythe_variance_test",
     oracle="""
     WITH g AS (
-        SELECT c.c_mktsegment AS seg, o.o_totalprice AS x
+        SELECT c.c_mktsegment AS seg,
+               CAST(o.o_totalprice AS DECIMAL(12,2)) AS x
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     ),
     hist AS (
@@ -2960,18 +2961,27 @@ def winsorized_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per AS (
         SELECT seg,
-               CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) AS sd,
-               CAST(SUM(CAST(d * d AS DECIMAL(38,6))) AS DOUBLE) AS sdd
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(d AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS sd,
+               CAST(SUM(CAST(d * d AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS sdd
         FROM dev GROUP BY 1
+    ),
+    perd AS (
+        SELECT seg, n, sd, sdd,
+               CAST(sd AS DOUBLE) AS sd_d
+        FROM per
     ),
     agg AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS k,
-               CAST(SUM(CAST(n AS DECIMAL(38,6))) AS DOUBLE) AS nt,
-               CAST(SUM(CAST(sd AS DECIMAL(38,6))) AS DOUBLE) AS sdt,
-               CAST(SUM(CAST(sdd AS DECIMAL(38,6))) AS DOUBLE) AS sddt,
-               CAST(SUM(CAST(sd * sd / n AS DECIMAL(38,6))) AS DOUBLE) AS sq
-        FROM per
+               CAST(SUM(n) AS DOUBLE) AS nt,
+               CAST(CAST(SUM(sd) AS DECIMAL(38,2)) AS DOUBLE) AS sdt,
+               CAST(CAST(FLOOR(CAST(SUM(sdd) AS DECIMAL(38,4))) AS BIGINT)
+                    AS DOUBLE)
+                 + CAST(CAST(SUM(sdd) - FLOOR(SUM(sdd)) AS DECIMAL(5,4))
+                        AS DOUBLE) AS sddt,
+               list_reduce(LIST(sd_d * sd_d / n ORDER BY seg),
+                           (a, b) -> a + b) AS sq
+        FROM perd
     )
     SELECT CAST(k AS INT) AS n_groups,
            CAST(nt AS BIGINT) AS n_rows,
@@ -2986,9 +2996,29 @@ def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     homoscedasticity assumption BEFORE reading anova_f_order_value's F:
     a one-way ANOVA on the absolute deviations from each group's EXACT
     median (per-group value-histogram median, the 2·cum ≥ n threshold),
-    using the same sufficient-statistics SSB/SSW closed form. Exact
-    medians, exact counts, decimal-snapped deviation sums, one fixed
-    IEEE formula.
+    using the same sufficient-statistics SSB/SSW closed form.
+
+    Cross-engine bit-exactness (the ewma_daily_revenue lesson applied):
+    deviations are computed in EXACT decimal (money is decimal(12,2); the
+    double→decimal(12,2) cast of a 2-decimal value is unambiguous — the
+    value sits within double-error of a grid point, never near a half-
+    grain boundary), so d and d² carry no float entropy into the per-row
+    casts (the old d²→decimal(38,6) cast of a full-entropy double rounded
+    differently in Spark vs DuckDB ~once per 20k rows) and every sum up
+    to the 5-group totals is exact decimal arithmetic. The totals then
+    convert to double portably: a decimal→double cast agrees across
+    engines only while the integer scale-units fit in 2^53 (DuckDB
+    converts int128→double, then divides by 10^scale — two roundings),
+    so Σd (scale 2, ≤2^53 units through sf1) casts directly while Σd²
+    (scale 4, ~3e18 units at sf0.01) is split into FLOOR (exact bigint →
+    exact double) + fraction (≤9999 scale-units → one correctly-rounded
+    division in both engines) and re-added in IEEE. The one float-valued
+    rollup, sq = Σ_g sd_g²/n_g, is a LEFT FOLD IN SEGMENT ORDER over the
+    5 per-group doubles (array_sort+aggregate here, LIST(… ORDER BY
+    seg)+list_reduce in DuckDB) — the double→decimal snap the old rollup
+    used is itself non-portable at this magnitude (DuckDB computes
+    value·10^scale in DOUBLE arithmetic before truncating, mangling the
+    low bits of any double above 2^53/10^scale).
 
     Scale: per-group value histograms (map-side combinable), a
     |groups|-row median table broadcast into the deviation projection,
@@ -2997,9 +3027,9 @@ def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    dec = "decimal(38,6)"
     g = o.join(c, o.o_custkey == c.c_custkey).select(
-        F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("x")
+        F.col("c_mktsegment").alias("seg"),
+        F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
     )
     hist = g.groupBy("seg", F.col("x").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("cc")
@@ -3022,18 +3052,37 @@ def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seg", F.abs(F.col("x") - F.col("m")).alias("d")
     )
     per = dev.groupBy("seg").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("d").cast(dec)).cast("double").alias("sd"),
-        F.sum((F.col("d") * F.col("d")).cast(dec)).cast("double").alias("sdd"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("d").cast("decimal(20,2)")).cast("decimal(38,2)").alias("sd"),
+        F.sum((F.col("d") * F.col("d")).cast("decimal(30,4)"))
+        .cast("decimal(38,4)")
+        .alias("sdd"),
     )
+    sddt_dec = F.sum("sdd").cast("decimal(38,4)")
     agg = per.agg(
         F.count(F.lit(1)).cast("double").alias("k"),
-        F.sum(F.col("n").cast(dec)).cast("double").alias("nt"),
-        F.sum(F.col("sd").cast(dec)).cast("double").alias("sdt"),
-        F.sum(F.col("sdd").cast(dec)).cast("double").alias("sddt"),
-        F.sum((F.col("sd") * F.col("sd") / F.col("n")).cast(dec))
-        .cast("double")
-        .alias("sq"),
+        F.sum("n").cast("double").alias("nt"),
+        F.sum("sd").cast("decimal(38,2)").cast("double").alias("sdt"),
+        (
+            F.floor(sddt_dec).cast("bigint").cast("double")
+            + (sddt_dec - F.floor(sddt_dec)).cast("decimal(5,4)").cast("double")
+        ).alias("sddt"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("seg"),
+                        (
+                            F.col("sd").cast("double")
+                            * F.col("sd").cast("double")
+                            / F.col("n")
+                        ).alias("q"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["q"],
+        ).alias("sq"),
     )
     k, nt = F.col("k"), F.col("nt")
     ssb = F.col("sq") - F.col("sdt") * F.col("sdt") / nt
