@@ -872,3 +872,167 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ-encode a vector column: (id, m, code) rows, one per subspace —
+    ``code`` is the index of the exactly-nearest centroid of subspace
+    ``m``'s codebook to the vector's m-th subvector (Jégou et al., TPAMI
+    2011). M codes of ⌈log2 K⌉ bits replace D floats (32× smaller at
+    D=64/M=8/K=16) — the representation a 100 TB corpus keeps hot.
+
+    Two-phase assignment like :func:`nearest_cells_exact`, partitioned by
+    (id, m): the cheap double-fold distance ranks all K centroids and the
+    exact-decimal distance — the output-defining order — runs only on the
+    top-1-plus-margin survivors, so codes are engine-reproducible (the
+    DuckDB oracle replays the same argmin over the same literals).
+
+    Scale: the codebook is an M·K-row broadcast; the subspace explode is
+    M rows per vector with dsub-element slices (same total payload as the
+    corpus scan); one (id, m)-partitioned window over corpus·M·K scored
+    rows — shuffle-linear in the corpus, no pairwise stage.
+    """
+    m_count = len(codebooks)
+    dsub = len(codebooks[0][0])
+    spark = df.sparkSession
+    cb = spark.createDataFrame(
+        [
+            (m, c, [float(x) for x in vec])
+            for m, book in enumerate(codebooks)
+            for c, vec in enumerate(book)
+        ],
+        "m int, code int, cvec array<double>",
+    )
+    subs = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col(vec_col), m * dsub + 1, dsub).alias(
+                            "svec"
+                        ),
+                    )
+                    for m in range(m_count)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "s.m", "s.svec")
+    d2f = dist_sq_fast(F.col("svec"), F.col("cvec"))
+    wf = Window.partitionBy("id", "m").orderBy(F.asc("d2f"), F.asc("code"))
+    wp = Window.partitionBy("id", "m")
+    ranked = (
+        subs.join(F.broadcast(cb), "m")
+        .withColumn("d2f", d2f)
+        .withColumn("rnf", F.row_number().over(wf))
+        .withColumn(
+            "best_f", F.min(F.when(F.col("rnf") == 1, F.col("d2f"))).over(wp)
+        )
+    )
+    survivors = ranked.filter(
+        (F.col("rnf") == 1) | (F.col("d2f") <= F.col("best_f") + _D2_MARGIN)
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("id", "m").orderBy(F.asc("d2"), F.asc("code"))
+    )
+    return (
+        survivors.withColumn("d2", dist_sq_exact(F.col("svec"), F.col("cvec")))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("id", "m", "code")
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the
+    corpus is seen ONLY through its M-code representation; each query
+    builds an M×K lookup table of exact-decimal partial dots
+    LUT[m][c] = ⟨q_m, centroid_{m,c}⟩ and a neighbor's approximate score
+    is Σ_m LUT[m][code_m] — one broadcast-join + sum per corpus code row,
+    never a touch of the original vectors. This is the compressed-domain
+    search a 100 TB deployment runs when the float corpus no longer fits
+    anywhere (the IVF/LSH families here still re-rank against raw
+    vectors).
+
+    Scores accumulate in exact decimal (decimal partial dots, exact
+    decimal Σ over the M parts) and the OUTPUT value is rounded to 6
+    digits with ranking over the rounded value + id tiebreak — the same
+    convention as the cosine family: the per-element double→decimal snap
+    is 1-unit-portable across engines, so only the rounded score (which
+    absorbs 1e-12-level snap divergence) is engine-reproducible enough
+    to hash.
+
+    Scale: LUT is queries×M×K rows (tiny — broadcast); the scoring join
+    fans the corpus code table out by |queries| and the (query, neighbor)
+    aggregation is one shuffle, linear in corpus×queries; top-k is a
+    bounded per-query window.
+    """
+    codes = pq_encode(corpus, codebooks, vec_col, id_col)
+    m_count = len(codebooks)
+    dsub = len(codebooks[0][0])
+    spark = corpus.sparkSession
+    cb = spark.createDataFrame(
+        [
+            (m, c, [float(x) for x in vec])
+            for m, book in enumerate(codebooks)
+            for c, vec in enumerate(book)
+        ],
+        "m int, code int, cvec array<double>",
+    )
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col(vec_col), m * dsub + 1, dsub).alias(
+                            "svec"
+                        ),
+                    )
+                    for m in range(m_count)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", "s.m", "s.svec")
+    lut = qsubs.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "code",
+        dot_exact(F.col("svec"), F.col("cvec")).alias("part"),
+    )
+    scored = (
+        codes.withColumnRenamed("id", "neighbor_id")
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(F.sum("part").cast("double"), 6).alias("adc_score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_score", "rk")
+    )

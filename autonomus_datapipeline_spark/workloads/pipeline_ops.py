@@ -20,6 +20,10 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
     with_global_running,
 )
 from autonomus_datapipeline_spark.workloads._ivf_centroids import IVF_CENTROIDS
+from autonomus_datapipeline_spark.workloads._pq_codebooks import (
+    PQ_CODEBOOKS,
+    PQ_DSUB,
+)
 from autonomus_datapipeline_spark.workloads.registry import load_table, query
 
 # ---------------------------------------------------------------------------
@@ -1700,4 +1704,97 @@ def prefix_blocking_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_pairs_generated"),
         )
         .orderBy("block_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: compressed-domain ANN (ADC)
+# ---------------------------------------------------------------------------
+
+
+def _sql_pq_cents_cte() -> str:
+    """Frozen PQ codebooks as SQL literals — one (m, code, p, w) row per
+    centroid component, with p the LOCAL subspace dim (1..PQ_DSUB): the
+    global embedding index of component p of subspace m is m·PQ_DSUB + p.
+    repr() round-trips each double bit-identically into DuckDB."""
+    rows = ",".join(
+        f"({m},{c},{p + 1},{w!r})"
+        for m, book in enumerate(PQ_CODEBOOKS)
+        for c, row in enumerate(book)
+        for p, w in enumerate(row)
+    )
+    return f"pqcents(m, code, p, w) AS (VALUES {rows})"
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_sql_pq_cents_cte()},
+    psub_dist AS (
+        SELECT e.vec_id, c.m, c.code,
+               SUM(CAST((CAST(e.embedding[c.m * {PQ_DSUB} + c.p] AS DOUBLE)
+                         - CAST(c.w AS DOUBLE))
+                        * (CAST(e.embedding[c.m * {PQ_DSUB} + c.p] AS DOUBLE)
+                           - CAST(c.w AS DOUBLE))
+                        AS DECIMAL(38,12))) AS d2
+        FROM embeddings e, pqcents c
+        GROUP BY 1, 2, 3
+    ),
+    pcodes AS (
+        SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d2, code) AS rn
+            FROM psub_dist
+        ) WHERE rn = 1
+    ),
+    plut AS (
+        SELECT q.vec_id AS query_id, c.m, c.code,
+               SUM(CAST(CAST(q.embedding[c.m * {PQ_DSUB} + c.p] AS DOUBLE)
+                        * CAST(c.w AS DOUBLE)
+                        AS DECIMAL(38,12))) AS part
+        FROM embeddings q, pqcents c
+        WHERE q.vec_id < 10
+        GROUP BY 1, 2, 3
+    ),
+    padc AS (
+        SELECT l.query_id, k.vec_id AS neighbor_id,
+               ROUND(CAST(SUM(l.part) AS DOUBLE), 6) AS adc_score
+        FROM pcodes k JOIN plut l ON l.m = k.m AND l.code = k.code
+        WHERE k.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_score, rk FROM (
+        SELECT query_id, neighbor_id, adc_score,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_score DESC,
+                                                neighbor_id) AS INT) AS rk
+        FROM padc
+    ) s WHERE rk <= {_ANN_K}
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al., TPAMI 2011): the corpus is PQ-encoded against frozen
+    per-subspace codebooks (tools/fit_pq_codebooks.py — M=8 subspaces,
+    K=16 centroids, trained offline exactly like the frozen-IVF coarse
+    quantizer) and each query ranks neighbors purely code-domain, via an
+    M×K lookup table of exact-decimal partial dots — the original vectors
+    are never touched after encoding.
+
+    This is the family's compression story: IVF/LSH prune CANDIDATES but
+    re-rank against raw floats; PQ replaces the floats themselves (M
+    4-bit codes vs D=64 doubles — 32×), which is what keeps a 100 TB
+    embedding corpus's searchable form in memory. Codes, LUTs and ADC
+    sums are exact-decimal with 6-digit output rounding, so the DuckDB
+    oracle replays encoding AND ranking bit-for-bit.
+
+    Scale: encoding is one corpus scan against an M·K-row broadcast with
+    an (id, m)-partitioned argmin window; scoring joins the corpus code
+    table to a broadcast queries×M×K LUT and aggregates one shuffle of
+    corpus×|queries| rows; top-k is a bounded per-query window.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_adc_topk(
+        emb.filter(F.col("vec_id") < 10), emb, _ANN_K, PQ_CODEBOOKS
     )

@@ -263,3 +263,98 @@ def test_dsir_query_invariants(spark, sf_dir):
     assert [r.rk for r in out] == list(range(1, len(out) + 1))
     ws = [r.dsir_weight_q for r in out]
     assert ws == sorted(ws, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: encode + ADC search
+# ---------------------------------------------------------------------------
+
+# 4-dim vectors, M=2 subspaces of 2 dims, K=2 centroids per subspace.
+_PQ_BOOKS = [
+    [[1.0, 0.0], [0.0, 1.0]],  # subspace 0: e1 vs e2
+    [[1.0, 0.0], [0.0, 1.0]],  # subspace 1: e3 vs e4
+]
+
+
+def test_pq_encode_assigns_nearest_subspace_centroid(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [0.9, 0.1, 0.1, 0.9]),  # -> codes (0, 1)
+            (1, [0.1, 0.9, 0.9, 0.1]),  # -> codes (1, 0)
+            (2, [0.9, 0.0, 0.8, 0.2]),  # -> codes (0, 0)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = similarity.pq_encode(emb, _PQ_BOOKS).collect()
+    codes = {(r["id"], r["m"]): r["code"] for r in out}
+    assert len(out) == 6  # one row per (vector, subspace)
+    assert codes[(0, 0)] == 0 and codes[(0, 1)] == 1
+    assert codes[(1, 0)] == 1 and codes[(1, 1)] == 0
+    assert codes[(2, 0)] == 0 and codes[(2, 1)] == 0
+
+
+def test_pq_encode_tie_breaks_to_lower_code(spark):
+    # Exactly equidistant from both centroids of each subspace.
+    emb = spark.createDataFrame(
+        [(0, [0.5, 0.5, 0.5, 0.5])], "vec_id bigint, embedding array<double>"
+    )
+    out = similarity.pq_encode(emb, _PQ_BOOKS).collect()
+    assert {r["code"] for r in out} == {0}
+
+
+def test_pq_adc_matches_numpy_lut_scores(spark):
+    import numpy as np
+
+    vecs = {
+        0: [0.9, 0.1, 0.1, 0.9],
+        1: [0.1, 0.9, 0.9, 0.1],
+        2: [0.9, 0.0, 0.8, 0.2],
+        3: [0.2, 0.8, 0.1, 0.7],
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.pq_adc_topk(q, emb, k=3, codebooks=_PQ_BOOKS).collect()
+
+    books = np.array(_PQ_BOOKS)  # (M, K, dsub)
+
+    def encode(v):
+        v = np.array(v).reshape(2, 2)
+        return [
+            int(np.argmin(((books[m] - v[m]) ** 2).sum(axis=1)))
+            for m in range(2)
+        ]
+
+    def adc(qv, codes):
+        qv = np.array(qv).reshape(2, 2)
+        return sum(float(qv[m] @ books[m][codes[m]]) for m in range(2))
+
+    expected = {
+        nid: round(adc(vecs[0], encode(v)), 6)
+        for nid, v in vecs.items()
+        if nid != 0
+    }
+    got = {r["neighbor_id"]: r["adc_score"] for r in out}
+    assert got == pytest.approx(expected)
+    # ranks follow score desc with id tiebreak
+    order = sorted(expected, key=lambda n: (-expected[n], n))
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rk"])] == order
+
+
+def test_pq_adc_never_reads_corpus_vectors_after_encode(spark):
+    # The scoring join consumes ONLY the code table + broadcast LUT: scores
+    # of two different vectors with the SAME codes must be identical.
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 1.0, 0.0]),
+            (1, [0.9, 0.1, 0.9, 0.1]),  # same cell assignments as vec 2
+            (2, [0.8, 0.2, 0.8, 0.2]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") == 0)
+    out = similarity.pq_adc_topk(q, emb, k=2, codebooks=_PQ_BOOKS).collect()
+    scores = {r["neighbor_id"]: r["adc_score"] for r in out}
+    assert scores[1] == scores[2]
