@@ -652,6 +652,147 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t-closeness audit (the third of the privacy trio)
+# ---------------------------------------------------------------------------
+
+_T_CLOSE = 0.2
+_TC_SV_BUCKET = 1000.0
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH q AS (
+        SELECT c_nationkey AS nat, c_mktsegment AS seg,
+               CAST(FLOOR(c_acctbal / {_TC_SV_BUCKET}) AS BIGINT) AS sv
+        FROM customer
+    ),
+    svals AS (SELECT DISTINCT sv FROM q),
+    nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM svals),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+    cls AS (
+        SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS n_g
+        FROM q GROUP BY 1, 2
+    ),
+    cnt AS (
+        SELECT nat, seg, sv, CAST(COUNT(*) AS BIGINT) AS n_gj
+        FROM q GROUP BY 1, 2, 3
+    ),
+    gl AS (SELECT sv, CAST(COUNT(*) AS BIGINT) AS n_j FROM q GROUP BY 1),
+    grid AS (
+        SELECT c.nat, c.seg, c.n_g, s.sv,
+               COALESCE(x.n_gj, 0) AS n_gj, g.n_j
+        FROM cls c
+        CROSS JOIN svals s
+        JOIN gl g ON g.sv = s.sv
+        LEFT JOIN cnt x ON x.nat = c.nat AND x.seg = c.seg AND x.sv = s.sv
+    ),
+    cum AS (
+        SELECT nat, seg, n_g,
+               SUM(n_gj * t.n - n_j * n_g)
+                   OVER (PARTITION BY nat, seg ORDER BY sv
+                         ROWS UNBOUNDED PRECEDING) AS cd,
+               t.n
+        FROM grid, tot t
+    ),
+    emd AS (
+        SELECT nat, seg, n_g, n, CAST(SUM(ABS(cd)) AS BIGINT) AS sabs
+        FROM cum GROUP BY 1, 2, 3, 4
+    )
+    SELECT nat AS c_nationkey, seg AS c_mktsegment,
+           n_g AS n_rows,
+           CAST(sabs AS DOUBLE)
+             / (CAST(n_g AS DOUBLE) * n * (b.b - 1)) AS emd,
+           CAST(sabs AS DOUBLE)
+             / (CAST(n_g AS DOUBLE) * n * (b.b - 1)) > {_T_CLOSE} AS at_risk
+    FROM emd CROSS JOIN nb b
+    ORDER BY 1, 2
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    third of the privacy trio: k_anonymity_audit bounds class SIZE,
+    l_diversity_audit bounds sensitive-value VARIETY, and this bounds the
+    DISTANCE between each class's sensitive-value distribution and the
+    global one — the attack both siblings miss is a class whose
+    distribution is merely skewed (90% of one balance band where the
+    population has 10%), which leaks the attribute probabilistically.
+    Per quasi-identifier class (nation, segment): the ordered-distance
+    earth-mover's distance between the class's and the table's
+    distributions over ordered balance bands, EMD = Σᵢ|Σ_{{j≤i}}(p_g(j) −
+    p(j))| / (B−1), flagged against t = {_T_CLOSE}.
+
+    Exactness: every cumulative term is the INTEGER n_gj·N − N_j·n_g
+    (common denominator n_g·N deferred), so the whole EMD is one exact
+    integer sum divided once at the end — both operands convert to double
+    exactly (< 2^53 through sf100), making the output the single
+    correctly-rounded quotient in both engines with no decimal snaps
+    anywhere.
+
+    Scale: one (class, band) count over the table (map-side combinable,
+    bounded domain), then all work is on the classes×bands grid —
+    dimension-sized, not row-sized. The cumulative window partitions by
+    class over ≤|bands| rows.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    q = c.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / _TC_SV_BUCKET).cast("bigint").alias("sv"),
+    )
+    svals = q.select("sv").distinct()
+    nb = svals.agg(F.count(F.lit(1)).cast("bigint").alias("b"))
+    tot = q.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    cls = q.groupBy("nat", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    cnt = q.groupBy("nat", "seg", "sv").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gj")
+    )
+    gl = q.groupBy("sv").agg(F.count(F.lit(1)).cast("bigint").alias("n_j"))
+    grid = (
+        cls.crossJoin(F.broadcast(svals))
+        .join(F.broadcast(gl), "sv")
+        .join(cnt, ["nat", "seg", "sv"], "left")
+        .select(
+            "nat",
+            "seg",
+            "n_g",
+            "sv",
+            F.coalesce("n_gj", F.lit(0).cast("bigint")).alias("n_gj"),
+            "n_j",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    w = (
+        Window.partitionBy("nat", "seg")
+        .orderBy("sv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn(
+        "cd",
+        F.sum(F.col("n_gj") * F.col("n") - F.col("n_j") * F.col("n_g")).over(w),
+    )
+    emd = cum.groupBy("nat", "seg", "n_g", "n").agg(
+        F.sum(F.abs("cd")).cast("bigint").alias("sabs")
+    )
+    emd_val = F.col("sabs").cast("double") / (
+        F.col("n_g").cast("double") * F.col("n") * (F.col("b") - 1)
+    )
+    return (
+        emd.crossJoin(F.broadcast(nb))
+        .select(
+            F.col("nat").alias("c_nationkey"),
+            F.col("seg").alias("c_mktsegment"),
+            F.col("n_g").alias("n_rows"),
+            emd_val.alias("emd"),
+            (emd_val > _T_CLOSE).alias("at_risk"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distributed table profile (per-column stats in one report)
 # ---------------------------------------------------------------------------
 
