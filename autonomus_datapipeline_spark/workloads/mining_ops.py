@@ -1348,3 +1348,241 @@ def kmeans_silhouette_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (Fellegi–Sunter decision model)
+# ---------------------------------------------------------------------------
+
+_FS_PRICE_BAND = 10.0   # retail-price comparison granularity
+_FS_MATCH_LR = 1000.0   # upper decision threshold (lambda_match)
+_FS_POSSIBLE_LR = 10.0  # lower decision threshold (lambda_possible)
+
+_FS_ORACLE = f"""
+WITH recs AS (
+    SELECT p_partkey,
+           string_split(p_name, ' ')[1] AS blk_word,
+           p_brand AS blk_brand,
+           COALESCE(string_split(p_name, ' ')[2], '') AS f_name2,
+           p_type AS f_type,
+           p_size AS f_size,
+           CAST(FLOOR(p_retailprice / {_FS_PRICE_BAND}) AS BIGINT) AS f_price
+    FROM part
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM recs),
+u_name AS (
+    SELECT CAST(SUM(nv * (nv - 1)) AS BIGINT) AS num FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM recs GROUP BY f_name2
+    )
+),
+u_type AS (
+    SELECT CAST(SUM(nv * (nv - 1)) AS BIGINT) AS num FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM recs GROUP BY f_type
+    )
+),
+u_size AS (
+    SELECT CAST(SUM(nv * (nv - 1)) AS BIGINT) AS num FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM recs GROUP BY f_size
+    )
+),
+u_price AS (
+    SELECT CAST(SUM(nv * (nv - 1)) AS BIGINT) AS num FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM recs GROUP BY f_price
+    )
+),
+pat AS (
+    SELECT (a.f_name2 = b.f_name2) AS agree_name2,
+           (a.f_type = b.f_type) AS agree_type,
+           (a.f_size = b.f_size) AS agree_size,
+           (a.f_price = b.f_price) AS agree_price,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM recs a
+    JOIN recs b
+      ON a.blk_brand = b.blk_brand AND a.blk_word = b.blk_word
+     AND a.p_partkey < b.p_partkey
+    GROUP BY 1, 2, 3, 4
+),
+scored AS (
+    SELECT agree_name2, agree_type, agree_size, agree_price, n_pairs,
+           ((m1 * m2) * m3) * m4 AS m_prob,
+           ((t1 * t2) * t3) * t4 AS u_prob
+    FROM (
+        SELECT p.*,
+            CASE WHEN agree_name2 THEN CAST(0.9 AS DOUBLE)
+                 ELSE CAST(0.1 AS DOUBLE) END AS m1,
+            CASE WHEN agree_type THEN CAST(0.9 AS DOUBLE)
+                 ELSE CAST(0.1 AS DOUBLE) END AS m2,
+            CASE WHEN agree_size THEN CAST(0.9 AS DOUBLE)
+                 ELSE CAST(0.1 AS DOUBLE) END AS m3,
+            CASE WHEN agree_price THEN CAST(0.9 AS DOUBLE)
+                 ELSE CAST(0.1 AS DOUBLE) END AS m4,
+            CASE WHEN agree_name2
+                 THEN CAST(un.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                 ELSE CAST(1 AS DOUBLE)
+                      - CAST(un.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                 END AS t1,
+            CASE WHEN agree_type
+                 THEN CAST(ut.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                 ELSE CAST(1 AS DOUBLE)
+                      - CAST(ut.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                 END AS t2,
+            CASE WHEN agree_size
+                 THEN CAST(us.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                 ELSE CAST(1 AS DOUBLE)
+                      - CAST(us.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                 END AS t3,
+            CASE WHEN agree_price
+                 THEN CAST(up.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                 ELSE CAST(1 AS DOUBLE)
+                      - CAST(up.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                 END AS t4
+        FROM pat p
+        CROSS JOIN tot t
+        CROSS JOIN u_name un CROSS JOIN u_type ut
+        CROSS JOIN u_size us CROSS JOIN u_price up
+    ) x
+)
+SELECT agree_name2, agree_type, agree_size, agree_price, n_pairs,
+       m_prob, u_prob,
+       m_prob / u_prob AS likelihood_ratio,
+       CASE WHEN m_prob / u_prob >= CAST({_FS_MATCH_LR} AS DOUBLE)
+                 THEN 'match'
+            WHEN m_prob / u_prob >= CAST({_FS_POSSIBLE_LR} AS DOUBLE)
+                 THEN 'possible'
+            ELSE 'non_match' END AS decision
+FROM scored
+ORDER BY agree_name2 DESC, agree_type DESC, agree_size DESC,
+         agree_price DESC
+"""
+
+
+@query("fellegi_sunter_part_linkage", oracle=_FS_ORACLE)
+def fellegi_sunter_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage, Fellegi & Sunter (JASA 1969) decision
+    model with Winkler-style fixed m-probabilities: block candidate pairs
+    on (brand, first name word), compare four fields (second name word,
+    type, size, price band), and classify each AGREEMENT PATTERN by its
+    likelihood ratio P(pattern | match) / P(pattern | non-match) against
+    the two decision thresholds ({_FS_MATCH_LR:g} / {_FS_POSSIBLE_LR:g}).
+    The u-probabilities are estimated from the data exactly as the
+    unordered random-pair agreement rate per field, u_f = sum_v
+    n_v(n_v-1) / (N(N-1)); the m-probabilities are the fixed 0.9 used in
+    production linkage when no labeled truth exists (EM-free variant —
+    the reference has no linkage surface at all, this is a training-data
+    extension like the dedup family it complements: dedup asks "same
+    bytes/shingles", linkage asks "same real-world entity").
+
+    Determinism / cross-engine exactness: every probability is either a
+    single correctly-rounded IEEE division of two exactly-representable
+    integers (u_f: counts < 2^53) or a literal (0.9/0.1), and the pattern
+    products are parenthesized ((t1*t2)*t3)*t4 in BOTH engines, so each
+    float cell is bit-identical — no decimal snapping needed (the
+    ewma_daily_revenue lesson applied at design time).
+
+    Scale: pair generation is a blocked self-equi-join — the FS standard;
+    the blocking key bounds block size (salting or a second blocking pass
+    handles a hot block at 100 TB), never all-pairs. The four u-tables
+    are map-side-combinable field-frequency aggregates, each one scalar
+    row broadcast into the 16-row pattern table; classification work is
+    pattern-sized (2^4), not pair-sized.
+    """
+    p = load_table(spark, sf_dir, "part")
+    name_words = F.split("p_name", " ")
+    recs = p.select(
+        "p_partkey",
+        name_words.getItem(0).alias("blk_word"),
+        F.col("p_brand").alias("blk_brand"),
+        F.coalesce(name_words.getItem(1), F.lit("")).alias("f_name2"),
+        F.col("p_type").alias("f_type"),
+        F.col("p_size").alias("f_size"),
+        F.floor(F.col("p_retailprice") / F.lit(_FS_PRICE_BAND))
+        .cast("bigint")
+        .alias("f_price"),
+    ).localCheckpoint(eager=True)
+
+    tot = recs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def u_num(field: str, alias: str) -> DataFrame:
+        return (
+            recs.groupBy(field)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+            .agg(
+                F.sum(F.col("nv") * (F.col("nv") - 1))
+                .cast("bigint")
+                .alias(alias)
+            )
+        )
+
+    a, b = recs.alias("a"), recs.alias("b")
+    pat = (
+        a.join(
+            b,
+            (F.col("a.blk_brand") == F.col("b.blk_brand"))
+            & (F.col("a.blk_word") == F.col("b.blk_word"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            (F.col("a.f_name2") == F.col("b.f_name2")).alias("agree_name2"),
+            (F.col("a.f_type") == F.col("b.f_type")).alias("agree_type"),
+            (F.col("a.f_size") == F.col("b.f_size")).alias("agree_size"),
+            (F.col("a.f_price") == F.col("b.f_price")).alias("agree_price"),
+        )
+        .groupBy("agree_name2", "agree_type", "agree_size", "agree_price")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+    den = (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+
+    def u_term(agree: str, num: str) -> Column:
+        u = F.col(num).cast("double") / den
+        return F.when(F.col(agree), u).otherwise(F.lit(1.0).cast("double") - u)
+
+    def m_term(agree: str) -> Column:
+        return F.when(F.col(agree), F.lit(0.9)).otherwise(F.lit(0.1))
+
+    scored = (
+        pat.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(u_num("f_name2", "num_name")))
+        .crossJoin(F.broadcast(u_num("f_type", "num_type")))
+        .crossJoin(F.broadcast(u_num("f_size", "num_size")))
+        .crossJoin(F.broadcast(u_num("f_price", "num_price")))
+        .withColumn(
+            "m_prob",
+            (
+                (m_term("agree_name2") * m_term("agree_type"))
+                * m_term("agree_size")
+            )
+            * m_term("agree_price"),
+        )
+        .withColumn(
+            "u_prob",
+            (
+                (
+                    u_term("agree_name2", "num_name")
+                    * u_term("agree_type", "num_type")
+                )
+                * u_term("agree_size", "num_size")
+            )
+            * u_term("agree_price", "num_price"),
+        )
+    )
+    lr = F.col("m_prob") / F.col("u_prob")
+    return scored.select(
+        "agree_name2",
+        "agree_type",
+        "agree_size",
+        "agree_price",
+        "n_pairs",
+        "m_prob",
+        "u_prob",
+        lr.alias("likelihood_ratio"),
+        F.when(lr >= F.lit(_FS_MATCH_LR), F.lit("match"))
+        .when(lr >= F.lit(_FS_POSSIBLE_LR), F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+        .alias("decision"),
+    ).orderBy(
+        F.desc("agree_name2"),
+        F.desc("agree_type"),
+        F.desc("agree_size"),
+        F.desc("agree_price"),
+    )
