@@ -568,3 +568,236 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "n_occurrences", "rk")
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi segmentation (SentencePiece-style ENCODE, integer-scored)
+# ---------------------------------------------------------------------------
+
+_UVT_MULTI = 40    # multi-character pieces kept in the vocabulary
+_UVT_MAXP = 4      # maximum piece length
+_UVT_COST_K = 64   # per-piece cost base: cost = K - floor(log2(count))
+_UVT_TOP = 50      # report: top tokens after segmentation
+_UVT_WORD_RE = "^[a-z]{1,16}$"  # ASCII-only words: pins string collation
+
+
+def _uvt_oracle() -> str:
+    return f"""
+    WITH RECURSIVE vocab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wc
+        FROM (SELECT unnest({_TOKS}) AS word FROM documents) u
+        WHERE regexp_matches(word, '{_UVT_WORD_RE}')
+        GROUP BY word
+    ),
+    subs AS (
+        SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+               CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM (
+            SELECT word, wc, unnest(range(1, length(word) + 1)) AS i
+            FROM vocab
+        ) p, unnest(range(2, {_UVT_MAXP + 1} + 1)) AS t(l)
+        WHERE i + l - 1 <= length(word)
+        GROUP BY 1
+    ),
+    multi AS (
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+            FROM subs
+        ) r WHERE rk <= {_UVT_MULTI}
+    ),
+    chars AS (
+        SELECT substr(word, CAST(i AS INT), 1) AS piece,
+               CAST(SUM(wc) AS BIGINT) AS cnt
+        FROM (
+            SELECT word, wc, unnest(range(1, length(word) + 1)) AS i
+            FROM vocab
+        ) u
+        GROUP BY 1
+    ),
+    pieces AS (
+        SELECT piece,
+               CAST({_UVT_COST_K} - (length(bin(cnt)) - 1) AS BIGINT) AS cost
+        FROM chars
+        UNION ALL
+        SELECT piece,
+               CAST({_UVT_COST_K} - (length(bin(cnt)) - 1) AS BIGINT) AS cost
+        FROM multi
+    ),
+    rec(word, wc, i, c0, s0, c1, s1, c2, s2, c3, s3) AS (
+        SELECT word, wc, 0,
+               CAST(0 AS BIGINT), '',
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+        FROM vocab
+        UNION ALL
+        SELECT word, wc, i + 1,
+               best.c, best.s,
+               c0, s0, c1, s1, c2, s2
+        FROM (
+            SELECT word, wc, i, c0, s0, c1, s1, c2, s2,
+                list_sort(list_filter([
+                    {{'c': c0 + (SELECT cost FROM pieces
+                                 WHERE piece = substr(word, i + 1, 1)),
+                      's': s0 || ' ' || substr(word, i + 1, 1)}},
+                    {{'c': c1 + (SELECT cost FROM pieces
+                                 WHERE piece = substr(word, i, 2)),
+                      's': s1 || ' ' || substr(word, i, 2)}},
+                    {{'c': c2 + (SELECT cost FROM pieces
+                                 WHERE piece = substr(word, i - 1, 3)),
+                      's': s2 || ' ' || substr(word, i - 1, 3)}},
+                    {{'c': c3 + (SELECT cost FROM pieces
+                                 WHERE piece = substr(word, i - 2, 4)),
+                      's': s3 || ' ' || substr(word, i - 2, 4)}}
+                ], x -> x.c IS NOT NULL))[1] AS best
+            FROM rec WHERE i < length(word)
+        ) stepped
+    ),
+    final AS (
+        SELECT word, wc, trim(s0) AS seg FROM rec WHERE i = length(word)
+    ),
+    cnts AS (
+        SELECT token, CAST(SUM(wc) AS BIGINT) AS n_occurrences
+        FROM (SELECT unnest(string_split(seg, ' ')) AS token, wc
+              FROM final) t
+        GROUP BY token
+    )
+    SELECT token, n_occurrences, rk FROM (
+        SELECT token, n_occurrences,
+               CAST(ROW_NUMBER()
+                    OVER (ORDER BY n_occurrences DESC, token) AS INT) AS rk
+        FROM cnts
+    ) r WHERE rk <= {_UVT_TOP}
+    ORDER BY rk
+    """
+
+
+def _uvt_segment(word: str, cost: dict[str, int]) -> list[str]:
+    """Viterbi DP: minimize total piece cost; ties broken by the
+    lexicographically smallest space-joined segmentation (leading-space
+    convention — identical to the oracle's struct comparison, where the
+    accumulated `s` strings all start with ' ')."""
+    best: list[tuple[int, str] | None] = [(0, "")] + [None] * len(word)
+    for j in range(1, len(word) + 1):
+        cands = []
+        for length in range(1, min(_UVT_MAXP, j) + 1):
+            prev = best[j - length]
+            if prev is None:
+                continue
+            piece = word[j - length:j]
+            c = cost.get(piece)
+            if c is not None:
+                cands.append((prev[0] + c, prev[1] + " " + piece))
+        best[j] = min(cands)
+    return best[len(word)][1].split()
+
+
+@query("unigram_viterbi_tokens", oracle=_uvt_oracle())
+def unigram_viterbi_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword segmentation (Kudo, ACL 2018 — the SentencePiece
+    encoder) with a deployment-frozen integer score table: the piece
+    vocabulary is every corpus character plus the top {_UVT_MULTI}
+    substrings of length 2..{_UVT_MAXP} by corpus-weighted occurrence
+    count, each piece scored cost = {_UVT_COST_K} - floor(log2(count)),
+    and every word is segmented by the Viterbi DP that minimizes total
+    cost — the integer-quantized analog of maximizing unigram
+    log-likelihood (the per-piece constant plays the normalizer's role;
+    same quantization discipline as dsir_importance_select's int64
+    log-ratio weights). Complements the BPE pair in this module:
+    bpe_encode_tokens applies greedy merge RANKS, this applies a global
+    OPTIMUM under piece scores. Reports the top {_UVT_TOP} resulting
+    tokens by corpus occurrence.
+
+    Determinism: floor(log2(count)) is computed as binary-digit count
+    (length(bin(cnt)) - 1 / int.bit_length - 1 — no float log anywhere);
+    DP ties are broken by the lexicographically smallest space-joined
+    segmentation over ASCII-pinned words ({_UVT_WORD_RE!r}), a total
+    order both engines compare byte-identically. The DuckDB oracle replays
+    the exact DP as a recursive CTE carrying the last {_UVT_MAXP}
+    (cost, segmentation) states per word and picking each step's argmin
+    via struct sort.
+
+    Scale: the DP runs on the DISTINCT-WORD table (vocabulary-sized,
+    Arrow-batched mapInPandas), never the corpus; corpus counts re-attach
+    by word frequency. The score table is ≤ alphabet + {_UVT_MULTI}
+    broadcast rows; substring counting is a map-side-combinable aggregate
+    over vocab positions (bounded fan-out: ≤ 16·{_UVT_MAXP} positions per
+    word).
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+        )
+        .where(F.col("word").rlike(_UVT_WORD_RE))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .localCheckpoint(eager=True)
+    )
+    pos = words.select(
+        "word",
+        "wc",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("i"),
+    )
+    subs = (
+        pos.select(
+            "word",
+            "wc",
+            "i",
+            F.explode(
+                F.sequence(F.lit(2), F.lit(_UVT_MAXP))
+            ).alias("l"),
+        )
+        .where(F.col("i") + F.col("l") - 1 <= F.length("word"))
+        .select(F.expr("substring(word, i, l)").alias("piece"), "wc")
+        .groupBy("piece")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+    )
+    chars = (
+        pos.select(F.expr("substring(word, i, 1)").alias("piece"), "wc")
+        .groupBy("piece")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+    )
+    # the fitted score table: a bounded collect of broadcast-small state
+    # (≤ alphabet + _UVT_MULTI rows), rank order pinned by (cnt, piece)
+    multi = [
+        (r["piece"], r["cnt"])
+        for r in subs.orderBy(F.desc("cnt"), "piece")
+        .limit(_UVT_MULTI)
+        .collect()
+    ]
+    cost = {
+        r["piece"]: _UVT_COST_K - (int(r["cnt"]).bit_length() - 1)
+        for r in chars.collect()
+    }
+    cost.update(
+        (p, _UVT_COST_K - (int(c).bit_length() - 1)) for p, c in multi
+    )
+
+    def segment_batches(batches):
+        for pdf in batches:
+            toks, wcs = [], []
+            for w, wc in zip(pdf["word"], pdf["wc"]):
+                for t in _uvt_segment(w, cost):
+                    toks.append(t)
+                    wcs.append(wc)
+            yield pd.DataFrame({"token": toks, "wc": wcs})
+
+    counts = (
+        words.mapInPandas(segment_batches, schema="token string, wc long")
+        .groupBy("token")
+        .agg(F.sum("wc").cast("bigint").alias("n_occurrences"))
+    )
+    return (
+        ranked_head(
+            counts,
+            [("n_occurrences", False), ("token", True)],
+            _UVT_TOP,
+            "rk",
+        )
+        .select("token", "n_occurrences", "rk")
+        .orderBy("rk")
+    )
