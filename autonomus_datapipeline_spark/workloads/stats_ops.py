@@ -3092,3 +3092,127 @@ def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         nt.cast("bigint").alias("n_rows"),
         ((ssb / (k - 1)) / (ssw / (nt - k))).alias("bf_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic regression calibration (pool-adjacent-violators via minimax)
+# ---------------------------------------------------------------------------
+
+_ISO_BAND = 20000.0  # order-price calibration band width
+
+_ISO_ORACLE = f"""
+WITH b AS (
+    SELECT CAST(FLOOR(o_totalprice / {_ISO_BAND}) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS g
+    FROM orders GROUP BY 1
+),
+spans AS (
+    SELECT j.bucket AS jb, k.bucket AS kb,
+           CAST(SUM(m.g) AS BIGINT) AS sg,
+           CAST(SUM(m.n) AS BIGINT) AS sn
+    FROM b j
+    JOIN b k ON k.bucket >= j.bucket
+    JOIN b m ON m.bucket BETWEEN j.bucket AND k.bucket
+    GROUP BY 1, 2
+),
+mins AS (
+    SELECT jb, MIN(CAST(sg AS DOUBLE) / CAST(sn AS DOUBLE)) AS mn
+    FROM spans GROUP BY jb
+),
+iso AS (
+    SELECT i.bucket, MAX(m.mn) AS rate_isotonic
+    FROM b i JOIN mins m ON m.jb <= i.bucket
+    GROUP BY i.bucket
+)
+SELECT b.bucket, b.n AS n_orders, b.g AS n_finished,
+       CAST(b.g AS DOUBLE) / CAST(b.n AS DOUBLE) AS rate_observed,
+       iso.rate_isotonic
+FROM b JOIN iso ON iso.bucket = b.bucket
+ORDER BY b.bucket
+"""
+
+
+@query("isotonic_calibration_fit", oracle=_ISO_ORACLE)
+def isotonic_calibration_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression calibration: fit the best monotone
+    NON-DECREASING rate curve (least squares, count-weighted) to the
+    per-price-band fulfilled-order rate — the calibration step behind
+    reliability diagrams and isotonic probability calibration (Zadrozny &
+    Elkan, KDD 2002). Computed by the closed-form minimax characterization
+    of pool-adjacent-violators: iso(i) = max_(j<=i) min_(k>=j)
+    pooledRate(j..k) — mathematically identical to running PAVA, but
+    expressible as joins + aggregates with no sequential pooling loop.
+
+    Determinism: every pooled rate is ONE correctly-rounded IEEE division
+    of two exact integer sums (counts < 2^53), and min/max over
+    bit-identical doubles is engine-independent — no decimal snapping
+    needed anywhere.
+
+    Scale: the raw->bucket aggregation is the only data-sized stage (one
+    map-side-combinable shuffle); the minimax runs on the B-bucket table
+    where B is DOMAIN-bounded (price range / band width, ~25), so the
+    O(B^3) span expansion is constant work on dimension-sized data and
+    every join below the bucket aggregate is a broadcast. At 100 TB the
+    plan shape is unchanged: bucket counts shrink the data before any
+    pairwise work.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    b = (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / F.lit(_ISO_BAND))
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    j = b.select(F.col("bucket").alias("jb"))
+    k = b.select(F.col("bucket").alias("kb"))
+    m = b.select(
+        F.col("bucket").alias("mb"), F.col("n").alias("mn_"), F.col("g").alias("mg")
+    )
+    spans = (
+        j.join(F.broadcast(k), F.col("kb") >= F.col("jb"))
+        .join(
+            F.broadcast(m),
+            (F.col("mb") >= F.col("jb")) & (F.col("mb") <= F.col("kb")),
+        )
+        .groupBy("jb", "kb")
+        .agg(
+            F.sum("mg").cast("bigint").alias("sg"),
+            F.sum("mn_").cast("bigint").alias("sn"),
+        )
+    )
+    mins = spans.groupBy("jb").agg(
+        F.min(F.col("sg").cast("double") / F.col("sn").cast("double")).alias(
+            "mn"
+        )
+    )
+    iso = (
+        b.select("bucket")
+        .join(F.broadcast(mins), F.col("jb") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(F.max("mn").alias("rate_isotonic"))
+    )
+    return (
+        b.join(iso, "bucket")
+        .select(
+            "bucket",
+            F.col("n").alias("n_orders"),
+            F.col("g").alias("n_finished"),
+            (F.col("g").cast("double") / F.col("n").cast("double")).alias(
+                "rate_observed"
+            ),
+            "rate_isotonic",
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,193 @@
+"""Round-9 operator internals: the Viterbi segmenter against brute-force
+enumeration, the isotonic minimax fit against a sequential PAVA reference,
+and the Fellegi-Sunter decision surface's invariants. Corpus-wide behavior
+is pinned by the DuckDB oracles (tests/test_queries_oracle.py); these pin
+the algorithmic cores on shapes the synthetic tables may never produce."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from autonomus_datapipeline_spark.workloads.training_prep import (
+    _UVT_MAXP,
+    _uvt_segment,
+)
+
+
+# ---------------------------------------------------------------------------
+# Viterbi segmenter vs exhaustive enumeration
+# ---------------------------------------------------------------------------
+
+
+def _brute_force_best(word: str, cost: dict[str, int]):
+    """Enumerate EVERY segmentation into dict pieces (length <= _UVT_MAXP)
+    and return the (total_cost, ' '-joined-with-leading-space) minimum —
+    the spec _uvt_segment must match, tiebreak included."""
+    best = None
+    def rec(i: int, acc_cost: int, acc_seg: str):
+        nonlocal best
+        if i == len(word):
+            cand = (acc_cost, acc_seg)
+            if best is None or cand < best:
+                best = cand
+            return
+        for length in range(1, min(_UVT_MAXP, len(word) - i) + 1):
+            piece = word[i:i + length]
+            c = cost.get(piece)
+            if c is not None:
+                rec(i + length, acc_cost + c, acc_seg + " " + piece)
+    rec(0, 0, "")
+    return best
+
+
+def test_viterbi_prefers_cheaper_multichar_pieces():
+    cost = {"a": 10, "b": 10, "ab": 5, "ba": 1}
+    # 'aba': [ab,a]=15 vs [a,ba]=11 → global optimum uses ba
+    assert _uvt_segment("aba", cost) == ["a", "ba"]
+
+
+def test_viterbi_tiebreak_is_lexicographic_on_joined_segmentation():
+    # two optimal segmentations with equal cost: ' a bc' < ' ab c'
+    cost = {"a": 1, "c": 1, "ab": 2, "bc": 2, "b": 100}
+    assert _uvt_segment("abc", cost) == ["a", "bc"]
+    # space sorts before any letter: the MORE-split candidate wins a tie
+    cost2 = {"a": 1, "b": 1, "ab": 2}
+    assert _uvt_segment("ab", cost2) == ["a", "b"]
+
+
+def test_viterbi_matches_brute_force_on_random_inputs():
+    rng = random.Random(909)
+    alphabet = "abc"
+    for _ in range(300):
+        word = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(1, 9))
+        )
+        # char coverage guaranteed; random multi-char pieces
+        cost = {ch: rng.randint(1, 60) for ch in alphabet}
+        for _ in range(rng.randint(0, 8)):
+            ln = rng.randint(2, _UVT_MAXP)
+            piece = "".join(rng.choice(alphabet) for _ in range(ln))
+            cost[piece] = rng.randint(1, 60)
+        got = _uvt_segment(word, cost)
+        want_cost, want_seg = _brute_force_best(word, cost)
+        assert got == want_seg.split()
+        assert sum(cost[p] for p in got) == want_cost
+
+
+# ---------------------------------------------------------------------------
+# Isotonic minimax vs sequential PAVA
+# ---------------------------------------------------------------------------
+
+
+def _minimax_iso(buckets):
+    """The query's formulation: iso(i) = max_{j<=i} min_{k>=j} pooled."""
+    out = []
+    B = len(buckets)
+    for i in range(B):
+        cands = []
+        for j in range(i + 1):
+            pools = []
+            for k in range(j, B):
+                sg = sum(g for g, _ in buckets[j:k + 1])
+                sn = sum(n for _, n in buckets[j:k + 1])
+                pools.append(sg / sn)
+            cands.append(min(pools))
+        out.append(max(cands))
+    return out
+
+
+def _pava(buckets):
+    """Textbook sequential pool-adjacent-violators (weighted)."""
+    blocks = [[g, n] for g, n in buckets]  # [sum_g, sum_n]
+    idx = [1] * len(buckets)               # buckets per block
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            idx[i] += idx[i + 1]
+            del blocks[i + 1], idx[i + 1]
+            if i > 0:
+                i -= 1
+        else:
+            i += 1
+    out = []
+    for (g, n), reps in zip(blocks, idx):
+        out.extend([g / n] * reps)
+    return out
+
+
+def test_minimax_equals_sequential_pava_on_random_inputs():
+    rng = random.Random(910)
+    for _ in range(200):
+        B = rng.randint(1, 10)
+        buckets = [
+            (rng.randint(0, 20), 0) for _ in range(B)
+        ]
+        buckets = [(g, g + rng.randint(1, 20)) for g, _ in buckets]
+        mm = _minimax_iso(buckets)
+        pv = _pava(buckets)
+        assert all(abs(a - b) < 1e-12 for a, b in zip(mm, pv))
+        # monotone non-decreasing by construction
+        assert all(mm[i] <= mm[i + 1] + 1e-15 for i in range(len(mm) - 1))
+
+
+def test_minimax_pools_a_single_violation():
+    # rates 0.5, 0.2 → pooled (g=7,n=20)=0.35 on both buckets
+    assert _minimax_iso([(5, 10), (2, 10)]) == [0.35, 0.35]
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter decision surface invariants (on the live sf table)
+# ---------------------------------------------------------------------------
+
+
+def test_fellegi_sunter_invariants(spark, sf_dir):
+    from autonomus_datapipeline_spark.workloads.mining_ops import (
+        fellegi_sunter_part_linkage,
+    )
+
+    rows = fellegi_sunter_part_linkage(spark, sf_dir).collect()
+    assert rows, "blocked pairs must exist"
+    by_pat = {
+        (r["agree_name2"], r["agree_type"], r["agree_size"], r["agree_price"]): r
+        for r in rows
+    }
+    for r in rows:
+        assert 0.0 < r["u_prob"] < 1.0
+        assert 0.0 < r["m_prob"] < 1.0
+        assert r["n_pairs"] > 0
+        lr = r["likelihood_ratio"]
+        assert lr == r["m_prob"] / r["u_prob"]
+        want = (
+            "match" if lr >= 1000.0
+            else "possible" if lr >= 10.0
+            else "non_match"
+        )
+        assert r["decision"] == want
+    # full agreement is the strongest evidence: if present, it dominates
+    # every other realized pattern's likelihood ratio
+    full = by_pat.get((True, True, True, True))
+    if full is not None:
+        assert all(
+            full["likelihood_ratio"] >= r["likelihood_ratio"] for r in rows
+        )
+    # patterns partition the blocked-pair set: totals must reconcile with
+    # an independent pair count
+    from autonomus_datapipeline_spark.workloads.registry import load_table
+    from pyspark.sql import functions as F
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.split("p_name", " ").getItem(0).alias("w"),
+        "p_brand",
+    )
+    a, b = p.alias("a"), p.alias("b")
+    n_pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.w") == F.col("b.w"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
