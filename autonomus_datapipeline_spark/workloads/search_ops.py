@@ -929,3 +929,188 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d2.cast("decimal(38,12)")).cast("double").alias("drift_sq"),
         F.sqrt(F.sum(d2.cast("decimal(38,12)")).cast("double")).alias("drift_l2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of a lexical and a dense ranker
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # the standard RRF damping constant (Cormack 2009)
+_RRF_NQ = 5          # query documents: doc_id < _RRF_NQ
+_RRF_LIST = 20       # per-ranker candidate list depth
+_RRF_TOP = 10        # fused results kept per query
+_RRF_SHINGLE = 3     # lexical ranker: word-trigram Jaccard
+_RRF_DOT = (
+    "SUM(CAST(CAST(a.embedding[p] AS DOUBLE) * CAST(b.embedding[p] AS DOUBLE)"
+    " AS DECIMAL(38,12)))"
+)
+
+_RRF_ORACLE = f"""
+WITH {_sql_shingles(_RRF_SHINGLE)},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+inter AS (
+    SELECT q.doc_id AS query_id, d.doc_id AS doc_id, COUNT(*) AS n_common
+    FROM sh q JOIN sh d ON q.shingle = d.shingle AND q.doc_id <> d.doc_id
+    WHERE q.doc_id < {_RRF_NQ}
+    GROUP BY 1, 2
+),
+lex AS (
+    SELECT query_id, doc_id, rk FROM (
+        SELECT query_id, i.doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CAST(n_common AS DOUBLE)
+                            / (sq.n + sd.n - n_common) DESC,
+                            i.doc_id) AS INT) AS rk
+        FROM inter i
+        JOIN sizes sq ON sq.doc_id = query_id
+        JOIN sizes sd ON sd.doc_id = i.doc_id
+    ) r WHERE rk <= {_RRF_LIST}
+),
+{_NORM_CTE},
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+           CAST({_RRF_DOT} AS DOUBLE) AS dot
+    FROM embeddings a, embeddings b, range(1, {_DIM + 1}) t(p)
+    WHERE a.vec_id < {_RRF_NQ} AND a.vec_id <> b.vec_id
+    GROUP BY 1, 2
+),
+dense AS (
+    SELECT query_id, doc_id, rk FROM (
+        SELECT query_id, doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(dot / (sqrt(nq.nsq) * sqrt(nc.nsq)), 6)
+                                DESC,
+                            doc_id) AS INT) AS rk
+        FROM dots
+        JOIN norms nq ON nq.vec_id = query_id
+        JOIN norms nc ON nc.vec_id = doc_id
+    ) s WHERE rk <= {_RRF_LIST}
+),
+fused AS (
+    SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+           COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           l.rk AS lex_rank, d.rk AS dense_rank,
+           COALESCE(CAST(1 AS DOUBLE)
+                    / CAST({_RRF_K} + l.rk AS DOUBLE), CAST(0 AS DOUBLE))
+           + COALESCE(CAST(1 AS DOUBLE)
+                      / CAST({_RRF_K} + d.rk AS DOUBLE), CAST(0 AS DOUBLE))
+               AS rrf_score
+    FROM lex l
+    FULL OUTER JOIN dense d
+      ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+)
+SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score, fused_rank
+FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id
+        ORDER BY rrf_score DESC, doc_id) AS INT) AS fused_rank
+    FROM fused
+) f WHERE fused_rank <= {_RRF_TOP}
+ORDER BY query_id, fused_rank
+"""
+
+
+@query("hybrid_rrf_fusion", oracle=_RRF_ORACLE)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009): fuse a LEXICAL ranker (word-trigram Jaccard
+    over an inverted-index probe) with a DENSE ranker (exact cosine over
+    the embedding column) for the same {_RRF_NQ} query documents,
+    RRF(d) = sum over rankers of 1/({_RRF_K} + rank_r(d)) over each
+    ranker's top-{_RRF_LIST} list, keeping the fused top-{_RRF_TOP} per
+    query. The standard hybrid-search pattern for RAG retrieval — BM25-
+    family keyword recall plus embedding semantic recall, combined
+    without score calibration (ranks only, which is RRF's point).
+
+    Determinism: both rankers order by (score DESC, doc_id) where every
+    score is a single correctly-rounded division of exact operands
+    (integer Jaccard components; the 6-digit-snapped exact-decimal
+    cosine), and the fused score is the pinned-order sum of two exact
+    reciprocals — bit-identical across engines, no snapping needed.
+
+    Scale: the lexical probe joins the (tiny) query-side shingles against
+    the corpus inverted index — cost is sum of df over query shingles,
+    never corpus-pairwise; the dense side broadcasts {_RRF_NQ} query
+    vectors through the two-phase exact re-rank (double-fold prefilter,
+    exact decimal on survivors — operators/similarity.py). Fusion itself
+    touches only 2·{_RRF_LIST} rows per query.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    sh = dedup.shingle_table(docs, "doc_id", "text", _RRF_SHINGLE)
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shq = (
+        sh.where(F.col("doc_id") < _RRF_NQ)
+        .select(F.col("doc_id").alias("query_id"), "shingle")
+    )
+    inter = (
+        shq.join(sh, "shingle")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("doc_id", "query_id")
+                        .withColumnRenamed("n", "nq")),
+            "query_id",
+        )
+        .join(sizes.withColumnRenamed("n", "nd"), "doc_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("nq") + F.col("nd") - F.col("n_common")),
+        )
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("jaccard"), F.asc("doc_id")
+    )
+    lex = (
+        jac.withColumn("rk", F.row_number().over(w_lex).cast("int"))
+        .where(F.col("rk") <= _RRF_LIST)
+        .select("query_id", "doc_id", F.col("rk").alias("lex_rank"))
+    )
+
+    dense = (
+        similarity.cosine_topk(
+            emb.filter(F.col("vec_id") < _RRF_NQ), emb, _RRF_LIST
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rk").cast("int").alias("dense_rank"),
+        )
+    )
+
+    contrib_lex = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")).cast("double"),
+        F.lit(0.0),
+    )
+    contrib_dense = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rank")).cast("double"),
+        F.lit(0.0),
+    )
+    fused = (
+        lex.join(dense, ["query_id", "doc_id"], "full_outer")
+        .withColumn("rrf_score", contrib_lex + contrib_dense)
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("int"))
+        .where(F.col("fused_rank") <= _RRF_TOP)
+        .select(
+            "query_id",
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            "rrf_score",
+            "fused_rank",
+        )
+        .orderBy("query_id", "fused_rank")
+    )

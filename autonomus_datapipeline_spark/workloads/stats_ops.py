@@ -32,8 +32,10 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
 from autonomus_datapipeline_spark.workloads.analytics_ops import _PR_EDGES_CTE
 from autonomus_datapipeline_spark.workloads.pipeline_ops import _TOKS, _sql_shingles
 from autonomus_datapipeline_spark.workloads.registry import (
+    davg,
     load_table,
     query,
+    sql_davg,
     sql_dsum,
 )
 
@@ -3215,4 +3217,140 @@ def isotonic_calibration_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_isotonic",
         )
         .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction calibration (distribution-free intervals)
+# ---------------------------------------------------------------------------
+
+# alpha = 1/10 (90% target coverage); the conformal rank k = ceil(9(n+1)/10)
+# is computed in pure integers so no engine ever sees a float boundary.
+
+_CONF_ORACLE = f"""
+WITH splits AS (
+    SELECT o_orderpriority AS grp, o_orderkey, o_totalprice,
+           o_orderkey % 3 AS part
+    FROM orders
+),
+model AS (
+    SELECT grp, {sql_davg('o_totalprice', 'pred')}
+    FROM splits WHERE part = 0 GROUP BY grp
+),
+cal AS (
+    SELECT s.grp, s.o_orderkey, ABS(s.o_totalprice - m.pred) AS score
+    FROM splits s JOIN model m ON m.grp = s.grp
+    WHERE s.part = 1
+),
+cal_n AS (
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_cal,
+           CAST((9 * (COUNT(*) + 1) + 9) // 10 AS BIGINT) AS k
+    FROM cal GROUP BY grp
+),
+qhat AS (
+    SELECT r.grp, n.n_cal, n.k, r.score AS qhat
+    FROM (
+        SELECT grp, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY grp ORDER BY score, o_orderkey) AS rk
+        FROM cal
+    ) r
+    JOIN cal_n n ON n.grp = r.grp AND r.rk = n.k
+),
+test AS (
+    SELECT s.grp, s.o_totalprice, m.pred
+    FROM splits s JOIN model m ON m.grp = s.grp
+    WHERE s.part = 2
+)
+SELECT t.grp AS o_orderpriority, q.n_cal, q.k, q.qhat,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN ABS(t.o_totalprice - t.pred) <= q.qhat
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       CAST(SUM(CASE WHEN ABS(t.o_totalprice - t.pred) <= q.qhat
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS coverage
+FROM test t JOIN qhat q ON q.grp = t.grp
+GROUP BY 1, 2, 3, 4
+ORDER BY 1
+"""
+
+
+@query("conformal_interval_calibration", oracle=_CONF_ORACLE)
+def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction (Vovk's inductive conformal; Lei et al.,
+    JASA 2018): a deterministic 3-way key split (train/calibration/test by
+    o_orderkey mod 3), a train-split group-mean point predictor, absolute
+    residuals as nonconformity scores, and the finite-sample-valid
+    conformal quantile q̂ = the k-th smallest calibration score with
+    k = ceil((n_cal+1)(1-alpha)) — then the TEST-split empirical coverage
+    of the interval pred ± q̂, per order-priority group. This is the
+    distribution-free uncertainty-calibration step modern ML pipelines
+    bolt onto any point model; coverage ≈ 90% certifies the guarantee.
+
+    Determinism: the predictor is the exact-decimal mean (dsum/COUNT —
+    one correctly-rounded division); residual/abs/compare are identical
+    IEEE ops on identical operands; k is computed in pure integers
+    (ceil(9(n+1)/10) = (9(n+1)+9) div 10 — no float near the rank
+    boundary); q̂ is an order STATISTIC (a data value, never an
+    interpolated quantile), selected by a (score, orderkey) total order.
+
+    Scale: two shuffles — one group-mean over the train split (map-side
+    combinable, 5 rows out) and one per-group rank window over the
+    calibration split; the model and q̂ tables are group-sized broadcasts
+    into the test scan. No driver-side state; split predicates push to
+    the parquet scan.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 3).alias("part"),
+    )
+    model = (
+        o.where(F.col("part") == 0)
+        .groupBy("grp")
+        .agg(davg("o_totalprice", "pred"))
+    )
+    cal = (
+        o.where(F.col("part") == 1)
+        .join(F.broadcast(model), "grp")
+        .select(
+            "grp",
+            "o_orderkey",
+            F.abs(F.col("o_totalprice") - F.col("pred")).alias("score"),
+        )
+    )
+    cal_n = cal.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+        F.expr("CAST((9 * (COUNT(1) + 1) + 9) DIV 10 AS BIGINT)")
+        .alias("k"),
+    )
+    w = Window.partitionBy("grp").orderBy("score", "o_orderkey")
+    qhat = (
+        cal.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(cal_n), "grp")
+        .where(F.col("rk") == F.col("k"))
+        .select("grp", "n_cal", "k", F.col("score").alias("qhat"))
+    )
+    test = o.where(F.col("part") == 2).join(F.broadcast(model), "grp")
+    covered = F.sum(
+        F.when(
+            F.abs(F.col("o_totalprice") - F.col("pred")) <= F.col("qhat"),
+            1,
+        ).otherwise(0)
+    ).cast("bigint")
+    return (
+        test.join(F.broadcast(qhat), "grp")
+        .groupBy(
+            F.col("grp").alias("o_orderpriority"), "n_cal", "k", "qhat"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            covered.alias("n_covered"),
+            (
+                covered.cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("o_orderpriority")
     )

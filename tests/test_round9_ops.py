@@ -191,3 +191,52 @@ def test_fellegi_sunter_invariants(spark, sf_dir):
         & (F.col("a.p_partkey") < F.col("b.p_partkey")),
     ).count()
     assert sum(r["n_pairs"] for r in rows) == n_pairs
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion + conformal calibration invariants (oracle pins exact values)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fusion_invariants(spark, sf_dir):
+    from autonomus_datapipeline_spark.workloads.search_ops import (
+        _RRF_K,
+        _RRF_NQ,
+        _RRF_TOP,
+        hybrid_rrf_fusion,
+    )
+
+    rows = hybrid_rrf_fusion(spark, sf_dir).collect()
+    assert rows
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["query_id"] < _RRF_NQ
+        assert r["doc_id"] != r["query_id"]
+        assert 1 <= r["fused_rank"] <= _RRF_TOP
+        want = (0.0 if r["lex_rank"] is None else 1.0 / (_RRF_K + r["lex_rank"])) + (
+            0.0 if r["dense_rank"] is None else 1.0 / (_RRF_K + r["dense_rank"])
+        )
+        assert r["rrf_score"] == want
+        assert r["lex_rank"] is not None or r["dense_rank"] is not None
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, lst in by_q.items():
+        lst.sort(key=lambda r: r["fused_rank"])
+        # fused order must be (score desc, doc_id asc)
+        for a, b in zip(lst, lst[1:]):
+            assert (a["rrf_score"], -a["doc_id"]) >= (b["rrf_score"], -b["doc_id"])
+
+
+def test_conformal_calibration_invariants(spark, sf_dir):
+    from autonomus_datapipeline_spark.workloads.stats_ops import (
+        conformal_interval_calibration,
+    )
+
+    rows = conformal_interval_calibration(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # k = ceil(0.9 * (n_cal + 1)), pure-integer form
+        assert r["k"] == (9 * (r["n_cal"] + 1) + 9) // 10
+        assert 1 <= r["k"] <= r["n_cal"]
+        assert r["qhat"] >= 0.0
+        assert 0 <= r["n_covered"] <= r["n_test"]
+        assert r["coverage"] == r["n_covered"] / r["n_test"]
