@@ -197,6 +197,18 @@ PROBE_QUERIES = [
     # round-8: vocab-sized Python encode + corpus re-attach — the factor
     # checks the vocab-not-corpus claim (10x corpus, ~same vocab)
     "bpe_encode_tokens",
+    # round-9: PQ code-domain ANN (corpus-linear LUT scoring), privacy-trio
+    # EMD audit (classes x bands grid), blocked FS linkage (pattern-sized
+    # classification over a block-bounded pair join), vocab-sized Viterbi
+    # segmentation, domain-bounded PAVA minimax, query-side-broadcast RRF
+    # fusion, and the 3-way-split conformal calibration
+    "ann_pq_adc_topk",
+    "t_closeness_audit",
+    "fellegi_sunter_part_linkage",
+    "unigram_viterbi_tokens",
+    "isotonic_calibration_fit",
+    "hybrid_rrf_fusion",
+    "conformal_interval_calibration",
 ]
 
 
