@@ -1726,10 +1726,11 @@ def _sql_pq_cents_cte() -> str:
     return f"pqcents(m, code, p, w) AS (VALUES {rows})"
 
 
-@query(
-    "ann_pq_adc_topk",
-    oracle=f"""
-    WITH {_sql_pq_cents_cte()},
+def _sql_pq_adc_ctes() -> str:
+    """CTE chain shared by the PQ queries: exact-decimal per-subspace
+    encode (psub_dist → pcodes), per-query M×K lookup table (plut), and
+    the code-domain ADC scores (padc)."""
+    return f"""
     psub_dist AS (
         SELECT e.vec_id, c.m, c.code,
                SUM(CAST((CAST(e.embedding[c.m * {PQ_DSUB} + c.p] AS DOUBLE)
@@ -1763,7 +1764,14 @@ def _sql_pq_cents_cte() -> str:
         FROM pcodes k JOIN plut l ON l.m = k.m AND l.code = k.code
         WHERE k.vec_id <> l.query_id
         GROUP BY 1, 2
-    )
+    )"""
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_sql_pq_cents_cte()},
+    {_sql_pq_adc_ctes()}
     SELECT query_id, neighbor_id, adc_score, rk FROM (
         SELECT query_id, neighbor_id, adc_score,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1797,4 +1805,70 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_adc_topk(
         emb.filter(F.col("vec_id") < 10), emb, _ANN_K, PQ_CODEBOOKS
+    )
+
+
+@query(
+    "ann_pq_recall_report",
+    oracle=f"""
+    WITH {_sql_pq_cents_cte()},
+    {_sql_pq_adc_ctes()},
+    pq_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY adc_score DESC,
+                                               neighbor_id) AS rk
+            FROM padc
+        ) s WHERE rk <= {_ANN_K}
+    ),
+    {_NORM_CTE},
+    {_SQL_EXACT_CAND_CTE},
+    {_sql_rerank_cte("exact_cand", "exact_topk")}
+    SELECT method, query_id, k, n_hits,
+           CAST(n_hits AS DOUBLE) / k AS recall
+    FROM (
+        SELECT 'pq_adc' AS method, e.query_id, {_ANN_K} AS k,
+               CAST(COUNT(ap.neighbor_id) AS INT) AS n_hits
+        FROM exact_topk e
+        LEFT JOIN pq_topk ap
+          ON ap.query_id = e.query_id AND ap.neighbor_id = e.neighbor_id
+        GROUP BY 2
+    ) r
+    """,
+)
+def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_ANN_K} of the code-domain PQ/ADC ranking against the exact
+    brute-force baseline — the evaluation every PQ deployment runs before
+    swapping raw vectors for codes, since PQ (unlike LSH/IVF, which
+    re-rank exactly on pruned candidates) changes the SCORES themselves.
+    Both pipelines are engine-reproducible, so the oracle replays encode,
+    ADC ranking, exact ranking, and the recall join in SQL — a hard value
+    check on an 'approximate by design' operator, same contract as
+    ann_recall_report.
+
+    Scale: inherits the PQ scan/broadcast shapes (ann_pq_adc_topk) and
+    the exact baseline's two-phase re-rank; the recall join touches only
+    two k-row-per-query lists.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(q, emb, _ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    pq = similarity.pq_adc_topk(q, emb, _ANN_K, PQ_CODEBOOKS).select(
+        "query_id", "neighbor_id"
+    )
+    hits = pq.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hits, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").cast("int").alias("n_hits"))
+        .select(
+            F.lit("pq_adc").alias("method"),
+            "query_id",
+            F.lit(_ANN_K).alias("k"),
+            "n_hits",
+            (F.col("n_hits") / _ANN_K).alias("recall"),
+        )
     )
