@@ -25,9 +25,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from autonomus_datapipeline_spark.operators import dedup, similarity, text
+from autonomus_datapipeline_spark.operators.similarity import (
+    dot_exact,
+    norm_sq_exact,
+)
 from autonomus_datapipeline_spark.workloads.pipeline_ops import (
     _DIM,
     _NORM_CTE,
+    _SQL_EXACT_CAND_CTE,
     _TOKS,
     _e4_sql,
     _sql_rerank_cte,
@@ -1114,3 +1119,190 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "fused_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversified re-ranking: maximal marginal relevance (MMR)
+# ---------------------------------------------------------------------------
+
+_MMR_CAND = 20   # candidate list depth from the exact retriever
+_MMR_K = 5       # diversified results kept per query
+# lambda = 1/2 (dyadic, so 0.5*x is EXACT in IEEE double — the whole MMR
+# objective stays bit-deterministic without any decimal snapping)
+
+_MMR_PAIR_DOT = (
+    "SUM(CAST(CAST(ea.embedding[p] AS DOUBLE) * CAST(eb.embedding[p] AS"
+    " DOUBLE) AS DECIMAL(38,12)))"
+)
+
+_MMR_ORACLE = f"""
+WITH RECURSIVE {_NORM_CTE},
+{_SQL_EXACT_CAND_CTE},
+{_sql_rerank_cte("exact_cand", "cand20", _MMR_CAND)},
+csims AS (
+    SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+           ROUND(CAST({_MMR_PAIR_DOT} AS DOUBLE)
+                 / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS sim
+    FROM cand20 a
+    JOIN cand20 b ON b.query_id = a.query_id
+                 AND b.neighbor_id <> a.neighbor_id
+    JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+    JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    JOIN norms na ON na.vec_id = a.neighbor_id
+    JOIN norms nb ON nb.vec_id = b.neighbor_id,
+         range(1, {_DIM + 1}) t(p)
+    GROUP BY a.query_id, a.neighbor_id, b.neighbor_id, na.nsq, nb.nsq
+),
+rec(query_id, step, sel, pick) AS (
+    SELECT query_id, 1, [neighbor_id], neighbor_id
+    FROM cand20 WHERE rk = 1
+    UNION ALL
+    SELECT r.query_id, r.step + 1, list_append(r.sel, p.id), p.id
+    FROM rec r
+    JOIN LATERAL (
+        SELECT c.neighbor_id AS id
+        FROM cand20 c
+        WHERE c.query_id = r.query_id
+          AND NOT list_contains(r.sel, c.neighbor_id)
+        ORDER BY CAST(0.5 AS DOUBLE) * c.cosine
+                 - CAST(0.5 AS DOUBLE)
+                   * (SELECT MAX(s.sim) FROM csims s
+                      WHERE s.query_id = r.query_id
+                        AND s.id_a = c.neighbor_id
+                        AND list_contains(r.sel, s.id_b)) DESC,
+                 c.neighbor_id
+        LIMIT 1
+    ) p ON true
+    WHERE r.step < {_MMR_K}
+)
+SELECT r.query_id, r.pick AS neighbor_id, c.cosine AS relevance,
+       CAST(r.step AS INT) AS mmr_rank
+FROM rec r JOIN cand20 c
+  ON c.query_id = r.query_id AND c.neighbor_id = r.pick
+ORDER BY r.query_id, r.step
+"""
+
+
+def _mmr_greedy_rows(
+    rel: dict, seed, sim: dict, k: int
+) -> list[tuple]:
+    """The MMR greedy loop on one query's candidate list: start from the
+    top-relevance candidate, then repeatedly add argmax of
+    0.5*rel - 0.5*max_sim_to_selected with (score DESC, id ASC) tiebreak —
+    exactly the oracle's recursive step (0.5* is exact, so both engines
+    compare identical doubles)."""
+    sel = [seed]
+    while len(sel) < k and len(sel) < len(rel):
+        best = None
+        for cid, r in rel.items():
+            if cid in sel:
+                continue
+            ms = max(sim[(cid, s)] for s in sel)
+            key = (-(0.5 * r - 0.5 * ms), cid)
+            if best is None or key < best[0]:
+                best = (key, cid)
+        sel.append(best[1])
+    return [(d, rel[d], i + 1) for i, d in enumerate(sel)]
+
+
+@query("mmr_diversified_topk", oracle=_MMR_ORACLE)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal marginal relevance (Carbonell & Goldstein, SIGIR 1998):
+    re-rank each query's exact top-{_MMR_CAND} cosine candidates into a
+    DIVERSIFIED top-{_MMR_K} — greedily add the candidate maximizing
+    0.5·relevance − 0.5·(max similarity to anything already selected).
+    The de-duplication step retrieval pipelines run between ANN and the
+    context window: near-identical passages waste prompt budget, and
+    plain top-k returns them together.
+
+    Determinism: relevance and pairwise similarities are the house
+    6-digit-snapped exact-decimal cosines; lambda = 1/2 is dyadic so each
+    greedy score is two EXACT halvings and one IEEE subtraction of
+    identical operands — identical in both engines — with a
+    (score DESC, id) total tiebreak. The DuckDB oracle replays the greedy
+    loop as a recursive CTE (LATERAL argmax over the not-yet-selected,
+    correlated MAX over the selected set).
+
+    Scale: candidate generation rides the two-phase exact re-rank (pair
+    shuffle carries ids + fast-cos only); the pairwise-sim table is
+    q·{_MMR_CAND}² rows with vectors broadcast-attached; the greedy loop
+    runs per query in an Arrow-batched cogroup over {_MMR_CAND}-row
+    groups — q-parallel, never corpus-sized.
+    """
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cand = similarity.cosine_topk(q, emb, _MMR_CAND).localCheckpoint(
+        eager=True
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    den = F.sqrt(norm_sq_exact(F.col("va")).cast("double")) * F.sqrt(
+        norm_sq_exact(F.col("vb")).cast("double")
+    )
+    ca = cand.alias("ca")
+    cb = cand.alias("cb")
+    sims = (
+        ca.join(
+            cb,
+            (F.col("ca.query_id") == F.col("cb.query_id"))
+            & (F.col("ca.neighbor_id") != F.col("cb.neighbor_id")),
+        )
+        .select(
+            F.col("ca.query_id").alias("query_id"),
+            F.col("ca.neighbor_id").alias("id_a"),
+            F.col("cb.neighbor_id").alias("id_b"),
+        )
+        .join(F.broadcast(va), "id_a")
+        .join(F.broadcast(vb), "id_b")
+        .select(
+            "query_id",
+            "id_a",
+            "id_b",
+            F.round(
+                dot_exact(F.col("va"), F.col("vb")).cast("double") / den, 6
+            ).alias("sim"),
+        )
+    )
+
+    def mmr_fn(cand_pdf: "pd.DataFrame", sims_pdf: "pd.DataFrame"):
+        if cand_pdf.empty:
+            return pd.DataFrame(
+                columns=["query_id", "neighbor_id", "relevance", "mmr_rank"]
+            )
+        qid = int(cand_pdf["query_id"].iloc[0])
+        rel = dict(
+            zip(
+                (int(x) for x in cand_pdf["neighbor_id"]),
+                (float(x) for x in cand_pdf["cosine"]),
+            )
+        )
+        seed = int(
+            cand_pdf.loc[cand_pdf["rk"] == 1, "neighbor_id"].iloc[0]
+        )
+        sim = {
+            (int(a), int(b)): float(s)
+            for a, b, s in zip(
+                sims_pdf["id_a"], sims_pdf["id_b"], sims_pdf["sim"]
+            )
+        }
+        rows = _mmr_greedy_rows(rel, seed, sim, _MMR_K)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(rows),
+                "neighbor_id": [r[0] for r in rows],
+                "relevance": [r[1] for r in rows],
+                "mmr_rank": [r[2] for r in rows],
+            }
+        )
+
+    out = (
+        cand.groupBy("query_id")
+        .cogroup(sims.groupBy("query_id"))
+        .applyInPandas(
+            mmr_fn,
+            "query_id long, neighbor_id long, relevance double, mmr_rank int",
+        )
+    )
+    return out.orderBy("query_id", "mmr_rank")

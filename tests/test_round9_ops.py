@@ -240,3 +240,63 @@ def test_conformal_calibration_invariants(spark, sf_dir):
         assert r["qhat"] >= 0.0
         assert 0 <= r["n_covered"] <= r["n_test"]
         assert r["coverage"] == r["n_covered"] / r["n_test"]
+
+
+# ---------------------------------------------------------------------------
+# MMR greedy loop
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_diversity_beats_plain_topk():
+    from autonomus_datapipeline_spark.workloads.search_ops import (
+        _mmr_greedy_rows,
+    )
+
+    # candidate 2 is nearly as relevant as 1 but near-duplicates it;
+    # candidate 3 is less relevant but diverse -> MMR picks 3 second
+    rel = {1: 0.9, 2: 0.89, 3: 0.5}
+    sim = {
+        (1, 2): 0.95, (2, 1): 0.95,
+        (1, 3): 0.0, (3, 1): 0.0,
+        (2, 3): 0.0, (3, 2): 0.0,
+    }
+    rows = _mmr_greedy_rows(rel, 1, sim, 3)
+    assert [r[0] for r in rows] == [1, 3, 2]
+    assert [r[2] for r in rows] == [1, 2, 3]
+
+
+def test_mmr_greedy_is_stepwise_optimal_on_random_inputs():
+    import random
+
+    from autonomus_datapipeline_spark.workloads.search_ops import (
+        _mmr_greedy_rows,
+    )
+
+    rng = random.Random(911)
+    for _ in range(100):
+        n = rng.randint(1, 12)
+        ids = list(range(n))
+        rel = {i: round(rng.random(), 6) for i in ids}
+        sim = {}
+        for a in ids:
+            for b in ids:
+                if a != b and (b, a) in sim:
+                    sim[(a, b)] = sim[(b, a)]
+                elif a != b:
+                    sim[(a, b)] = round(rng.random(), 6)
+        seed = min(ids, key=lambda i: (-rel[i], i))
+        k = rng.randint(1, n)
+        rows = _mmr_greedy_rows(rel, seed, sim, k)
+        assert rows[0][0] == seed
+        picked = [r[0] for r in rows]
+        assert len(picked) == min(k, n)
+        assert len(set(picked)) == len(picked)
+        # post-hoc stepwise optimality: at every step the chosen id had
+        # the (score DESC, id ASC)-maximal objective among the remaining
+        for step in range(1, len(picked)):
+            sel = picked[:step]
+            def key(c):
+                ms = max(sim[(c, s)] for s in sel)
+                return (-(0.5 * rel[c] - 0.5 * ms), c)
+            remaining = [c for c in ids if c not in sel]
+            assert picked[step] == min(remaining, key=key)
