@@ -6,7 +6,6 @@ the algorithmic cores on shapes the synthetic tables may never produce."""
 
 from __future__ import annotations
 
-import itertools
 import random
 
 from autonomus_datapipeline_spark.workloads.training_prep import (

@@ -209,6 +209,10 @@ PROBE_QUERIES = [
     "isotonic_calibration_fit",
     "hybrid_rrf_fusion",
     "conformal_interval_calibration",
+    # round-9 second batch: greedy MMR over cogrouped candidate lists
+    # (q-parallel, k²-bounded) and the PQ recall evaluation
+    "mmr_diversified_topk",
+    "ann_pq_recall_report",
 ]
 
 
