@@ -801,3 +801,103 @@ def unigram_viterbi_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "n_occurrences", "rk")
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free K-fold target encoding (out-of-fold category means)
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5     # deterministic folds: o_orderkey mod _TE_FOLDS
+_TE_SMOOTH = 10   # prior strength m in the smoothed encoding
+
+_TE_ORACLE = f"""
+WITH base AS (
+    SELECT o_orderpriority AS cat, o_orderkey % {_TE_FOLDS} AS fold,
+           o_totalprice AS y
+    FROM orders
+),
+cf AS (
+    SELECT cat, fold,
+           SUM(CAST(y AS DECIMAL(38,6))) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM base GROUP BY 1, 2
+),
+c AS (SELECT cat, SUM(s) AS s, SUM(n) AS n FROM cf GROUP BY 1),
+g AS (
+    SELECT CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS prior
+    FROM base
+)
+SELECT cf.cat AS o_orderpriority, cf.fold,
+       cf.n AS n_in_fold,
+       CAST(c.n - cf.n AS BIGINT) AS n_out_fold,
+       CAST(c.s - cf.s AS DOUBLE) / CAST(c.n - cf.n AS DOUBLE) AS enc_oof,
+       (CAST(c.s - cf.s AS DOUBLE) + CAST({_TE_SMOOTH} AS DOUBLE) * g.prior)
+           / CAST(c.n - cf.n + {_TE_SMOOTH} AS DOUBLE) AS enc_smooth
+FROM cf JOIN c ON c.cat = cf.cat
+CROSS JOIN g
+ORDER BY 1, 2
+"""
+
+
+@query("target_encode_oof", oracle=_TE_ORACLE)
+def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free target encoding (Micci-Barreca, SIGKDD Expl. 2001, as
+    deployed in K-fold CV pipelines): encode a categorical feature by the
+    TARGET mean computed OUT-OF-FOLD — each (category, fold) cell gets
+    the category's mean over every OTHER fold, so no row's own target
+    leaks into its feature. Also emits the smoothed variant
+    (S_oof + m·prior) / (N_oof + m) with m={_TE_SMOOTH} and the global
+    prior, the standard guard for rare categories. Folds are
+    deterministic (o_orderkey mod {_TE_FOLDS}), matching the repo's
+    hash/key-split discipline (content_hash_split,
+    stratified_kfold_assignment).
+
+    Determinism: per-cell sums are exact DECIMAL(38,6) accumulators; the
+    out-of-fold numerator is an exact decimal SUBTRACTION (total minus
+    own fold — no second pass over the data); each output is a single
+    correctly-rounded double division, and the smoothed blend is a
+    pinned-order (A + m·prior)/(N+m) with m·prior one rounded multiply.
+
+    Scale: ONE data-sized aggregate (category × fold cells, map-side
+    combinable); category totals derive from the cell table, never from
+    a rescan, so K-fold encoding costs the same shuffle as plain target
+    encoding. The encoding table (|cats|·K rows) broadcasts back onto
+    the training scan in production use.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("cat"),
+        (F.col("o_orderkey") % _TE_FOLDS).alias("fold"),
+        F.col("o_totalprice").alias("y"),
+    )
+    cf = base.groupBy("cat", "fold").agg(
+        F.sum(F.col("y").cast("decimal(38,6)")).alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    c = cf.groupBy("cat").agg(
+        F.sum("s").alias("s_tot"), F.sum("n").alias("n_tot")
+    )
+    g = base.agg(
+        (
+            F.sum(F.col("y").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("prior")
+    )
+    oof_s = (F.col("s_tot") - F.col("s")).cast("double")
+    oof_n = (F.col("n_tot") - F.col("n")).cast("bigint")
+    return (
+        cf.join(F.broadcast(c), "cat")
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.col("cat").alias("o_orderpriority"),
+            "fold",
+            F.col("n").alias("n_in_fold"),
+            oof_n.alias("n_out_fold"),
+            (oof_s / oof_n.cast("double")).alias("enc_oof"),
+            (
+                (oof_s + F.lit(float(_TE_SMOOTH)) * F.col("prior"))
+                / (F.col("n_tot") - F.col("n") + _TE_SMOOTH).cast("double")
+            ).alias("enc_smooth"),
+        )
+        .orderBy("o_orderpriority", "fold")
+    )
