@@ -1872,3 +1872,103 @@ def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") / _ANN_K).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH detector evaluation: precision/recall vs exact Jaccard truth
+# ---------------------------------------------------------------------------
+
+_MHPR_TAU = 0.5  # ground-truth near-dup threshold (b=4,r=3 s-curve ~0.63)
+
+
+@query(
+    "minhash_lsh_pr_report",
+    oracle=f"""
+    WITH {_minhash_bands_cte()},
+    det AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx
+                    AND a.band_hash = b.band_hash
+                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+                           AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c)
+              >= CAST({_MHPR_TAU} AS DOUBLE)
+    ),
+    h AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM det
+        JOIN truth ON truth.doc_a = det.doc_a AND truth.doc_b = det.doc_b
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM det),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM truth)
+    SELECT CAST({_MHPR_TAU} AS DOUBLE) AS tau,
+           nt.n AS n_true, nd.n AS n_detected, h.n AS n_hits,
+           CAST(h.n AS DOUBLE) / NULLIF(nd.n, 0) AS pair_precision,
+           CAST(h.n AS DOUBLE) / NULLIF(nt.n, 0) AS pair_recall
+    FROM h CROSS JOIN nd CROSS JOIN nt
+    """,
+)
+def minhash_lsh_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of the MinHash-LSH near-dup detector against the
+    EXACT bigram-Jaccard ground truth at tau = {_MHPR_TAU} — the dedup
+    family's analog of ann_recall_report: LSH banding is approximate by
+    design (the (b, r) s-curve trades recall below ~0.63 for candidate
+    volume), and this measures the trade on the live corpus instead of
+    trusting the curve. Both sides are engine-reproducible (salted-md5
+    minhashes; exact integer Jaccard), so the oracle value-checks the
+    whole evaluation including both counts and both rates.
+
+    Determinism: the truth test is ONE correctly-rounded division of
+    exact integers compared to the exact double 0.5; precision/recall
+    are single divisions guarded by NULLIF on empty sides.
+
+    Scale: the detector side is the band equi-join (bucket-bounded); the
+    truth side is the inverted-index pair join (Σ df² — in production
+    with a df cap, see ngram_jaccard_capped; truth here is uncapped
+    because the evaluation IS the uncapped definition). Both reports and
+    the hit join are pair-table-sized, the output is one row.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingle_table(docs, "doc_id", "text", _MH_SHINGLE)
+    sh = sh.localCheckpoint(eager=True)
+    sigs = dedup.minhash_signatures(sh, _MH_K)
+    det = dedup.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS).select(
+        "doc_a", "doc_b"
+    )
+    truth = dedup.ngram_jaccard_pairs(sh, min_jaccard=_MHPR_TAU).select(
+        "doc_a", "doc_b"
+    )
+    h = det.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    nd = det.agg(F.count(F.lit(1)).cast("bigint").alias("n_detected"))
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    prec = F.col("n_hits").cast("double") / F.nullif(
+        F.col("n_detected"), F.lit(0)
+    )
+    rec = F.col("n_hits").cast("double") / F.nullif(F.col("n_true"), F.lit(0))
+    return (
+        h.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            F.lit(_MHPR_TAU).alias("tau"),
+            "n_true",
+            "n_detected",
+            "n_hits",
+            prec.alias("pair_precision"),
+            rec.alias("pair_recall"),
+        )
+    )
