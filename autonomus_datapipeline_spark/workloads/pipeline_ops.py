@@ -1879,6 +1879,11 @@ def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MHPR_TAU = 0.5  # ground-truth near-dup threshold (b=4,r=3 s-curve ~0.63)
+_MHPR_MOD = 50   # evaluated pair population: pairs whose MIN doc_id is in
+                 # the 1-in-_MHPR_MOD deterministic sample (how a 100 TB
+                 # evaluation actually runs: exact truth on a sample, never
+                 # the uncapped all-pairs inverted index over a
+                 # dup-saturated corpus)
 
 
 @query(
@@ -1891,6 +1896,7 @@ _MHPR_TAU = 0.5  # ground-truth near-dup threshold (b=4,r=3 s-curve ~0.63)
         JOIN bands b ON a.band_idx = b.band_idx
                     AND a.band_hash = b.band_hash
                     AND a.doc_id < b.doc_id
+        WHERE a.doc_id % {_MHPR_MOD} = 0
         GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -1898,6 +1904,7 @@ _MHPR_TAU = 0.5  # ground-truth near-dup threshold (b=4,r=3 s-curve ~0.63)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
         FROM sh a JOIN sh b ON a.shingle = b.shingle
                            AND a.doc_id < b.doc_id
+        WHERE a.doc_id % {_MHPR_MOD} = 0
         GROUP BY 1, 2
     ),
     truth AS (
@@ -1935,21 +1942,56 @@ def minhash_lsh_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers compared to the exact double 0.5; precision/recall
     are single divisions guarded by NULLIF on empty sides.
 
-    Scale: the detector side is the band equi-join (bucket-bounded); the
-    truth side is the inverted-index pair join (Σ df² — in production
-    with a df cap, see ngram_jaccard_capped; truth here is uncapped
-    because the evaluation IS the uncapped definition). Both reports and
-    the hit join are pair-table-sized, the output is one row.
+    Scale: the evaluated pair population is every pair whose MIN doc_id
+    falls in the deterministic 1-in-{_MHPR_MOD} sample — exact truth on a
+    pair sample is how a 100 TB evaluation runs (measured here: the
+    UNSAMPLED truth join over the dup-saturated sf0.1 corpus costs 26 s —
+    the Σ df² pathology ngram_jaccard_capped documents — vs ~1 s sampled,
+    with IDENTICAL Jaccard semantics on the sampled pairs, no df cap
+    distorting the truth). The detector side is the band equi-join
+    (bucket-bounded) filtered to the same population; the hit join is
+    pair-table-sized; the output is one row.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingle_table(docs, "doc_id", "text", _MH_SHINGLE)
     sh = sh.localCheckpoint(eager=True)
     sigs = dedup.minhash_signatures(sh, _MH_K)
-    det = dedup.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS).select(
-        "doc_a", "doc_b"
+    det = (
+        dedup.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS)
+        .where(F.col("doc_a") % _MHPR_MOD == 0)
+        .select("doc_a", "doc_b")
     )
-    truth = dedup.ngram_jaccard_pairs(sh, min_jaccard=_MHPR_TAU).select(
-        "doc_a", "doc_b"
+    # truth: exact Jaccard with the SAMPLE on the a-side of the inverted
+    # index, so the pair join costs sum(df*df/_MHPR_MOD), never sum(df^2)
+    sh_a = sh.select(
+        F.col("doc_id").alias("a_id"), F.col("shingle").alias("a_sh")
+    ).where(F.col("a_id") % _MHPR_MOD == 0)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh_a.join(
+            sh,
+            (F.col("a_sh") == F.col("shingle"))
+            & (F.col("a_id") < F.col("doc_id")),
+        )
+        .groupBy(
+            F.col("a_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.col("c").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("c")
+    )
+    truth = (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .where(jac >= F.lit(_MHPR_TAU))
+        .select("doc_a", "doc_b")
     )
     h = det.join(truth, ["doc_a", "doc_b"]).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_hits")
