@@ -1522,3 +1522,140 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("n_tokens"),
         F.col("cum").cast("bigint").alias("cum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Raking / iterative proportional fitting (post-filter margin reweighting)
+# ---------------------------------------------------------------------------
+
+_IPF_MIN_CHARS = 250          # the quality filter whose bias raking undoes
+_IPF_PICO = "1000000000000.0"  # weight grain: integer picounits
+_IPF_ROUNDS = ("lang", "source", "lang", "source")  # 2 full IPF rounds
+
+
+def _ipf_adjust_sql(prev: str, out: str, key: str, tgt: str) -> str:
+    """One unrolled IPF adjustment: per-margin weighted totals (exact
+    BIGINT picounit sums), then w' = FLOOR(w · target·10¹² / current) —
+    the pagerank picounit-floor pattern: FLOOR has no tie case and every
+    float op is a single correctly-rounded IEEE op in pinned order."""
+    return f"""
+    {out}_m AS (
+        SELECT {key}, CAST(SUM(n * w) AS BIGINT) AS c
+        FROM {prev} GROUP BY 1
+    ),
+    {out} AS (
+        SELECT p.lang, p.source, p.n,
+               CAST(FLOOR((CAST(p.w AS DOUBLE)
+                           * (CAST(t.t AS DOUBLE) * {_IPF_PICO}))
+                          / CAST(m.c AS DOUBLE)) AS BIGINT) AS w
+        FROM {prev} p
+        JOIN {out}_m m ON m.{key} = p.{key}
+        JOIN {tgt} t ON t.{key} = p.{key}
+    )"""
+
+
+def _ipf_oracle() -> str:
+    steps = []
+    prev = "w0"
+    for i, key in enumerate(_IPF_ROUNDS):
+        out = f"w{i + 1}"
+        tgt = "tl" if key == "lang" else "ts"
+        steps.append(_ipf_adjust_sql(prev, out, key, tgt))
+        prev = out
+    chain = ",".join(steps)
+    return f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents WHERE n_chars >= {_IPF_MIN_CHARS}
+        GROUP BY 1, 2
+    ),
+    tl AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS t
+        FROM documents GROUP BY 1
+    ),
+    ts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS t
+        FROM documents GROUP BY 1
+    ),
+    w0 AS (
+        SELECT lang, source, n, CAST({_IPF_PICO} AS BIGINT) AS w
+        FROM cells
+    ),{chain}
+    SELECT lang, source, n AS n_kept, w AS w_pico,
+           CAST(w AS DOUBLE) / {_IPF_PICO} AS weight,
+           CAST(n * w AS DOUBLE) / {_IPF_PICO} AS weighted_rows
+    FROM {prev}
+    ORDER BY lang, source
+    """
+
+
+@query("ipf_raking_weights", oracle=_ipf_oracle())
+def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking / iterative proportional fitting (Deming & Stephan, AMS
+    1940): after a quality filter (n_chars >= {_IPF_MIN_CHARS}) biases
+    the corpus's (lang, source) composition, compute per-cell weights
+    that restore the FULL corpus's lang and source margins — two unrolled
+    IPF rounds, each alternately scaling rows to the lang margin and the
+    source margin. This is the rebalance-after-filtering step of a
+    training-data mix (and classic survey post-stratification): filters
+    never remove uniformly, and raking undoes the composition drift
+    without un-filtering anything.
+
+    Determinism: weights live as integer PICOUNITS; each adjustment is
+    w' = FLOOR(w · target·10¹² / current) where the weighted margin
+    totals are exact BIGINT sums and the float expression is three
+    correctly-rounded IEEE ops in pinned order — the pagerank
+    picounit-floor pattern (FLOOR has no tie case, unlike decimal
+    rounding).
+
+    Scale: ONE data-sized pass builds the (lang, source) cell counts and
+    the two margin tables (all map-side combinable); every IPF round is
+    a margin-sized aggregate plus a broadcast join onto the cell table —
+    dimension-sized work, independent of corpus size. More rounds or
+    more margin dimensions extend the same envelope.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.where(F.col("n_chars") >= _IPF_MIN_CHARS)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tl = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t_lang")
+    )
+    ts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t_source")
+    )
+    pico = float(_IPF_PICO)
+    cur = cells.withColumn("w", F.lit(int(pico)).cast("bigint"))
+    cur = cur.join(F.broadcast(tl), "lang").join(F.broadcast(ts), "source")
+    for key in _IPF_ROUNDS:
+        m = cur.groupBy(key).agg(
+            F.sum(F.col("n") * F.col("w")).cast("bigint").alias("c")
+        )
+        tcol = "t_lang" if key == "lang" else "t_source"
+        cur = (
+            cur.join(F.broadcast(m), key)
+            .withColumn(
+                "w",
+                F.floor(
+                    (
+                        F.col("w").cast("double")
+                        * (F.col(tcol).cast("double") * F.lit(pico))
+                    )
+                    / F.col("c").cast("double")
+                ).cast("bigint"),
+            )
+            .drop("c")
+        )
+    return cur.select(
+        "lang",
+        "source",
+        F.col("n").alias("n_kept"),
+        F.col("w").alias("w_pico"),
+        (F.col("w").cast("double") / F.lit(pico)).alias("weight"),
+        ((F.col("n") * F.col("w")).cast("double") / F.lit(pico)).alias(
+            "weighted_rows"
+        ),
+    ).orderBy("lang", "source")

@@ -299,3 +299,42 @@ def test_mmr_greedy_is_stepwise_optimal_on_random_inputs():
                 return (-(0.5 * rel[c] - 0.5 * ms), c)
             remaining = [c for c in ids if c not in sel]
             assert picked[step] == min(remaining, key=key)
+
+
+# ---------------------------------------------------------------------------
+# IPF raking invariants
+# ---------------------------------------------------------------------------
+
+
+def test_ipf_raking_restores_margins(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from autonomus_datapipeline_spark.workloads.curation_ops import (
+        ipf_raking_weights,
+    )
+    from autonomus_datapipeline_spark.workloads.registry import load_table
+
+    w = ipf_raking_weights(spark, sf_dir)
+    rows = w.collect()
+    assert rows
+    for r in rows:
+        assert r["w_pico"] > 0
+        assert r["weight"] == r["w_pico"] / 1e12
+    # the LAST adjustment scaled to the source margin: achieved source
+    # totals must match targets to within the picounit-floor residual
+    ach = {
+        r["source"]: r["a"]
+        for r in w.groupBy("source")
+        .agg(F.sum("weighted_rows").alias("a"))
+        .collect()
+    }
+    tgt = {
+        r["source"]: r["count"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    for k, a in ach.items():
+        # floor-quantization only ever under-shoots, by < n_cells ulps
+        assert tgt[k] * (1 - 1e-9) - 1e-6 <= a <= tgt[k] + 1e-9
