@@ -1879,11 +1879,13 @@ def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MHPR_TAU = 0.5  # ground-truth near-dup threshold (b=4,r=3 s-curve ~0.63)
-_MHPR_MOD = 50   # evaluated pair population: pairs whose MIN doc_id is in
-                 # the 1-in-_MHPR_MOD deterministic sample (how a 100 TB
-                 # evaluation actually runs: exact truth on a sample, never
-                 # the uncapped all-pairs inverted index over a
-                 # dup-saturated corpus)
+_MHPR_PANEL = 100  # evaluated pair population: pairs whose MIN doc_id is
+                   # in the FIXED query panel doc_id < _MHPR_PANEL — a
+                   # corpus-size-INDEPENDENT panel (the ann-report pattern),
+                   # so the truth join grows linearly with corpus df, never
+                   # quadratically (a fractional 1-in-k sample still paid
+                   # sum(df^2)/k: measured 10x factor 4.26; the panel's is
+                   # linear). Exact Jaccard semantics on the panel's pairs.
 
 
 @query(
@@ -1896,7 +1898,7 @@ _MHPR_MOD = 50   # evaluated pair population: pairs whose MIN doc_id is in
         JOIN bands b ON a.band_idx = b.band_idx
                     AND a.band_hash = b.band_hash
                     AND a.doc_id < b.doc_id
-        WHERE a.doc_id % {_MHPR_MOD} = 0
+        WHERE a.doc_id < {_MHPR_PANEL}
         GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -1904,7 +1906,7 @@ _MHPR_MOD = 50   # evaluated pair population: pairs whose MIN doc_id is in
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
         FROM sh a JOIN sh b ON a.shingle = b.shingle
                            AND a.doc_id < b.doc_id
-        WHERE a.doc_id % {_MHPR_MOD} = 0
+        WHERE a.doc_id < {_MHPR_PANEL}
         GROUP BY 1, 2
     ),
     truth AS (
@@ -1943,14 +1945,16 @@ def minhash_lsh_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     are single divisions guarded by NULLIF on empty sides.
 
     Scale: the evaluated pair population is every pair whose MIN doc_id
-    falls in the deterministic 1-in-{_MHPR_MOD} sample — exact truth on a
-    pair sample is how a 100 TB evaluation runs (measured here: the
-    UNSAMPLED truth join over the dup-saturated sf0.1 corpus costs 26 s —
-    the Σ df² pathology ngram_jaccard_capped documents — vs ~1 s sampled,
-    with IDENTICAL Jaccard semantics on the sampled pairs, no df cap
-    distorting the truth). The detector side is the band equi-join
-    (bucket-bounded) filtered to the same population; the hit join is
-    pair-table-sized; the output is one row.
+    falls in the FIXED {_MHPR_PANEL}-doc query panel — exact truth on a
+    corpus-size-independent panel is how a 100 TB evaluation runs
+    (measured: the UNSAMPLED truth join over the dup-saturated sf0.1
+    corpus costs 26 s — the Σ df² pathology ngram_jaccard_capped
+    documents — and even a FRACTIONAL 1-in-k sample stays quadratic,
+    10× probe factor 4.26; the fixed panel's truth join is panel-shingles
+    × corpus-df, linear). Jaccard semantics on the panel's pairs are
+    exact — no df cap distorting the truth. The detector side is the
+    band equi-join (bucket-bounded) filtered to the same population; the
+    hit join is pair-table-sized; the output is one row.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingle_table(docs, "doc_id", "text", _MH_SHINGLE)
@@ -1958,14 +1962,14 @@ def minhash_lsh_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dedup.minhash_signatures(sh, _MH_K)
     det = (
         dedup.lsh_candidate_pairs(sigs, _MH_BANDS, _MH_ROWS)
-        .where(F.col("doc_a") % _MHPR_MOD == 0)
+        .where(F.col("doc_a") < _MHPR_PANEL)
         .select("doc_a", "doc_b")
     )
-    # truth: exact Jaccard with the SAMPLE on the a-side of the inverted
-    # index, so the pair join costs sum(df*df/_MHPR_MOD), never sum(df^2)
+    # truth: exact Jaccard with the fixed PANEL on the a-side of the
+    # inverted index — panel shingles x corpus df, linear in the corpus
     sh_a = sh.select(
         F.col("doc_id").alias("a_id"), F.col("shingle").alias("a_sh")
-    ).where(F.col("a_id") % _MHPR_MOD == 0)
+    ).where(F.col("a_id") < _MHPR_PANEL)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh_a.join(
