@@ -338,3 +338,72 @@ def test_ipf_raking_restores_margins(spark, sf_dir):
     for k, a in ach.items():
         # floor-quantization only ever under-shoots, by < n_cells ulps
         assert tgt[k] * (1 - 1e-9) - 1e-6 <= a <= tgt[k] + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# V-optimal histogram: true-optimality check by exhaustive enumeration
+# ---------------------------------------------------------------------------
+
+
+def test_voptimal_histogram_is_truly_optimal(spark, sf_dir):
+    import itertools
+    import math
+
+    from pyspark.sql import functions as F
+
+    from autonomus_datapipeline_spark.workloads.registry import load_table
+    from autonomus_datapipeline_spark.workloads.scale_ops import (
+        _VOPT_BAND,
+        _VOPT_K,
+        voptimal_histogram,
+    )
+
+    out = {r["k"]: r for r in voptimal_histogram(spark, sf_dir).collect()}
+    assert set(out) == set(range(1, _VOPT_K + 1))
+    # SSE is non-increasing in k; boundaries well-formed
+    for k in range(1, _VOPT_K + 1):
+        bounds = [int(x) for x in out[k]["boundaries"].split(",")]
+        assert len(bounds) == k
+        assert bounds == sorted(bounds)
+        if k > 1:
+            assert out[k]["total_sse"] <= out[k - 1]["total_sse"] + 1e-9
+
+    # brute force: enumerate EVERY k-partition of the base buckets from
+    # the same integer moments and confirm the query found the optimum
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") / F.lit(_VOPT_BAND))
+            .cast("bigint")
+            .alias("bucket"),
+            F.floor(F.col("o_totalprice")).cast("bigint").alias("u"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("u").alias("s"),
+            F.sum(F.col("u") * F.col("u")).alias("ss"),
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    buckets = [(int(r["bucket"]), int(r["n"]), int(r["s"]), int(r["ss"])) for r in b]
+    B = len(buckets)
+
+    def sse(lo: int, hi: int) -> float:  # python floats = IEEE doubles
+        n = sum(x[1] for x in buckets[lo:hi])
+        s = sum(x[2] for x in buckets[lo:hi])
+        ss = sum(x[3] for x in buckets[lo:hi])
+        return float(ss) - (float(s) * float(s)) / float(n)
+
+    for k in range(1, _VOPT_K + 1):
+        best = math.inf
+        for cuts in itertools.combinations(range(1, B), k - 1):
+            edges = [0, *cuts, B]
+            tot = 0.0
+            for lo, hi in zip(edges, edges[1:]):
+                tot = tot + sse(lo, hi)
+            best = min(best, tot)
+        # the query's DP adds per-segment SSEs left-to-right, same as the
+        # enumeration; allow 1-ulp-scale slack for summation order
+        assert abs(out[k]["total_sse"] - best) <= max(1e-6, abs(best) * 1e-12)
