@@ -213,6 +213,15 @@ PROBE_QUERIES = [
     # (q-parallel, k²-bounded) and the PQ recall evaluation
     "mmr_diversified_topk",
     "ann_pq_recall_report",
+    # round-9 third batch: one-aggregate K-fold target encoding, the
+    # sampled-pair LSH evaluation (the unsampled truth join is the
+    # documented Σdf² pathology), and margin-sized IPF rounds
+    "target_encode_oof",
+    "minhash_lsh_pr_report",
+    "ipf_raking_weights",
+    # round-9 fourth batch: optimizer-statistics DP on the domain-bounded
+    # bucket table (one data-sized aggregate, O(B^3) dimension work)
+    "voptimal_histogram",
 ]
 
 
