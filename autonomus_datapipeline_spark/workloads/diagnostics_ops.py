@@ -751,3 +751,161 @@ def purchase_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapley-value channel attribution (exact power-set enumeration)
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = ("click", "error", "signup", "view")  # bit order = index
+_SHAP_N = len(_SHAP_CHANNELS)
+_SHAP_PICO = "1000000000000.0"
+
+
+def _shap_terms() -> list[tuple[str, int, int, int]]:
+    """(channel, subset_mask_without_i, weight_numerator) for every
+    channel i and subset S ⊆ N\\{i}; weight = |S|!(n-1-|S|)!/n! with the
+    common denominator n! = 24 factored out."""
+    import math
+
+    out = []
+    for i, ch in enumerate(_SHAP_CHANNELS):
+        for mask in range(1 << _SHAP_N):
+            if mask & (1 << i):
+                continue
+            s = bin(mask).count("1")
+            wn = math.factorial(s) * math.factorial(_SHAP_N - 1 - s)
+            out.append((ch, mask, mask | (1 << i), wn))
+    return out
+
+
+def _shap_oracle() -> str:
+    bit_expr = " + ".join(
+        f"MAX(CASE WHEN event_type = '{ch}' THEN {1 << i} ELSE 0 END)"
+        for i, ch in enumerate(_SHAP_CHANNELS)
+    )
+    term_rows = ",".join(
+        f"('{ch}',{m0},{m1},{wn})" for ch, m0, m1, wn in _shap_terms()
+    )
+    return f"""
+    WITH ux AS (
+        SELECT user_id,
+               CAST({bit_expr} AS BIGINT) AS mask,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ),
+    vs AS (
+        SELECT mask, CAST(COUNT(*) AS BIGINT) AS users,
+               CAST(SUM(conv) AS BIGINT) AS convs
+        FROM ux GROUP BY 1
+    ),
+    terms(channel, m0, m1, wn) AS (VALUES {term_rows}),
+    scored AS (
+        SELECT t.channel,
+               CAST(FLOOR(((CAST(t.wn AS DOUBLE)
+                            * (COALESCE(CAST(v1.convs AS DOUBLE)
+                                        / CAST(v1.users AS DOUBLE), 0.0)
+                               - COALESCE(CAST(v0.convs AS DOUBLE)
+                                          / CAST(v0.users AS DOUBLE), 0.0)))
+                           / 24.0) * {_SHAP_PICO}) AS BIGINT) AS t_pico
+        FROM terms t
+        LEFT JOIN vs v0 ON v0.mask = t.m0
+        LEFT JOIN vs v1 ON v1.mask = t.m1
+    )
+    SELECT channel,
+           CAST(SUM(t_pico) AS BIGINT) AS shapley_pico,
+           CAST(SUM(t_pico) AS DOUBLE) / {_SHAP_PICO} AS shapley_value
+    FROM scored GROUP BY 1 ORDER BY 1
+    """
+
+
+@query("shapley_channel_attribution", oracle=_shap_oracle())
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value channel attribution (Shapley 1953; applied to
+    marketing attribution per Zhao et al., 2018): each non-purchase
+    event type is a CHANNEL, each user's exposure set is the subset of
+    channels they touched, the coalition worth v(S) is the observed
+    conversion (purchase) rate of users with exposure set exactly S
+    (0 for unobserved coalitions), and each channel's credit is its
+    exact Shapley value over the {_SHAP_N}-channel power set — the
+    axiomatic completion of the attribution trio (last-touch credits the
+    final channel, linear splits evenly, Shapley splits by marginal
+    contribution over ALL coalition orders). With {_SHAP_N} channels the
+    2^{_SHAP_N}-set enumeration is exact — no sampling, no Monte Carlo.
+
+    Determinism: the per-(channel, subset) term weight |S|!(n-1-|S|)!/n!
+    rides as an integer numerator over the common 24; each term is a
+    pinned-order float expression on exact-integer-valued doubles,
+    FLOOR-quantized to integer picounits (the pagerank pattern — floors,
+    not decimal casts), and the per-channel total is an order-free
+    integer SUM.
+
+    Scale: ONE data-sized aggregate (per-user exposure bitmask + convert
+    flag, map-side combinable), one 16-row coalition table, and a
+    64-row static term join — everything after the first groupBy is
+    constant work regardless of corpus size. More channels grow the
+    enumeration 2^n; past ~20 channels production Shapley switches to
+    permutation sampling over the same per-user masks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bits = None
+    for i, ch in enumerate(_SHAP_CHANNELS):
+        term = F.max(
+            F.when(F.col("event_type") == ch, F.lit(1 << i)).otherwise(0)
+        )
+        bits = term if bits is None else bits + term
+    ux = ev.groupBy("user_id").agg(
+        bits.cast("bigint").alias("mask"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("conv"),
+    )
+    vs = ux.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("users"),
+        F.sum("conv").cast("bigint").alias("convs"),
+    )
+    terms = spark.createDataFrame(
+        _shap_terms(), "channel string, m0 long, m1 long, wn long"
+    )
+    v0 = vs.select(
+        F.col("mask").alias("m0"),
+        (F.col("convs").cast("double") / F.col("users").cast("double")).alias(
+            "v0"
+        ),
+    )
+    v1 = vs.select(
+        F.col("mask").alias("m1"),
+        (F.col("convs").cast("double") / F.col("users").cast("double")).alias(
+            "v1"
+        ),
+    )
+    pico = float(_SHAP_PICO)
+    t_pico = F.floor(
+        (
+            (
+                F.col("wn").cast("double")
+                * (
+                    F.coalesce(F.col("v1"), F.lit(0.0))
+                    - F.coalesce(F.col("v0"), F.lit(0.0))
+                )
+            )
+            / F.lit(24.0)
+        )
+        * F.lit(pico)
+    ).cast("bigint")
+    return (
+        terms.join(F.broadcast(v0), "m0", "left")
+        .join(F.broadcast(v1), "m1", "left")
+        .select("channel", t_pico.alias("t_pico"))
+        .groupBy("channel")
+        .agg(
+            F.sum("t_pico").cast("bigint").alias("shapley_pico"),
+            (F.sum("t_pico").cast("double") / F.lit(pico)).alias(
+                "shapley_value"
+            ),
+        )
+        .orderBy("channel")
+    )

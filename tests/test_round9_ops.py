@@ -407,3 +407,46 @@ def test_voptimal_histogram_is_truly_optimal(spark, sf_dir):
         # the query's DP adds per-segment SSEs left-to-right, same as the
         # enumeration; allow 1-ulp-scale slack for summation order
         assert abs(out[k]["total_sse"] - best) <= max(1e-6, abs(best) * 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Shapley attribution: efficiency axiom
+# ---------------------------------------------------------------------------
+
+
+def test_shapley_attribution_efficiency_axiom(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from autonomus_datapipeline_spark.workloads.diagnostics_ops import (
+        _SHAP_CHANNELS,
+        shapley_channel_attribution,
+    )
+    from autonomus_datapipeline_spark.workloads.registry import load_table
+
+    rows = shapley_channel_attribution(spark, sf_dir).collect()
+    assert [r["channel"] for r in rows] == sorted(_SHAP_CHANNELS)
+    total = sum(r["shapley_value"] for r in rows)
+
+    # efficiency: sum of Shapley values = v(full set) - v(empty set),
+    # up to the 32-term picounit floor error
+    ev = load_table(spark, sf_dir, "events")
+    bits = None
+    for i, ch in enumerate(_SHAP_CHANNELS):
+        t = F.max(F.when(F.col("event_type") == ch, F.lit(1 << i)).otherwise(0))
+        bits = t if bits is None else bits + t
+    ux = ev.groupBy("user_id").agg(
+        bits.alias("mask"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    vs = {
+        r["mask"]: (r["c"], r["u"])
+        for r in ux.groupBy("mask")
+        .agg(F.sum("conv").alias("c"), F.count(F.lit(1)).alias("u"))
+        .collect()
+    }
+    full = (1 << len(_SHAP_CHANNELS)) - 1
+    v_full = vs[full][0] / vs[full][1] if full in vs else 0.0
+    v_empty = vs[0][0] / vs[0][1] if 0 in vs else 0.0
+    assert abs(total - (v_full - v_empty)) < 32e-12 + 1e-9

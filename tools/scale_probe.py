@@ -222,6 +222,8 @@ PROBE_QUERIES = [
     # round-9 fourth batch: optimizer-statistics DP on the domain-bounded
     # bucket table (one data-sized aggregate, O(B^3) dimension work)
     "voptimal_histogram",
+    # round-9 fifth batch: one user-mask aggregate + constant coalition work
+    "shapley_channel_attribution",
 ]
 
 
