@@ -97,6 +97,66 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFram
     )
 
 
+def _salted_md5(g: int):
+    """Single-arg transform lambda factory. NOTE: pyspark's ``F.transform``
+    treats a second lambda parameter as the array INDEX, so closure state
+    must be captured via a factory, never a default argument."""
+    return lambda s: F.md5(F.concat(F.lit(f"{g}:"), s))
+
+
+def _hash_slice(offset: int):
+    return lambda h: F.substring(h, offset, 8)
+
+
+def minhash_signatures_from_text(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, n_hashes: int
+) -> DataFrame:
+    """MinHash signatures computed ARRAY-SIDE: per document, hash the
+    distinct-shingle array with ``F.transform`` and take ``F.array_min``
+    per permutation — zero shuffle, zero row explosion, all inside
+    whole-stage codegen.
+
+    Value-identical to ``minhash_signatures(shingle_table(...))`` (same
+    salted md5 per shingle, same lexicographic minimum over the same
+    distinct shingle set — asserted by tests), but the explode + 64-way
+    groupBy-min shuffle becomes a per-row projection: measured 2.5×
+    faster at sf0.1, and at 100 TB it removes a corpus-sized shuffle
+    entirely (the signature stage becomes map-only, so the FIRST shuffle
+    of any dedup pipeline is the band join, on docs × bands rows).
+    Consumers that need the (doc_id, shingle) relation itself (inverted
+    index joins, df caps) still use :func:`shingle_table`.
+
+    Each salted md5 yields four independent 32-bit slices, so the hash
+    arrays are materialized once per group in their own projection
+    (CollapseProject keeps multiply-referenced expressions from
+    re-inlining) and the k = ``n_hashes`` minima reference them 4× each.
+    """
+    groups = (n_hashes + 3) // 4
+    tk = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), r"\s+").alias("tk"),
+    )
+    shg = tk.select(
+        "doc_id", word_shingles(F.col("tk"), shingle_n).alias("sh")
+    )
+    hashed = shg.select(
+        "doc_id",
+        *[
+            F.transform(F.col("sh"), _salted_md5(g)).alias(f"h{g}")
+            for g in range(groups)
+        ],
+    )
+    return hashed.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(F.col(f"h{s // 4}"), _hash_slice((s % 4) * 8 + 1))
+            ).alias(f"mh{s}")
+            for s in range(n_hashes)
+        ],
+    )
+
+
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int
 ) -> DataFrame:
@@ -181,7 +241,11 @@ def lsh_candidate_pairs(
 
 
 def lsh_bucket_stars(
-    signatures: DataFrame, n_bands: int, rows_per_band: int
+    signatures: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    n_rows_hint: int | None = None,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Connectivity-preserving LSH edge list: one star per band bucket
     (every member links to the bucket's MINIMUM doc_id) instead of all
@@ -203,16 +267,57 @@ def lsh_bucket_stars(
     step symmetrizes the edge list (two reads), and without the checkpoint
     the whole shingle→signature→banding chain would execute once per read
     (the same reason lsh_candidate_pairs materializes its banded table).
+
+    ``n_rows_hint`` (the band-table row count ≈ docs × n_bands, which the
+    caller usually knows from a metadata-only parquet count) scopes the
+    window/distinct shuffle width to the relation size — the band table is
+    hash tuples, tiny next to the corpus, and at the session's corpus-scale
+    width these two shuffles are pure task overhead. Omitted → session
+    default (correct for callers that cannot bound the size).
+
+    ``symmetric=True`` emits BOTH edge directions, distinct and
+    materialized — the exact input contract of
+    ``graph.connected_components(..., assume_symmetric=True)``, fused here
+    so star build + symmetrize cost ONE checkpoint job instead of two
+    (doc_a < doc_b always holds for a star edge, so the reversed set is
+    disjoint and a narrow union AFTER the distinct stays distinct).
     """
     banded = band_table(signatures, n_bands, rows_per_band)
     w = Window.partitionBy("band_idx", "band_hash")
-    return (
-        banded.withColumn("rep", F.min("doc_id").over(w))
-        .where(F.col("doc_id") != F.col("rep"))
-        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+
+    def _build() -> DataFrame:
+        stars = (
+            banded.withColumn("rep", F.min("doc_id").over(w))
+            .where(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+            .distinct()
+        )
+        if symmetric:
+            # explode-to-both-directions, not union-of-two-branches: a
+            # union would re-run the distinct aggregate once per branch,
+            # the explode emits both directions in ONE pass per row.
+            stars = stars.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+                        ),
+                        F.struct(
+                            F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+                        ),
+                    )
+                ).alias("e")
+            ).select(F.col("e.a").alias("doc_a"), F.col("e.b").alias("doc_b"))
+        return stars.localCheckpoint(eager=True)
+
+    if n_rows_hint is None:
+        return _build()
+    from autonomus_datapipeline_spark import tuning
+
+    with tuning.scoped_shuffle(
+        signatures.sparkSession, tuning.width_for_rows(signatures.sparkSession, n_rows_hint)
+    ):
+        return _build()
 
 
 def cap_bucket_occupancy(

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from autonomus_datapipeline_spark import tuning
+
 
 def keep_representatives(
     df: DataFrame, components: DataFrame, id_col: str
@@ -43,101 +45,124 @@ def connected_components(
     max_iter: int = 50,
     n_partitions: int | None = None,
     rounds_out: list | None = None,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """(node, component_id) for every node in ``edges``; component_id is the
     minimum node id reachable. Deterministic at convergence.
 
     ``n_partitions`` sizes the per-round shuffles — candidate-pair graphs are
     orders of magnitude smaller than the corpus, and an iterative loop pays
-    the per-task overhead every round, so default small and scale up only
-    with the edge count. ``rounds_out``, if given, receives the number of
-    contraction rounds executed (tests assert the O(log n) bound on chains).
+    the per-task overhead every round. When None (the default) the width is
+    derived from the MEASURED edge count (known for free: the symmetric edge
+    list is counted at materialization anyway), so a 2 000-edge sf0.1 graph
+    runs 1-partition rounds while a 100 TB candidate graph gets the session's
+    full width from the same call site. ``rounds_out``, if given, receives
+    the number of contraction rounds executed (tests assert the O(log n)
+    bound on chains).
     """
-    if n_partitions is None:
-        n_partitions = 8
     # Materialize the symmetric edge list FIRST, at the session's full
     # shuffle width — its lineage is the whole upstream candidate-generation
     # chain (shingles → signatures → LSH join), which is corpus-scale work.
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # ``assume_symmetric``: the caller certifies ``edges`` is ALREADY
+    # symmetric, distinct, and materialized (e.g. lsh_bucket_stars
+    # symmetric=True fuses that into its own checkpoint job), so the
+    # symmetrize-distinct-checkpoint pass here would be a pure re-copy.
+    if assume_symmetric:
+        sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        sym = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    n_edges = sym.count()  # reads the checkpoint, also warms it
     spark = edges.sparkSession
-    # Scope the shuffle width to the loop (saved/restored, never a lasting
-    # session mutation) — per-task overhead × rounds dominates at the
-    # session's corpus-sized width.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_partitions))
-    try:
-        return _star_loop(sym, max_iter, rounds_out)
-    finally:
-        if prev_parts is None:
-            spark.conf.unset("spark.sql.shuffle.partitions")
-        else:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if n_partitions is None:
+        n_partitions = tuning.width_for_rows(spark, n_edges)
+    # Scope the shuffle width + AQE byte-coalescing to the loop
+    # (saved/restored, never a lasting session mutation) — per-task
+    # overhead × rounds dominates at the session's corpus-sized width.
+    # AQE is off inside the loop: the edge count is already measured and
+    # the width derived from it, so runtime re-planning buys nothing and
+    # its per-shuffle-stage materialization doubles the per-round wall.
+    # The RESULT is materialized eagerly inside the scope: the final
+    # star/nodes assembly would otherwise be planned lazily at the
+    # CONSUMER's action, outside the scope, at corpus width — and every
+    # registered consumer reads the full component table anyway.
+    with tuning.scoped_shuffle(spark, n_partitions, aqe=False):
+        return _star_loop(sym, n_edges, max_iter, rounds_out).localCheckpoint(
+            eager=True
+        )
 
 
-def _star_loop(sym: DataFrame, max_iter: int, rounds_out: list | None) -> DataFrame:
+# One large-star + small-star contraction round over a view named E(u, v)
+# of canonical (u > v) edges. Expressed as ONE spark.sql() text rather than
+# ~15 incremental DataFrame calls: plan construction through py4j measured
+# 0.23-0.32 s PER ROUND (pure driver-side overhead, no job) vs ~0.1 s for
+# the equivalent SQL — in an iterative loop on a small contracted edge list
+# the py4j tax dominates the actual distributed work. No distinct on sym_e:
+# duplicate rows don't disturb the min-aggregates and the final DISTINCT
+# dedupes; large's output is already canonical (v = min(u', mv) < u-alias),
+# so small-star's Γ⁻(u) is just the v column grouped by u.
+_ROUND_SQL = """
+WITH sym_e AS (SELECT u, v FROM E UNION ALL SELECT v AS u, u AS v FROM E),
+nbr_min AS (SELECT u, MIN(v) AS mv FROM sym_e GROUP BY u),
+large AS (
+  SELECT s.v AS u, LEAST(s.u, n.mv) AS v
+  FROM sym_e s JOIN nbr_min n ON n.u = s.u WHERE s.v > s.u
+),
+down_min AS (SELECT u, MIN(v) AS mv FROM large GROUP BY u),
+with_min AS (SELECT l.u, l.v, d.mv FROM large l JOIN down_min d ON d.u = l.u)
+SELECT DISTINCT u, v FROM (
+  SELECT u, mv AS v FROM with_min
+  UNION ALL
+  SELECT v AS u, mv AS v FROM with_min WHERE v <> mv
+)
+"""
+
+
+def _star_loop(
+    sym: DataFrame, n_sym: int, max_iter: int, rounds_out: list | None
+) -> DataFrame:
     """Alternating large-star / small-star contraction over a materialized
     symmetric edge list. Edges are kept canonical (u > v, pointing down);
     the fixed point is a star per component centered at its minimum id."""
     # sym is distinct and checkpointed; the canonical projection is a
     # narrow filter over it — no extra distinct (a>b preserves sym's
     # distinctness) and no extra checkpoint (recompute is one cheap
-    # filter of the materialized RDD).
+    # filter of the materialized RDD). Its count is exactly half the
+    # symmetric count (each undirected edge appears in both directions),
+    # so no extra count job is needed to seed convergence tracking.
+    spark = sym.sparkSession
     E = sym.filter(F.col("a") > F.col("b")).select(
         F.col("a").alias("u"), F.col("b").alias("v")
     )
-    prev_count = E.count()
+    prev_count = n_sym // 2
     rounds = 0
-    for _ in range(max_iter):
-        rounds += 1
-        # --- large-star: every node u links its LARGER neighbors to
-        # m = min(Γ(u) ∪ {u}) — long "up" chains collapse toward minima.
-        sym_e = E.select("u", "v").union(
-            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        nbr_min = sym_e.groupBy("u").agg(F.min("v").alias("mv"))
-        # No distinct here: duplicate rows don't disturb the downstream
-        # min-aggregates, the final new_e distinct dedupes, and skipping it
-        # removes a full (u, v) shuffle per round — the two consumers below
-        # then share one shuffle-by-u via ReusedExchange.
-        large = (
-            sym_e.join(nbr_min, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(
-                F.col("v").alias("u"),
-                F.least(F.col("u"), F.col("mv")).alias("v"),
-            )
-        )
-        # --- small-star: every node u links itself and its smaller
-        # neighbors to m = min(Γ⁻(u)) — shallow trees flatten into stars.
-        # large's output is already canonical (v = min(u', mv) < u-alias),
-        # so Γ⁻(u) is just the v column grouped by u.
-        down_min = large.groupBy("u").agg(F.min("v").alias("mv"))
-        with_min = large.join(down_min, "u")
-        new_e = (
-            with_min.select("u", F.col("mv").alias("v"))
-            .union(
-                with_min.where(F.col("v") != F.col("mv")).select(
-                    F.col("v").alias("u"), F.col("mv").alias("v")
-                )
-            )
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        # Lazy checkpoint: the count below is the first action, so it
-        # materializes the checkpoint as a side effect — one job per round.
-        new_count = new_e.count()
-        if new_count == prev_count:
-            # Counts alone can tie while the sets differ — confirm with an
-            # anti join (cheap: only runs in the final round or on ties).
-            if new_e.join(E, ["u", "v"], "left_anti").limit(1).count() == 0:
+    view = f"_cc_star_E_{id(sym)}"
+    round_sql = _ROUND_SQL.replace("FROM E", f"FROM {view}")
+    try:
+        for _ in range(max_iter):
+            rounds += 1
+            E.createOrReplaceTempView(view)
+            new_e = spark.sql(round_sql).localCheckpoint(eager=False)
+            # TWO cheap jobs per round, no standalone confirmation pass:
+            # the anti-join diff (new \ old) is the first action, so it
+            # materializes the lazy checkpoint as a side effect AND
+            # decides set growth; the |new| count afterwards only reads
+            # the already-materialized checkpoint. Set equality is
+            # |new \ old| = 0 together with |new| = |old| (new ⊆ old with
+            # equal cardinality). Counts alone can tie while the sets
+            # differ — observed on LSH star graphs.
+            n_fresh = new_e.join(E, ["u", "v"], "left_anti").limit(1).count()
+            new_count = new_e.count()
+            if n_fresh == 0 and new_count == prev_count:
                 E = new_e
                 break
-        E, prev_count = new_e, new_count
+            E, prev_count = new_e, new_count
+    finally:
+        spark.catalog.dropTempView(view)
     if rounds_out is not None:
         rounds_out.append(rounds)
     # At the fixed point E is a function (one star edge per non-center

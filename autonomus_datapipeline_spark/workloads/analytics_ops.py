@@ -26,6 +26,7 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
     with_global_running,
     with_global_shift,
 )
+from autonomus_datapipeline_spark.workloads import graph_common
 from autonomus_datapipeline_spark.workloads.registry import (
     ORDERDATE_EPOCH_DAY_BOUNDS,
     dsum,
@@ -714,26 +715,16 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star contraction in operators/graph.py for the connected-
     components twin of this loop shape.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
-    e0 = (
-        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
-        .select("src", "dst")
-        .distinct()
-    )
-    deg0 = e0.groupBy("src").agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
-    # ONE materialization of the pair fan-out, degrees attached. Every
-    # other consumer (degree table, n-nodes scalar, rank init, final
-    # join) derives from these checkpointed in-memory blocks instead of
-    # re-executing the fan-out join+agg — cheaper than either recomputing
-    # deg per consumer (~4 fan-out re-runs) or cache()ing deg (the
-    # InMemoryRelation pin defeats AQE on every consumer join; both
-    # shapes measured slower cold: 5.6/6.4 vs 4.1 s at sf0.1).
-    edges = e0.join(deg0, "src").localCheckpoint()
+    # ONE materialization of the pair fan-out, degrees attached
+    # (graph_common.copurchase_edges: half-pair distinct + explode
+    # symmetrize + window degrees). Every other consumer (degree table,
+    # n-nodes scalar, rank init, final join) derives from these
+    # checkpointed in-memory blocks instead of re-executing the fan-out
+    # join+agg — cheaper than either recomputing deg per consumer (~4
+    # fan-out re-runs) or cache()ing deg (the InMemoryRelation pin
+    # defeats AQE on every consumer join; both shapes measured slower
+    # cold: 5.6/6.4 vs 4.1 s at sf0.1).
+    edges = graph_common.copurchase_edges(spark, sf_dir, with_degrees=True)
     deg = edges.select("src", "deg").distinct()
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     pr = deg.crossJoin(F.broadcast(nn)).select(

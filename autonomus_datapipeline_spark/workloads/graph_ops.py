@@ -16,6 +16,27 @@ from autonomus_datapipeline_spark.workloads.registry import load_table, query
 # ---------------------------------------------------------------------------
 
 
+def _minhash_stars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed bucket-star edge list over the documents table — the
+    shared first stage of the three CC-based dedup queries. Signatures are
+    computed array-side (map-only, no shuffle:
+    dedup.minhash_signatures_from_text), so the star window is the
+    pipeline's FIRST shuffle, scoped to the band-table size (docs × bands,
+    known from a cheap columnless count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    sigs = dedup.minhash_signatures_from_text(
+        docs, "doc_id", "text", pipeline_ops._MH_SHINGLE, pipeline_ops._MH_K
+    )
+    return dedup.lsh_bucket_stars(
+        sigs,
+        pipeline_ops._MH_BANDS,
+        pipeline_ops._MH_ROWS,
+        n_rows_hint=n_docs * pipeline_ops._MH_BANDS,
+        symmetric=True,
+    )
+
+
 def _cc_oracle() -> str:
     # Reuse the minhash pair-generation SQL as CTEs, then transitive closure
     # via a recursive CTE; component = min reachable node (incl. self).
@@ -60,11 +81,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (never Σ occupancy²) — and the near-star input converges in
     fewer contraction rounds.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, "doc_id", "text", pipeline_ops._MH_SHINGLE)
-    sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
-    stars = dedup.lsh_bucket_stars(sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS)
-    return graph.connected_components(stars, "doc_a", "doc_b").select(
+    stars = _minhash_stars(spark, sf_dir)
+    return graph.connected_components(stars, "doc_a", "doc_b", assume_symmetric=True).select(
         F.col("node").alias("doc_id"), "component_id"
     )
 
@@ -146,12 +164,10 @@ def dedup_apply_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept/dropped accounting. This is the operator a user actually runs over
     a corpus — candidates and clusters are its internals."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, "doc_id", "text", pipeline_ops._MH_SHINGLE)
-    sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
     # Bucket stars, not pairwise candidates: identical components at
     # band-table-linear edge count (see dedup_connected_components).
-    stars = dedup.lsh_bucket_stars(sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS)
-    comp = graph.connected_components(stars, "doc_a", "doc_b")
+    stars = _minhash_stars(spark, sf_dir)
+    comp = graph.connected_components(stars, "doc_a", "doc_b", assume_symmetric=True)
     # Single-pass accounting: one left join flags each doc as kept/dropped,
     # one aggregation counts both — instead of materializing the kept set
     # and anti-joining the corpus against it twice. No broadcast hint:
@@ -683,14 +699,10 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scoring is a codegen'd projection joined onto the membership table on
     doc_id (shuffled join; both sides cluster-membership-sized)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = dedup.shingle_table(docs, "doc_id", "text", pipeline_ops._MH_SHINGLE)
-    sigs = dedup.minhash_signatures(sh, pipeline_ops._MH_K)
     # Bucket stars, not pairwise candidates: identical components at
     # band-table-linear edge count (see dedup_connected_components).
-    stars = dedup.lsh_bucket_stars(
-        sigs, pipeline_ops._MH_BANDS, pipeline_ops._MH_ROWS
-    )
-    comp = graph.connected_components(stars, "doc_a", "doc_b")
+    stars = _minhash_stars(spark, sf_dir)
+    comp = graph.connected_components(stars, "doc_a", "doc_b", assume_symmetric=True)
     from autonomus_datapipeline_spark.operators import text as text_ops
 
     scored = docs.select(

@@ -62,6 +62,23 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# Tables whose queries are dominated by per-row compute (shingle/md5/regex
+# over text, vector math over embeddings). The bench parquet files are a
+# SINGLE row group, which parquet cannot split — so without intervention
+# every one of those compute-heavy projections runs as one task on one
+# core. :func:`load_table` fans these tables out to the session width when
+# (and only when) the scan has fewer partitions than the session width: a
+# cheap shuffle of megabytes that buys full-width parallelism for the
+# expensive projections above it. At 100 TB the same corpus arrives as
+# thousands of splittable files, the partition count already exceeds the
+# width, and the fan-out is a no-op by construction — this is a guard
+# against under-split INPUTS, not a blanket repartition. Catalyst still
+# pushes filters and prunes columns THROUGH the repartition into the scan
+# (PushDownPredicates handles RepartitionByExpression/Repartition), which
+# tests assert.
+_FAN_OUT_TABLES = frozenset({"documents", "embeddings"})
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan — columnar, so Catalyst prunes columns and pushes filters.
 
@@ -69,6 +86,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     which Spark has no native type for: we read nanos as long
     (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to a microsecond
     TimestampType — a narrow, codegen'd projection with zero scan overhead.
+
+    Compute-heavy tables (see :data:`_FAN_OUT_TABLES`) are repartitioned to
+    the session width when the input is under-split.
     """
     if name == "events":
         # Without this flag Spark cannot read a TIMESTAMP(NANOS) parquet
@@ -90,7 +110,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 ),
             )
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _FAN_OUT_TABLES:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        if df.rdd.getNumPartitions() < width:
+            df = df.repartition(width)
+    return df
 
 
 # Public TPC-H dbgen data envelope: o_orderdate spans [1992-01-01,

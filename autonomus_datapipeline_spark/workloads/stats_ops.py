@@ -29,6 +29,7 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
     with_global_running,
     with_global_shift,
 )
+from autonomus_datapipeline_spark.workloads import graph_common
 from autonomus_datapipeline_spark.workloads.analytics_ops import _PR_EDGES_CTE
 from autonomus_datapipeline_spark.workloads.pipeline_ops import _TOKS, _sql_shingles
 from autonomus_datapipeline_spark.workloads.registry import (
@@ -740,15 +741,8 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     checkpoints per round (operators/graph.py shows that pattern for
     connected components).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, (a.ok == b.ok2) & (F.col("u") != F.col("v")))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
+    edges = graph_common.copurchase_edges(spark, sf_dir).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
     labels = edges.select(F.col("u"), F.col("u").alias("label")).distinct()
     for _ in range(2):
@@ -826,15 +820,8 @@ def kcore_peeling_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components loop (operators/graph.py), which also documents
     the checkpoint cadence the production loop uses.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, (a.ok == b.ok2) & (F.col("u") != F.col("v")))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
+    edges = graph_common.copurchase_edges(spark, sf_dir).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
     for _ in range(_KCORE_ROUNDS):
         keep = (
@@ -1532,15 +1519,8 @@ def lpa_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates over the edge list — the evaluation costs one extra edge
     join beyond the clustering itself.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, (a.ok == b.ok2) & (F.col("u") != F.col("v")))
-        .select("u", "v")
-        .distinct()
-        .localCheckpoint()
+    edges = graph_common.copurchase_edges(spark, sf_dir).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
     deg = edges.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -3244,7 +3224,7 @@ cal AS (
 ),
 cal_n AS (
     SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_cal,
-           CAST((9 * (COUNT(*) + 1) + 9) // 10 AS BIGINT) AS k
+           CAST(LEAST((9 * (COUNT(*) + 1) + 9) // 10, COUNT(*)) AS BIGINT) AS k
     FROM cal GROUP BY grp
 ),
 qhat AS (
@@ -3320,10 +3300,14 @@ def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             F.abs(F.col("o_totalprice") - F.col("pred")).alias("score"),
         )
     )
+    # k clamped to n_cal (the standard q̂ = max-score fallback): without
+    # the clamp any group with n_cal < 18 has k > n_cal, the rk = k join
+    # matches nothing, and the group silently vanishes from the report.
     cal_n = cal.groupBy("grp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_cal"),
-        F.expr("CAST((9 * (COUNT(1) + 1) + 9) DIV 10 AS BIGINT)")
-        .alias("k"),
+        F.expr(
+            "CAST(LEAST((9 * (COUNT(1) + 1) + 9) DIV 10, COUNT(1)) AS BIGINT)"
+        ).alias("k"),
     )
     w = Window.partitionBy("grp").orderBy("score", "o_orderkey")
     qhat = (

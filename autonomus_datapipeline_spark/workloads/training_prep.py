@@ -677,7 +677,22 @@ def _uvt_segment(word: str, cost: dict[str, int]) -> list[str]:
     """Viterbi DP: minimize total piece cost; ties broken by the
     lexicographically smallest space-joined segmentation (leading-space
     convention — identical to the oracle's struct comparison, where the
-    accumulated `s` strings all start with ' ')."""
+    accumulated `s` strings all start with ' ').
+
+    Invariant (asserted, not assumed): every single character of ``word``
+    must be priced in ``cost`` — the vocab-derived cost dict always
+    contains all corpus characters, which guarantees position j can
+    always extend via the 1-char piece and ``cands`` is never empty. A
+    caller feeding words from a DIFFERENT corpus than the cost table
+    would otherwise fail deep inside an executor with a bare
+    ``min([]) ValueError``."""
+    missing = {ch for ch in word if ch not in cost}
+    if missing:
+        raise ValueError(
+            f"_uvt_segment: characters {sorted(missing)!r} of word "
+            f"{word!r} are not priced in the cost table — the piece "
+            "vocabulary must cover every single character of the input"
+        )
     best: list[tuple[int, str] | None] = [(0, "")] + [None] * len(word)
     for j in range(1, len(word) + 1):
         cands = []
@@ -830,7 +845,8 @@ g AS (
 SELECT cf.cat AS o_orderpriority, cf.fold,
        cf.n AS n_in_fold,
        CAST(c.n - cf.n AS BIGINT) AS n_out_fold,
-       CAST(c.s - cf.s AS DOUBLE) / CAST(c.n - cf.n AS DOUBLE) AS enc_oof,
+       CAST(c.s - cf.s AS DOUBLE) / NULLIF(CAST(c.n - cf.n AS DOUBLE), 0.0)
+           AS enc_oof,
        (CAST(c.s - cf.s AS DOUBLE) + CAST({_TE_SMOOTH} AS DOUBLE) * g.prior)
            / CAST(c.n - cf.n + {_TE_SMOOTH} AS DOUBLE) AS enc_smooth
 FROM cf JOIN c ON c.cat = cf.cat
@@ -893,7 +909,11 @@ def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fold",
             F.col("n").alias("n_in_fold"),
             oof_n.alias("n_out_fold"),
-            (oof_s / oof_n.cast("double")).alias("enc_oof"),
+            # NULLIF pins the n_out_fold = 0 edge (a category confined to
+            # one fold) to NULL on BOTH engines — Spark's Divide returns
+            # NULL on a zero denominator while DuckDB's IEEE semantics
+            # would yield ±Inf/NaN, a latent cross-engine parity break.
+            (oof_s / F.nullif(oof_n.cast("double"), F.lit(0.0))).alias("enc_oof"),
             (
                 (oof_s + F.lit(float(_TE_SMOOTH)) * F.col("prior"))
                 / (F.col("n_tot") - F.col("n") + _TE_SMOOTH).cast("double")
