@@ -28,8 +28,15 @@ from autonomus_datapipeline_spark.engine.validation import (
     validate_transform_code,
 )
 
-# Import whitelist (reference sandbox.py:48-56)
+# Import whitelist (reference sandbox.py:48-56). The engine's own operator
+# library is sanctioned transform surface (the reference likewise admits its
+# own helpers into generated transforms): read-only DataFrame→DataFrame
+# combinators — sinks stay engine-owned and validation still rejects
+# write/OS constructs inside the step code.
 ALLOWED_IMPORT_PREFIXES = (
+    "autonomus_datapipeline_spark.operators",
+    "autonomus_datapipeline_spark.functions",
+    "autonomus_datapipeline_spark.workloads.curation_pipeline",
     "pyspark.sql",
     "math",
     "datetime",

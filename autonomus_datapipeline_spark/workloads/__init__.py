@@ -16,6 +16,7 @@ from autonomus_datapipeline_spark.workloads import graph_ops  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import text_ops2  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import pipeline_ops  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import curation_ops  # noqa: F401,E402
+from autonomus_datapipeline_spark.workloads import curation_pipeline  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import relational_joins  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import scale_ops  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import sql_surface  # noqa: F401,E402

@@ -30,9 +30,11 @@ from autonomus_datapipeline_spark.workloads import graph_common
 from autonomus_datapipeline_spark.workloads.registry import (
     ORDERDATE_EPOCH_DAY_BOUNDS,
     dsum,
+    fsum,
     load_table,
     query,
     sql_dsum,
+    sql_fsum,
 )
 
 # ---------------------------------------------------------------------------
@@ -1045,8 +1047,8 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_intervals,
            CAST(SUM(w_us) AS BIGINT) AS total_us,
-           CAST(SUM(CAST(value * w_us AS DECIMAL(38,6))) AS DOUBLE)
-             / CAST(SUM(w_us) AS BIGINT) AS twap
+           CAST(SUM(CAST(FLOOR((value * w_us) * 1e3) AS DECIMAL(38,0))) AS DOUBLE)
+             / 1e3 / CAST(SUM(w_us) AS BIGINT) AS twap
     FROM weighted
     GROUP BY 1 ORDER BY 1
     """,
@@ -1083,9 +1085,18 @@ def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
             F.sum("w_us").cast("bigint").alias("total_us"),
+            # fsum rule (registry.fsum): value·Δt is a true double
+            # product — floor-quantized milli-units sum exactly and
+            # identically on both engines; grain 1e3 keeps the largest
+            # conceivable unit (value · full-dataset-span microseconds)
+            # far inside 64-bit floor range.
             (
-                F.sum((F.col("value") * F.col("w_us")).cast("decimal(38,6)"))
-                .cast("double")
+                F.sum(
+                    F.floor((F.col("value") * F.col("w_us")) * F.lit(1e3)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / F.lit(1e3)
                 / F.sum("w_us").cast("bigint")
             ).alias("twap"),
         )

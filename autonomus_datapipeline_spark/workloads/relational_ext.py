@@ -15,9 +15,11 @@ from pyspark.sql.window import Window
 
 from autonomus_datapipeline_spark.workloads.registry import (
     dsum,
+    fsum,
     load_table,
     query,
     sql_dsum,
+    sql_fsum,
 )
 
 # ---------------------------------------------------------------------------
@@ -264,7 +266,8 @@ def string_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
            CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_positive,
-           CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sum_all,
+           CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1e12) AS DECIMAL(38,0)))
+                AS DOUBLE) / 1e12 AS sum_all,
            CAST(embedding[1] AS DOUBLE) AS first_val,
            CAST(embedding[64] AS DOUBLE) AS last_val
     FROM (SELECT vec_id, embedding, unnest(embedding) AS e FROM embeddings) t
@@ -276,11 +279,25 @@ def array_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold) — the complex-type support the reference lacked (it stringified
     lists, SURVEY §1.2). All higher-order functions run JVM-side."""
     e = load_table(spark, sf_dir, "embeddings")
-    dec_sum = F.aggregate(
-        F.transform(F.col("embedding"), lambda x: x.cast("double").cast("decimal(30,12)")),
-        F.lit(0).cast("decimal(30,12)"),
-        lambda acc, x: (acc + x).cast("decimal(30,12)"),
-    ).cast("double")
+    # fsum rule (registry.fsum) applied array-side: each float is floored
+    # to exact pico-units (floats are O(1), so units stay ~1e12 — exact
+    # in int64 and in double) and folded as an exact integer sum; one
+    # final cast+divide matches the oracle bit-for-bit. The previous
+    # DECIMAL(30,12) snap rounded each element, and Spark and DuckDB
+    # round a double into a decimal quantum differently.
+    dec_sum = (
+        F.aggregate(
+            F.transform(
+                F.col("embedding"),
+                lambda x: F.floor(x.cast("double") * F.lit(1e12)).cast(
+                    "decimal(38,0)"
+                ),
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(1e12)
+    )
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
@@ -408,7 +425,7 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_correlation",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, n,
            (n * sxy - sx * sy)
              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
@@ -417,31 +434,35 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT l_returnflag,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+               {sql_fsum('l_quantity', 'sx')},
+               {sql_fsum('l_extendedprice', 'sy')},
+               {sql_fsum('l_quantity * l_quantity', 'sxx')},
+               {sql_fsum('l_extendedprice * l_extendedprice', 'syy')},
+               {sql_fsum('l_quantity * l_extendedprice', 'sxy')}
         FROM lineitem GROUP BY l_returnflag
     ) m
     """,
 )
 def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation + mean + sample stddev per group, built from
-    exact-decimal moment sums combined in double arithmetic — deterministic
-    under any parallelism (built-in corr()/stddev() are summation-order
-    dependent and engine-divergent). One aggregation pass for all moments.
+    floor-quantized exact integer moment sums combined in double
+    arithmetic — deterministic under any parallelism (built-in
+    corr()/stddev() are summation-order dependent and engine-divergent)
+    AND bit-identical across engines (fsum: the moments are exact sums of
+    FLOOR-quantized units, so no per-row rounding-mode difference can
+    leak in; the decimal-snap variant drifted ~1e-12 through the
+    cancellation in n·sxy − sx·sy — strict_float_audit r9). One
+    aggregation pass for all moments.
     """
     l = load_table(spark, sf_dir, "lineitem")
-    d = lambda c: c.cast("decimal(38,6)")  # noqa: E731
     qty, price = F.col("l_quantity"), F.col("l_extendedprice")
     m = l.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
-        F.sum(d(qty)).cast("double").alias("sx"),
-        F.sum(d(price)).cast("double").alias("sy"),
-        F.sum(d(qty * qty)).cast("double").alias("sxx"),
-        F.sum(d(price * price)).cast("double").alias("syy"),
-        F.sum(d(qty * price)).cast("double").alias("sxy"),
+        fsum(qty, "sx"),
+        fsum(price, "sy"),
+        fsum(qty * qty, "sxx"),
+        fsum(price * price, "syy"),
+        fsum(qty * price, "sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")

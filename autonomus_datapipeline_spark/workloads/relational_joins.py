@@ -18,10 +18,12 @@ from autonomus_datapipeline_spark.operators.prefix_sum import with_global_runnin
 from autonomus_datapipeline_spark.workloads.registry import (
     davg,
     dsum,
+    fsum,
     load_table,
     query,
     sql_davg,
     sql_dsum,
+    sql_fsum,
 )
 
 _REVENUE = "l_extendedprice * (1.0 - l_discount)"
@@ -1119,38 +1121,39 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hhi_supplier_concentration",
-    oracle="""
+    oracle=f"""
     WITH srev AS (
         SELECT s.s_nationkey AS nation, l.l_suppkey,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6)))
-                    AS DOUBLE) AS r
+               {sql_fsum('l.l_extendedprice', 'r')}
         FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
         GROUP BY 1, 2
     ),
     tot AS (
         SELECT nation,
-               CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) AS total_r,
+               {sql_fsum('r', 'total_r')},
                CAST(COUNT(*) AS BIGINT) AS n_suppliers
         FROM srev GROUP BY 1
     )
     SELECT n.n_name AS nation_name,
            t.n_suppliers,
-           CAST(SUM(CAST(s.r * s.r AS DECIMAL(38,6))) AS DOUBLE)
-             / (t.total_r * t.total_r) AS hhi
+           {sql_fsum('(s.r / t.total_r) * (s.r / t.total_r)', 'hhi', '1e12')}
     FROM srev s
     JOIN tot t ON t.nation = s.nation
     JOIN nation n ON n.n_nationkey = s.nation
-    GROUP BY 1, 2, t.total_r
+    GROUP BY 1, 2
     ORDER BY 1
     """,
 )
 def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl-Hirschman index of supplier revenue concentration per
-    nation: HHI = Σ share² = Σr²/R² — the antitrust-style concentration
-    metric (1/n_suppliers = perfectly even, → 1 = monopoly; the Gini
-    query measures the customer side). Per-supplier revenue is an exact
-    decimal sum; r² is one IEEE square snapped back to decimal and summed
-    order-free; the R² division happens once per nation.
+    nation: HHI = Σ share² — the antitrust-style concentration metric
+    (1/n_suppliers = perfectly even, → 1 = monopoly; the Gini query
+    measures the customer side). Bit-exact across engines by the fsum
+    rule: revenue and nation totals are floor-quantized exact sums, each
+    share is one IEEE division of identical doubles, and Σ share² is a
+    floor-quantized picounit sum — shares are ≤ 1, so the quantized
+    units never overflow at ANY scale factor (the earlier Σr² form
+    would overflow 64-bit floor units on r² ≈ 10¹⁸ at sf1).
 
     Scale: supplier revenue shuffles on suppkey (map-side combinable);
     nation totals are a |nations|-row broadcast; HHI is a second bounded
@@ -1162,33 +1165,22 @@ def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     srev = (
         li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("s_nationkey").alias("nation_k"), "l_suppkey")
-        .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
-            .cast("double")
-            .alias("r")
-        )
+        .agg(fsum(F.col("l_extendedprice"), "r"))
     )
     tot = srev.groupBy("nation_k").agg(
-        F.sum(F.col("r").cast("decimal(38,6)")).cast("double").alias("total_r"),
+        fsum(F.col("r"), "total_r"),
         F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
     )
+    share = F.col("r") / F.col("total_r")
     return (
         srev.join(F.broadcast(tot), "nation_k")
-        .groupBy("nation_k", "n_suppliers", "total_r")
-        .agg(
-            F.sum((F.col("r") * F.col("r")).cast("decimal(38,6)"))
-            .cast("double")
-            .alias("sum_r2")
-        )
+        .groupBy("nation_k", "n_suppliers")
+        .agg(fsum(share * share, "hhi", grain=1e12))
         .join(
             F.broadcast(n.select(F.col("n_nationkey").alias("nation_k"), "n_name")),
             "nation_k",
         )
-        .select(
-            F.col("n_name").alias("nation_name"),
-            "n_suppliers",
-            (F.col("sum_r2") / (F.col("total_r") * F.col("total_r"))).alias("hhi"),
-        )
+        .select(F.col("n_name").alias("nation_name"), "n_suppliers", "hhi")
         .orderBy("nation_name")
     )
 
@@ -1207,8 +1199,8 @@ _LPI_CUR_YR = 1996
     WITH py AS (
         SELECT l_partkey,
                CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
-               SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS rev,
-               SUM(CAST(l_quantity AS DECIMAL(38,6))) AS qty
+               SUM(CAST(FLOOR(l_extendedprice * 1e6) AS DECIMAL(38,0))) AS rev,
+               SUM(CAST(FLOOR(l_quantity * 1e6) AS DECIMAL(38,0))) AS qty
         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         WHERE EXTRACT(year FROM o.o_orderdate)
               IN ({_LPI_BASE_YR}, {_LPI_CUR_YR})
@@ -1218,14 +1210,14 @@ _LPI_CUR_YR = 1996
         SELECT b.l_partkey,
                CAST(b.rev AS DOUBLE) / CAST(b.qty AS DOUBLE) AS p0,
                CAST(c.rev AS DOUBLE) / CAST(c.qty AS DOUBLE) AS p1,
-               CAST(b.qty AS DOUBLE) AS q0
+               CAST(b.qty AS DOUBLE) / 1e6 AS q0
         FROM py b JOIN py c ON c.l_partkey = b.l_partkey
         WHERE b.yr = {_LPI_BASE_YR} AND c.yr = {_LPI_CUR_YR}
           AND b.qty > 0 AND c.qty > 0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
-           CAST(SUM(CAST(p1 * q0 AS DECIMAL(38,6))) AS DOUBLE)
-             / CAST(SUM(CAST(p0 * q0 AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(SUM(CAST(FLOOR((p1 * q0) * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(SUM(CAST(FLOOR((p0 * q0) * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
                AS laspeyres_index
     FROM paired
     """,
@@ -1244,20 +1236,22 @@ def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
-    dec = "decimal(38,6)"
+    dec0 = "decimal(38,0)"
     py = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .where(F.year("o_orderdate").isin(_LPI_BASE_YR, _LPI_CUR_YR))
         .groupBy("l_partkey", F.year("o_orderdate").cast("int").alias("yr"))
         .agg(
-            F.sum(F.col("l_extendedprice").cast(dec)).alias("rev"),
-            F.sum(F.col("l_quantity").cast(dec)).alias("qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * F.lit(1e6)).cast(dec0))
+            .alias("rev"),
+            F.sum(F.floor(F.col("l_quantity") * F.lit(1e6)).cast(dec0))
+            .alias("qty"),
         )
     )
     b = py.where(F.col("yr") == _LPI_BASE_YR).select(
         "l_partkey",
         (F.col("rev").cast("double") / F.col("qty").cast("double")).alias("p0"),
-        F.col("qty").cast("double").alias("q0"),
+        (F.col("qty").cast("double") / F.lit(1e6)).alias("q0"),
     )
     c = py.where(F.col("yr") == _LPI_CUR_YR).select(
         "l_partkey",
@@ -1267,11 +1261,17 @@ def laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired = b.where(F.col("q0") > 0).join(
         c.where(F.col("cqty") > 0), "l_partkey"
     )
+    # fsum-style floor quantization on both basket sums (not a decimal
+    # snap): p·q is a genuine double product, and the two engines round a
+    # double into a decimal quantum differently — floor units are
+    # bit-identical by construction (registry.fsum).
+    fl = lambda c: F.sum(F.floor(c * F.lit(1e6)).cast("decimal(38,0)")).cast(  # noqa: E731
+        "double"
+    )
     return paired.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
         (
-            F.sum((F.col("p1") * F.col("q0")).cast(dec)).cast("double")
-            / F.sum((F.col("p0") * F.col("q0")).cast(dec)).cast("double")
+            fl(F.col("p1") * F.col("q0")) / fl(F.col("p0") * F.col("q0"))
         ).alias("laspeyres_index"),
     )
 

@@ -34,10 +34,12 @@ from autonomus_datapipeline_spark.workloads.analytics_ops import _PR_EDGES_CTE
 from autonomus_datapipeline_spark.workloads.pipeline_ops import _TOKS, _sql_shingles
 from autonomus_datapipeline_spark.workloads.registry import (
     davg,
+    fsum,
     load_table,
     query,
     sql_davg,
     sql_dsum,
+    sql_fsum,
 )
 
 # ---------------------------------------------------------------------------
@@ -1200,16 +1202,19 @@ def ols_price_quantity_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderpriority AS priority,
                CAST(date_diff('day', DATE '1992-01-01',
                               CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+               CAST(SUM(CAST(FLOOR(o_totalprice * 1e6) AS DECIMAL(38,0)))
+                    AS DOUBLE) / 1e6 AS y
         FROM orders GROUP BY 1, 2
     ),
     s AS (
         SELECT priority,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,6)))
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(FLOOR(y * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1e6 AS sy,
+               CAST(SUM(CAST(FLOOR((x * y) * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1e6 AS sxy,
+               CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,0)))
                     AS DOUBLE) AS sxx
         FROM daily GROUP BY 1
     )
@@ -1235,6 +1240,10 @@ def ols_revenue_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     no iteration.
     """
     o = load_table(spark, sf_dir, "orders")
+    # fsum rule (registry.fsum): the daily revenue y and the x·y moment
+    # are genuine doubles — floor-quantized units sum exactly and
+    # identically on both engines; x and x² are exact integers summed in
+    # DECIMAL(38,0) with no quantization at all.
     daily = o.groupBy(
         F.col("o_orderpriority").alias("priority"),
         F.datediff(
@@ -1242,16 +1251,14 @@ def ols_revenue_trend_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .cast("bigint")
         .alias("x"),
-    ).agg(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("y"))
+    ).agg(fsum(F.col("o_totalprice"), "y"))
     s = daily.groupBy("priority").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("x").cast("decimal(38,6)")).cast("double").alias("sx"),
-        F.sum(F.col("y").cast("decimal(38,6)")).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast("decimal(38,6)"))
-        .cast("double")
-        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        fsum(F.col("y"), "sy"),
+        fsum(F.col("x") * F.col("y"), "sxy"),
         F.sum(
-            (F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,6)")
+            (F.col("x").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)")
         )
         .cast("double")
         .alias("sxx"),
@@ -1281,24 +1288,32 @@ _CUPED_SPLIT = "1996-01-01"
         SELECT c.c_custkey,
                CASE WHEN c.c_mktsegment = '{_KS_SEG_A}' THEN 1 ELSE 0 END AS g1,
                CAST(COALESCE(SUM(CASE WHEN o.o_orderdate < DATE '{_CUPED_SPLIT}'
-                             THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END), 0)
-                    AS DOUBLE) AS x,
+                             THEN CAST(FLOOR(o.o_totalprice * 1e6)
+                                       AS DECIMAL(38,0)) END), 0)
+                    AS DOUBLE) / 1e6 AS x,
                CAST(COALESCE(SUM(CASE WHEN o.o_orderdate >= DATE '{_CUPED_SPLIT}'
-                             THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END), 0)
-                    AS DOUBLE) AS y
+                             THEN CAST(FLOOR(o.o_totalprice * 1e6)
+                                       AS DECIMAL(38,0)) END), 0)
+                    AS DOUBLE) / 1e6 AS y
         FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         WHERE c.c_mktsegment IN ('{_KS_SEG_A}', '{_KS_SEG_B}')
         GROUP BY 1, 2
     ),
     s AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(FLOOR(x * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1e6 AS sx,
+               CAST(SUM(CAST(FLOOR(y * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1e6 AS sy,
+               CAST(SUM(CAST(FLOOR((x * y) * 1e2) AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1e2 AS sxy,
+               CAST(SUM(CAST(FLOOR((x * x) * 1e2) AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1e2 AS sxx,
                CAST(SUM(g1) AS DOUBLE) AS n1,
-               CAST(SUM(g1 * CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx1,
-               CAST(SUM(g1 * CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy1
+               CAST(SUM(CAST(FLOOR((g1 * x) * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1e6 AS sx1,
+               CAST(SUM(CAST(FLOOR((g1 * y) * 1e6) AS DECIMAL(38,0))) AS DOUBLE)
+                 / 1e6 AS sy1
         FROM per_cust
     )
     SELECT CAST(n AS BIGINT) AS n_customers,
@@ -1329,7 +1344,7 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     split = F.lit(_CUPED_SPLIT).cast("date")
-    dec = "decimal(38,6)"
+    dec0 = "decimal(38,0)"
     per_cust = (
         c.where(F.col("c_mktsegment").isin(_KS_SEG_A, _KS_SEG_B))
         .join(o, c.c_custkey == o.o_custkey, "left")
@@ -1338,39 +1353,51 @@ def cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("c_mktsegment") == _KS_SEG_A, 1).otherwise(0).alias("g1"),
         )
         .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("o_orderdate") < split,
-                        F.col("o_totalprice").cast(dec),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("double")
-            .alias("x"),
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("o_orderdate") >= split,
-                        F.col("o_totalprice").cast(dec),
-                    )
-                ),
-                F.lit(0),
-            )
-            .cast("double")
-            .alias("y"),
+            # fsum rule (registry.fsum): totalprice carries IEEE noise
+            # beyond 2dp, so the per-customer sums are floor-quantized
+            # exact micro-units — bit-identical on both engines.
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("o_orderdate") < split,
+                            F.floor(F.col("o_totalprice") * F.lit(1e6)).cast(
+                                dec0
+                            ),
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("x"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("o_orderdate") >= split,
+                            F.floor(F.col("o_totalprice") * F.lit(1e6)).cast(
+                                dec0
+                            ),
+                        )
+                    ),
+                    F.lit(0),
+                ).cast("double")
+                / F.lit(1e6)
+            ).alias("y"),
         )
     )
     s = per_cust.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        fsum(F.col("x"), "sx"),
+        fsum(F.col("y"), "sy"),
+        # grain 1e2 for the second moments: x·y reaches ~1e14 per row, so
+        # micro-unit floors would overflow 64-bit; centi-units keep the
+        # largest unit near 1e16 with ~1e-16 relative quantization.
+        fsum(F.col("x") * F.col("y"), "sxy", grain=1e2),
+        fsum(F.col("x") * F.col("x"), "sxx", grain=1e2),
         F.sum("g1").cast("double").alias("n1"),
-        F.sum((F.col("g1") * F.col("x")).cast(dec)).cast("double").alias("sx1"),
-        F.sum((F.col("g1") * F.col("y")).cast(dec)).cast("double").alias("sy1"),
+        fsum(F.col("g1") * F.col("x"), "sx1"),
+        fsum(F.col("g1") * F.col("y"), "sy1"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxy, sxx = F.col("sxy"), F.col("sxx")

@@ -101,6 +101,28 @@ def _medallion(spark, sf_dir: str) -> int:
         shutil.rmtree(warehouse, ignore_errors=True)
 
 
+def _curation(spark, sf_dir: str) -> int:
+    """Spec-driven corpus-curation flagship end-to-end (bronze ingest +
+    7-stage silver chain + funnel gold) — the training-data twin of the
+    medallion row."""
+    from autonomus_datapipeline_spark.catalog import Catalog
+    from autonomus_datapipeline_spark.plans.spec import run_spec
+    from autonomus_datapipeline_spark.workloads.curation_pipeline import (
+        curation_spec,
+    )
+
+    warehouse = tempfile.mkdtemp(prefix="sf1_curation_")
+    try:
+        results = run_spec(
+            spark,
+            Catalog(warehouse),
+            curation_spec(f"{sf_dir}/documents.parquet"),
+        )
+        return results["bronze"].row_count
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+
+
 HEADLINE = [
     "q1_pricing_summary",
     "market_segment_revenue",
@@ -109,6 +131,8 @@ HEADLINE = [
     # round-5: a deep multi-join and a semi-join-on-aggregate at sf1
     "q8_market_share",
     "q18_large_volume_customers",
+    # round-10: the corpus-curation flagship (spec-driven 7-stage chain)
+    "curation_e2e_documents",
 ]
 
 
@@ -119,6 +143,8 @@ def _time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
         t0 = time.time()
         if name == "medallion_e2e_orders":
             n_rows = _medallion(spark, sf_dir)
+        elif name == "curation_e2e_documents":
+            n_rows = _curation(spark, sf_dir)
         else:
             n_rows = QUERY_REGISTRY[name].fn(spark, sf_dir).count()
         runs.append(time.time() - t0)
