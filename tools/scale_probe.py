@@ -224,6 +224,8 @@ PROBE_QUERIES = [
     "voptimal_histogram",
     # round-9 fifth batch: one user-mask aggregate + constant coalition work
     "shapley_channel_attribution",
+    # round-10: the corpus-curation flagship chain
+    "curation_pipeline_funnel",
 ]
 
 
@@ -312,6 +314,13 @@ def main() -> None:
             "  edges, not 45 pair rows, so dedup_keep_best_quality and\n"
             "  dedup_connected_components hold shuffle-linear factors on\n"
             "  the duplicated corpus by construction.\n"
+            "- curation_pipeline_funnel inherits the duplicated corpus's\n"
+            "  legitimate extra work LINEARLY: its near-dedup stage is the\n"
+            "  bucket-min ADMISSION rule (window over band buckets, no pair\n"
+            "  join), so 10-way dup cliques cost 10 flag rows, not 45\n"
+            "  candidate pairs; the decontamination gram probe scales with\n"
+            "  the (10×-duplicated) eval slice. Factor ~3-4 = 10× work\n"
+            "  absorbed on idle cores, the lsh-PR-report signature.\n"
             "- ann_ivf_incremental_assign's flat ~12 s is Python-worker\n"
             "  spin-up + the 16-cell codebook broadcast dominating a tiny\n"
             "  batch; the data-dependent part is sub-second at both scales.\n\n"
