@@ -726,7 +726,9 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan-out re-runs) or cache()ing deg (the InMemoryRelation pin
     # defeats AQE on every consumer join; both shapes measured slower
     # cold: 5.6/6.4 vs 4.1 s at sf0.1).
-    edges = graph_common.copurchase_edges(spark, sf_dir, with_degrees=True)
+    edges = graph_common.copurchase_edges(
+        spark, sf_dir, with_degrees=True, load=load_table
+    )
     deg = edges.select("src", "deg").distinct()
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     pr = deg.crossJoin(F.broadcast(nn)).select(

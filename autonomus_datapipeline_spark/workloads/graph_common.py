@@ -30,16 +30,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from collections.abc import Callable
+
 from autonomus_datapipeline_spark.workloads.registry import load_table
 
 
 def copurchase_edges(
-    spark: SparkSession, sf_dir: str, with_degrees: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    with_degrees: bool = False,
+    load: Callable[[SparkSession, str, str], DataFrame] | None = None,
 ) -> DataFrame:
     """Symmetric distinct part-part co-purchase edge list (src, dst[, deg]),
     eagerly materialized. ``deg`` is the degree of ``src`` (= distinct
-    neighbor count; the graph is symmetric)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    neighbor count; the graph is symmetric).
+
+    ``load`` lets a caller thread its OWN module's ``load_table`` binding
+    through (tests monkeypatch that binding to inject synthetic graphs —
+    resolving it here would silently bypass the patch)."""
+    li = (load or load_table)(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
     a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))

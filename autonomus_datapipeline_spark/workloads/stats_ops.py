@@ -743,7 +743,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     checkpoints per round (operators/graph.py shows that pattern for
     connected components).
     """
-    edges = graph_common.copurchase_edges(spark, sf_dir).select(
+    edges = graph_common.copurchase_edges(spark, sf_dir, load=load_table).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
     labels = edges.select(F.col("u"), F.col("u").alias("label")).distinct()
@@ -822,7 +822,7 @@ def kcore_peeling_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components loop (operators/graph.py), which also documents
     the checkpoint cadence the production loop uses.
     """
-    edges = graph_common.copurchase_edges(spark, sf_dir).select(
+    edges = graph_common.copurchase_edges(spark, sf_dir, load=load_table).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
     for _ in range(_KCORE_ROUNDS):
@@ -1546,7 +1546,7 @@ def lpa_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates over the edge list — the evaluation costs one extra edge
     join beyond the clustering itself.
     """
-    edges = graph_common.copurchase_edges(spark, sf_dir).select(
+    edges = graph_common.copurchase_edges(spark, sf_dir, load=load_table).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
     deg = edges.groupBy(F.col("u").alias("node")).agg(
