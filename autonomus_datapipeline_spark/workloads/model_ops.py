@@ -1,0 +1,590 @@
+"""Distributed model fitting INSIDE the engine — training is just
+aggregation.
+
+The reference delegates all "ML" to its conversational codegen seam
+(`/root/reference/backend/app/services/ai_service.py`); a 100-TB data
+engine, however, needs the classic "models that are one groupBy away"
+in-engine, because they are data-sized scans with dimension-sized state:
+
+- multinomial Naive Bayes (token counts per class = one shuffle),
+- decision-stump induction (impurity scan over a domain-bounded
+  histogram),
+- Newton-iterated logistic regression + inverse-propensity weighting
+  (each iteration is ONE aggregate; the parameter vector is a broadcast
+  scalar row).
+
+All three follow the registry's cross-engine determinism discipline:
+exact integer/decimal inputs, libm transcendentals (ln, exp) floor-
+quantized immediately (cf. dsir_importance_select), comparisons and
+argmaxes over exact quantized integers, one final IEEE division per
+reported double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from autonomus_datapipeline_spark.workloads.registry import (
+    load_table,
+    query,
+)
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (train + held-out confusion)
+# ---------------------------------------------------------------------------
+
+# md5 first hex digit '0'-'3' → held-out test split (~25%), rest trains.
+# Same deterministic-hash split family as content_hash_split /
+# stratified_sample.
+_NB_TEST_HEX = ("0", "1", "2", "3")
+# ln quantization grain (see dsir_importance_select: libm ln is not
+# cross-engine correctly rounded; its INPUT here is one IEEE division of
+# two exact integers, so a 1e6 floor grain leaves ~1e-10 flip odds per
+# distinct (token, class) cell).
+_NB_LQ = "1e6"
+
+_NB_TEST_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')"
+_NB_TOKS_SQL = r"regexp_split_to_array(lower(text), '\s+')"
+
+_NB_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, lang, {_NB_TOKS_SQL} AS tk,
+           {_NB_TEST_SQL} AS is_test
+    FROM documents
+),
+tok AS (
+    SELECT doc_id, lang, is_test, unnest(tk) AS tok FROM docs
+),
+dtc AS (
+    SELECT doc_id, lang, is_test, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM tok GROUP BY 1, 2, 3, 4
+),
+train_tc AS (
+    SELECT lang AS cls, tok, CAST(SUM(cnt) AS BIGINT) AS n_ct
+    FROM dtc WHERE NOT is_test GROUP BY 1, 2
+),
+vocab AS (
+    SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM train_tc
+),
+cls AS (
+    SELECT lang AS cls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_c,
+           CAST(SUM(cnt) AS BIGINT) AS n_c
+    FROM dtc WHERE NOT is_test GROUP BY 1
+),
+clstot AS (
+    SELECT CAST(SUM(docs_c) AS BIGINT) AS docs_tot FROM cls
+),
+clsk AS (
+    SELECT c.cls, c.n_c, c.docs_c, v.v,
+           CAST(FLOOR(ln(CAST(c.docs_c AS DOUBLE) / t.docs_tot)
+                      * {_NB_LQ}) AS BIGINT) AS lq_prior,
+           CAST(FLOOR(ln(CAST(1 AS DOUBLE) / (c.n_c + v.v))
+                      * {_NB_LQ}) AS BIGINT) AS lq_missing
+    FROM cls c CROSS JOIN vocab v CROSS JOIN clstot t
+),
+tc_lq AS (
+    SELECT t.tok, t.cls,
+           CAST(FLOOR(ln(CAST(t.n_ct + 1 AS DOUBLE) / (k.n_c + k.v))
+                      * {_NB_LQ}) AS BIGINT) AS lq
+    FROM train_tc t JOIN clsk k ON k.cls = t.cls
+),
+scored AS (
+    SELECT d.doc_id, d.lang AS lang_true, k.cls,
+           k.lq_prior
+             + SUM(d.cnt * COALESCE(t.lq, k.lq_missing)) AS score_units
+    FROM dtc d
+    CROSS JOIN clsk k
+    LEFT JOIN tc_lq t ON t.tok = d.tok AND t.cls = k.cls
+    WHERE d.is_test
+    GROUP BY 1, 2, 3, k.lq_prior
+),
+pred AS (
+    SELECT doc_id, lang_true, cls AS lang_pred,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_units DESC, cls ASC
+           ) AS rk
+    FROM scored
+)
+SELECT lang_true, lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rk = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("naive_bayes_lang_classifier", oracle=_NB_ORACLE)
+def naive_bayes_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained IN the engine: P(token|lang) from
+    Laplace-smoothed token counts on a ~75% md5-hash train split, then
+    argmax posterior scoring of the held-out 25%, reported as the
+    language confusion matrix. The classic first supervised baseline a
+    training-data pipeline runs over its corpus (cf. fastText-style
+    lang-id; the engine's unsupervised twin is lang_id_stopword_voting).
+
+    Determinism: every log-likelihood ln((n_ct+1)/(n_c+V)) has exact
+    integer numerator/denominator (one IEEE division → identical input),
+    is floor-quantized to 1e-6 units immediately, and all scoring is
+    integer arithmetic on those units; the argmax carries a class-name
+    tiebreak.
+
+    Scale: training is one (token, class) groupBy — map-side combinable,
+    vocabulary-sized output; the score stage joins test-doc token counts
+    to the token-class table on token (linear shuffle) with the 5-row
+    class/prior table broadcast. No per-row Python; the only fan-out is
+    the constant class count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    dtc = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+            .isin(*_NB_TEST_HEX)
+            .alias("is_test"),
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .groupBy("doc_id", "lang", "is_test", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    train = dtc.where(~F.col("is_test"))
+    train_tc = (
+        train.groupBy(F.col("lang").alias("cls"), "tok")
+        .agg(F.sum("cnt").cast("bigint").alias("n_ct"))
+    )
+    vocab = train_tc.agg(F.countDistinct("tok").cast("bigint").alias("v"))
+    cls = train.groupBy(F.col("lang").alias("cls")).agg(
+        F.countDistinct("doc_id").cast("bigint").alias("docs_c"),
+        F.sum("cnt").cast("bigint").alias("n_c"),
+    )
+    clstot = cls.agg(F.sum("docs_c").cast("bigint").alias("docs_tot"))
+    lq = float(_NB_LQ)
+    clsk = (
+        cls.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(clstot))
+        .select(
+            "cls",
+            "n_c",
+            "v",
+            F.floor(
+                F.log(F.col("docs_c").cast("double") / F.col("docs_tot")) * lq
+            )
+            .cast("bigint")
+            .alias("lq_prior"),
+            F.floor(
+                F.log(F.lit(1).cast("double") / (F.col("n_c") + F.col("v")))
+                * lq
+            )
+            .cast("bigint")
+            .alias("lq_missing"),
+        )
+    )
+    tc_lq = train_tc.join(F.broadcast(clsk), "cls").select(
+        "tok",
+        "cls",
+        F.floor(
+            F.log(
+                (F.col("n_ct") + 1).cast("double") / (F.col("n_c") + F.col("v"))
+            )
+            * lq
+        )
+        .cast("bigint")
+        .alias("lq"),
+    )
+    test = dtc.where(F.col("is_test")).select(
+        "doc_id", F.col("lang").alias("lang_true"), "tok", "cnt"
+    )
+    scored = (
+        test.crossJoin(F.broadcast(clsk.select("cls", "lq_prior", "lq_missing")))
+        .join(
+            tc_lq.select(
+                F.col("tok").alias("ttok"), F.col("cls").alias("tcls"), "lq"
+            ),
+            (F.col("tok") == F.col("ttok")) & (F.col("cls") == F.col("tcls")),
+            "left",
+        )
+        .groupBy("doc_id", "lang_true", "cls", "lq_prior")
+        .agg(
+            F.sum(
+                F.col("cnt") * F.coalesce(F.col("lq"), F.col("lq_missing"))
+            ).alias("s")
+        )
+        .select(
+            "doc_id",
+            "lang_true",
+            "cls",
+            (F.col("lq_prior") + F.col("s")).alias("score_units"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_units").desc(), F.col("cls").asc()
+    )
+    pred = scored.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") == 1
+    )
+    return (
+        pred.groupBy(
+            "lang_true", F.col("cls").alias("lang_pred")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump induction (best binary split by Gini impurity decrease)
+# ---------------------------------------------------------------------------
+
+_STUMP_W = 4000  # price-bucket width → ~27 domain-bounded candidates
+_STUMP_TOP = 10
+
+_STUMP_ORACLE = f"""
+WITH b AS (
+    SELECT CAST(FLOOR(l_extendedprice / {_STUMP_W}) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS pos
+    FROM lineitem GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS pt
+    FROM b
+),
+pre AS (
+    -- inclusive prefix sums over the domain-bounded bucket table
+    -- (triangular join, mirroring the engine's window-free shape)
+    SELECT l.bucket,
+           CAST(SUM(r.n) AS BIGINT) AS nl,
+           CAST(SUM(r.pos) AS BIGINT) AS pl
+    FROM b l JOIN b r ON r.bucket <= l.bucket
+    GROUP BY 1
+),
+cand AS (
+    SELECT p.bucket,
+           CAST((p.bucket + 1) * {_STUMP_W} AS BIGINT) AS threshold,
+           p.nl, p.pl, t.nt - p.nl AS nr, t.pt - p.pl AS pr,
+           2.0 * t.pt * (t.nt - t.pt) / t.nt / t.nt AS gini_root,
+           (2.0 * p.pl * (p.nl - p.pl) / p.nl
+            + 2.0 * (t.pt - p.pl) * ((t.nt - p.nl) - (t.pt - p.pl))
+              / (t.nt - p.nl)) / t.nt AS gini_split
+    FROM pre p CROSS JOIN tot t
+    WHERE p.nl > 0 AND t.nt - p.nl > 0
+),
+ranked AS (
+    SELECT bucket, threshold, nl, pl, nr, pr,
+           gini_root - gini_split AS gain,
+           ROW_NUMBER() OVER (
+               ORDER BY gini_root - gini_split DESC, bucket ASC
+           ) AS rk
+    FROM cand
+)
+SELECT CAST(rk AS INT) AS rk, bucket, threshold, nl, pl, nr, pr, gain
+FROM ranked WHERE rk <= {_STUMP_TOP}
+ORDER BY rk
+"""
+
+
+@query("decision_stump_split", oracle=_STUMP_ORACLE)
+def decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump induction over the fact table: find the price
+    threshold whose binary split best separates returned lineitems
+    (l_returnflag = 'R') by weighted Gini impurity decrease — the inner
+    loop of tree/GBDT training, expressed as one histogram aggregate plus
+    constant-size split scoring (exactly how LightGBM's histogram-based
+    split finding works at scale).
+
+    Determinism: candidate statistics are exact integer prefix counts
+    over a domain-bounded bucket table; each Gini term is a fixed IEEE
+    expression over those integers (products are correctly rounded), and
+    the ranking carries a bucket tiebreak.
+
+    Scale: the ONLY data-sized stage is the bucket histogram (map-side
+    combinable groupBy on floor(price/width), ~27 output rows at any sf);
+    prefix sums and split scoring are triangular joins on that
+    dimension-sized table — the no-unpartitioned-window invariant holds.
+    At 100 TB the histogram is the same one shuffle; candidate count is
+    domain-bounded, not data-bounded.
+    """
+    from autonomus_datapipeline_spark.operators.prefix_sum import ranked_head
+
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / _STUMP_W)
+            .cast("bigint")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("pos"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = b.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("pos").cast("bigint").alias("pt"),
+    )
+    left = b.select(F.col("bucket").alias("lb"))
+    pre = (
+        left.join(F.broadcast(b), F.col("bucket") <= F.col("lb"))
+        .groupBy(F.col("lb").alias("bucket"))
+        .agg(
+            F.sum("n").cast("bigint").alias("nl"),
+            F.sum("pos").cast("bigint").alias("pl"),
+        )
+    )
+    nt, pt = F.col("nt").cast("double"), F.col("pt").cast("double")
+    nl, pl = F.col("nl").cast("double"), F.col("pl").cast("double")
+    nr, pr = nt - nl, pt - pl
+    gini_root = F.lit(2.0) * pt * (nt - pt) / nt / nt
+    gini_split = (
+        F.lit(2.0) * pl * (nl - pl) / nl + F.lit(2.0) * pr * (nr - pr) / nr
+    ) / nt
+    cand = (
+        pre.crossJoin(F.broadcast(tot))
+        .where((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0))
+        .select(
+            "bucket",
+            ((F.col("bucket") + 1) * _STUMP_W).cast("bigint").alias("threshold"),
+            "nl",
+            "pl",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            (F.col("pt") - F.col("pl")).alias("pr"),
+            (gini_root - gini_split).alias("gain"),
+        )
+    )
+    return ranked_head(
+        cand, [("gain", False), ("bucket", True)], _STUMP_TOP, "rk"
+    ).select("rk", "bucket", "threshold", "nl", "pl", "nr", "pr", "gain")
+
+
+# ---------------------------------------------------------------------------
+# Newton-iterated logistic regression + inverse-propensity-weighted ATE
+# ---------------------------------------------------------------------------
+
+_LOGIT_TREAT = ("1-URGENT", "2-HIGH")
+_LOGIT_ITERS = 2
+# propensity clip bounds in 1e-6 units (1% .. 99%)
+_LOGIT_CLIP_LO, _LOGIT_CLIP_HI = 10_000, 990_000
+
+
+def _logit_iter_sql(b0: str, b1: str) -> str:
+    """One Newton-Raphson step as a SQL scalar subquery body: given
+    parameter expressions (b0, b1), return SELECT columns b0q, b1q.
+
+    Per-row state is kept in exact integer units: pu = floor(σ(η)·1e6),
+    tm6 = t·1e6 − pu (gradient units), wu6 = pu(1e6−pu) // 1e6 (Hessian
+    weight units). Every per-row float op (exp, the x products) is
+    identical-input IEEE math floored immediately; every SUM is an exact
+    integer sum < 2^53 through sf100; the Newton update is a fixed IEEE
+    expression over those sums, floor-quantized to 1e-9 so the next
+    iteration's broadcast parameters are bit-identical across engines."""
+    return f"""
+    SELECT CAST(FLOOR((({b0}) + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01))
+                * 1e9) AS BIGINT) / 1e9 AS b0q,
+           CAST(FLOOR((({b1}) + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01))
+                * 1e9) AS BIGINT) / 1e9 AS b1q
+    FROM (
+        SELECT CAST(SUM(tm6) AS DOUBLE) / 1e6 AS g0,
+               CAST(SUM(CAST(FLOOR(tm6 * x) AS BIGINT)) AS DOUBLE) / 1e6 AS g1,
+               CAST(SUM(wu6) AS DOUBLE) / 1e6 AS h00,
+               CAST(SUM(CAST(FLOOR(wu6 * x) AS BIGINT)) AS DOUBLE) / 1e6 AS h01,
+               CAST(SUM(CAST(FLOOR(wu6 * x * x) AS BIGINT)) AS DOUBLE) / 1e6
+                   AS h11
+        FROM (
+            SELECT t, x,
+                   t * 1000000 - pu AS tm6,
+                   (pu * (1000000 - pu)) // 1000000 AS wu6
+            FROM (
+                SELECT t, x,
+                       CAST(FLOOR(1000000.0
+                            / (1.0 + exp(-(({b0}) + ({b1}) * x))))
+                            AS BIGINT) AS pu
+                FROM base
+            ) rr
+        ) uu
+    ) ss
+    """
+
+
+_LOGIT_ORACLE = f"""
+WITH base AS (
+    SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END AS t,
+           o.o_totalprice AS y,
+           c.c_acctbal / 1000.0 AS x
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+it1 AS ({_logit_iter_sql("0.0", "0.0")}),
+it2 AS ({_logit_iter_sql("(SELECT b0q FROM it1)", "(SELECT b1q FROM it1)")}),
+scorebase AS (
+    SELECT t, y,
+           LEAST(GREATEST(
+               CAST(FLOOR(1000000.0 / (1.0 + exp(-(
+                   (SELECT b0q FROM it2) + (SELECT b1q FROM it2) * x))))
+                   AS BIGINT),
+               {_LOGIT_CLIP_LO}), {_LOGIT_CLIP_HI}) AS pc
+    FROM base
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(t) AS BIGINT) AS n_treated,
+       (SELECT b0q FROM it2) AS b0,
+       (SELECT b1q FROM it2) AS b1,
+       CAST(SUM(CASE WHEN t = 1 THEN CAST(y AS DECIMAL(38,6)) END) AS DOUBLE)
+           / SUM(t)
+         - CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(38,6)) END)
+                AS DOUBLE) / SUM(1 - t) AS naive_diff,
+       (CAST(SUM(CAST(FLOOR(t * y * 1000000.0 / pc) AS BIGINT)) AS DOUBLE)
+        - CAST(SUM(CAST(FLOOR((1 - t) * y * 1000000.0 / (1000000 - pc))
+                        AS BIGINT)) AS DOUBLE))
+           / COUNT(*) AS ate_ipw
+FROM scorebase
+"""
+
+
+def _logit_step(base: DataFrame, prev: DataFrame) -> DataFrame:
+    """One Newton step (Spark side): crossJoin the broadcast 1-row
+    parameter frame, aggregate exact-integer gradient/Hessian units, emit
+    the floor-quantized updated parameters as a new 1-row frame."""
+    eta = F.col("b0q") + F.col("b1q") * F.col("x")
+    pu = F.floor(
+        F.lit(1000000.0) / (F.lit(1.0) + F.exp(-eta))
+    ).cast("bigint")
+    per = (
+        base.crossJoin(F.broadcast(prev))
+        .select(
+            "t",
+            "x",
+            "b0q",
+            "b1q",
+            pu.alias("pu"),
+        )
+        .select(
+            "t",
+            "x",
+            "b0q",
+            "b1q",
+            (F.col("t") * 1000000 - F.col("pu")).alias("tm6"),
+            F.expr("(pu * (1000000 - pu)) div 1000000").alias("wu6"),
+        )
+    )
+    s = per.groupBy("b0q", "b1q").agg(
+        (F.sum("tm6").cast("double") / 1e6).alias("g0"),
+        (
+            F.sum(F.floor(F.col("tm6") * F.col("x")).cast("bigint")).cast(
+                "double"
+            )
+            / 1e6
+        ).alias("g1"),
+        (F.sum("wu6").cast("double") / 1e6).alias("h00"),
+        (
+            F.sum(F.floor(F.col("wu6") * F.col("x")).cast("bigint")).cast(
+                "double"
+            )
+            / 1e6
+        ).alias("h01"),
+        (
+            F.sum(
+                F.floor(F.col("wu6") * F.col("x") * F.col("x")).cast("bigint")
+            ).cast("double")
+            / 1e6
+        ).alias("h11"),
+    )
+    det = F.col("h00") * F.col("h11") - F.col("h01") * F.col("h01")
+    b0n = F.col("b0q") + (
+        F.col("h11") * F.col("g0") - F.col("h01") * F.col("g1")
+    ) / det
+    b1n = F.col("b1q") + (
+        F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0")
+    ) / det
+    return s.select(
+        (F.floor(b0n * 1e9).cast("bigint") / 1e9).alias("b0q"),
+        (F.floor(b1n * 1e9).cast("bigint") / 1e9).alias("b1q"),
+    )
+
+
+@query("logistic_ipw_ate", oracle=_LOGIT_ORACLE)
+def logistic_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic regression (2 Newton-Raphson iterations,
+    closed-form 2×2 Hessian inverse) fitting the propensity of an order
+    being high-priority from the customer's account balance, then the
+    inverse-propensity-weighted average treatment effect of priority on
+    order value — the standard observational-causal estimator (Horvitz-
+    Thompson IPW with 1%/99% propensity clipping) next to the engine's
+    CUPED and covariate-balance queries.
+
+    Determinism: each iteration is ONE aggregate of exact integer units
+    (σ(η) floor-quantized to 1e-6 per row; gradient/Hessian unit sums
+    < 2^53 through sf100); the Newton update is a fixed IEEE expression
+    over those sums, floor-quantized to 1e-9, so the parameters each
+    iteration broadcasts are bit-identical across engines by
+    construction. exp's last-ulp libm variance is absorbed by the per-row
+    floor (flip odds ~1e-10/row).
+
+    Scale: the parameter vector is a 1-row broadcast; each Newton
+    iteration and the final IPW pass is one full scan with a map-side-
+    combinable scalar aggregate — 3 scans total, no shuffle wider than
+    the orders✕customer equi-join. This is exactly how distributed
+    GLM solvers (Spark MLlib's own LogisticRegression aggregators)
+    structure the computation.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.when(F.col("o_orderpriority").isin(*_LOGIT_TREAT), 1)
+        .otherwise(0)
+        .alias("t"),
+        F.col("o_totalprice").alias("y"),
+        (F.col("c_acctbal") / F.lit(1000.0)).alias("x"),
+    )
+    params = spark.createDataFrame([(0.0, 0.0)], "b0q double, b1q double")
+    for _ in range(_LOGIT_ITERS):
+        params = _logit_step(base, params)
+    pu = F.floor(
+        F.lit(1000000.0)
+        / (F.lit(1.0) + F.exp(-(F.col("b0q") + F.col("b1q") * F.col("x"))))
+    ).cast("bigint")
+    pc = F.least(
+        F.greatest(pu, F.lit(_LOGIT_CLIP_LO)), F.lit(_LOGIT_CLIP_HI)
+    )
+    scored = base.crossJoin(F.broadcast(params)).select(
+        "t", "y", "b0q", "b1q", pc.alias("pc")
+    )
+    dec = "decimal(38,6)"
+    return scored.groupBy("b0q", "b1q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("n_treated"),
+        (
+            F.sum(F.when(F.col("t") == 1, F.col("y").cast(dec))).cast("double")
+            / F.sum("t")
+            - F.sum(F.when(F.col("t") == 0, F.col("y").cast(dec))).cast(
+                "double"
+            )
+            / F.sum(1 - F.col("t"))
+        ).alias("naive_diff"),
+        (
+            (
+                F.sum(
+                    F.floor(
+                        F.col("t") * F.col("y") * F.lit(1000000.0) / F.col("pc")
+                    ).cast("bigint")
+                ).cast("double")
+                - F.sum(
+                    F.floor(
+                        (1 - F.col("t"))
+                        * F.col("y")
+                        * F.lit(1000000.0)
+                        / (F.lit(1000000) - F.col("pc"))
+                    ).cast("bigint")
+                ).cast("double")
+            )
+            / F.count(F.lit(1))
+        ).alias("ate_ipw"),
+    ).select("n", "n_treated", F.col("b0q").alias("b0"), F.col("b1q").alias("b1"), "naive_diff", "ate_ipw")
