@@ -18,6 +18,8 @@ repr-roundtripped literals in both engines).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -3365,3 +3367,724 @@ def conformal_interval_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (the scalable bootstrap)
+# ---------------------------------------------------------------------------
+
+_PB_REPS = 32
+# Poisson(1) inverse-CDF thresholds in 65536ths: k = #{thresholds < k4}.
+# Exact integer comparisons — zero float risk in the resample weights.
+_PB_TH = (24109, 48218, 60273, 64291, 65296, 65497, 65530)
+
+
+def _pb_hexval_sql(h: str, i: int) -> str:
+    a = f"ascii(substr({h}, {i}, 1))"
+    return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
+
+
+_PB_K4_SQL = (
+    "((("
+    + _pb_hexval_sql("h", 1)
+    + " * 16 + "
+    + _pb_hexval_sql("h", 2)
+    + ") * 16 + "
+    + _pb_hexval_sql("h", 3)
+    + ") * 16 + "
+    + _pb_hexval_sql("h", 4)
+    + ")"
+)
+
+_PB_K_SQL = (
+    "(CASE "
+    + " ".join(
+        f"WHEN k4 < {t} THEN {i}" for i, t in enumerate(_PB_TH)
+    )
+    + " ELSE 7 END)"
+)
+
+_PB_ORACLE = f"""
+WITH reps AS (SELECT unnest(range(0, {_PB_REPS})) AS rep),
+w AS (
+    SELECT o.o_orderpriority AS grp, o.o_totalprice AS y, r.rep,
+           {_PB_K_SQL.replace("k4", _PB_K4_SQL.replace("h", "md5(CAST(o.o_orderkey AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR))"))} AS k
+    FROM orders o CROSS JOIN reps r
+),
+rm AS (
+    SELECT grp, rep,
+           {sql_fsum("k * y", "num", "1e2")},
+           CAST(SUM(k) AS BIGINT) AS den
+    FROM w GROUP BY 1, 2
+),
+rk AS (
+    SELECT grp, num / den AS m,
+           ROW_NUMBER() OVER (
+               PARTITION BY grp ORDER BY num / den ASC, rep ASC
+           ) AS r
+    FROM rm
+),
+full_ AS (
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_davg("o_totalprice", "mean_value")}
+    FROM orders GROUP BY 1
+)
+SELECT f.grp AS o_orderpriority, f.n_orders, f.mean_value,
+       MIN(CASE WHEN rk.r = 2 THEN rk.m END) AS boot_lo,
+       MIN(CASE WHEN rk.r = {_PB_REPS - 1} THEN rk.m END) AS boot_hi
+FROM full_ f JOIN rk ON rk.grp = f.grp
+GROUP BY 1, 2, 3
+ORDER BY 1
+"""
+
+
+@query("poisson_bootstrap_ci", oracle=_PB_ORACLE)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for per-priority mean order value — THE
+    bootstrap that scales: instead of resampling n rows with replacement
+    (which needs global coordination), each row independently receives a
+    Poisson(1) weight per replicate, so the whole resample is one
+    map-side expression and the {_PB_REPS} replicate means are one
+    aggregate (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams", Google 2012). The interval is the 2nd/31st order statistic
+    of the replicate means (~93.75% coverage).
+
+    Determinism: the Poisson weight is an integer inverse-CDF lookup on a
+    16-bit value built from md5 hex NIBBLES — pure integer comparisons
+    against frozen thresholds, zero float in the resampling; replicate
+    means are floor-quantized weighted sums over exact integers with one
+    division chain mirrored verbatim in the oracle; the order statistics
+    carry a replicate-id tiebreak.
+
+    Scale: the fan-out is a constant {_PB_REPS}× of the fact table
+    feeding ONE map-side-combinable groupBy — no shuffle grows with
+    replicate count beyond that constant, no driver-side state. At 100 TB
+    the replicate dimension rides the same scan.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    reps = spark.range(_PB_REPS).select(F.col("id").cast("int").alias("rep"))
+    h = F.md5(
+        F.concat_ws(":", F.col("o_orderkey").cast("string"), F.col("rep").cast("string"))
+    )
+
+    def hexval(i: int):
+        a = F.ascii(F.substring(h, i, 1))
+        return a - 48 - F.when(a >= 97, 39).otherwise(0)
+
+    k4 = ((hexval(1) * 16 + hexval(2)) * 16 + hexval(3)) * 16 + hexval(4)
+    k = F.lit(7)
+    for i in range(len(_PB_TH) - 1, -1, -1):
+        k = F.when(k4 < _PB_TH[i], i).otherwise(k)
+    w = o.crossJoin(F.broadcast(reps)).select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_totalprice").alias("y"),
+        "rep",
+        k.alias("k"),
+    )
+    rm = w.groupBy("grp", "rep").agg(
+        fsum(F.col("k") * F.col("y"), "num", 1e2),
+        F.sum("k").cast("bigint").alias("den"),
+    )
+    win = Window.partitionBy("grp").orderBy(
+        (F.col("num") / F.col("den")).asc(), F.col("rep").asc()
+    )
+    rk = rm.select(
+        "grp",
+        (F.col("num") / F.col("den")).alias("m"),
+        F.row_number().over(win).alias("r"),
+    )
+    full = o.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        davg("o_totalprice", "mean_value"),
+    )
+    return (
+        full.join(rk, "grp")
+        .groupBy("grp", "n_orders", "mean_value")
+        .agg(
+            F.min(F.when(F.col("r") == 2, F.col("m"))).alias("boot_lo"),
+            F.min(
+                F.when(F.col("r") == _PB_REPS - 1, F.col("m"))
+            ).alias("boot_hi"),
+        )
+        .select(
+            F.col("grp").alias("o_orderpriority"),
+            "n_orders",
+            "mean_value",
+            "boot_lo",
+            "boot_hi",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini–Hochberg FDR over a family of per-cell mean tests
+# ---------------------------------------------------------------------------
+
+# Zelen & Severo (A&S 26.2.17) normal-CDF polynomial — the standard
+# 7.5e-8-accurate approximation, written as ONE fixed IEEE expression so
+# both engines evaluate the identical tree. The libm exp inside is
+# absorbed by the 1e-9 floor on the resulting p-value.
+_BH_B = (0.319381530, -0.356563782, 1.781477937, -1.821255978, 1.330274429)
+_BH_ALPHA_INV = 20  # alpha = 0.05
+
+_BH_P_SQL = (
+    "CAST(FLOOR(2.0 * (exp(-az * az / 2.0) / sqrt(2.0 * pi())) * ("
+    "  0.319381530 * tt - 0.356563782 * tt * tt"
+    "  + 1.781477937 * tt * tt * tt - 1.821255978 * tt * tt * tt * tt"
+    "  + 1.330274429 * tt * tt * tt * tt * tt) * 1e9) AS BIGINT)"
+)
+
+_BH_ORACLE = f"""
+WITH cell AS (
+    SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_fsum("o.o_totalprice", "s", "1e2")},
+           {sql_fsum("o.o_totalprice * o.o_totalprice", "ss", "1e-3")}
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+gstat AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS ng,
+           {sql_fsum("o_totalprice", "sg", "1e2")},
+           {sql_fsum("o_totalprice * o_totalprice", "ssg", "1e-3")}
+    FROM orders
+),
+zt AS (
+    SELECT seg, prio, n,
+           (s / n - (sg - s) / (ng - n))
+             / sqrt(((ss - s * s / n) / (n - 1)) / n
+                    + (((ssg - ss) - (sg - s) * (sg - s) / (ng - n))
+                       / (ng - n - 1)) / (ng - n)) AS z
+    FROM cell CROSS JOIN gstat
+),
+pt AS (
+    SELECT seg, prio, n, z, {_BH_P_SQL} AS p_units
+    FROM (
+        SELECT seg, prio, n, z, az, 1.0 / (1.0 + 0.2316419 * az) AS tt
+        FROM (SELECT seg, prio, n, z, ABS(z) AS az FROM zt) a
+    ) b
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pt),
+rk AS (
+    SELECT l.seg, l.prio, l.n, l.z, l.p_units,
+           CAST(1 + COUNT(CASE WHEN (r.p_units, r.seg, r.prio)
+                                    < (l.p_units, l.seg, l.prio)
+                               THEN 1 END) AS BIGINT) AS rnk
+    FROM pt l CROSS JOIN pt r
+    GROUP BY 1, 2, 3, 4, 5
+),
+flg AS (
+    SELECT rk.*, CASE WHEN p_units * {_BH_ALPHA_INV} * m.m
+                           <= rnk * 1000000000 THEN rnk END AS pass_rank
+    FROM rk CROSS JOIN m
+),
+istar AS (SELECT COALESCE(MAX(pass_rank), 0) AS i_star FROM flg)
+SELECT f.seg AS c_mktsegment, f.prio AS o_orderpriority, f.n, f.z,
+       CAST(f.p_units AS DOUBLE) / 1e9 AS p_value,
+       f.rnk AS rk,
+       CAST(CASE WHEN f.rnk <= i.i_star THEN 1 ELSE 0 END AS INT) AS rejected
+FROM flg f CROSS JOIN istar i
+ORDER BY 1, 2
+"""
+
+
+@query("bh_fdr_segment_tests", oracle=_BH_ORACLE)
+def bh_fdr_segment_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR correction over a FAMILY of hypothesis
+    tests — one Welch z-test per (market segment × order priority) cell
+    of "does this cell's mean order value differ from the rest?" — the
+    multiple-testing control every metrics platform needs once it runs
+    dozens of simultaneous comparisons (Benjamini & Hochberg 1995,
+    step-up procedure at α = 0.05).
+
+    Determinism: cell moments are exact floor-quantized integer sums; the
+    Welch z and the Zelen–Severo normal-CDF polynomial are single fixed
+    IEEE expressions over those identical inputs, floored to integer
+    1e-9 p-value units; the BH step-up comparison p(i) ≤ i·α/m is then
+    PURE INTEGER arithmetic (p_units·20·m ≤ rank·1e9), and ranks carry a
+    cell-name tiebreak.
+
+    Scale: one fact-scan groupBy to a 25-cell table; ranking is a
+    triangular self-join on that dimension-sized table (window-free);
+    everything after the first aggregate is constant work. At 100 TB the
+    family size m stays domain-bounded.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    y = F.col("o_totalprice")
+    cell = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            fsum(y, "s", 1e2),
+            fsum(y * y, "ss", 1e-3),
+        )
+    )
+    glob = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        fsum(y, "sg", 1e2),
+        fsum(y * y, "ssg", 1e-3),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    ng, sg, ssg = F.col("ng"), F.col("sg"), F.col("ssg")
+    z = (s / n - (sg - s) / (ng - n)) / F.sqrt(
+        ((ss - s * s / n) / (n - 1)) / n
+        + (((ssg - ss) - (sg - s) * (sg - s) / (ng - n)) / (ng - n - 1))
+        / (ng - n)
+    )
+    zt = cell.crossJoin(F.broadcast(glob)).select(
+        "seg", "prio", "n", z.alias("z")
+    )
+    az = F.abs(F.col("z"))
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * az)
+    b1, b2, b3, b4, b5 = (F.lit(v) for v in _BH_B)
+    poly = (
+        b1 * tt
+        + b2 * tt * tt
+        + b3 * tt * tt * tt
+        + b4 * tt * tt * tt * tt
+        + b5 * tt * tt * tt * tt * tt
+    )
+    phi = F.exp(-az * az / F.lit(2.0)) / F.sqrt(F.lit(2.0) * F.lit(math.pi))
+    pt = zt.select(
+        "seg",
+        "prio",
+        "n",
+        "z",
+        F.floor(F.lit(2.0) * phi * poly * F.lit(1e9))
+        .cast("bigint")
+        .alias("p_units"),
+    ).localCheckpoint(eager=False)
+    m = pt.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    r = pt.select(
+        F.col("p_units").alias("rp"),
+        F.col("seg").alias("rs"),
+        F.col("prio").alias("rr"),
+    )
+    lt = (
+        (F.col("rp") < F.col("p_units"))
+        | ((F.col("rp") == F.col("p_units")) & (F.col("rs") < F.col("seg")))
+        | (
+            (F.col("rp") == F.col("p_units"))
+            & (F.col("rs") == F.col("seg"))
+            & (F.col("rr") < F.col("prio"))
+        )
+    )
+    rk = (
+        pt.crossJoin(F.broadcast(r))
+        .groupBy("seg", "prio", "n", "z", "p_units")
+        .agg(
+            (1 + F.count(F.when(lt, 1))).cast("bigint").alias("rnk")
+        )
+    )
+    flg = rk.crossJoin(F.broadcast(m)).select(
+        "seg",
+        "prio",
+        "n",
+        "z",
+        "p_units",
+        "rnk",
+        F.when(
+            F.col("p_units") * _BH_ALPHA_INV * F.col("m")
+            <= F.col("rnk") * F.lit(1000000000),
+            F.col("rnk"),
+        ).alias("pass_rank"),
+    )
+    istar = flg.agg(
+        F.coalesce(F.max("pass_rank"), F.lit(0)).alias("i_star")
+    )
+    return (
+        flg.crossJoin(F.broadcast(istar))
+        .select(
+            F.col("seg").alias("c_mktsegment"),
+            F.col("prio").alias("o_orderpriority"),
+            "n",
+            "z",
+            (F.col("p_units").cast("double") / F.lit(1e9)).alias("p_value"),
+            F.col("rnk").alias("rk"),
+            F.when(F.col("rnk") <= F.col("i_star"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("rejected"),
+        )
+        .orderBy("c_mktsegment", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential A/B monitoring with an O'Brien–Fleming-style boundary
+# ---------------------------------------------------------------------------
+
+# Conservative OBF-shaped two-sided boundary: z_bound(t) = C / sqrt(f_t)
+# with f_t the information fraction. C = 2.24 approximates α ≈ 0.05
+# overall spend (Lan–DeMets alpha-spending family).
+_SEQ_C = 2.24
+
+_SEQ_ORACLE = f"""
+WITH wk AS (
+    SELECT date_diff('day', DATE '1992-01-01',
+                     CAST(o.o_orderdate AS DATE)) // 7 AS week_idx,
+           CASE WHEN c.c_mktsegment = '{_KS_SEG_A}' THEN 'a' ELSE 'b' END
+               AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 1e2) AS BIGINT))
+                AS BIGINT) AS su,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * o.o_totalprice * 1e-3)
+                         AS BIGINT)) AS BIGINT) AS ssu
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment IN ('{_KS_SEG_A}', '{_KS_SEG_B}')
+    GROUP BY 1, 2
+),
+cum AS (
+    SELECT week_idx, arm,
+           CAST(SUM(n) OVER w AS BIGINT) AS cn,
+           CAST(SUM(su) OVER w AS BIGINT) AS csu,
+           CAST(SUM(ssu) OVER w AS BIGINT) AS cssu
+    FROM wk
+    WINDOW w AS (PARTITION BY arm ORDER BY week_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS n_final FROM wk
+),
+z AS (
+    SELECT a.week_idx, a.cn AS n_a, b.cn AS n_b,
+           (CAST(a.csu AS DOUBLE) / 100.0 / a.cn
+            - CAST(b.csu AS DOUBLE) / 100.0 / b.cn)
+           / sqrt(((CAST(a.cssu AS DOUBLE) * 1000.0
+                    - (CAST(a.csu AS DOUBLE) / 100.0)
+                      * (CAST(a.csu AS DOUBLE) / 100.0) / a.cn)
+                   / (a.cn - 1)) / a.cn
+                  + ((CAST(b.cssu AS DOUBLE) * 1000.0
+                      - (CAST(b.csu AS DOUBLE) / 100.0)
+                        * (CAST(b.csu AS DOUBLE) / 100.0) / b.cn)
+                     / (b.cn - 1)) / b.cn) AS z_stat,
+           {_SEQ_C} / sqrt(CAST(a.cn + b.cn AS DOUBLE) / t.n_final)
+               AS z_bound
+    FROM cum a JOIN cum b ON b.week_idx = a.week_idx AND b.arm = 'b'
+    CROSS JOIN tot t
+    WHERE a.arm = 'a' AND a.cn > 1 AND b.cn > 1
+),
+crossed AS (
+    SELECT z.*, CASE WHEN ABS(z_stat) >= z_bound THEN 1 ELSE 0 END AS cr
+    FROM z
+),
+first_w AS (
+    SELECT COALESCE(MIN(CASE WHEN cr = 1 THEN week_idx END), -1) AS fw
+    FROM crossed
+)
+SELECT c.week_idx, c.n_a, c.n_b, c.z_stat, c.z_bound,
+       CAST(c.cr AS INT) AS crossed,
+       CAST(CASE WHEN c.week_idx = f.fw THEN 1 ELSE 0 END AS INT)
+           AS is_first_cross
+FROM crossed c CROSS JOIN first_w f
+ORDER BY c.week_idx
+"""
+
+
+@query("seq_ab_spending_monitor", oracle=_SEQ_ORACLE)
+def seq_ab_spending_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential A/B-test monitoring: the weekly cumulative Welch z
+    between two customer segments' order values, checked against an
+    O'Brien–Fleming-shaped spending boundary C/√(information fraction) —
+    the group-sequential machinery (Lan & DeMets 1983) that lets an
+    experimenter peek every week without inflating false positives, and
+    the sequential complement to the engine's fixed-horizon
+    ab_conversion_ztest.
+
+    Determinism: weekly moments are exact integer floor-units; the
+    CUMULATIVE sums are window sums over those integers (exact, order-
+    free), and every double is a fixed IEEE expression over single-
+    rounded bigint→double casts; the boundary uses only sqrt.
+
+    Scale: one fact scan to a (week × arm) table (map-side combinable);
+    cumulative windows run on that calendar-bounded table partitioned by
+    arm — never an unpartitioned data-sized window. At 100 TB only the
+    first aggregate grows.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    y = F.col("o_totalprice")
+    wk = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .where(F.col("c_mktsegment").isin(_KS_SEG_A, _KS_SEG_B))
+        .groupBy(
+            F.expr(
+                "datediff(CAST(o_orderdate AS DATE), DATE '1992-01-01') div 7"
+            ).alias("week_idx"),
+            F.when(F.col("c_mktsegment") == _KS_SEG_A, "a")
+            .otherwise("b")
+            .alias("arm"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.floor(y * 1e2).cast("bigint")).cast("bigint").alias("su"),
+            F.sum(F.floor(y * y * 1e-3).cast("bigint"))
+            .cast("bigint")
+            .alias("ssu"),
+        )
+    )
+    w = (
+        Window.partitionBy("arm")
+        .orderBy("week_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = wk.select(
+        "week_idx",
+        "arm",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("su").over(w).cast("bigint").alias("csu"),
+        F.sum("ssu").over(w).cast("bigint").alias("cssu"),
+    )
+    tot = wk.agg(F.sum("n").cast("bigint").alias("n_final"))
+    a = cum.where(F.col("arm") == "a").select(
+        "week_idx",
+        F.col("cn").alias("na"),
+        F.col("csu").alias("sua"),
+        F.col("cssu").alias("ssua"),
+    )
+    b = cum.where(F.col("arm") == "b").select(
+        F.col("week_idx").alias("wb"),
+        F.col("cn").alias("nb"),
+        F.col("csu").alias("sub"),
+        F.col("cssu").alias("ssub"),
+    )
+
+    def var(ss, su, n):
+        s_val = su.cast("double") / F.lit(100.0)
+        return (ss.cast("double") * F.lit(1000.0) - s_val * s_val / n) / (
+            n - 1
+        )
+
+    na, nb = F.col("na"), F.col("nb")
+    z = (
+        F.col("sua").cast("double") / F.lit(100.0) / na
+        - F.col("sub").cast("double") / F.lit(100.0) / nb
+    ) / F.sqrt(
+        var(F.col("ssua"), F.col("sua"), na) / na
+        + var(F.col("ssub"), F.col("sub"), nb) / nb
+    )
+    zt = (
+        a.join(b, F.col("wb") == F.col("week_idx"))
+        .crossJoin(F.broadcast(tot))
+        .where((na > 1) & (nb > 1))
+        .select(
+            "week_idx",
+            na.alias("n_a"),
+            nb.alias("n_b"),
+            z.alias("z_stat"),
+            (
+                F.lit(_SEQ_C)
+                / F.sqrt((na + nb).cast("double") / F.col("n_final"))
+            ).alias("z_bound"),
+        )
+    )
+    crossed = zt.withColumn(
+        "cr",
+        F.when(F.abs(F.col("z_stat")) >= F.col("z_bound"), 1).otherwise(0),
+    ).localCheckpoint(eager=False)
+    first_w = crossed.agg(
+        F.coalesce(
+            F.min(F.when(F.col("cr") == 1, F.col("week_idx"))), F.lit(-1)
+        ).alias("fw")
+    )
+    return (
+        crossed.crossJoin(F.broadcast(first_w))
+        .select(
+            "week_idx",
+            "n_a",
+            "n_b",
+            "z_stat",
+            "z_bound",
+            F.col("cr").cast("int").alias("crossed"),
+            F.when(F.col("week_idx") == F.col("fw"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_first_cross"),
+        )
+        .orderBy("week_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival: time to a customer's second order, with censoring
+# ---------------------------------------------------------------------------
+
+# Public TPC-H dbgen envelope end (cf. ORDERDATE_EPOCH_DAY_BOUNDS):
+# customers with no second order are right-censored at this horizon.
+_KM_HORIZON = "1998-08-02"
+_KM_BIN_DAYS = 30
+
+_KM_ORACLE = f"""
+WITH od AS (
+    SELECT DISTINCT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
+    FROM orders
+),
+first_o AS (
+    SELECT ck, MIN(d) AS t0 FROM od GROUP BY 1
+),
+second_o AS (
+    SELECT f.ck, MIN(o.d) AS t1
+    FROM first_o f JOIN od o ON o.ck = f.ck AND o.d > f.t0
+    GROUP BY 1
+),
+dur AS (
+    SELECT f.ck,
+           CASE WHEN s.t1 IS NOT NULL THEN 1 ELSE 0 END AS ev,
+           CASE WHEN s.t1 IS NOT NULL
+                THEN date_diff('day', f.t0, s.t1)
+                ELSE date_diff('day', f.t0, DATE '{_KM_HORIZON}')
+           END AS days
+    FROM first_o f LEFT JOIN second_o s ON s.ck = f.ck
+),
+bins AS (
+    SELECT days // {_KM_BIN_DAYS} AS bin,
+           CAST(SUM(ev) AS BIGINT) AS d,
+           CAST(SUM(1 - ev) AS BIGINT) AS c
+    FROM dur GROUP BY 1
+),
+risk AS (
+    SELECT l.bin, l.d, l.c,
+           CAST(SUM(r.d + r.c) AS BIGINT) AS n_at_risk
+    FROM bins l JOIN bins r ON r.bin >= l.bin
+    GROUP BY 1, 2, 3
+),
+lq AS (
+    SELECT bin, d, c, n_at_risk,
+           CASE WHEN n_at_risk > d
+                THEN CAST(FLOOR(ln(CAST(n_at_risk - d AS DOUBLE)
+                                   / n_at_risk) * 1e9) AS BIGINT)
+           END AS lqv
+    FROM risk
+),
+surv AS (
+    SELECT l.bin, l.d, l.c, l.n_at_risk,
+           SUM(r.lqv) AS ls_units,
+           MAX(CASE WHEN r.lqv IS NULL THEN 1 ELSE 0 END) AS hit_zero
+    FROM lq l JOIN lq r ON r.bin <= l.bin
+    GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(bin * {_KM_BIN_DAYS} AS BIGINT) AS bin_start_days,
+       n_at_risk, d AS n_events, c AS n_censored,
+       CASE WHEN hit_zero = 1 THEN 0.0
+            ELSE CAST(FLOOR(exp(CAST(ls_units AS DOUBLE) / 1e9) * 1e6)
+                      AS BIGINT) / 1e6
+       END AS survival
+FROM surv
+ORDER BY 1
+"""
+
+
+@query("kaplan_meier_second_order", oracle=_KM_ORACLE)
+def kaplan_meier_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve for time-to-second-order
+    per customer, right-censored at the dataset horizon for one-order
+    customers — the estimator behind every retention/churn curve that
+    must not throw away customers who simply haven't converted YET
+    (Kaplan & Meier 1958). Complements the engine's discrete
+    hazard_table_monthly with the censoring-correct survival curve.
+
+    Determinism: risk-set and event counts are exact integers from
+    suffix sums over the duration-bin table; each KM factor
+    ln((n−d)/n) has an exact-integer-ratio input and is floor-quantized
+    to 1e-9 units; the cumulative log-survival is an exact integer sum,
+    and the reported survival is exp() of it floor-quantized to 1e-6.
+
+    Scale: two shuffles on custkey (distinct dates, first/second-order
+    rollup) — both map-side combinable — then ALL survival math runs on
+    the ~80-row duration-bin table via triangular broadcast joins
+    (window-free suffix/prefix sums). At 100 TB only the custkey rollup
+    grows; the curve stays calendar-bounded.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    od = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).distinct()
+    first_o = od.groupBy("ck").agg(F.min("d").alias("t0"))
+    second_o = (
+        first_o.join(od.withColumnRenamed("ck", "ck2"), F.col("ck2") == F.col("ck"))
+        .where(F.col("d") > F.col("t0"))
+        .groupBy("ck")
+        .agg(F.min("d").alias("t1"))
+    )
+    dur = (
+        first_o.join(second_o.withColumnRenamed("ck", "ck3"),
+                     F.col("ck3") == F.col("ck"), "left")
+        .select(
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.when(
+                F.col("t1").isNotNull(), F.datediff(F.col("t1"), F.col("t0"))
+            )
+            .otherwise(
+                F.datediff(F.lit(_KM_HORIZON).cast("date"), F.col("t0"))
+            )
+            .alias("days"),
+        )
+    )
+    bins = (
+        dur.groupBy(F.expr(f"days div {_KM_BIN_DAYS}").alias("bin"))
+        .agg(
+            F.sum("ev").cast("bigint").alias("d"),
+            F.sum(1 - F.col("ev")).cast("bigint").alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    r = bins.select(
+        F.col("bin").alias("rb"),
+        F.col("d").alias("rd"),
+        F.col("c").alias("rc"),
+    )
+    risk = (
+        bins.join(F.broadcast(r), F.col("rb") >= F.col("bin"))
+        .groupBy("bin", "d", "c")
+        .agg(F.sum(F.col("rd") + F.col("rc")).cast("bigint").alias("n_at_risk"))
+    )
+    lq = risk.select(
+        "bin",
+        "d",
+        "c",
+        "n_at_risk",
+        F.when(
+            F.col("n_at_risk") > F.col("d"),
+            F.floor(
+                F.log(
+                    (F.col("n_at_risk") - F.col("d")).cast("double")
+                    / F.col("n_at_risk")
+                )
+                * F.lit(1e9)
+            ).cast("bigint"),
+        ).alias("lqv"),
+    ).localCheckpoint(eager=False)
+    rl = lq.select(F.col("bin").alias("rb"), F.col("lqv").alias("rlqv"))
+    surv = (
+        lq.join(F.broadcast(rl), F.col("rb") <= F.col("bin"))
+        .groupBy("bin", "d", "c", "n_at_risk")
+        .agg(
+            F.sum("rlqv").alias("ls_units"),
+            F.max(
+                F.when(F.col("rlqv").isNull(), 1).otherwise(0)
+            ).alias("hit_zero"),
+        )
+    )
+    return surv.select(
+        (F.col("bin") * _KM_BIN_DAYS).cast("bigint").alias("bin_start_days"),
+        "n_at_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.exp(F.col("ls_units").cast("double") / F.lit(1e9))
+                * F.lit(1e6)
+            ).cast("bigint")
+            / F.lit(1e6)
+        )
+        .alias("survival"),
+    ).orderBy("bin_start_days")
