@@ -371,3 +371,181 @@ def voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f_ in finals[1:]:
         out = out.unionByName(f_)
     return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout audit: multi-column clustering vs natural insert order
+# ---------------------------------------------------------------------------
+
+_ZO_FILES = 64
+_ZO_BITS = 8  # 8 bits per dimension → 16-bit Morton key
+
+_ZO_MORTON_SQL = " + ".join(
+    f"((p8 // {1 << j}) % 2) * {1 << (2 * j)}"
+    f" + ((s8 // {1 << j}) % 2) * {1 << (2 * j + 1)}"
+    for j in range(_ZO_BITS)
+)
+
+_ZO_ORACLE = f"""
+WITH bounds AS (
+    SELECT MIN(l_partkey) AS minp, MAX(l_partkey) AS maxp,
+           MIN(l_suppkey) AS mins, MAX(l_suppkey) AS maxs,
+           MIN(l_orderkey) AS mino, MAX(l_orderkey) AS maxo
+    FROM lineitem
+),
+keyed AS (
+    SELECT ((l.l_partkey - b.minp) * 256) // (b.maxp - b.minp + 1) AS p8,
+           ((l.l_suppkey - b.mins) * 256) // (b.maxs - b.mins + 1) AS s8,
+           ((l.l_orderkey - b.mino) * {_ZO_FILES})
+               // (b.maxo - b.mino + 1) AS fid_nat,
+           l.l_partkey, l.l_suppkey
+    FROM lineitem l CROSS JOIN bounds b
+),
+tagged AS (
+    SELECT 'natural' AS layout, fid_nat AS fid, l_partkey, l_suppkey
+    FROM keyed
+    UNION ALL
+    SELECT 'zorder' AS layout,
+           (({_ZO_MORTON_SQL}) * {_ZO_FILES}) // 65536 AS fid,
+           l_partkey, l_suppkey
+    FROM keyed
+),
+files AS (
+    SELECT layout, fid, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(l_partkey) AS fminp, MAX(l_partkey) AS fmaxp,
+           MIN(l_suppkey) AS fmins, MAX(l_suppkey) AS fmaxs
+    FROM tagged GROUP BY 1, 2
+),
+band AS (
+    SELECT minp + ((maxp - minp + 1) * 40) // 100 AS plo,
+           minp + ((maxp - minp + 1) * 45) // 100 AS phi,
+           mins + ((maxs - mins + 1) * 40) // 100 AS slo,
+           mins + ((maxs - mins + 1) * 45) // 100 AS shi
+    FROM bounds
+)
+SELECT f.layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN f.fminp <= b.phi AND f.fmaxp >= b.plo
+                      AND f.fmins <= b.shi AND f.fmaxs >= b.slo
+                THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+       CAST(SUM(CASE WHEN f.fminp <= b.phi AND f.fmaxp >= b.plo
+                      AND f.fmins <= b.shi AND f.fmaxs >= b.slo
+                THEN f.n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(f.fmaxp - f.fminp) AS DOUBLE) / COUNT(*) AS avg_part_span,
+       CAST(SUM(f.fmaxs - f.fmins) AS DOUBLE) / COUNT(*) AS avg_supp_span
+FROM files f CROSS JOIN band b
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("zorder_layout_audit", oracle=_ZO_ORACLE)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout audit: how many of {_ZO_FILES} equal-width "files"
+    must a two-column point-band query scan under the NATURAL insert
+    order vs a Morton (Z-order) interleave of (l_partkey, l_suppkey)?
+    This is the decision metric behind `OPTIMIZE ZORDER BY` in
+    Delta/Iceberg table maintenance: Z-ordering shrinks per-file min/max
+    envelopes on BOTH keys simultaneously so zone-map pruning (cf.
+    zonemap_pruned_scan) skips most files for multi-column predicates.
+
+    Determinism: everything is integer arithmetic — bit interleave via
+    div/mod, equal-width file binning, exact envelope counts; the two
+    reported spans are single divisions of exact integer sums.
+
+    Scale: one fact scan computing the Morton key per row (pure
+    narrow projection — codegen'd integer ops), one groupBy per layout
+    (map-side combinable, 2×{_ZO_FILES} output rows), and constant-size
+    envelope scoring against a broadcast bounds row. At 100 TB this IS
+    the cheap pre-flight that decides whether a re-layout pays for
+    itself; the value-range binning avoids any global sort while
+    measuring the same clustering effect.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").alias("minp"),
+        F.max("l_partkey").alias("maxp"),
+        F.min("l_suppkey").alias("mins"),
+        F.max("l_suppkey").alias("maxs"),
+        F.min("l_orderkey").alias("mino"),
+        F.max("l_orderkey").alias("maxo"),
+    )
+    keyed = (
+        li.select("l_partkey", "l_suppkey", "l_orderkey")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                "((l_partkey - minp) * 256) div (maxp - minp + 1)"
+            ).alias("p8"),
+            F.expr(
+                "((l_suppkey - mins) * 256) div (maxs - mins + 1)"
+            ).alias("s8"),
+            F.expr(
+                f"((l_orderkey - mino) * {_ZO_FILES}) div (maxo - mino + 1)"
+            ).alias("fid_nat"),
+            "l_partkey",
+            "l_suppkey",
+        )
+    )
+    morton_expr = " + ".join(
+        f"((p8 div {1 << j}) % 2) * {1 << (2 * j)}"
+        f" + ((s8 div {1 << j}) % 2) * {1 << (2 * j + 1)}"
+        for j in range(_ZO_BITS)
+    )
+    tagged = keyed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("natural").alias("layout"),
+                    F.col("fid_nat").alias("fid"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(
+                        f"(({morton_expr}) * {_ZO_FILES}) div 65536"
+                    ).alias("fid"),
+                ),
+            )
+        ).alias("t"),
+        "l_partkey",
+        "l_suppkey",
+    ).select("t.layout", "t.fid", "l_partkey", "l_suppkey")
+    files = tagged.groupBy("layout", "fid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("l_partkey").alias("fminp"),
+        F.max("l_partkey").alias("fmaxp"),
+        F.min("l_suppkey").alias("fmins"),
+        F.max("l_suppkey").alias("fmaxs"),
+    )
+    band = bounds.select(
+        F.expr("minp + ((maxp - minp + 1) * 40) div 100").alias("plo"),
+        F.expr("minp + ((maxp - minp + 1) * 45) div 100").alias("phi"),
+        F.expr("mins + ((maxs - mins + 1) * 40) div 100").alias("slo"),
+        F.expr("mins + ((maxs - mins + 1) * 45) div 100").alias("shi"),
+    )
+    hit = (
+        (F.col("fminp") <= F.col("phi"))
+        & (F.col("fmaxp") >= F.col("plo"))
+        & (F.col("fmins") <= F.col("shi"))
+        & (F.col("fmaxs") >= F.col("slo"))
+    )
+    return (
+        files.crossJoin(F.broadcast(band))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias("files_hit"),
+            F.sum(F.when(hit, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+            (
+                F.sum(F.col("fmaxp") - F.col("fminp")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_part_span"),
+            (
+                F.sum(F.col("fmaxs") - F.col("fmins")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_supp_span"),
+        )
+        .orderBy("layout")
+    )

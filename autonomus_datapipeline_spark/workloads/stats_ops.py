@@ -3916,9 +3916,8 @@ def seq_ab_spending_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Kaplan–Meier survival: time to a customer's second order, with censoring
 # ---------------------------------------------------------------------------
 
-# Public TPC-H dbgen envelope end (cf. ORDERDATE_EPOCH_DAY_BOUNDS):
-# customers with no second order are right-censored at this horizon.
-_KM_HORIZON = "1998-08-02"
+# Customers with no second order are right-censored at the corpus's own
+# last order date (administrative censoring at the observation horizon).
 _KM_BIN_DAYS = 30
 
 _KM_ORACLE = f"""
@@ -3926,6 +3925,7 @@ WITH od AS (
     SELECT DISTINCT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
     FROM orders
 ),
+horizon AS (SELECT MAX(d) AS hz FROM od),
 first_o AS (
     SELECT ck, MIN(d) AS t0 FROM od GROUP BY 1
 ),
@@ -3939,9 +3939,10 @@ dur AS (
            CASE WHEN s.t1 IS NOT NULL THEN 1 ELSE 0 END AS ev,
            CASE WHEN s.t1 IS NOT NULL
                 THEN date_diff('day', f.t0, s.t1)
-                ELSE date_diff('day', f.t0, DATE '{_KM_HORIZON}')
+                ELSE date_diff('day', f.t0, h.hz)
            END AS days
     FROM first_o f LEFT JOIN second_o s ON s.ck = f.ck
+    CROSS JOIN horizon h
 ),
 bins AS (
     SELECT days // {_KM_BIN_DAYS} AS bin,
@@ -3984,8 +3985,8 @@ ORDER BY 1
 @query("kaplan_meier_second_order", oracle=_KM_ORACLE)
 def kaplan_meier_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan–Meier product-limit survival curve for time-to-second-order
-    per customer, right-censored at the dataset horizon for one-order
-    customers — the estimator behind every retention/churn curve that
+    per customer, right-censored at the corpus's last order date for
+    one-order customers — the estimator behind every retention/churn curve that
     must not throw away customers who simply haven't converted YET
     (Kaplan & Meier 1958). Complements the engine's discrete
     hazard_table_monthly with the censoring-correct survival curve.
@@ -4007,6 +4008,7 @@ def kaplan_meier_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("ck"),
         F.col("o_orderdate").cast("date").alias("d"),
     ).distinct()
+    horizon = od.agg(F.max("d").alias("hz"))
     first_o = od.groupBy("ck").agg(F.min("d").alias("t0"))
     second_o = (
         first_o.join(od.withColumnRenamed("ck", "ck2"), F.col("ck2") == F.col("ck"))
@@ -4017,14 +4019,13 @@ def kaplan_meier_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     dur = (
         first_o.join(second_o.withColumnRenamed("ck", "ck3"),
                      F.col("ck3") == F.col("ck"), "left")
+        .crossJoin(F.broadcast(horizon))
         .select(
             F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("ev"),
             F.when(
                 F.col("t1").isNotNull(), F.datediff(F.col("t1"), F.col("t0"))
             )
-            .otherwise(
-                F.datediff(F.lit(_KM_HORIZON).cast("date"), F.col("t0"))
-            )
+            .otherwise(F.datediff(F.col("hz"), F.col("t0")))
             .alias("days"),
         )
     )
@@ -4088,3 +4089,141 @@ def kaplan_meier_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("survival"),
     ).orderBy("bin_start_days")
+
+
+# ---------------------------------------------------------------------------
+# Brown's double exponential smoothing + linear-trend forecast
+# ---------------------------------------------------------------------------
+
+# α = 1/2 truncated at a 6-day lookback over a zero-filled calendar grid:
+# weights 2^(5−j) are exact integers with CONSTANT kernel sum D = 63, so
+# both smoothing passes stay in exact decimal arithmetic end to end (the
+# ewma_daily_revenue discipline, composed twice). Daily revenue is floored
+# to whole dollars so numerators stay < 2^53 through sf100.
+_BR_L = 6
+_BR_W = [2 ** (_BR_L - 1 - j) for j in range(_BR_L)]  # 32 16 8 4 2 1
+_BR_D = sum(_BR_W)  # 63
+_BR_H = 7  # forecast horizon (days)
+# Brown: ŷ(t+h) = (2 + αh/(1−α))·S1 − (1 + αh/(1−α))·S2 ; α=1/2, h=7 → 9, 8
+_BR_A, _BR_B = 2 + _BR_H, 1 + _BR_H
+_BR_EMIT_FROM = "2001-01-01"
+
+_BR_W_SQL = ", ".join(f"({j}, {w})" for j, w in enumerate(_BR_W))
+
+_BROWN_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(20,2))))
+                AS DECIMAL(18,0)) AS r
+    FROM orders GROUP BY 1
+),
+bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+grid AS (
+    SELECT CAST(unnest(generate_series(mn, mx, INTERVAL '1 day')) AS DATE)
+        AS d
+    FROM bounds
+),
+filled AS (
+    SELECT g.d, COALESCE(dy.r, CAST(0 AS DECIMAL(18,0))) AS r
+    FROM grid g LEFT JOIN daily dy ON dy.d = g.d
+),
+w AS (SELECT j, CAST(wi AS DECIMAL(3,0)) AS w FROM (VALUES {_BR_W_SQL}) t(j, wi)),
+s1 AS (
+    SELECT CAST(f.d + to_days(CAST(w.j AS INT)) AS DATE) AS d,
+           CAST(SUM(f.r * w.w) AS DECIMAL(24,0)) AS s1num,
+           CAST(COUNT(*) AS BIGINT) AS nterms
+    FROM filled f CROSS JOIN w
+    GROUP BY 1
+),
+s1full AS (SELECT d, s1num FROM s1 WHERE nterms = {_BR_L}),
+s2 AS (
+    SELECT CAST(f.d + to_days(CAST(w.j AS INT)) AS DATE) AS d,
+           CAST(SUM(f.s1num * w.w) AS DECIMAL(30,0)) AS s2num,
+           CAST(COUNT(*) AS BIGINT) AS nterms
+    FROM s1full f CROSS JOIN w
+    GROUP BY 1
+),
+s2full AS (SELECT d, s2num FROM s2 WHERE nterms = {_BR_L})
+SELECT s1.d AS day,
+       CAST(s1.s1num AS DOUBLE) / {_BR_D} AS s1_level,
+       CAST(s2.s2num AS DOUBLE) / {_BR_D * _BR_D} AS s2_level,
+       CAST({_BR_A} * s1.s1num * {_BR_D} - {_BR_B} * s2.s2num AS DOUBLE)
+           / {_BR_D * _BR_D} AS forecast_{_BR_H}d
+FROM s1full s1 JOIN s2full s2 ON s2.d = s1.d
+WHERE s1.d >= DATE '{_BR_EMIT_FROM}'
+ORDER BY 1
+"""
+
+
+@query("brown_double_smoothing_forecast", oracle=_BROWN_ORACLE)
+def brown_double_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing over zero-filled daily
+    revenue with a {_BR_H}-day linear-trend forecast — the trend-aware
+    upgrade of ewma_daily_revenue (Brown 1959): S2 smooths S1, and
+    ŷ(t+h) = {_BR_A}·S1 − {_BR_B}·S2 extrapolates the implied trend.
+
+    Determinism by composition of the EWMA integer-kernel trick: dyadic
+    weights 2^(5−j) with CONSTANT kernel sum {_BR_D} (only full-kernel
+    days are emitted) keep BOTH smoothing passes in exact decimal
+    arithmetic with no intermediate ratio; each reported value is one
+    division of an exactly-computed decimal numerator that stays < 2^53
+    through sf100 (daily revenue floored to whole dollars).
+
+    Scale: daily rollup is the one data-sized aggregate; the calendar
+    grid is envelope-bounded; each smoothing pass is a constant {_BR_L}×
+    fan-out of the grid joined to itself — the closed kernel form of a
+    sequential recurrence that cannot parallelize (same argument as
+    ewma_daily_revenue, applied twice).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.floor(F.sum(F.col("o_totalprice").cast("decimal(20,2)")))
+        .cast("decimal(18,0)")
+        .alias("r")
+    )
+    bounds = daily.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("d")
+    )
+    filled = grid.join(daily, "d", "left").select(
+        "d",
+        F.coalesce(F.col("r"), F.lit(0).cast("decimal(18,0)")).alias("r"),
+    )
+    weights = spark.createDataFrame(
+        list(enumerate(_BR_W)), "j int, w long"
+    ).select("j", F.col("w").cast("decimal(3,0)").alias("w"))
+
+    def smooth(src: DataFrame, val: str, out: str, out_dec: str) -> DataFrame:
+        return (
+            src.crossJoin(F.broadcast(weights))
+            .groupBy(F.expr("date_add(d, j)").alias("d"))
+            .agg(
+                F.sum(F.col(val) * F.col("w")).cast(out_dec).alias(out),
+                F.count(F.lit(1)).alias("nterms"),
+            )
+            .where(F.col("nterms") == _BR_L)
+            .drop("nterms")
+        )
+
+    s1 = smooth(filled, "r", "s1num", "decimal(24,0)")
+    s2 = smooth(s1, "s1num", "s2num", "decimal(30,0)").withColumnRenamed(
+        "d", "d2"
+    )
+    dd = _BR_D * _BR_D
+    return (
+        s1.join(s2, F.col("d2") == F.col("d"))
+        .where(F.col("d") >= F.lit(_BR_EMIT_FROM).cast("date"))
+        .select(
+            F.col("d").alias("day"),
+            (F.col("s1num").cast("double") / _BR_D).alias("s1_level"),
+            (F.col("s2num").cast("double") / dd).alias("s2_level"),
+            (
+                (
+                    F.lit(_BR_A) * F.col("s1num") * _BR_D
+                    - F.lit(_BR_B) * F.col("s2num")
+                ).cast("double")
+                / dd
+            ).alias(f"forecast_{_BR_H}d"),
+        )
+        .orderBy("day")
+    )

@@ -617,3 +617,108 @@ def burrows_delta_stylometry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source_a", "source_b", "delta", "rk")
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-level Shannon entropy as a corpus quality signal
+# ---------------------------------------------------------------------------
+
+_ENT_BAND_TENTHS = 10  # bands are 0.1-nat wide: band = floor(10H)
+
+_ENTROPY_ORACLE = """
+WITH pos AS (
+    SELECT doc_id, unnest(range(1, len(text) + 1)) AS i
+    FROM documents
+),
+chars AS (
+    SELECT p.doc_id, substr(d.text, CAST(p.i AS INT), 1) AS ch
+    FROM pos p JOIN documents d ON d.doc_id = p.doc_id
+),
+cc AS (
+    SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+    FROM chars GROUP BY 1, 2
+),
+docent AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           -- H·(N·1e9) as an exact integer: N·lnq(N) − Σ c·lnq(c)
+           CAST(SUM(c) AS BIGINT)
+             * CAST(FLOOR(ln(CAST(SUM(c) AS DOUBLE)) * 1e9) AS BIGINT)
+             - SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
+               AS hnum
+    FROM cc GROUP BY 1
+)
+SELECT CAST((hnum * 10) // (n * 1000000000) AS BIGINT) AS entropy_band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_chars,
+       CAST(MIN(n_distinct) AS BIGINT) AS min_distinct_chars,
+       CAST(MAX(n_distinct) AS BIGINT) AS max_distinct_chars,
+       CAST(MIN(CAST(hnum AS DOUBLE) / (n * 1e9)) AS DOUBLE) AS min_entropy,
+       CAST(MAX(CAST(hnum AS DOUBLE) / (n * 1e9)) AS DOUBLE) AS max_entropy
+FROM docent
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("char_entropy_buckets", oracle=_ENTROPY_ORACLE)
+def char_entropy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document, reported as
+    0.1-nat-wide quality bands — the information-theoretic junk detector
+    (binary blobs and key-mash score HIGH, template/repetitive boilerplate
+    scores LOW) that complements the engine's repetition_scores and
+    text_quality_scores in a filtering chain (cf. Gopher/CCNet-style
+    quality rules).
+
+    Determinism: H = ln N − (1/N)·Σ c·ln c is computed as the exact
+    integer H·N·1e9 = N·lnq(N) − Σ c·lnq(c) with every ln floor-quantized
+    at 1e-9 on exact-integer inputs; band assignment is INTEGER floor
+    division of that numerator (no float boundary anywhere), and the
+    min/max entropies are single divisions.
+
+    Scale: the explode is corpus-linear (one row per character) feeding a
+    map-side-combinable (doc, char) count; everything downstream is
+    document-sized then band-sized. The per-char explode is the same
+    shape as the shingle pipelines — at 100 TB it rides the documents
+    fan-out and never shuffles more than the distinct (doc, char) pairs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cc = (
+        d.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id", F.expr("substring(text, i, 1)").alias("ch")
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    lnq = lambda col: F.floor(F.log(col.cast("double")) * F.lit(1e9)).cast(  # noqa: E731
+        "bigint"
+    )
+    docent = cc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (
+            F.sum("c").cast("bigint") * lnq(F.sum("c"))
+            - F.sum(F.col("c") * lnq(F.col("c")))
+        ).alias("hnum"),
+    )
+    ent = F.col("hnum").cast("double") / (F.col("n") * F.lit(1e9))
+    return (
+        docent.groupBy(
+            F.expr("(hnum * 10) div (n * 1000000000)").alias("entropy_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_chars"),
+            F.min("n_distinct").cast("bigint").alias("min_distinct_chars"),
+            F.max("n_distinct").cast("bigint").alias("max_distinct_chars"),
+            F.min(ent).alias("min_entropy"),
+            F.max(ent).alias("max_entropy"),
+        )
+        .orderBy("entropy_band")
+    )
