@@ -441,10 +441,13 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
            / SUM(t)
          - CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(38,6)) END)
                 AS DOUBLE) / SUM(1 - t) AS naive_diff,
-       (CAST(SUM(CAST(FLOOR(t * y * 1000000.0 / pc) AS BIGINT)) AS DOUBLE)
-        - CAST(SUM(CAST(FLOOR((1 - t) * y * 1000000.0 / (1000000 - pc))
-                        AS BIGINT)) AS DOUBLE))
-           / COUNT(*) AS ate_ipw
+       CAST(SUM(CAST(FLOOR(t * y * 1000000.0 / pc) AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(FLOOR(t * 1000000000000.0 / pc) AS BIGINT))
+                AS DOUBLE) * 1e6
+       - CAST(SUM(CAST(FLOOR((1 - t) * y * 1000000.0 / (1000000 - pc))
+                       AS BIGINT)) AS DOUBLE)
+         / CAST(SUM(CAST(FLOOR((1 - t) * 1000000000000.0 / (1000000 - pc))
+                         AS BIGINT)) AS DOUBLE) * 1e6 AS ate_ipw
 FROM scorebase
 """
 
@@ -516,9 +519,11 @@ def logistic_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form 2×2 Hessian inverse) fitting the propensity of an order
     being high-priority from the customer's account balance, then the
     inverse-propensity-weighted average treatment effect of priority on
-    order value — the standard observational-causal estimator (Horvitz-
-    Thompson IPW with 1%/99% propensity clipping) next to the engine's
-    CUPED and covariate-balance queries.
+    order value — the standard observational-causal estimator (the
+    self-normalized Hajek form of IPW with 1%/99% propensity clipping,
+    which stays unbiased under clipping where plain Horvitz-Thompson
+    drifts with arm imbalance) next to the engine's CUPED and
+    covariate-balance queries.
 
     Determinism: each iteration is ONE aggregate of exact integer units
     (σ(η) floor-quantized to 1e-6 per row; gradient/Hessian unit sums
@@ -570,21 +575,32 @@ def logistic_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(1 - F.col("t"))
         ).alias("naive_diff"),
         (
-            (
-                F.sum(
-                    F.floor(
-                        F.col("t") * F.col("y") * F.lit(1000000.0) / F.col("pc")
-                    ).cast("bigint")
-                ).cast("double")
-                - F.sum(
-                    F.floor(
-                        (1 - F.col("t"))
-                        * F.col("y")
-                        * F.lit(1000000.0)
-                        / (F.lit(1000000) - F.col("pc"))
-                    ).cast("bigint")
-                ).cast("double")
-            )
-            / F.count(F.lit(1))
+            F.sum(
+                F.floor(
+                    F.col("t") * F.col("y") * F.lit(1000000.0) / F.col("pc")
+                ).cast("bigint")
+            ).cast("double")
+            / F.sum(
+                F.floor(
+                    F.col("t") * F.lit(1000000000000.0) / F.col("pc")
+                ).cast("bigint")
+            ).cast("double")
+            * F.lit(1e6)
+            - F.sum(
+                F.floor(
+                    (1 - F.col("t"))
+                    * F.col("y")
+                    * F.lit(1000000.0)
+                    / (F.lit(1000000) - F.col("pc"))
+                ).cast("bigint")
+            ).cast("double")
+            / F.sum(
+                F.floor(
+                    (1 - F.col("t"))
+                    * F.lit(1000000000000.0)
+                    / (F.lit(1000000) - F.col("pc"))
+                ).cast("bigint")
+            ).cast("double")
+            * F.lit(1e6)
         ).alias("ate_ipw"),
     ).select("n", "n_treated", F.col("b0q").alias("b0"), F.col("b1q").alias("b1"), "naive_diff", "ate_ipw")
