@@ -149,6 +149,10 @@ def naive_bayes_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "is_test", "tok")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # consumed by THREE subtrees (class counts, token-class counts,
+        # test scoring) — materialize once or the corpus explode+groupBy
+        # re-executes per consumer (the dedup-family checkpoint rule)
+        .localCheckpoint(eager=True)
     )
     train = dtc.where(~F.col("is_test"))
     train_tc = (
