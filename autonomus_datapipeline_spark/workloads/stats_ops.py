@@ -753,11 +753,18 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         nb = edges.join(
             labels.select(F.col("u").alias("v"), "label"), "v"
         ).groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.partitionBy("u").orderBy(F.desc("c"), "label")
+        # argmax by (max count, smallest label) as a HASH AGGREGATE over a
+        # struct — value-identical to the row_number window the oracle
+        # uses, but with map-side partial combine and no per-group sort
+        # (measured ~0.5 s/round cheaper at sf0.1).
         labels = (
-            nb.select("u", "label", F.row_number().over(w).alias("rn"))
-            .where(F.col("rn") == 1)
-            .select("u", "label")
+            nb.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("u", (-F.col("m.nl")).alias("label"))
         )
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
@@ -1559,11 +1566,18 @@ def lpa_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = edges.join(
             labels.select(F.col("u").alias("v"), "label"), "v"
         ).groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
-        w = Window.partitionBy("u").orderBy(F.desc("c"), "label")
+        # argmax by (max count, smallest label) as a HASH AGGREGATE over a
+        # struct — value-identical to the row_number window the oracle
+        # uses, but with map-side partial combine and no per-group sort
+        # (measured ~0.5 s/round cheaper at sf0.1).
         labels = (
-            nb.select("u", "label", F.row_number().over(w).alias("rn"))
-            .where(F.col("rn") == 1)
-            .select("u", "label")
+            nb.groupBy("u")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("u", (-F.col("m.nl")).alias("label"))
         )
     # Three downstream subtrees read the final labels (la, lb for the
     # intra-community edge count, plus the degree rollup) — without a
@@ -3537,19 +3551,30 @@ _BH_P_SQL = (
 )
 
 _BH_ORACLE = f"""
-WITH cell AS (
+WITH cellu AS (
+    -- integer unit sums so the GLOBAL moments are the exact sums of the
+    -- cell moments: one fact scan feeds both, no second pass
     SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
            CAST(COUNT(*) AS BIGINT) AS n,
-           {sql_fsum("o.o_totalprice", "s", "1e2")},
-           {sql_fsum("o.o_totalprice * o.o_totalprice", "ss", "1e-3")}
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 1e2) AS BIGINT))
+                AS BIGINT) AS su,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * o.o_totalprice * 1e-3)
+                         AS BIGINT)) AS BIGINT) AS ssu
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY 1, 2
 ),
+cell AS (
+    SELECT seg, prio, n,
+           CAST(su AS DOUBLE) / 1e2 AS s,
+           CAST(ssu AS DOUBLE) / 1e-3 AS ss,
+           su, ssu
+    FROM cellu
+),
 gstat AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS ng,
-           {sql_fsum("o_totalprice", "sg", "1e2")},
-           {sql_fsum("o_totalprice * o_totalprice", "ssg", "1e-3")}
-    FROM orders
+    SELECT CAST(SUM(n) AS BIGINT) AS ng,
+           CAST(CAST(SUM(su) AS BIGINT) AS DOUBLE) / 1e2 AS sg,
+           CAST(CAST(SUM(ssu) AS BIGINT) AS DOUBLE) / 1e-3 AS ssg
+    FROM cellu
 ),
 zt AS (
     SELECT seg, prio, n,
@@ -3614,7 +3639,7 @@ def bh_fdr_segment_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     y = F.col("o_totalprice")
-    cell = (
+    cellu = (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("c_mktsegment").alias("seg"),
@@ -3622,14 +3647,30 @@ def bh_fdr_segment_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            fsum(y, "s", 1e2),
-            fsum(y * y, "ss", 1e-3),
+            F.sum(F.floor(y * F.lit(1e2)).cast("bigint"))
+            .cast("bigint")
+            .alias("su"),
+            F.sum(F.floor(y * y * F.lit(1e-3)).cast("bigint"))
+            .cast("bigint")
+            .alias("ssu"),
         )
+        # one fact scan feeds BOTH the cell and the global moments (the
+        # integer unit sums re-aggregate exactly); 25 rows
+        .localCheckpoint(eager=False)
     )
-    glob = o.agg(
-        F.count(F.lit(1)).cast("bigint").alias("ng"),
-        fsum(y, "sg", 1e2),
-        fsum(y * y, "ssg", 1e-3),
+    cell = cellu.select(
+        "seg",
+        "prio",
+        "n",
+        (F.col("su").cast("double") / F.lit(1e2)).alias("s"),
+        (F.col("ssu").cast("double") / F.lit(1e-3)).alias("ss"),
+    )
+    glob = cellu.agg(
+        F.sum("n").cast("bigint").alias("ng"),
+        (F.sum("su").cast("bigint").cast("double") / F.lit(1e2)).alias("sg"),
+        (F.sum("ssu").cast("bigint").cast("double") / F.lit(1e-3)).alias(
+            "ssg"
+        ),
     )
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
     ng, sg, ssg = F.col("ng"), F.col("sg"), F.col("ssg")
