@@ -226,6 +226,22 @@ PROBE_QUERIES = [
     "shapley_channel_attribution",
     # round-10: the corpus-curation flagship chain
     "curation_pipeline_funnel",
+    # round-10 second wave: in-engine model fitting (token-class groupBy
+    # NB, domain-bounded stump histogram, 3-scan Newton logistic + IPW),
+    # map-side Poisson-bootstrap resampling, one-scan BH-FDR cell family,
+    # calendar-bounded sequential monitor, bin-table Kaplan-Meier,
+    # integer Morton-key layout audit, per-char entropy rollup, and the
+    # composed constant-kernel Brown smoother
+    "naive_bayes_lang_classifier",
+    "decision_stump_split",
+    "logistic_ipw_ate",
+    "poisson_bootstrap_ci",
+    "bh_fdr_segment_tests",
+    "seq_ab_spending_monitor",
+    "kaplan_meier_second_order",
+    "zorder_layout_audit",
+    "char_entropy_buckets",
+    "brown_double_smoothing_forecast",
 ]
 
 
