@@ -627,8 +627,11 @@ _ENT_BAND_TENTHS = 10  # bands are 0.1-nat wide: band = floor(10H)
 
 _ENTROPY_ORACLE = """
 WITH pos AS (
+    -- empty docs are excluded on BOTH engines: Spark's sequence(1, 0)
+    -- would generate a DESCENDING [1, 0] while range(1, 1) is empty —
+    -- a latent cross-engine divergence this predicate pins shut
     SELECT doc_id, unnest(range(1, len(text) + 1)) AS i
-    FROM documents
+    FROM documents WHERE len(text) > 0
 ),
 chars AS (
     SELECT p.doc_id, substr(d.text, CAST(p.i AS INT), 1) AS ch
@@ -685,7 +688,8 @@ def char_entropy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     cc = (
-        d.select(
+        d.where(F.length("text") > 0)
+        .select(
             "doc_id",
             F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
             "text",
