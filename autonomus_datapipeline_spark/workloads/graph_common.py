@@ -49,7 +49,13 @@ def copurchase_edges(
     through (tests monkeypatch that binding to inject synthetic graphs —
     resolving it here would silently bypass the patch)."""
     li = (load or load_table)(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # No per-(order, part) pre-distinct: duplicate pairs are ~1e-4 of the
+    # fact table (a part reordered within an order), the post-join
+    # (src, dst) distinct already dedupes them exactly, and dropping the
+    # pre-pass removes one full fact-table shuffle — the self-join's two
+    # sides hash-exchange on the SAME key and ReuseExchange dedups them
+    # into one.
+    op = li.select("l_orderkey", "l_partkey")
     a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
     half = (
