@@ -1659,3 +1659,100 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_rows"
         ),
     ).orderBy("lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (Efraimidis–Spirakis A-Res, deterministic)
+# ---------------------------------------------------------------------------
+
+_WRS_K = 50
+# 8 md5 hex nibbles → u uniform over (0, 1) in 1/(16^8+1) atoms (strictly
+# interior: +1 shift keeps ln defined even for the all-zero nibble draw).
+_WRS_DEN = 16**8 + 1
+_WRS_LQ = "1e12"  # ln(u)/w floor grain; |key| < 22/min_w → units < 2^53
+
+
+def _wrs_nibble_sql(h: str, i: int) -> str:
+    a = f"ascii(substr({h}, {i}, 1))"
+    return (
+        f"(CAST({a} AS BIGINT) - 48"
+        f" - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
+    )
+
+
+_WRS_K4_SQL = " + ".join(
+    f"{_wrs_nibble_sql('h', i + 1)} * {16 ** (7 - i)}" for i in range(8)
+)
+
+_WRS_ORACLE = f"""
+WITH keyed AS (
+    SELECT o_orderkey, o_totalprice,
+           CAST(FLOOR(ln((CAST(({_WRS_K4_SQL.replace("h", "md5(CAST(o_orderkey AS VARCHAR))")}) AS DOUBLE) + 1)
+                         / {_WRS_DEN})
+                      / o_totalprice * {_WRS_LQ}) AS BIGINT) AS key_units
+    FROM orders
+),
+ranked AS (
+    SELECT o_orderkey, o_totalprice, key_units,
+           ROW_NUMBER() OVER (
+               ORDER BY key_units DESC, o_orderkey ASC
+           ) AS rk
+    FROM keyed
+)
+SELECT CAST(rk AS INT) AS rk, o_orderkey, o_totalprice, key_units
+FROM ranked WHERE rk <= {_WRS_K}
+ORDER BY rk
+"""
+
+
+@query("weighted_reservoir_sample", oracle=_WRS_ORACLE)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via the Efraimidis–Spirakis
+    A-Res reservoir (Inf. Proc. Letters 2006): each row draws
+    key = u^(1/w) and the top-{_WRS_K} keys ARE a without-replacement
+    PPS sample — the one-pass, merge-friendly design every distributed
+    sampler builds on, complementing pps_systematic_sample (fixed-grid,
+    with multiplicity) with the draw-without-replacement semantics a
+    training-mix needs when a document must not repeat.
+
+    Determinism: u derives from md5(o_orderkey) nibbles (strictly
+    interior via the +1 atom shift, so ln is always defined); the
+    monotone-equivalent key ln(u)/w is one fixed IEEE expression over
+    identical inputs, floor-quantized to integer units before ranking,
+    and the top-k carries an orderkey tiebreak. No RNG, no seed drift —
+    re-running the sample is byte-identical (the reservoir property
+    tests rely on this).
+
+    Scale: one narrow scan projecting the key (codegen'd md5 + integer
+    nibble math + one ln), then TakeOrderedAndProject via ranked_head —
+    per-partition heaps, no global sort, no unpartitioned window. The
+    reservoir merges associatively at 100 TB: top-k of per-partition
+    top-ks, exactly what the plan already does.
+    """
+    from autonomus_datapipeline_spark.operators.prefix_sum import ranked_head
+
+    o = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+
+    def nib(i: int):
+        a = F.ascii(F.substring(h, i, 1))
+        return (a - 48 - F.when(a >= 97, 39).otherwise(0)).cast("bigint")
+
+    k4 = None
+    for i in range(8):
+        term = nib(i + 1) * F.lit(16 ** (7 - i)).cast("bigint")
+        k4 = term if k4 is None else k4 + term
+    keyed = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.floor(
+            F.log((k4.cast("double") + 1) / F.lit(_WRS_DEN))
+            / F.col("o_totalprice")
+            * float(_WRS_LQ)
+        )
+        .cast("bigint")
+        .alias("key_units"),
+    )
+    return ranked_head(
+        keyed, [("key_units", False), ("o_orderkey", True)], _WRS_K, "rk"
+    ).select("rk", "o_orderkey", "o_totalprice", "key_units")

@@ -279,3 +279,30 @@ def test_brown_constant_series_forecasts_the_constant(spark, monkeypatch):
         assert math.isclose(r.s1_level, 100.0, rel_tol=1e-12)
         assert math.isclose(r.s2_level, 100.0, rel_tol=1e-12)
         assert math.isclose(r.forecast_7d, 100.0, rel_tol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_reservoir_deterministic_and_sized(spark, sf_dir):
+    fn = QUERY_REGISTRY["weighted_reservoir_sample"].fn
+    a = [(r.rk, r.o_orderkey) for r in fn(spark, sf_dir).collect()]
+    b = [(r.rk, r.o_orderkey) for r in fn(spark, sf_dir).collect()]
+    assert a == b  # md5-keyed, not RNG
+    assert len(a) == 50 and len({k for _, k in a}) == 50  # w/o replacement
+    assert [rk for rk, _ in a] == list(range(1, 51))
+
+
+def test_weighted_reservoir_dominant_weight_always_sampled(spark, monkeypatch):
+    """key = ln(u)/w: with w = 1e12 the key floor is ≥ -22 units while a
+    unit-weight row can reach at best ~-200 (u < 1 - 2e-10), so the heavy
+    row outranks EVERY light row deterministically."""
+    from autonomus_datapipeline_spark.workloads import curation_ops
+
+    rows = [(i, 1.0) for i in range(200)] + [(999, 1.0e12)]
+    o = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    monkeypatch.setattr(curation_ops, "load_table", lambda s, sf, n: o)
+    out = curation_ops.weighted_reservoir_sample(spark, "unused").collect()
+    assert out[0].o_orderkey == 999 and out[0].rk == 1

@@ -242,6 +242,7 @@ PROBE_QUERIES = [
     "zorder_layout_audit",
     "char_entropy_buckets",
     "brown_double_smoothing_forecast",
+    "weighted_reservoir_sample",
 ]
 
 
