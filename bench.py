@@ -93,6 +93,24 @@ def _warm(spark, sf_dir: str) -> None:
     QUERY_REGISTRY["embedding_norm_stats"].fn(spark, sf_dir).count()
 
 
+def _cpu_canary() -> float:
+    """Wall seconds for a fixed single-core pure-Python workload — a direct
+    machine-speed number next to loadavg. Same-code suite walls measured
+    221.7/228.6/250.8/264.8 s across one day with loadavg_before as low as
+    0.34 on the slowest run: host-level throttling that load average does
+    NOT capture. The canary ratio between two sidecars separates "the code
+    got slower" from "the box got slower" in one division."""
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        _ = acc
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -108,6 +126,7 @@ def main() -> None:
         load_before = [round(x, 2) for x in os.getloadavg()]
     except OSError:  # pragma: no cover
         load_before = None
+    canary_before = _cpu_canary()
 
     t_warm0 = time.time()
     _warm(spark, sf_dir)
@@ -186,6 +205,8 @@ def main() -> None:
         "warm_sec": warm_sec,
         "loadavg_before": load_before,
         "loadavg_after": load_after,
+        "cpu_canary_sec_before": canary_before,
+        "cpu_canary_sec_after": _cpu_canary(),
         "aggregation": "median over n_runs (per-run times in 'detail')",
         "queries": medians,
         "detail": detail,
