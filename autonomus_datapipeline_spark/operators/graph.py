@@ -13,8 +13,12 @@ distributed join+agg passes; only the 1-row convergence check touches the
 driver). Worst-case O(log² n) rounds with O(log n) observed even on
 adversarial chain graphs — unlike plain min-label propagation, whose round
 count tracks the graph DIAMETER (a 10^6-long near-dup chain would need 10^6
-rounds; star contraction needs ~20). Lineage is truncated per round with
-localCheckpoint so plans don't grow unboundedly.
+rounds; star contraction needs ~20). Lineage is truncated per round via
+:func:`tuning.truncate_lineage` so plans don't grow unboundedly —
+localCheckpoint on local mode, or a RELIABLE checkpoint when the session
+sets ``spark.graft.reliableCheckpoint=true`` (executor-loss-safe for
+production clusters with node churn; local checkpoint blocks die with
+their executor mid-loop).
 """
 
 from __future__ import annotations
@@ -70,11 +74,11 @@ def connected_components(
     if assume_symmetric:
         sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     else:
-        sym = (
+        sym = tuning.truncate_lineage(
             edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-            .distinct()
-            .localCheckpoint(eager=True)
+            .distinct(),
+            eager=True,
         )
     n_edges = sym.count()  # reads the checkpoint, also warms it
     spark = edges.sparkSession
@@ -91,8 +95,8 @@ def connected_components(
     # CONSUMER's action, outside the scope, at corpus width — and every
     # registered consumer reads the full component table anyway.
     with tuning.scoped_shuffle(spark, n_partitions, aqe=False):
-        return _star_loop(sym, n_edges, max_iter, rounds_out).localCheckpoint(
-            eager=True
+        return tuning.truncate_lineage(
+            _star_loop(sym, n_edges, max_iter, rounds_out), eager=True
         )
 
 
@@ -146,7 +150,7 @@ def _star_loop(
         for _ in range(max_iter):
             rounds += 1
             E.createOrReplaceTempView(view)
-            new_e = spark.sql(round_sql).localCheckpoint(eager=False)
+            new_e = tuning.truncate_lineage(spark.sql(round_sql), eager=False)
             # TWO cheap jobs per round, no standalone confirmation pass:
             # the anti-join diff (new \ old) is the first action, so it
             # materializes the lazy checkpoint as a side effect AND

@@ -23,7 +23,39 @@ from __future__ import annotations
 
 from contextlib import contextmanager
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+# Session conf that switches lineage truncation from executor-local
+# checkpoints to RELIABLE (checkpoint-dir-backed) ones. Default off: on
+# local[k] there is no executor churn and localCheckpoint is strictly
+# faster. On a real multi-executor cluster, localCheckpoint blocks die
+# with their executor — an iterative loop (connected components, LPA)
+# that loses a block mid-round fails unrecoverably — so production runs
+# set this to "true" and point the SparkContext at a warehouse-backed
+# checkpoint dir (HDFS/S3):
+#
+#     spark.sparkContext.setCheckpointDir("hdfs://.../checkpoints")
+#     spark.conf.set("spark.graft.reliableCheckpoint", "true")
+RELIABLE_CHECKPOINT_CONF = "spark.graft.reliableCheckpoint"
+
+
+def truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut ``df``'s lineage so iterative loops don't grow plans unboundedly.
+
+    ``localCheckpoint`` by default (fastest; blocks live on executors).
+    When the session sets :data:`RELIABLE_CHECKPOINT_CONF` to ``"true"``,
+    uses a reliable ``checkpoint`` instead — the executor-loss-safe form a
+    100×-scale cluster with node churn needs (r10 verdict item 2). The two
+    forms are value-identical; only durability and write cost differ."""
+    spark = df.sparkSession
+    if spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false").lower() == "true":
+        if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+            raise RuntimeError(
+                f"{RELIABLE_CHECKPOINT_CONF}=true requires "
+                "spark.sparkContext.setCheckpointDir(...) first"
+            )
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 # One initial shuffle partition per this many rows. Small relations in this
 # engine are hash/id tuples (~50-100 B/row), so 250k rows ≈ 15-25 MB per

@@ -391,10 +391,16 @@ def _logit_iter_sql(b0: str, b1: str) -> str:
     expression over those sums, floor-quantized to 1e-9 so the next
     iteration's broadcast parameters are bit-identical across engines."""
     return f"""
-    SELECT CAST(FLOOR((({b0}) + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01))
-                * 1e9) AS BIGINT) / 1e9 AS b0q,
-           CAST(FLOOR((({b1}) + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01))
-                * 1e9) AS BIGINT) / 1e9 AS b1q
+    SELECT CASE WHEN h00 * h11 - h01 * h01 <> 0
+                THEN CAST(FLOOR((({b0})
+                     + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01))
+                     * 1e9) AS BIGINT) / 1e9
+                ELSE ({b0}) END AS b0q,
+           CASE WHEN h00 * h11 - h01 * h01 <> 0
+                THEN CAST(FLOOR((({b1})
+                     + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01))
+                     * 1e9) AS BIGINT) / 1e9
+                ELSE ({b1}) END AS b1q
     FROM (
         SELECT CAST(SUM(tm6) AS DOUBLE) / 1e6 AS g0,
                CAST(SUM(CAST(FLOOR(tm6 * x) AS BIGINT)) AS DOUBLE) / 1e6 AS g1,
@@ -511,9 +517,18 @@ def _logit_step(base: DataFrame, prev: DataFrame) -> DataFrame:
     b1n = F.col("b1q") + (
         F.col("h00") * F.col("g1") - F.col("h01") * F.col("g0")
     ) / det
+    # Degenerate-input guard (constant x, or an empty/one-sided treatment
+    # arm): the 2×2 Hessian is singular, det = 0, and an unguarded Newton
+    # update would emit null/±inf parameters — where Spark and DuckDB also
+    # disagree on divide-by-zero semantics. Keep the previous parameters
+    # instead (the oracle carries the identical CASE guard).
     return s.select(
-        (F.floor(b0n * 1e9).cast("bigint") / 1e9).alias("b0q"),
-        (F.floor(b1n * 1e9).cast("bigint") / 1e9).alias("b1q"),
+        F.when(det != 0, F.floor(b0n * 1e9).cast("bigint") / 1e9)
+        .otherwise(F.col("b0q"))
+        .alias("b0q"),
+        F.when(det != 0, F.floor(b1n * 1e9).cast("bigint") / 1e9)
+        .otherwise(F.col("b1q"))
+        .alias("b1q"),
     )
 
 

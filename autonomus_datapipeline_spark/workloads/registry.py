@@ -52,11 +52,34 @@ class QuerySpec:
 QUERY_REGISTRY: dict[str, QuerySpec] = {}
 
 
+def _interp_doc(fn: Callable) -> str:
+    """Interpolate ``{_MODULE_CONSTANT}`` placeholders in a query docstring
+    from the defining module's globals. Docstrings are plain strings (an
+    f-string would not survive as ``__doc__``), so references to tuning
+    constants like ``{_LPA_TOP}`` stay literal without this pass — and the
+    stored QuerySpec.doc surfaces in generated docs. Only underscore-prefixed
+    identifiers that actually exist in the module are substituted; anything
+    else (including literal braces in prose) is left untouched."""
+    import re
+    import sys
+
+    doc = fn.__doc__ or ""
+    mod = sys.modules.get(fn.__module__)
+    g = vars(mod) if mod is not None else {}
+    return re.sub(
+        r"\{(_[A-Za-z0-9_]+)\}",
+        lambda m: str(g[m.group(1)]) if m.group(1) in g else m.group(0),
+        doc,
+    )
+
+
 def query(name: str, oracle: str | None = None):
     """Register a workload query. ``oracle`` is the DuckDB-equivalent SQL."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERY_REGISTRY[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "")
+        doc = _interp_doc(fn)
+        fn.__doc__ = doc
+        QUERY_REGISTRY[name] = QuerySpec(name, fn, oracle, doc)
         return fn
 
     return deco

@@ -708,6 +708,53 @@ def _lpa_round_sql(edges: str, prev: str, out: str) -> str:
 
 _lpa_round_sql_ref = _lpa_round_sql
 
+# Production argmax form for the LPA family. tools/ab_bench.py flips this to
+# "window" for the interleaved A/B; both forms are value-identical.
+_LPA_ARGMAX = "hash"
+
+
+def _lpa_labels(
+    edges: DataFrame, rounds: int = 2, argmax: str | None = None
+) -> DataFrame:
+    """``rounds`` semi-synchronous LPA rounds from identity labels over a
+    symmetric edge list (u, v). Both argmax forms are value-identical —
+    adopt the neighbor label with the highest count, ties to the SMALLEST
+    label — and both are registered here so tools/ab_bench.py can A/B them
+    in one session (r10 verdict: the hash rewrite's win was weather-suspect):
+
+    - ``"hash"``: max over a (count, -label) struct — a pure HASH aggregate
+      with map-side partial combine, no per-group sort.
+    - ``"window"``: row_number over (count DESC, label) per node — the
+      oracle's form; one sort per round.
+    """
+    if argmax is None:
+        argmax = _LPA_ARGMAX
+    labels = edges.select(F.col("u"), F.col("u").alias("label")).distinct()
+    for _ in range(rounds):
+        nb = edges.join(
+            labels.select(F.col("u").alias("v"), "label"), "v"
+        ).groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
+        if argmax == "hash":
+            labels = (
+                nb.groupBy("u")
+                .agg(
+                    F.max(
+                        F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                    ).alias("m")
+                )
+                .select("u", (-F.col("m.nl")).alias("label"))
+            )
+        else:
+            w = Window.partitionBy("u").orderBy(
+                F.desc("c"), F.asc("label")
+            )
+            labels = (
+                nb.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("u", "label")
+            )
+    return labels
+
 
 @query(
     "label_propagation_communities",
@@ -748,24 +795,11 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     edges = graph_common.copurchase_edges(spark, sf_dir, load=load_table).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
-    labels = edges.select(F.col("u"), F.col("u").alias("label")).distinct()
-    for _ in range(2):
-        nb = edges.join(
-            labels.select(F.col("u").alias("v"), "label"), "v"
-        ).groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
-        # argmax by (max count, smallest label) as a HASH AGGREGATE over a
-        # struct — value-identical to the row_number window the oracle
-        # uses, but with map-side partial combine and no per-group sort
-        # (measured ~0.5 s/round cheaper at sf0.1).
-        labels = (
-            nb.groupBy("u")
-            .agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-                ).alias("m")
-            )
-            .select("u", (-F.col("m.nl")).alias("label"))
-        )
+    # hash-aggregate argmax (struct max, map-side combine): the r11
+    # interleaved canary-normalized A/B (tools/ab_bench.py, AB_r11.json)
+    # confirmed it at-or-under the window form within noise, so the r10
+    # regression was box weather, not the rewrite.
+    labels = _lpa_labels(edges, rounds=2)
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members")
     )
@@ -1561,24 +1595,9 @@ def lpa_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = edges.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    labels = edges.select(F.col("u"), F.col("u").alias("label")).distinct()
-    for _ in range(2):
-        nb = edges.join(
-            labels.select(F.col("u").alias("v"), "label"), "v"
-        ).groupBy("u", "label").agg(F.count(F.lit(1)).alias("c"))
-        # argmax by (max count, smallest label) as a HASH AGGREGATE over a
-        # struct — value-identical to the row_number window the oracle
-        # uses, but with map-side partial combine and no per-group sort
-        # (measured ~0.5 s/round cheaper at sf0.1).
-        labels = (
-            nb.groupBy("u")
-            .agg(
-                F.max(
-                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
-                ).alias("m")
-            )
-            .select("u", (-F.col("m.nl")).alias("label"))
-        )
+    # hash-aggregate argmax — A/B-confirmed vs the window form (see
+    # label_propagation_communities / tools/ab_bench.py).
+    labels = _lpa_labels(edges, rounds=2)
     # Three downstream subtrees read the final labels (la, lb for the
     # intra-community edge count, plus the degree rollup) — without a
     # materialization each would re-execute both LPA join+window rounds
@@ -4147,7 +4166,11 @@ _BR_D = sum(_BR_W)  # 63
 _BR_H = 7  # forecast horizon (days)
 # Brown: ŷ(t+h) = (2 + αh/(1−α))·S1 − (1 + αh/(1−α))·S2 ; α=1/2, h=7 → 9, 8
 _BR_A, _BR_B = 2 + _BR_H, 1 + _BR_H
-_BR_EMIT_FROM = "2001-01-01"
+# Emit the last N days of the corpus rather than a calendar literal: a
+# hard-coded '2001-01-01' silently returns ZERO rows on any dataset whose
+# orders end earlier (ADVICE r10) — the cutoff must follow the data. N-1
+# days back from max(o_orderdate), derived identically in both engines.
+_BR_EMIT_LAST_DAYS = 210
 
 _BR_W_SQL = ", ".join(f"({j}, {w})" for j, w in enumerate(_BR_W))
 
@@ -4191,7 +4214,7 @@ SELECT s1.d AS day,
        CAST({_BR_A} * s1.s1num * {_BR_D} - {_BR_B} * s2.s2num AS DOUBLE)
            / {_BR_D * _BR_D} AS forecast_{_BR_H}d
 FROM s1full s1 JOIN s2full s2 ON s2.d = s1.d
-WHERE s1.d >= DATE '{_BR_EMIT_FROM}'
+WHERE s1.d >= (SELECT mx - to_days({_BR_EMIT_LAST_DAYS - 1}) FROM bounds)
 ORDER BY 1
 """
 
@@ -4208,7 +4231,10 @@ def brown_double_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFra
     days are emitted) keep BOTH smoothing passes in exact decimal
     arithmetic with no intermediate ratio; each reported value is one
     division of an exactly-computed decimal numerator that stays < 2^53
-    through sf100 (daily revenue floored to whole dollars).
+    through sf100 (daily revenue floored to whole dollars). The emitted
+    window is the corpus's LAST {_BR_EMIT_LAST_DAYS} days, derived from
+    max(o_orderdate) in both engines — never a calendar literal, so the
+    query cannot silently go empty on a corpus that ends early.
 
     Scale: daily rollup is the one data-sized aggregate; the calendar
     grid is envelope-bounded; each smoothing pass is a constant {_BR_L}×
@@ -4251,9 +4277,14 @@ def brown_double_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFra
         "d", "d2"
     )
     dd = _BR_D * _BR_D
+    emit_from = bounds.select(
+        F.date_sub("mx", _BR_EMIT_LAST_DAYS - 1).alias("emit_from")
+    )
     return (
         s1.join(s2, F.col("d2") == F.col("d"))
-        .where(F.col("d") >= F.lit(_BR_EMIT_FROM).cast("date"))
+        .crossJoin(F.broadcast(emit_from))
+        .where(F.col("d") >= F.col("emit_from"))
+        .drop("emit_from")
         .select(
             F.col("d").alias("day"),
             (F.col("s1num").cast("double") / _BR_D).alias("s1_level"),

@@ -102,12 +102,15 @@ def _cpu_canary() -> float:
     got slower" from "the box got slower" in one division."""
     best = float("inf")
     for _ in range(5):
-        t0 = time.time()
+        # perf_counter, not time.time(): the canary isolates MACHINE speed,
+        # so NTP slews / clock adjustments must not leak into it (wall-clock
+        # can step mid-measurement; perf_counter is monotonic).
+        t0 = time.perf_counter()
         acc = 0
         for i in range(2_000_000):
             acc += i * i
         _ = acc
-        best = min(best, time.time() - t0)
+        best = min(best, time.perf_counter() - t0)
     return round(best, 4)
 
 

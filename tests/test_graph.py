@@ -77,3 +77,53 @@ def test_cc_multiple_components_and_self_contained(spark):
     edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
     got = _run_cc(spark, edges)
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_truncate_lineage_requires_checkpoint_dir(spark):
+    import pytest
+
+    from autonomus_datapipeline_spark import tuning
+
+    already = not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty()
+    if already:
+        pytest.skip("session already has a checkpoint dir")
+    df = spark.range(4)
+    spark.conf.set(tuning.RELIABLE_CHECKPOINT_CONF, "true")
+    try:
+        with pytest.raises(RuntimeError, match="setCheckpointDir"):
+            tuning.truncate_lineage(df)
+    finally:
+        spark.conf.unset(tuning.RELIABLE_CHECKPOINT_CONF)
+
+
+def test_cc_reliable_checkpoint_identical(spark, tmp_path):
+    """spark.graft.reliableCheckpoint=true switches every lineage cut in the
+    star loop from localCheckpoint to a reliable (dir-backed) checkpoint —
+    the executor-loss-safe production mode (r10 verdict item 2). Components
+    must be identical to the default run, and the checkpoint dir must
+    actually receive RDD checkpoint data."""
+    import os
+
+    from autonomus_datapipeline_spark import tuning
+
+    rng = random.Random(23)
+    n = 120
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    baseline = _run_cc(spark, edges)
+
+    ckpt_dir = str(tmp_path / "reliable_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt_dir)
+    spark.conf.set(tuning.RELIABLE_CHECKPOINT_CONF, "true")
+    try:
+        reliable = _run_cc(spark, edges)
+    finally:
+        spark.conf.unset(tuning.RELIABLE_CHECKPOINT_CONF)
+    assert reliable == baseline
+    # the reliable run must have materialized checkpoint data on disk
+    written = [
+        os.path.join(dp, f)
+        for dp, _dn, fn in os.walk(ckpt_dir)
+        for f in fn
+    ]
+    assert written, "no reliable checkpoint files were written"
