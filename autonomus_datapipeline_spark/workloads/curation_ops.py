@@ -1037,7 +1037,11 @@ def quantile_normalize_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), then bounded 10-row-per-source rollups — no fact-table
     join, no window over raw text.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out=False: this query's only text work is ONE size(split()) per
+    # doc feeding window shuffles that re-partition anyway — fanning out
+    # the raw text column first costs more than the compute win (measured
+    # 2.2 s vs 3.7 s at sf0.1, AB_r11.json).
+    docs = load_table(spark, sf_dir, "documents", fan_out=False)
     lens = docs.select(
         "doc_id",
         "source",

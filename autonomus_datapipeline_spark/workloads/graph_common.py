@@ -8,6 +8,9 @@ the construction is written (and optimized) once.
 
 Construction shape, chosen by measurement at sf0.1:
 
+- a per-(order, part) pre-distinct feeds the self-join: it dedupes the
+  ~1e-4 reordered-part rows AND hash-clusters the join input, measured
+  ~1 s faster end-to-end than joining the raw fact (AB_r11.json 2×2);
 - the within-order pair fan-out joins on ``src < dst`` so only HALF the
   ordered pairs flow through the distinct (the expensive shuffle — pair
   volume is Σ C(lines_per_order, 2), ~12× the order count);
@@ -34,6 +37,11 @@ from collections.abc import Callable
 
 from autonomus_datapipeline_spark.workloads.registry import load_table
 
+# Production form. tools/ab_bench.py flips this to False to re-measure the
+# r10 no-pre-distinct variant; values are identical either way (the
+# post-join (src, dst) distinct dedupes exactly).
+_EDGE_PRE_DISTINCT = True
+
 
 def copurchase_edges(
     spark: SparkSession,
@@ -49,13 +57,17 @@ def copurchase_edges(
     through (tests monkeypatch that binding to inject synthetic graphs —
     resolving it here would silently bypass the patch)."""
     li = (load or load_table)(spark, sf_dir, "lineitem")
-    # No per-(order, part) pre-distinct: duplicate pairs are ~1e-4 of the
-    # fact table (a part reordered within an order), the post-join
-    # (src, dst) distinct already dedupes them exactly, and dropping the
-    # pre-pass removes one full fact-table shuffle — the self-join's two
-    # sides hash-exchange on the SAME key and ReuseExchange dedups them
-    # into one.
+    # Per-(order, part) pre-distinct RESTORED (r11): r10 dropped it on the
+    # "one fewer fact shuffle" argument, but the interleaved canary-
+    # normalized 2×2 A/B (tools/ab_bench.py, AB_r11.json) measured the
+    # drop as the real cause of the co-purchase family's r10 bench
+    # regression — full LPA 5.05 s without the pre-distinct vs 4.08 s
+    # with it at stable load. The pre-distinct's aggregate shrinks and
+    # ALREADY HASH-CLUSTERS the self-join input, which more than pays for
+    # its own exchange on this join's key distribution.
     op = li.select("l_orderkey", "l_partkey")
+    if _EDGE_PRE_DISTINCT:
+        op = op.distinct()
     a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
     b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
     half = (

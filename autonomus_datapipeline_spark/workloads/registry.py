@@ -102,7 +102,9 @@ def query(name: str, oracle: str | None = None):
 _FAN_OUT_TABLES = frozenset({"documents", "embeddings"})
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool | None = None
+) -> DataFrame:
     """Parquet scan — columnar, so Catalyst prunes columns and pushes filters.
 
     The driver's ``events`` table stores ``ts`` as Parquet TIMESTAMP(NANOS),
@@ -111,8 +113,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TimestampType — a narrow, codegen'd projection with zero scan overhead.
 
     Compute-heavy tables (see :data:`_FAN_OUT_TABLES`) are repartitioned to
-    the session width when the input is under-split.
-    """
+    the session width when the input is under-split. ``fan_out=False`` opts
+    a call site out: for a LIGHT scan (one narrow projection feeding
+    shuffles that re-partition anyway) the fan-out shuffles the raw column
+    data for no compute win — measured +1.5 s on quantile_normalize_deciles
+    and +0.5 s on dbscan_grid_clusters at sf0.1 (AB_r11.json). The heavy
+    scans (shingle/md5/regex per row) keep the default."""
     if name == "events":
         # Without this flag Spark cannot read a TIMESTAMP(NANOS) parquet
         # column at all (hard AnalysisException), so setting it session-wide
@@ -134,7 +140,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         return df
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in _FAN_OUT_TABLES:
+    if fan_out is None:
+        fan_out = name in _FAN_OUT_TABLES
+    if fan_out:
         width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
         if df.rdd.getNumPartitions() < width:
             df = df.repartition(width)
@@ -396,14 +404,48 @@ _DRIVER_PROVEN_ROWS: frozenset[str] = frozenset(
     }
 )
 
-
-# Registry names with no driver CORRECTNESS_r*.json proof yet. The r9
-# driver run cleared the whole historical backlog (its 50 rows covered all
-# 11 never-proven names, all 12 r9-new queries, and 27 re-proofs) — what
-# remains unproven is exactly the queries REGISTERED this round.
-_NEVER_DRIVER_PROVEN: tuple[str, ...] = (
-    "curation_pipeline_funnel",
+# CORRECTNESS_r10.json: hash_match == true (all 50 rows — the 12 r10-new
+# queries, the full _R10_TOUCHED re-proof set, and the oldest-proven tail
+# head). Kept as a separate frozenset because these rows postdate every
+# r8/r9/r10 plan touch: _DRIVER_VERIFIED unions them back AFTER the
+# touched-name subtraction.
+_R10_PROVEN_ROWS: frozenset[str] = frozenset(
+    {
+        "array_functions_suite", "bh_fdr_segment_tests",
+        "brown_double_smoothing_forecast", "char_entropy_buckets",
+        "conformal_interval_calibration", "cumulative_share_pareto80",
+        "cuped_adjusted_ab", "curation_pipeline_funnel",
+        "daily_revenue_peaks", "decision_stump_split",
+        "dedup_apply_minhash", "dedup_connected_components",
+        "dedup_keep_best_quality",
+        "durbin_watson_trend_residuals", "funnel_time_to_conversion",
+        "hazard_table_monthly", "hhi_supplier_concentration",
+        "hits_copurchase_2iter", "interval_overlap_count",
+        "kaplan_meier_second_order", "kcore_peeling_summary",
+        "kendall_tau_b_qty_price", "ks_two_sample_order_value",
+        "label_propagation_communities", "laspeyres_price_index",
+        "logistic_ipw_ate", "lpa_modularity_score",
+        "mann_whitney_order_value", "market_segment_revenue",
+        "naive_bayes_lang_classifier", "nation_region_rollup",
+        "ols_revenue_trend_by_priority", "order_priority_bucket",
+        "order_value_decile_calibration", "pagerank_copurchase",
+        "poisson_bootstrap_ci", "q1_pricing_summary",
+        "reorder_interval_quantiles", "rfm_segmentation",
+        "seq_ab_spending_monitor", "spearman_rho_qty_price",
+        "stats_correlation", "target_encode_oof", "top_orders_by_revenue",
+        "trending_users_report", "trimmed_mean_order_value",
+        "twap_event_value", "weighted_reservoir_sample",
+        "winnowing_match_pairs", "zorder_layout_audit",
+    }
 )
+_DRIVER_PROVEN_ROWS = _DRIVER_PROVEN_ROWS | _R10_PROVEN_ROWS
+
+
+# Registry names with no driver CORRECTNESS_r*.json proof yet. The r10
+# driver run proved all 12 r10-new queries (curation_pipeline_funnel
+# included) — what remains unproven is exactly the queries REGISTERED this
+# round, which _contract_order detects as not-in-_DRIVER_PROVEN_ROWS.
+_NEVER_DRIVER_PROVEN: tuple[str, ...] = ()
 
 # Queries whose PLANS changed in round 8, plus the 7 r7-touched names the
 # r7 driver sample missed (their last driver proof predates the r7
@@ -494,15 +536,35 @@ _R10_TOUCHED: tuple[str, ...] = (
 # contract (and the hygiene test's proven-block invariant holds). Names
 # re-touched in an EARLIER round whose latest proof postdates that touch
 # were folded back in via the r09 proven block above.
+# Queries whose PLANS or VALUES changed in round 11 (re-proof needed
+# before re-entering _DRIVER_VERIFIED): brown's emit window now derives
+# from max(o_orderdate) (VALUES changed: 213 → 210 rows at sf0.01); the
+# logistic Newton step gained the singular-Hessian guard (plan changed,
+# values identical on non-degenerate data); the co-purchase edge builder
+# restored its per-(order, part) pre-distinct (values-neutral, AB_r11
+# perf fix — whole family re-queued per the r10 precedent); and two
+# light-scan queries opted out of the documents/embeddings fan-out
+# (values-neutral plan change, AB_r11 perf fix).
+_R11_TOUCHED: tuple[str, ...] = (
+    "brown_double_smoothing_forecast", "logistic_ipw_ate",
+    # shared edge-builder pre-distinct restore + _lpa_labels refactor
+    "label_propagation_communities", "lpa_modularity_score",
+    "pagerank_copurchase", "kcore_peeling_summary",
+    # load_table fan_out=False opt-outs
+    "dbscan_grid_clusters", "grid_epsilon_neighbors",
+    "quantile_normalize_deciles",
+)
+
 _DRIVER_VERIFIED: frozenset[str] = (
-    _DRIVER_PROVEN_ROWS
-    - frozenset(_R8_TOUCHED)
-    - frozenset(_R9_TOUCHED)
-    - frozenset(_R10_TOUCHED)
-) | (
-    # r9 rows postdate the r8/r9 touches they sampled — restore those
-    # names unless re-touched in r10.
     (
+        _DRIVER_PROVEN_ROWS
+        - frozenset(_R8_TOUCHED)
+        - frozenset(_R9_TOUCHED)
+        - frozenset(_R10_TOUCHED)
+    )
+    | (
+        # r9 rows postdate the r8/r9 touches they sampled — restore those
+        # names unless re-touched in r10.
         frozenset(
             {
                 "theil_sen_daily_trend", "winsorized_mean_order_value",
@@ -518,9 +580,44 @@ _DRIVER_VERIFIED: frozenset[str] = (
                 "pareto_frontier_orders", "ewma_daily_revenue",
             }
         )
+        - frozenset(_R10_TOUCHED)
     )
-    - frozenset(_R10_TOUCHED)
-)
+    # r10 rows postdate every r8/r9/r10 touch they sampled.
+    | _R10_PROVEN_ROWS
+) - frozenset(_R11_TOUCHED)
+
+
+def _latest_proof_round() -> dict[str, int]:
+    """name → newest CORRECTNESS_r*.json round with a green row for it,
+    parsed from the committed driver artifacts at the repo root. Lets the
+    verified tail rotate OLDEST proof first (the driver samples the front
+    50 per round; with 276 queries a full re-proof cycle is ~5 rounds, so
+    freshly-proven names must sink to the back). Empty dict when the
+    artifacts are absent (fresh clone without round history) — the tail
+    then keeps stable registry order."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
 
 
 def _contract_order() -> list[str]:
@@ -528,9 +625,11 @@ def _contract_order() -> list[str]:
     backlog, then any other name with no CORRECTNESS row ever — newly
     registered queries land here by definition), then touched re-proof
     names (newest round first: a stale proof outranks no proof at all, so
-    re-proofs queue BEHIND the never-proven), then the driver-proven tail
-    (stable within each block). A touched name never rides the verified
-    tail even if an older round proved its pre-rewrite shape."""
+    re-proofs queue BEHIND the never-proven), then the driver-proven tail,
+    OLDEST latest-proof first (so the 50-row driver window refreshes the
+    stalest vintage each round instead of re-proving last round's rows).
+    A touched name never rides the verified tail even if an older round
+    proved its pre-rewrite shape."""
     names = list(QUERY_REGISTRY)
     front: list[str] = []
     for n in (
@@ -538,7 +637,9 @@ def _contract_order() -> list[str]:
         *(_n for _n in names if _n not in _DRIVER_PROVEN_ROWS),
         *(
             _n
-            for _n in (*_R10_TOUCHED, *_R9_TOUCHED, *_R8_TOUCHED)
+            for _n in (
+                *_R11_TOUCHED, *_R10_TOUCHED, *_R9_TOUCHED, *_R8_TOUCHED
+            )
             if _n in QUERY_REGISTRY and _n not in _DRIVER_VERIFIED
         ),
     ):
@@ -549,9 +650,12 @@ def _contract_order() -> list[str]:
         n for n in names
         if n not in _DRIVER_VERIFIED and n not in tset
     ]
-    verified = [
-        n for n in names if n in _DRIVER_VERIFIED and n not in tset
-    ]
+    proof_round = _latest_proof_round()
+    idx = {n: i for i, n in enumerate(names)}
+    verified = sorted(
+        (n for n in names if n in _DRIVER_VERIFIED and n not in tset),
+        key=lambda n: (proof_round.get(n, 0), idx[n]),
+    )
     return front + rest_unproven + verified
 
 

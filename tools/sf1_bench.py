@@ -135,6 +135,28 @@ HEADLINE = [
     "curation_e2e_documents",
 ]
 
+# round-11 (r10 verdict item 8): the 15 most expensive registry queries by
+# the r10 driver bench — the graph/dedup/ANN heavy tail — so the
+# 100×-posture claim is MEASURED at sf1 for exactly the queries where an
+# accidental super-linearity would hurt most, not extrapolated from sf0.1.
+HEAVY_TAIL = [
+    "label_propagation_communities",
+    "lpa_modularity_score",
+    "dbscan_grid_clusters",
+    "simhash_hamming_dedup_first",
+    "kcore_peeling_summary",
+    "curation_pipeline_funnel",
+    "pagerank_copurchase",
+    "dedup_keep_best_quality",
+    "dedup_apply_minhash",
+    "dedup_connected_components",
+    "robust_outlier_mad",
+    "bfs_hops_from_hub",
+    "ann_recall_report",
+    "hits_copurchase_2iter",
+    "ann_mrr_report",
+]
+
 
 def _time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     runs = []
@@ -160,12 +182,15 @@ def main() -> None:
     spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id long").count()
 
     results = []
-    for name in HEADLINE:
+    for name, qset in [(n, "headline") for n in HEADLINE] + [
+        (n, "heavy_tail") for n in HEAVY_TAIL
+    ]:
         t1, n1 = _time_query(spark, name, BASE)
         t10, n10 = _time_query(spark, name, SF1)
         factor = round(t10 / t1, 2) if t1 > 0 else float("nan")
         results.append({
             "query": name,
+            "set": qset,
             "rows_sf01": n1,
             "sec_sf01": round(t1, 2),
             "rows_sf1": n10,
@@ -175,11 +200,14 @@ def main() -> None:
         print(f"{name}: sf0.1 {t1:.2f}s ({n1}) | sf1 {t10:.2f}s ({n10}) "
               f"| factor {factor}", file=sys.stderr)
 
+    from bench import _cpu_canary
+
     with open("BENCH_SF1.json", "w") as fh:
         json.dump({
             "metric": "sf1_headline_median_sec",
             "n_runs": N_RUNS,
             "sf1_dir": SF1,
+            "cpu_canary_sec": _cpu_canary(),
             "results": results,
         }, fh, indent=1)
 
@@ -196,12 +224,12 @@ def main() -> None:
         "medallion row: 218 s at 500K rows e2e (BASELINE.md Table 3); here",
         "1.5M orders run the same bronze→silver→gold chain.",
         "",
-        "| query | rows @sf0.1 | s @sf0.1 | rows @sf1 | s @sf1 | factor |",
-        "|---|---|---|---|---|---|",
+        "| query | set | rows @sf0.1 | s @sf0.1 | rows @sf1 | s @sf1 | factor |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in results:
         lines.append(
-            f"| {r['query']} | {r['rows_sf01']} | {r['sec_sf01']} "
+            f"| {r['query']} | {r['set']} | {r['rows_sf01']} | {r['sec_sf01']} "
             f"| {r['rows_sf1']} | {r['sec_sf1']} | {r['factor']} |"
         )
     with open("SCALE_PROBE.md", "a") as fh:
