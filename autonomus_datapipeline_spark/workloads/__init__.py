@@ -30,3 +30,4 @@ from autonomus_datapipeline_spark.workloads import diagnostics_ops  # noqa: F401
 from autonomus_datapipeline_spark.workloads import tpch_partsupp  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import model_ops  # noqa: F401,E402
 from autonomus_datapipeline_spark.workloads import asof_ops  # noqa: F401,E402
+from autonomus_datapipeline_spark.workloads import sketch_ops  # noqa: F401,E402

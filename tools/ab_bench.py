@@ -153,12 +153,18 @@ def main() -> None:
 
     runs: dict[tuple[str, str], list[dict]] = {t[:2]: [] for t in TARGETS}
     for sweep in range(n_pairs):
-        # Rotate the sweep's starting offset: the first query after a full
-        # sweep pays the previous sweep's ContextCleaner/GC backlog (~0.3-2 s
-        # measured), so a FIXED order biases whichever variant is listed
-        # first. Rotation spreads that tax uniformly across variants.
-        k = sweep % len(TARGETS)
-        for name, label, setup in TARGETS[k:] + TARGETS[:k]:
+        # PERMUTE the sweep order (seeded, deterministic): each timed run
+        # inherits its PREDECESSOR's ContextCleaner/GC/shuffle-file backlog
+        # (~0.3-2 s measured), and a rotation preserves cyclic neighbors —
+        # the same variant always pays the same predecessor's tax (r11:
+        # head_pre+hash glued after the fan-out variant's full-text shuffle
+        # read +1 s across every sweep). A fresh permutation per sweep
+        # decorrelates predecessors from variants.
+        import random as _random
+
+        order = list(TARGETS)
+        _random.Random(sweep).shuffle(order)
+        for name, label, setup in order:
             setup()
             spark.catalog.clearCache()
             c = _canary()
