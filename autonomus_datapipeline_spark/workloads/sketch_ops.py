@@ -69,8 +69,8 @@ def _hll_sql_one(label: str, table: str, col: str) -> str:
         ),
         raw AS (
             SELECT CAST(FLOOR(
-                       {_HLL_ALPHA} * {_HLL_M} * {_HLL_M}
-                       * {2 ** _HLL_UNIT_POW}
+                       CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M}
+                       * CAST({2 ** _HLL_UNIT_POW} AS DOUBLE)
                        / (pres + ({_HLL_M} - nregs)
                                  * CAST({2 ** _HLL_UNIT_POW} AS BIGINT))
                        * 1e6) AS BIGINT) AS raw_u,
@@ -364,9 +364,9 @@ est AS (
 )
 SELECT CAST((SELECT SUM(c * c) FROM f) AS BIGINT) AS f2_exact,
        CAST((SELECT CAST(SUM(x2) AS BIGINT) FROM est
-             WHERE rk IN ({_AMS_EST // 2}, {_AMS_EST // 2 + 1})) / 2
+             WHERE rk IN ({_AMS_EST // 2}, {_AMS_EST // 2 + 1})) // 2
            AS BIGINT) AS ams_median_est,
-       CAST((SELECT CAST(SUM(x2) AS BIGINT) FROM est) / {_AMS_EST}
+       CAST((SELECT CAST(SUM(x2) AS BIGINT) FROM est) // {_AMS_EST}
            AS BIGINT) AS ams_mean_est
 """
 
@@ -423,9 +423,13 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     med = ranked.where(
         F.col("rk").isin(_AMS_EST // 2, _AMS_EST // 2 + 1)
-    ).agg((F.sum("x2") / 2).cast("bigint").alias("ams_median_est"))
+    ).agg(F.expr("CAST(SUM(x2) AS BIGINT) div 2").alias("ams_median_est"))
+    # integer div on BOTH engines: a double-division + bigint cast drifts
+    # (Spark casts by truncation, DuckDB by rounding — caught at sf0.001).
     mean = est.agg(
-        (F.sum("x2") / _AMS_EST).cast("bigint").alias("ams_mean_est")
+        F.expr(f"CAST(SUM(x2) AS BIGINT) div {_AMS_EST}").alias(
+            "ams_mean_est"
+        )
     )
     f2 = f.agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
     return (
