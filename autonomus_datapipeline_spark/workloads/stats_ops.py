@@ -4299,3 +4299,111 @@ def brown_double_smoothing_forecast(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman optimal allocation for stratified sampling
+# ---------------------------------------------------------------------------
+
+_NEY_BUDGET = 1000  # total sample budget to allocate across strata
+
+
+_NEY_ORACLE = f"""
+WITH s AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_h,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS DECIMAL(38,0)) AS s1,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)
+                    * CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS DECIMAL(38,0)) AS s2
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+),
+w AS (
+    -- N_h * S_h = sqrt(n * sum(x^2) - sum(x)^2); computed in doubles from
+    -- the exact integer sums (identical-input IEEE, then floor-quantized)
+    -- to avoid DECIMAL(38) multiplication overflow semantics.
+    SELECT segment, n_h,
+           CAST(FLOOR(sqrt(n_h * CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      / 100.0) AS BIGINT) AS wu,
+           CAST(s1 AS DOUBLE) / n_h / 100.0 AS mean_value
+    FROM s
+),
+t AS (SELECT CAST(SUM(wu) AS BIGINT) AS tw FROM w)
+SELECT segment, n_h, mean_value,
+       CAST(wu AS DOUBLE) / 1e4 AS nh_sh,
+       CAST(CAST({_NEY_BUDGET} AS BIGINT) * wu // tw AS BIGINT) AS alloc_n
+FROM w, t
+ORDER BY segment
+"""
+
+
+@query("neyman_allocation_plan", oracle=_NEY_ORACLE)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation (Neyman 1934): split a {_NEY_BUDGET}-row
+    sampling budget across customer segments proportionally to N_h·S_h —
+    the design that minimizes the stratified estimator's variance for a
+    fixed budget. This is the PLANNING step in front of the engine's
+    samplers (pps_systematic_sample draws within strata;
+    weighted_reservoir_sample draws without replacement): high-variance
+    strata get more than proportional share, near-constant strata almost
+    none.
+
+    Determinism: per-stratum moments are exact integer cents
+    (n·Σx² − (Σx)² in DECIMAL(38,0)); S_h enters through one
+    identical-input sqrt floor-quantized to integer weight units; the
+    allocation itself is pure integer arithmetic (budget·w_h // Σw_h —
+    floor allocation, undershoot < #strata by construction).
+
+    Scale: one fact-dimension broadcast join and one segment rollup
+    (map-side combinable), then constant-size weight algebra — the
+    allocation table is |strata| rows no matter the corpus.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    s = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), cents.alias("x"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_h"),
+            F.sum("x").cast("decimal(38,0)").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("s2"),
+        )
+    )
+    # N_h*S_h = sqrt(n*sum(x^2) - sum(x)^2) — doubles from exact sums
+    wu = F.floor(
+        F.sqrt(
+            F.col("n_h") * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / F.lit(100.0)
+    ).cast("bigint")
+    w = s.select(
+        "segment",
+        "n_h",
+        wu.alias("wu"),
+        (F.col("s1").cast("double") / F.col("n_h") / F.lit(100.0)).alias(
+            "mean_value"
+        ),
+    )
+    t = w.agg(F.sum("wu").cast("bigint").alias("tw"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "segment",
+            "n_h",
+            "mean_value",
+            (F.col("wu").cast("double") / 1e4).alias("nh_sh"),
+            F.expr(f"CAST({_NEY_BUDGET} AS BIGINT) * wu div tw")
+            .cast("bigint")
+            .alias("alloc_n"),
+        )
+        .orderBy("segment")
+    )
