@@ -55,8 +55,11 @@ def test_jl_projection_distortion_bands_and_variance(spark):
     # E[variance retained] = 1 for a +/-1 JL matrix scaled by 1/sqrt(k)
     vr = rows[0].corpus_var_ratio
     assert 0.5 < vr < 1.5, vr
-    # most pairs should land in the low-distortion bands for k=16
-    low = sum(r.n_pairs for r in rows if r.distortion_band <= 1)
+    # k=16 → ratio sd ≈ sqrt(2/k) ≈ 0.35, so P(|r−1| < 0.3) ≈ 0.6: the
+    # majority of pairs must land within the first three bands (a 0.5 bar
+    # on bands ≤1 would demand P(|r−1| < 0.2) > 0.5, which JL does NOT
+    # promise at k=16 — measured 0.44, right on theory).
+    low = sum(r.n_pairs for r in rows if r.distortion_band <= 2)
     assert low >= total_pairs * 0.5
 
 
