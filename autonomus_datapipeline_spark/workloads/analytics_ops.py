@@ -1886,3 +1886,116 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_AA_MID_DEG_CAP = 70  # middles above this degree are skipped (see docstring)
+_AA_TOP = 20
+_AA_LNQ = 1e9  # 1/ln(deg) contribution grain
+
+
+@query(
+    "adamic_adar_link_prediction",
+    oracle=f"""
+    WITH {{edges_cte}},
+    mid AS (
+        SELECT e0.src AS m, e0.dst AS x, d.deg
+        FROM e0 JOIN deg d ON d.src = e0.src
+        WHERE d.deg BETWEEN 2 AND {_AA_MID_DEG_CAP}
+    ),
+    paths AS (
+        SELECT a.x AS u, b.x AS v,
+               CAST(FLOOR({_AA_LNQ} / ln(CAST(a.deg AS DOUBLE)))
+                    AS BIGINT) AS cu
+        FROM mid a JOIN mid b ON b.m = a.m AND a.x < b.x
+    ),
+    sc AS (
+        SELECT u, v, CAST(SUM(cu) AS BIGINT) AS su,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM paths GROUP BY 1, 2
+    ),
+    ne AS (
+        SELECT sc.u, sc.v, sc.su, sc.n_common
+        FROM sc LEFT JOIN e0 ON e0.src = sc.u AND e0.dst = sc.v
+        WHERE e0.src IS NULL
+    )
+    SELECT u, v, n_common,
+           CAST(su AS DOUBLE) / {_AA_LNQ} AS aa_score, rk
+    FROM (
+        SELECT u, v, n_common, su,
+               CAST(ROW_NUMBER() OVER (ORDER BY su DESC, u, v) AS INT) AS rk
+        FROM ne
+    ) z
+    WHERE rk <= {_AA_TOP}
+    ORDER BY rk
+    """.format(edges_cte=_PR_EDGES_CTE),
+)
+def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: the top {_AA_TOP}
+    part pairs that are NOT currently co-purchased but share many
+    common co-purchase neighbors, scored by Adamic-Adar
+    Σ_m 1/ln(deg(m)) (Adamic & Adar 2003) — rare shared neighbors count
+    more than hub middles. This is the "customers who bought X also
+    bought Y" candidate generator and the standard graph-completion
+    baseline, a capability family (link prediction) next to the engine's
+    community/centrality/core queries.
+
+    Middles with degree > {_AA_MID_DEG_CAP} are skipped: a hub middle
+    contributes the least per pair (1/ln(deg) → 0) while generating the
+    MOST pairs (deg² fan-out) — the df-cap discipline the n-gram pair
+    joins use (ngram_jaccard_capped), applied to 2-paths. The co-purchase
+    projection is DENSE (mean degree ~120 at every sf; Σdeg² ≈ 300M at
+    sf0.1), so the cap is what keeps the 2-path volume bounded (~680k at
+    sf0.1, measured) — and it is semantically the right filter, not just
+    a cost one: same-order neighbors are edges by construction, so
+    informative non-edge 2-paths run through moderate-degree cross-order
+    middles.
+
+    Determinism: contributions are floor-quantized integers
+    ({_AA_LNQ}/ln(deg), identical-input IEEE ln); sums exact; ranking
+    carries the (score, u, v) total tiebreak; window-free top-k
+    (ranked_head).
+
+    Scale: one self-join of the degree-capped edge list on the middle
+    node (bounded fan-out), one hash aggregate on (u, v), one broadcast-
+    able anti-join against the edge list, constant-size top-k.
+    """
+    edges = graph_common.copurchase_edges(
+        spark, sf_dir, with_degrees=True, load=load_table
+    )
+    mid = edges.where(
+        (F.col("deg") >= 2) & (F.col("deg") <= _AA_MID_DEG_CAP)
+    )
+    a = mid.select(
+        F.col("src").alias("m"), F.col("dst").alias("u"), "deg"
+    )
+    b = mid.select(F.col("src").alias("m2"), F.col("dst").alias("v"))
+    cu = F.floor(
+        F.lit(_AA_LNQ) / F.log(F.col("deg").cast("double"))
+    ).cast("bigint")
+    paths = a.join(
+        b, (F.col("m") == F.col("m2")) & (F.col("u") < F.col("v"))
+    ).select("u", "v", cu.alias("cu"))
+    sc = paths.groupBy("u", "v").agg(
+        F.sum("cu").cast("bigint").alias("su"),
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+    )
+    ne = sc.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        ranked_head(ne, [("su", False), ("u", True), ("v", True)], _AA_TOP, "rk")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            (F.col("su").cast("double") / _AA_LNQ).alias("aa_score"),
+            "rk",
+        )
+        .orderBy("rk")
+    )

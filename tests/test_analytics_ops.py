@@ -35,7 +35,7 @@ def test_streak_islands_split_on_gap(spark, monkeypatch):
         "user_id long, ts timestamp",
     )
     monkeypatch.setattr(
-        analytics_ops, "load_table", lambda spark, sf, name: events
+        analytics_ops, "load_table", lambda spark, sf, name, **kw: events
     )
     out = _rows(analytics_ops.activity_streaks(spark, "unused"))
     assert out == [(1, 3, 5, 2), (2, 1, 1, 1)]
@@ -60,7 +60,7 @@ def test_pareto_dominance_rules(spark, monkeypatch):
         "o_orderkey long, o_orderdate timestamp, o_totalprice double",
     )
     monkeypatch.setattr(
-        analytics_ops, "load_table", lambda spark, sf, name: orders
+        analytics_ops, "load_table", lambda spark, sf, name, **kw: orders
     )
     out = analytics_ops.pareto_frontier_orders(spark, "unused")
     assert [r.o_orderkey for r in out.collect()] == [1, 3, 4]
@@ -98,7 +98,7 @@ def test_pagerank_star_graph_hub_wins(spark, monkeypatch):
         "l_orderkey long, l_partkey long",
     )
     monkeypatch.setattr(
-        analytics_ops, "load_table", lambda spark, sf, name: li
+        analytics_ops, "load_table", lambda spark, sf, name, **kw: li
     )
     out = analytics_ops.pagerank_copurchase(spark, "unused").collect()
     assert out[0].part == 100
@@ -125,7 +125,7 @@ def test_near_dup_window_boundary_inclusive(spark, monkeypatch):
         "event_id long, user_id long, event_type string, ts timestamp",
     )
     monkeypatch.setattr(
-        analytics_ops, "load_table", lambda spark, sf, name: events
+        analytics_ops, "load_table", lambda spark, sf, name, **kw: events
     )
     out = {
         r.event_type: r
@@ -185,7 +185,7 @@ def test_knn_majority_tiebreak_lowest_label(spark, monkeypatch):
         ],
         "vec_id long, embedding array<float>, label int",
     )
-    monkeypatch.setattr(so, "load_table", lambda spark, sf, name: emb)
+    monkeypatch.setattr(so, "load_table", lambda spark, sf, name, **kw: emb)
     monkeypatch.setattr(so, "_KNN_EVAL_N", 1)
     out = so.knn_label_classifier(spark, "unused").collect()
     # query 0 (true label 9): votes 7:2, 3:2, 5:1 → tie broken to label 3

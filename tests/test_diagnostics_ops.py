@@ -21,7 +21,7 @@ def _rows(df):
 
 def _patch_tables(monkeypatch, tables: dict):
     monkeypatch.setattr(
-        diagnostics_ops, "load_table", lambda spark, sf, name: tables[name]
+        diagnostics_ops, "load_table", lambda spark, sf, name, **kw: tables[name]
     )
 
 

@@ -39,7 +39,7 @@ def test_naive_bayes_separable_corpus_is_diagonal(spark, monkeypatch):
     docs = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
-    monkeypatch.setattr(model_ops, "load_table", lambda s, sf, n: docs)
+    monkeypatch.setattr(model_ops, "load_table", lambda s, sf, n, **kw: docs)
     out = model_ops.naive_bayes_lang_classifier(spark, "unused").collect()
     assert all(r.lang_true == r.lang_pred for r in out)
     # the md5 split puts ~25% of 80 docs in test; both classes appear
@@ -73,7 +73,7 @@ def test_decision_stump_finds_perfect_split(spark, monkeypatch):
     li = spark.createDataFrame(
         rows, "l_orderkey long, l_extendedprice double, l_returnflag string"
     )
-    monkeypatch.setattr(model_ops, "load_table", lambda s, sf, n: li)
+    monkeypatch.setattr(model_ops, "load_table", lambda s, sf, n, **kw: li)
     out = model_ops.decision_stump_split(spark, "unused").collect()
     best = out[0]
     assert best.rk == 1
@@ -115,7 +115,7 @@ def test_logistic_ipw_recovers_sign_and_null_effect(spark, monkeypatch):
     c = spark.createDataFrame(custs, "c_custkey long, c_acctbal double")
     monkeypatch.setattr(
         model_ops, "load_table",
-        lambda s, sf, n: o if n == "orders" else c,
+        lambda s, sf, n, **kw: o if n == "orders" else c,
     )
     row = model_ops.logistic_ipw_ate(spark, "unused").collect()[0]
     assert row.b1 > 0.1  # slope sign recovered
@@ -243,7 +243,7 @@ def test_char_entropy_known_values(spark, monkeypatch):
         [(1, "aaaa", "en", "s", 4), (2, "abcd", "en", "s", 4)],
         "doc_id long, text string, lang string, source string, n_chars long",
     )
-    monkeypatch.setattr(text_ops2, "load_table", lambda s, sf, n: docs)
+    monkeypatch.setattr(text_ops2, "load_table", lambda s, sf, n, **kw: docs)
     out = {
         r.entropy_band: r
         for r in text_ops2.char_entropy_buckets(spark, "unused").collect()
@@ -272,7 +272,7 @@ def test_brown_constant_series_forecasts_the_constant(spark, monkeypatch):
         "o_orderkey long, o_custkey long, o_orderpriority string,"
         " o_totalprice double, o_orderdate timestamp",
     )
-    monkeypatch.setattr(stats_ops, "load_table", lambda s, sf, n: o)
+    monkeypatch.setattr(stats_ops, "load_table", lambda s, sf, n, **kw: o)
     out = stats_ops.brown_double_smoothing_forecast(spark, "unused").collect()
     assert out, "constant series must emit full-kernel days"
     for r in out:
@@ -303,6 +303,6 @@ def test_weighted_reservoir_dominant_weight_always_sampled(spark, monkeypatch):
 
     rows = [(i, 1.0) for i in range(200)] + [(999, 1.0e12)]
     o = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
-    monkeypatch.setattr(curation_ops, "load_table", lambda s, sf, n: o)
+    monkeypatch.setattr(curation_ops, "load_table", lambda s, sf, n, **kw: o)
     out = curation_ops.weighted_reservoir_sample(spark, "unused").collect()
     assert out[0].o_orderkey == 999 and out[0].rk == 1

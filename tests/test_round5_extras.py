@@ -23,7 +23,7 @@ def _rows(df):
 
 
 def _patch(monkeypatch, module, tables: dict):
-    monkeypatch.setattr(module, "load_table", lambda spark, sf, name: tables[name])
+    monkeypatch.setattr(module, "load_table", lambda spark, sf, name, **kw: tables[name])
 
 
 # ---------------------------------------------------------------------------
@@ -250,7 +250,7 @@ def test_lm_buckets_tercile_assignment(spark, monkeypatch):
         "doc_id long, text string, source string",
     )
     monkeypatch.setattr(
-        curation_ops, "load_table", lambda spark, sf, name: docs
+        curation_ops, "load_table", lambda spark, sf, name, **kw: docs
     )
     rows = _rows(curation_ops.lm_score_quality_buckets(spark, "x"))
     # P(a,b) = 3/4 → 750000000000; P(c,d) = 2/3 → 666666666666
@@ -278,7 +278,7 @@ def test_temperature_mix_sqrt_shares(spark, monkeypatch):
         "doc_id long, text string, source string",
     )
     monkeypatch.setattr(
-        curation_ops, "load_table", lambda spark, sf, name: docs
+        curation_ops, "load_table", lambda spark, sf, name, **kw: docs
     )
     rows = _rows(curation_ops.temperature_mix_weights(spark, "x"))
     assert [(r[0], r[1], r[2]) for r in rows] == [
@@ -360,7 +360,7 @@ def test_ab_ztest_exact_value(spark, monkeypatch):
         [(1, "1-URGENT"), (3, "5-LOW")],  # cust 2 and 4 have no orders
         "o_custkey long, o_orderpriority string",
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: {"customer": cust, "orders": orders}[n])
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: {"customer": cust, "orders": orders}[n])
     (row,) = _rows(_so.ab_conversion_ztest(spark, "x"))
     n1, x1, n2, x2, p1, p2, z = row
     assert (n1, x1, n2, x2) == (2, 1, 2, 0)
@@ -386,7 +386,7 @@ def test_sla_quantiles_exact_histogram(spark, monkeypatch):
     )
     monkeypatch.setattr(
         relational_ext, "load_table",
-        lambda s, d, n: {"orders": orders, "lineitem": li}[n],
+        lambda s, d, n, **kw: {"orders": orders, "lineitem": li}[n],
     )
     (row,) = _rows(relational_ext.sla_latency_quantiles(spark, "x"))
     assert row == ("1-URGENT", 3, 1, 2, 3, 3)
@@ -520,7 +520,7 @@ def test_oov_rate_split_and_rate(spark, monkeypatch):
         [(1, "a b", "s"), (6, "a b x y", "s")],
         "doc_id long, text string, source string",
     )
-    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n: docs)
+    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n, **kw: docs)
     rows = _rows(curation_ops.oov_rate_report(spark, "x"))
     assert rows == [("s", 4, 2, 5000)]
 
@@ -538,7 +538,7 @@ def test_ols_exact_line_recovery(spark, monkeypatch):
         [(float(x), 3.0 * x + 10.0) for x in range(1, 6)],
         "l_quantity double, l_extendedprice double",
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: li)
     (row,) = _rows(_so.ols_price_quantity_fit(spark, "x"))
     n, slope, intercept, r2 = row
     assert n == 5
@@ -561,7 +561,7 @@ def test_ols_grouped_trend(spark, monkeypatch):
     orders = spark.createDataFrame(
         rows_in, "o_orderpriority string, o_orderdate date, o_totalprice double"
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: orders)
     rows = {r[0]: r for r in _rows(_so.ols_revenue_trend_by_priority(spark, "x"))}
     assert rows["1-URGENT"][2] == pytest.approx(5.0, abs=1e-9)
     assert rows["5-LOW"][2] == pytest.approx(0.0, abs=1e-9)
@@ -621,7 +621,7 @@ def test_cuped_removes_preperiod_covariate(spark, monkeypatch):
         "o_custkey long, o_orderdate date, o_totalprice double",
     )
     monkeypatch.setattr(
-        _so, "load_table", lambda s, d, n: {"customer": cust, "orders": orders}[n]
+        _so, "load_table", lambda s, d, n, **kw: {"customer": cust, "orders": orders}[n]
     )
     (row,) = _rows(_so.cuped_adjusted_ab(spark, "x"))
     n, n1, raw, theta, adj = row
@@ -646,7 +646,7 @@ def test_quantile_normalize_pooled_mean_shared(spark, monkeypatch):
         + [(100 + i, " ".join(["w"] * (50 + i)), "b") for i in range(20)],
         "doc_id long, text string, source string",
     )
-    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n: docs)
+    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n, **kw: docs)
     rows = _rows(curation_ops.quantile_normalize_deciles(spark, "x"))
     by_src = {}
     pooled = {}
@@ -675,7 +675,7 @@ def test_trimmed_mean_drops_tails_exactly(spark, monkeypatch):
     orders = spark.createDataFrame(
         [(float(v),) for v in range(1, 21)], "o_totalprice double"
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: orders)
     (row,) = _rows(_so.trimmed_mean_order_value(spark, "x"))
     n_kept, tmean = row
     assert n_kept == pytest.approx(18.0)
@@ -705,7 +705,7 @@ def test_hhi_even_vs_monopoly(spark, monkeypatch):
     monkeypatch.setattr(
         relational_joins,
         "load_table",
-        lambda s, d, n: {"lineitem": li, "supplier": sup, "nation": nat}[n],
+        lambda s, d, n, **kw: {"lineitem": li, "supplier": sup, "nation": nat}[n],
     )
     rows = {r[0]: r for r in _rows(relational_joins.hhi_supplier_concentration(spark, "x"))}
     assert rows["EVENLAND"][1] == 2 and rows["EVENLAND"][2] == pytest.approx(0.5)
@@ -772,7 +772,7 @@ def test_modularity_two_cliques_positive(spark, monkeypatch):
         [(1, p) for p in (1, 2, 3)] + [(2, p) for p in (10, 11, 12)],
         "l_orderkey long, l_partkey long",
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: li)
     (row,) = _rows(_so.lpa_modularity_score(spark, "x"))
     n_comm, q = row
     assert n_comm == 2
@@ -799,7 +799,7 @@ def test_winnowing_detects_shared_passage(spark, monkeypatch):
         ],
         "doc_id long, text string, source string",
     )
-    monkeypatch.setattr(pipeline_ops, "load_table", lambda s, d, n: docs)
+    monkeypatch.setattr(pipeline_ops, "load_table", lambda s, d, n, **kw: docs)
     rows = _rows(pipeline_ops.winnowing_match_pairs(spark, "x"))
     assert [(r[0], r[1]) for r in rows] == [(1, 2)]
     assert rows[0][2] >= 3 and 0 < rows[0][3] <= 1
@@ -845,7 +845,7 @@ def test_smd_balanced_groups_zero(spark, monkeypatch):
         ],
         "c_custkey long, c_mktsegment string, c_acctbal double",
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: cust)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: cust)
     (row,) = _rows(_so.covariate_balance_smd(spark, "x"))
     assert row[0] == 2 and row[1] == 2
     assert row[2] == 0.0 and row[3] == 0.0
@@ -870,7 +870,7 @@ def test_hazard_at_risk_suffix_sums(spark, monkeypatch):
         ],
         "o_custkey long, o_orderdate date",
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: orders)
     rows = _rows(_so.hazard_table_monthly(spark, "x"))
     assert rows == [
         (0, 3, 2, pytest.approx(2 / 3)),
@@ -895,7 +895,7 @@ def test_anova_f_known_groups(spark, monkeypatch):
         "o_custkey long, o_totalprice double",
     )
     monkeypatch.setattr(
-        _so, "load_table", lambda s, d, n: {"customer": cust, "orders": orders}[n]
+        _so, "load_table", lambda s, d, n, **kw: {"customer": cust, "orders": orders}[n]
     )
     (row,) = _rows(_so.anova_f_order_value(spark, "x"))
     n_groups, n_rows, ssb, ssw, f_stat = row
@@ -922,7 +922,7 @@ def test_cramers_v_perfect_association(spark, monkeypatch):
         "o_custkey long, o_orderpriority string",
     )
     monkeypatch.setattr(
-        _so, "load_table", lambda s, d, n: {"customer": cust, "orders": orders}[n]
+        _so, "load_table", lambda s, d, n, **kw: {"customer": cust, "orders": orders}[n]
     )
     (row,) = _rows(_so.cramers_v_segment_priority(spark, "x"))
     r, c, chi2, v = row
@@ -966,7 +966,7 @@ def test_cdc_boundaries_shift_locally(spark, monkeypatch):
         [(1, base, "s"), (2, base, "s"), (3, "X" + base, "s")],
         "doc_id long, text string, source string",
     )
-    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n: docs)
+    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n, **kw: docs)
     rows = {r[0]: r for r in _rows(curation_ops.content_defined_chunks(spark, "x"))}
     # identical docs → identical chunking
     assert rows[1][1:] == rows[2][1:]
@@ -1019,9 +1019,9 @@ def test_kfold_assignment_content_stable(spark, monkeypatch):
         [(i, "w w w", "s") for i in range(60)],  # grown corpus
         "doc_id long, text string, source string",
     )
-    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n: docs1)
+    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n, **kw: docs1)
     r1 = _rows(curation_ops.stratified_kfold_assignment(spark, "x"))
-    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n: docs2)
+    monkeypatch.setattr(curation_ops, "load_table", lambda s, d, n, **kw: docs2)
     r2 = _rows(curation_ops.stratified_kfold_assignment(spark, "x"))
     assert all(0 <= r[1] < 5 for r in r1 + r2)
     assert sum(r[2] for r in r1) == 30 and sum(r[2] for r in r2) == 60
@@ -1189,7 +1189,7 @@ def test_laspeyres_uniform_price_rise(spark, monkeypatch):
     monkeypatch.setattr(
         relational_joins,
         "load_table",
-        lambda s, d, n: {"orders": orders, "lineitem": li}[n],
+        lambda s, d, n, **kw: {"orders": orders, "lineitem": li}[n],
     )
     (row,) = _rows(relational_joins.laspeyres_price_index(spark, "x"))
     assert row[0] == 2
@@ -1262,7 +1262,7 @@ def test_abc_boundary_classification(spark, monkeypatch):
         [(1, 80.0), (2, 15.0), (3, 5.0)],
         "l_partkey long, l_extendedprice double",
     )
-    monkeypatch.setattr(relational_joins, "load_table", lambda s, d, n: li)
+    monkeypatch.setattr(relational_joins, "load_table", lambda s, d, n, **kw: li)
     rows = _rows(relational_joins.abc_part_classification(spark, "x"))
     assert rows == [("A", 1, 80.0), ("B", 1, 15.0), ("C", 1, 5.0)]
 
@@ -1281,7 +1281,7 @@ def test_spearman_perfect_monotone(spark, monkeypatch):
         [(float(x), float(x**3)) for x in range(1, 8)],
         "l_quantity double, l_extendedprice double",
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li_up)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: li_up)
     (row,) = _rows(_so.spearman_rho_qty_price(spark, "x"))
     assert row[0] == 7 and row[1] == pytest.approx(1.0)
 
@@ -1289,7 +1289,7 @@ def test_spearman_perfect_monotone(spark, monkeypatch):
         [(float(x), float(-(x**3))) for x in range(1, 8)],
         "l_quantity double, l_extendedprice double",
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li_down)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: li_down)
     (row,) = _rows(_so.spearman_rho_qty_price(spark, "x"))
     assert row[1] == pytest.approx(-1.0)
 
@@ -1308,7 +1308,7 @@ def test_kendall_tau_grid_counts(spark, monkeypatch):
         "l_quantity double, l_extendedprice double, l_orderkey long,"
         " l_linenumber int",
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: li)
     (row,) = _rows(_so.kendall_tau_b_qty_price(spark, "x"))
     n, conc, disc, tau = row
     assert n == 20 and disc == 0.0
@@ -1339,7 +1339,7 @@ def test_partial_correlation_removes_confounder(spark, monkeypatch):
     li = spark.createDataFrame(
         rows_in, "l_quantity double, l_extendedprice double, l_discount double"
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: li)
     (row,) = _rows(_so.partial_correlation_qty_price(spark, "x"))
     n, rxy, rxz, ryz, partial = row
     assert n == 20
@@ -1350,7 +1350,7 @@ def test_partial_correlation_removes_confounder(spark, monkeypatch):
     li2 = spark.createDataFrame(
         rows_in2, "l_quantity double, l_extendedprice double, l_discount double"
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: li2)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: li2)
     (row2,) = _rows(_so.partial_correlation_qty_price(spark, "x"))
     assert abs(row2[4]) < abs(row2[1])  # control shrinks the association
 
@@ -1374,7 +1374,7 @@ def test_durbin_watson_alternating_residuals_near_four(spark, monkeypatch):
         ],
         "o_orderdate date, o_totalprice double",
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: orders)
     (row,) = _rows(_so.durbin_watson_trend_residuals(spark, "x"))
     n_days, dw = row
     assert n_days == 20
@@ -1402,7 +1402,7 @@ def test_mcnemar_discordant_only(spark, monkeypatch):
         ],
         "o_custkey long, o_orderdate date, o_orderpriority string",
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: orders)
     (row,) = _rows(_so.mcnemar_conversion_shift(spark, "x"))
     n, b, c, chi2 = row
     assert (n, b, c) == (4, 2, 1)
@@ -1424,7 +1424,7 @@ def test_poisson_rate_z(spark, monkeypatch):
         [(i, "A", t1) for i in range(9)] + [(100 + i, "A", t2) for i in range(4)],
         "event_id long, event_type string, ts timestamp",
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: events)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: events)
     (row,) = _rows(_so.poisson_rate_shift(spark, "x"))
     assert row[1] == 9 and row[2] == 4
     assert row[3] == pytest.approx(5 / 13**0.5)
@@ -1451,7 +1451,7 @@ def test_chow_detects_slope_break(spark, monkeypatch):
     orders = spark.createDataFrame(
         rows_in, "o_orderdate date, o_totalprice double"
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: orders)
     (row,) = _rows(_so.chow_test_revenue_break(spark, "x"))
     n_days, ssr_p, ssr_split, f = row
     assert n_days == 20
@@ -1477,7 +1477,7 @@ def test_jackknife_se_matches_direct_computation(spark, monkeypatch):
     orders = spark.createDataFrame(
         [(k, v) for k, v in vals.items()], "o_orderkey long, o_totalprice double"
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: orders)
     (row,) = _rows(_so.jackknife_mean_variance(spark, "x"))
     n_groups, n_rows, mean_est, se = row
 
@@ -1519,7 +1519,7 @@ def test_theil_sen_resists_outlier(spark, monkeypatch):
     orders = spark.createDataFrame(
         rows_in, "o_orderdate date, o_totalprice double"
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: orders)
     (row,) = _rows(_so.theil_sen_daily_trend(spark, "x"))
     n_pairs, slope = row
     assert n_pairs == 45
@@ -1540,7 +1540,7 @@ def test_winsorized_clamps_tails(spark, monkeypatch):
     orders = spark.createDataFrame(
         [(float(v),) for v in range(1, 21)], "o_totalprice double"
     )
-    monkeypatch.setattr(_so, "load_table", lambda s, d, n: orders)
+    monkeypatch.setattr(_so, "load_table", lambda s, d, n, **kw: orders)
     (row,) = _rows(_so.winsorized_mean_order_value(spark, "x"))
     n, lo, hi, wmean = row
     assert n == 20 and lo == 1.0 and hi == 19.0
@@ -1565,7 +1565,7 @@ def test_sorted_neighborhood_finds_adjacent_dup(spark, monkeypatch):
         ],
         "doc_id long, text string, source string",
     )
-    monkeypatch.setattr(pipeline_ops, "load_table", lambda s, d, n: docs)
+    monkeypatch.setattr(pipeline_ops, "load_table", lambda s, d, n, **kw: docs)
     (row,) = _rows(pipeline_ops.sorted_neighborhood_pairs(spark, "x"))
     n_pairs, n_exact, sample_a, max_gap = row
     assert n_pairs == 1 and n_exact == 1
@@ -1592,7 +1592,7 @@ def test_prefix_blocking_pair_counts(spark, monkeypatch):
         ],
         "doc_id long, text string, source string",
     )
-    monkeypatch.setattr(pipeline_ops, "load_table", lambda s, d, n: docs)
+    monkeypatch.setattr(pipeline_ops, "load_table", lambda s, d, n, **kw: docs)
     rows = _rows(pipeline_ops.prefix_blocking_histogram(spark, "x"))
     assert rows == [(1, 2, 0), (3, 1, 3)]
 
@@ -1616,7 +1616,7 @@ def test_brown_forsythe_unequal_spread(spark, monkeypatch):
         "o_custkey long, o_totalprice double",
     )
     monkeypatch.setattr(
-        _so, "load_table", lambda s, d, n: {"customer": cust, "orders": orders}[n]
+        _so, "load_table", lambda s, d, n, **kw: {"customer": cust, "orders": orders}[n]
     )
     (row,) = _rows(_so.brown_forsythe_variance_test(spark, "x"))
     n_groups, n_rows, bf = row

@@ -239,7 +239,7 @@ def test_dsir_prefers_target_like_documents(spark, monkeypatch):
         rows, "doc_id long, text string, lang string, source string, n_chars long"
     )
     monkeypatch.setattr(
-        curation_ops, "load_table", lambda spark, sf, name: docs
+        curation_ops, "load_table", lambda spark, sf, name, **kw: docs
     )
     out = curation_ops.dsir_importance_select(spark, "unused").collect()
     assert [r.rk for r in out] == list(range(1, len(out) + 1))

@@ -22,7 +22,7 @@ def _rows(df):
 
 def _patch_tables(monkeypatch, tables: dict):
     monkeypatch.setattr(
-        stats_ops, "load_table", lambda spark, sf, name: tables[name]
+        stats_ops, "load_table", lambda spark, sf, name, **kw: tables[name]
     )
 
 
