@@ -581,137 +581,3 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("yr")
     )
-
-
-# ---------------------------------------------------------------------------
-# Snapshot diff via row-hash full-outer join (CDC derivation)
-# ---------------------------------------------------------------------------
-
-# Deterministic twin snapshots derived from orders by md5 nibble so the
-# diff has all four row classes: rows whose first nibble is 'f' exist only
-# in snapshot B ("added"), 'e' only in snapshot A ("removed"), '0' exist in
-# both but with o_totalprice bumped by $100 in B ("changed").
-_SD_HASH = "substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)"
-
-_SD_ORACLE = f"""
-WITH base AS (
-    SELECT o_orderkey, o_orderstatus, o_orderpriority,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-               AS cents,
-           {_SD_HASH} AS nib
-    FROM orders
-),
-snap_a AS (
-    SELECT o_orderkey, o_orderstatus, o_orderpriority, cents
-    FROM base WHERE nib <> 'f'
-),
-snap_b AS (
-    SELECT o_orderkey, o_orderstatus, o_orderpriority,
-           cents + CASE WHEN nib = '0' THEN 10000 ELSE 0 END AS cents
-    FROM base WHERE nib <> 'e'
-),
-ha AS (
-    SELECT o_orderkey,
-           md5(o_orderstatus || '|' || o_orderpriority || '|'
-               || CAST(cents AS VARCHAR)) AS rh,
-           cents
-    FROM snap_a
-),
-hb AS (
-    SELECT o_orderkey,
-           md5(o_orderstatus || '|' || o_orderpriority || '|'
-               || CAST(cents AS VARCHAR)) AS rh,
-           cents
-    FROM snap_b
-),
-d AS (
-    SELECT CASE WHEN ha.o_orderkey IS NULL THEN 'added'
-                WHEN hb.o_orderkey IS NULL THEN 'removed'
-                WHEN ha.rh <> hb.rh THEN 'changed'
-                ELSE 'unchanged' END AS diff_status,
-           COALESCE(hb.cents, ha.cents) AS cents
-    FROM ha FULL OUTER JOIN hb ON hb.o_orderkey = ha.o_orderkey
-)
-SELECT diff_status,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(SUM(cents) AS BIGINT) AS sum_cents
-FROM d GROUP BY 1 ORDER BY 1
-"""
-
-
-@query("snapshot_diff_rowhash", oracle=_SD_ORACLE)
-def snapshot_diff_rowhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Table-snapshot diff via ROW-HASH full-outer join — the CDC
-    derivation step every lakehouse runs when upstream can't emit a
-    change log: hash each row's compared columns once, full-outer join
-    the two snapshots on the key, and classify added / removed /
-    changed / unchanged by null-side and hash inequality (one string
-    compare instead of N column compares). Snapshots are deterministic
-    md5-nibble twins of orders so all four classes are populated.
-
-    Determinism: the row hash is md5 over ints/varchars only (prices as
-    exact DECIMAL cents — never float-to-string, whose formatting
-    differs across engines); sums are exact bigint cents.
-
-    Scale: ONE shuffle — both snapshots hash-exchange on the key for the
-    full-outer join; the row-hash is a map-side projection, and the
-    classification aggregate is map-side combinable. At 100 TB this is
-    the standard daily-snapshot reconciliation shape (at that scale the
-    join would additionally prune unchanged partitions via
-    partition-level hashes first — cf. zonemap_pruned_scan).
-    """
-    o = load_table(spark, sf_dir, "orders")
-    base = o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_orderpriority",
-        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("bigint")
-        .alias("cents"),
-        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).alias(
-            "nib"
-        ),
-    )
-    snap_a = base.where(F.col("nib") != "f").drop("nib")
-    snap_b = base.where(F.col("nib") != "e").select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_orderpriority",
-        (
-            F.col("cents")
-            + F.when(F.col("nib") == "0", F.lit(10000)).otherwise(F.lit(0))
-        ).alias("cents"),
-    )
-
-    def hashed(df: DataFrame, side: str) -> DataFrame:
-        rh = F.md5(
-            F.concat_ws(
-                "|",
-                F.col("o_orderstatus"),
-                F.col("o_orderpriority"),
-                F.col("cents").cast("string"),
-            )
-        )
-        return df.select(
-            F.col("o_orderkey").alias(f"k_{side}"),
-            rh.alias(f"rh_{side}"),
-            F.col("cents").alias(f"cents_{side}"),
-        )
-
-    ha, hb = hashed(snap_a, "a"), hashed(snap_b, "b")
-    d = ha.join(hb, ha.k_a == hb.k_b, "full_outer").select(
-        F.when(F.col("k_a").isNull(), "added")
-        .when(F.col("k_b").isNull(), "removed")
-        .when(F.col("rh_a") != F.col("rh_b"), "changed")
-        .otherwise("unchanged")
-        .alias("diff_status"),
-        F.coalesce("cents_b", "cents_a").alias("cents"),
-    )
-    return (
-        d.groupBy("diff_status")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum("cents").cast("bigint").alias("sum_cents"),
-        )
-        .orderBy("diff_status")
-    )

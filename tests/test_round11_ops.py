@@ -1,9 +1,9 @@
 """Round-11 additions: closed-form / structural pins for the sketch family,
-JL projection, snapshot diff, Neyman allocation, and the brown forecast's
-data-derived emit window (ADVICE r10: assert non-empty on the real data
-path). Cross-engine value equality is proven by the oracle gate; these
-tests pin the SEMANTICS the oracle can't see (estimator error bounds,
-budget conservation, diff-class arithmetic)."""
+JL projection, Neyman allocation, the as-of queries, and the brown
+forecast's data-derived emit window (ADVICE r10: assert non-empty on the
+real data path). Cross-engine value equality is proven by the oracle gate;
+these tests pin the SEMANTICS the oracle can't see (estimator error
+bounds, budget conservation, coverage arithmetic)."""
 
 from __future__ import annotations
 
@@ -63,27 +63,6 @@ def test_jl_projection_distortion_bands_and_variance(spark):
     assert low >= total_pairs * 0.5
 
 
-def test_snapshot_diff_class_arithmetic(spark):
-    rows = {r.diff_status: r for r in _rows(spark, "snapshot_diff_rowhash")}
-    assert set(rows) == {"added", "removed", "changed", "unchanged"}
-    n_orders = (
-        QUERY_REGISTRY["snapshot_diff_rowhash"]
-        .fn(spark, SF)
-        .sparkSession.read.parquet(f"{SF}/orders.parquet")
-        .count()
-    )
-    # nibble classes: 'f' added-only, 'e' removed-only, '0' changed — each
-    # ~1/16 of orders; the diff must reproduce those populations exactly
-    # in aggregate: |A| = n - |f|, |B| = n - |e|, and the four classes
-    # partition the full-outer row set.
-    total = sum(r.n_rows for r in rows.values())
-    assert total == n_orders  # every orderkey appears exactly once
-    for cls in ("added", "removed", "changed"):
-        frac = rows[cls].n_rows / n_orders
-        assert 0.02 < frac < 0.13, (cls, frac)
-    assert rows["unchanged"].n_rows > n_orders * 0.7
-
-
 def test_neyman_allocation_conserves_budget(spark):
     rows = _rows(spark, "neyman_allocation_plan")
     assert len(rows) >= 3
@@ -137,7 +116,6 @@ def test_asof_next_error_counts_bounded(spark):
                                   "kmv_set_intersection",
                                   "ams_f2_sketch",
                                   "jl_projection_distortion",
-                                  "snapshot_diff_rowhash",
                                   "neyman_allocation_plan"])
 def test_round11_queries_deterministic(spark, name):
     a = sorted(map(tuple, _rows(spark, name)))
