@@ -2018,3 +2018,147 @@ def minhash_lsh_pr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             rec.alias("pair_recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style prefix-filtered exact similarity join (lossless-by-oracle)
+# ---------------------------------------------------------------------------
+
+_PP_SHINGLE = 3
+_PP_MAX_DF = 25   # stopword-gram cap, mirrored exactly in the oracle (same cap as the ngram_jaccard family)
+_PP_TAU_NUM, _PP_TAU_DEN = 3, 5  # Jaccard threshold τ = 3/5 = 0.6
+
+
+@query(
+    "ppjoin_prefix_filter_pairs",
+    oracle=f"""
+    WITH {_sql_shingles(_PP_SHINGLE)},
+    dfreq AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+              FROM sh GROUP BY 1),
+    kept AS (
+        SELECT s.doc_id, s.shingle FROM sh s
+        JOIN dfreq d ON d.shingle = s.shingle
+        WHERE d.df <= {_PP_MAX_DF}
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM kept GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM kept a JOIN kept b
+          ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common, sa.n AS na, sb.n AS nb,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE {_PP_TAU_DEN} * n_common
+          >= {_PP_TAU_NUM} * (sa.n + sb.n - n_common)
+    ORDER BY doc_a, doc_b
+    """,
+)
+def ppjoin_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (n-gram Jaccard ≥ {_PP_TAU_NUM}/{_PP_TAU_DEN})
+    via PREFIX FILTERING (Chaudhuri et al. 2006 / PPJoin, Xiao et al.
+    2008): order every document's shingles by ascending global document
+    frequency and index only the first |x| − ⌈τ|x|⌉ + 1 — the prefix
+    principle guarantees any pair with Jaccard ≥ τ shares a prefix token,
+    so the candidate join touches the RAREST tokens only. The oracle runs
+    the SAME threshold join WITHOUT the prefix filter (full inverted
+    index), so a hash match is a machine-checked proof the filter lost no
+    pair — the property PPJoin's correctness rests on.
+
+    Determinism: the threshold is the pure integer cross-multiplication
+    {_PP_TAU_DEN}·|∩| ≥ {_PP_TAU_NUM}·|∪| (no float compare); df ordering
+    ties break on the shingle string; jaccard is one division of exact
+    integers. Stopword grams (df > {_PP_MAX_DF}) are dropped on BOTH
+    sides — the standard cap that bounds any inverted index at scale.
+
+    Scale: the candidate join costs Σ over PREFIX tokens of df² instead
+    of Σ over ALL tokens — at τ = 0.6 the prefix is ~40% of each doc and
+    skews to the rarest grams, collapsing the join's hot-token quadratic
+    term; verification touches only candidates. This is the exact-join
+    complement to the engine's probabilistic candidate generators
+    (MinHash-LSH, SimHash blocking): same banding idea, zero false
+    negatives by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # The shingle explode is the query's only corpus-sized projection and
+    # has TWO consumers (the df aggregate and the join side) — materialize
+    # it once (measured: the double explode dominated the wall).
+    sh = dedup.shingle_table(docs, "doc_id", "text", _PP_SHINGLE).localCheckpoint(
+        eager=True
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # kept feeds FIVE subtrees (sizes, prefix build, candidate join, both
+    # verification sides) — materialize once.
+    kept = (
+        sh.join(dfreq.where(F.col("df") <= _PP_MAX_DF), "shingle")
+        .select("doc_id", "shingle", "df")
+        .localCheckpoint(eager=True)
+    )
+    sizes = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # prefix length p = n − ⌈τn⌉ + 1, integer form ⌈3n/5⌉ = (3n + 4) div 5
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pref = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .where(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"({_PP_TAU_NUM} * n + {_PP_TAU_DEN - 1}) div {_PP_TAU_DEN}")
+            + 1
+        )
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        pref.alias("pa")
+        .join(
+            pref.alias("pb"),
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            kept.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            kept.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.lit(_PP_TAU_DEN) * F.col("n_common")
+            >= F.lit(_PP_TAU_NUM)
+            * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "na",
+            "nb",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
