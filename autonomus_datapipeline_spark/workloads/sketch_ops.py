@@ -236,7 +236,7 @@ SELECT CAST((SELECT COUNT(*) FROM ua) AS BIGINT) AS n_click_exact,
                  ELSE CAST(FLOOR(CAST({_KMV_K - 1} AS DOUBLE)
                                  * {_KMV_SPACE} / hk * 1e6) AS BIGINT)
             END AS DOUBLE) / 1e6 AS union_est,
-       CAST(ninter * 1000000 / nu AS DOUBLE) / 1e6 AS jaccard_est
+       CAST(ninter * 1000000 // nu AS DOUBLE) / 1e6 AS jaccard_est
 FROM stats
 """
 
@@ -266,15 +266,19 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
     ).cast("bigint")
 
-    def kset(etype: str) -> DataFrame:
+    def uset(etype: str) -> DataFrame:
         return (
             ev.where(F.col("event_type") == etype)
             .select(F.col("user_id"))
             .distinct()
-            .select(h.alias("h"))
         )
 
-    ua, ub = kset("click"), kset("purchase")
+    # Keep the raw ids: the *exact* columns must be computed on user_id
+    # (the oracle does), not on 48-bit hash prefixes where a single
+    # collision above ~1e6 distinct users would misreport a column
+    # labeled exact. Only the sketch itself lives in hash space.
+    ua_ids, ub_ids = uset("click"), uset("purchase")
+    ua, ub = ua_ids.select(h.alias("h")), ub_ids.select(h.alias("h"))
 
     def topk(df: DataFrame) -> DataFrame:
         return df.orderBy("h").limit(_KMV_K)
@@ -289,14 +293,18 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kb, "h", "left_semi")
         .agg(F.count(F.lit(1)).cast("bigint").alias("ninter"))
     )
-    n_a = ua.agg(F.count(F.lit(1)).cast("bigint").alias("n_click_exact"))
-    n_b = ub.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase_exact"))
+    n_a = ua_ids.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_click_exact")
+    )
+    n_b = ub_ids.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchase_exact")
+    )
     n_u = (
-        ua.union(ub)
+        ua_ids.union(ub_ids)
         .distinct()
         .agg(F.count(F.lit(1)).cast("bigint").alias("union_exact"))
     )
-    n_i = ua.join(ub, "h", "left_semi").agg(
+    n_i = ua_ids.join(ub_ids, "user_id", "left_semi").agg(
         F.count(F.lit(1)).cast("bigint").alias("inter_exact")
     )
     union_est = (
@@ -314,8 +322,10 @@ def kmv_set_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         / 1e6
     )
+    # Integer floor division on both engines (oracle uses `//`): no
+    # double-division-then-truncate round-trip to reason about.
     jacc = (
-        (F.col("ninter") * 1000000 / F.col("nu")).cast("bigint").cast("double")
+        F.expr("ninter * 1000000L div nu").cast("bigint").cast("double")
         / 1e6
     )
     return (

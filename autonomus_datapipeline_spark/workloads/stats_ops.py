@@ -4373,8 +4373,15 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_h"),
-            F.sum("x").cast("decimal(38,0)").alias("s1"),
-            F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("s2"),
+            F.sum(F.col("x").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("s1"),
+            # Cast BEFORE the aggregate so the accumulator is decimal:
+            # sum(x*x) in LongType wraps past 2^63 at sf1 (per-segment
+            # sum of squared cents ~6.75e19) while DuckDB sums in HUGEINT.
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
         )
     )
     # N_h*S_h = sqrt(n*sum(x^2) - sum(x)^2) — doubles from exact sums

@@ -20,7 +20,7 @@ Usage: python tools/sf1_bench.py
 from __future__ import annotations
 
 import json
-import math
+
 import os
 import shutil
 import statistics
@@ -40,6 +40,7 @@ BASE = "/root/testdata/sf0.1"
 SF1 = "/tmp/sf1"
 COPIES = 10
 N_RUNS = 3
+GLOBAL_SHIFT = 10**6  # shared by all id columns; see build_sf1
 
 SHIFTS = {
     "lineitem": ["l_orderkey"],
@@ -71,7 +72,14 @@ def build_sf1(spark) -> None:
             continue
         df = load_table(spark, BASE, table)
         n = df.count()
-        shift = 10 ** math.ceil(math.log10(max(n * 10, 10)))
+        # ONE global shift for every id column in every table (all sf0.1
+        # ids are < 1.5e5): r12 found the old per-table shift (derived
+        # from each table's own row count) gave orders.o_custkey 1e7 but
+        # customer.c_custkey 1e6, so customer joins matched only in copy
+        # 0 and sf1 factors for customer-join queries measured a 10× scan
+        # over a 1× join. With a shared shift each copy is an internally
+        # consistent shard and join output scales 10× like the input.
+        shift = GLOBAL_SHIFT
         copies = []
         for i in range(COPIES):
             c = df
@@ -157,6 +165,22 @@ HEAVY_TAIL = [
     "ann_mrr_report",
 ]
 
+# round-12 (r11 verdict item 9): every r11-new capability family gets a
+# measured sf1 factor — the as-of joins, the mergeable sketch family, the
+# JL projection and the Neyman planner (adamic/ppjoin were certified in
+# r11's session; they stay covered by the heavy tail above as needed).
+R12_SET = [
+    "asof_view_purchase_attribution",
+    "asof_next_error_latency",
+    "hll_portable_cardinality",
+    "kmv_set_intersection",
+    "ams_f2_sketch",
+    "jl_projection_distortion",
+    "neyman_allocation_plan",
+    "adamic_adar_link_prediction",
+    "ppjoin_prefix_filter_pairs",
+]
+
 
 def _time_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
     runs = []
@@ -182,9 +206,11 @@ def main() -> None:
     spark.range(64).repartition(8).mapInPandas(lambda it: it, schema="id long").count()
 
     results = []
-    for name, qset in [(n, "headline") for n in HEADLINE] + [
-        (n, "heavy_tail") for n in HEAVY_TAIL
-    ]:
+    for name, qset in (
+        [(n, "headline") for n in HEADLINE]
+        + [(n, "heavy_tail") for n in HEAVY_TAIL]
+        + [(n, "r12") for n in R12_SET]
+    ):
         t1, n1 = _time_query(spark, name, BASE)
         t10, n10 = _time_query(spark, name, SF1)
         factor = round(t10 / t1, 2) if t1 > 0 else float("nan")
