@@ -24,8 +24,18 @@ This implementation is the shuffle-minimal composition over DataFrame ops
 Cost: one shuffle of |left| + |right| rows on the key, one per-partition
 sort — the same envelope as any keyed window; no pair fan-out, no
 re-scan. At 100 TB both sides stream through a single exchange; a hot key
-serializes only its own partition (the usual keyed-window skew caveat —
-pre-salt by coarse time bucket if one key dominates).
+serializes only its own partition (the usual keyed-window skew caveat).
+
+``salt_buckets=N`` is the skew escape hatch: the time axis is cut into N
+monotone ranges (bounds from one broadcast scalar aggregate over the left
+side), the running-last window runs per (key, bucket) so a hot key's rows
+spread across N partitions, and matches that cross a bucket boundary are
+recovered by carrying ONE summary row per (key, bucket) — the latest
+(backward) / earliest (forward) right payload, a map-side-combinable
+``max_by`` — through a per-key prefix window over at most 2N rows per key
+and seeding it into the next bucket. Value-identical to the unsalted plan
+(bucketing a monotone axis preserves the as-of order); the hot key's
+serial cost drops from O(rows) to O(rows/N + N).
 
 Reference parity note: the reference engine has no as-of operator; this is
 one of the gap operators SURVEY.md §2.D demands as first-class.
@@ -45,6 +55,7 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     tolerance: int | float | None = None,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Left as-of join. Returns every ``left`` row with every ``right``
     column attached (null when no match) plus ``_asof_gap`` = the
@@ -58,6 +69,13 @@ def asof_join(
     winner among perfect ties. Column names must be disjoint apart from
     the join keys (rename upstream). ``tolerance`` null-outs matches
     farther than the given distance (same units as the ts columns).
+
+    ``salt_buckets``: opt-in hot-key mitigation — split the time axis
+    into this many ranges so one dominant key no longer serializes its
+    whole partition (see module docstring). Value-identical to the
+    default plan; worth it only when a single key holds a large share of
+    the rows. Requires the ts columns to cast to double (numerics and
+    timestamps both do).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -97,13 +115,20 @@ def asof_join(
         if direction == "backward"
         else [F.col("_ats").desc(), F.col("_is_left").asc()]
     )
+    backward = direction == "backward"
+    if salt_buckets and int(salt_buckets) > 1:
+        union, part_cols = _salted_union(
+            l_rows, r_rows, keys, int(salt_buckets), backward
+        )
+    else:
+        union, part_cols = l_rows.unionByName(r_rows), keys
     w = (
-        Window.partitionBy(*keys)
+        Window.partitionBy(*part_cols)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
-        l_rows.unionByName(r_rows)
+        union
         .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
         .where(F.col("_is_left") == 1)
     )
@@ -124,3 +149,99 @@ def asof_join(
         ],
         F.when(keep, gap).alias("_asof_gap"),
     )
+
+
+def _salted_union(
+    l_rows: DataFrame,
+    r_rows: DataFrame,
+    keys: list[str],
+    n_buckets: int,
+    backward: bool,
+) -> tuple[DataFrame, list[str]]:
+    """Tag every tagged-side row with a monotone time bucket ``_b`` and
+    add per-(key, bucket) seed rows that carry the best right payload
+    across bucket boundaries, so the caller's running-last window can
+    partition by (key, bucket) instead of key alone.
+
+    Monotone bucketing (equal ts → equal bucket; larger ts → equal or
+    larger bucket) is what makes this value-identical to the unsalted
+    window: a backward match either lives in the left row's own bucket
+    (found by the in-bucket window, rights still sorting before lefts at
+    equal ts) or in a strictly earlier bucket (its bucket's best-right
+    summary is carried forward as a seed whose ts is strictly below the
+    bucket's lefts, so it sorts first and is overridden by any in-bucket
+    right). Forward mirrors with min_by and a descending carry.
+    """
+    pos = F.col("_ats").cast("double")
+    bounds = F.broadcast(
+        l_rows.agg(F.min(pos).alias("_lo"), F.max(pos).alias("_hi"))
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_buckets))
+    bucket = (
+        F.when(
+            F.col("_lo").isNull() | (F.col("_hi") <= F.col("_lo")),
+            F.lit(0),
+        )
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((pos - F.col("_lo")) / width).cast("int"),
+                ),
+            )
+        )
+        .cast("int")
+    )
+    tag = lambda df: df.crossJoin(bounds).withColumn("_b", bucket).drop(
+        "_lo", "_hi"
+    )  # noqa: E731
+    lt, rt = tag(l_rows), tag(r_rows)
+
+    # One summary row per (key, bucket) of rights: the payload a later
+    # (backward) / earlier (forward) bucket would need. max_by/min_by is
+    # map-side combinable; right rows are unique per (key, ts) so the
+    # winner is unique.
+    best = F.struct(F.col("_ats").alias("_ats"), F.col("_r").alias("_r"))
+    pick = F.max_by(best, "_ats") if backward else F.min_by(best, "_ats")
+    bsum = rt.groupBy(*keys, "_b").agg(pick.alias("_best"))
+    best_type = bsum.schema["_best"].dataType
+
+    # Mini prefix pass over ≤ 2·n_buckets rows per key: at each LEFT
+    # bucket marker (sorting before the same bucket's summary) the
+    # running last summary is the best right from strictly earlier
+    # (backward) / later (forward) buckets.
+    lb = lt.select(*keys, "_b").distinct()
+    marks = bsum.select(
+        *keys, "_b", F.lit(1).alias("_mtag"), F.col("_best").alias("_best")
+    ).unionByName(
+        lb.select(
+            *keys,
+            "_b",
+            F.lit(0).alias("_mtag"),
+            F.lit(None).cast(best_type).alias("_best"),
+        )
+    )
+    morder = [
+        F.col("_b").asc() if backward else F.col("_b").desc(),
+        F.col("_mtag").asc(),
+    ]
+    mw = (
+        Window.partitionBy(*keys)
+        .orderBy(*morder)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    l_struct_type = l_rows.schema["_l"].dataType
+    seeds = (
+        marks.withColumn("_carry", F.last("_best", ignorenulls=True).over(mw))
+        .where((F.col("_mtag") == 0) & F.col("_carry").isNotNull())
+        .select(
+            *keys,
+            F.col("_carry._ats").alias("_ats"),
+            F.lit(0).alias("_is_left"),
+            F.lit(None).cast(l_struct_type).alias("_l"),
+            F.col("_carry._r").alias("_r"),
+            F.col("_b"),
+        )
+    )
+    return lt.unionByName(rt).unionByName(seeds), [*keys, "_b"]

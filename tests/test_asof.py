@@ -103,3 +103,85 @@ def test_asof_validation_guards(spark):
     with pytest.raises(ValueError, match="right_ts"):
         asof_join(ldf.drop("rv"), rdf, on="k", left_ts="lts",
                   right_ts="nope")
+
+
+def _run_salted(spark, left, right, direction, tolerance=None, buckets=8):
+    ldf = spark.createDataFrame(left, "k long, lts long, lid long")
+    rdf = spark.createDataFrame(right, "k long, rts long, rv string")
+    got = asof_join(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+        direction=direction, tolerance=tolerance, salt_buckets=buckets,
+    ).collect()
+    return sorted(
+        (r.k, r.lts, r.lid, r.rts, r.rv, r._asof_gap) for r in got
+    )
+
+
+def test_asof_salted_matches_brute_force_both_directions(spark):
+    rng = random.Random(17)
+    left = [(rng.randrange(5), rng.randrange(100), i) for i in range(80)]
+    rts = {(rng.randrange(5), rng.randrange(100)) for _ in range(50)}
+    right = [(k, t, f"v{k}_{t}") for k, t in rts]
+    for d in ("backward", "forward"):
+        for tol in (None, 9):
+            for b in (2, 8, 64):
+                assert _run_salted(spark, left, right, d, tol, b) == _brute(
+                    left, right, d, tol
+                ), (d, tol, b)
+
+
+def test_asof_salted_hot_key_fixture(spark):
+    # One key dominates (the scenario salt_buckets exists for): 500 of
+    # 520 left rows share key 7, rights are sparse so most matches cross
+    # bucket boundaries and exercise the carry seeds.
+    rng = random.Random(23)
+    left = [(7, rng.randrange(10_000), i) for i in range(500)] + [
+        (rng.randrange(3), rng.randrange(10_000), 500 + i) for i in range(20)
+    ]
+    rts = {(7, rng.randrange(10_000)) for _ in range(12)} | {
+        (rng.randrange(3), rng.randrange(10_000)) for _ in range(10)
+    }
+    right = [(k, t, f"v{k}_{t}") for k, t in rts]
+    for d in ("backward", "forward"):
+        got = _run_salted(spark, left, right, d, tolerance=None, buckets=16)
+        assert got == _brute(left, right, d, None), d
+        assert got == _run(spark, left, right, d), d
+
+
+def test_asof_salted_edge_cases(spark):
+    # all-equal timestamps (zero-width axis -> single bucket, no crash)
+    left = [(1, 50, i) for i in range(5)]
+    right = [(1, 50, "same")]
+    assert _run_salted(spark, left, right, "backward", buckets=8) == _brute(
+        left, right, "backward", None
+    )
+    # rights entirely outside the left ts range (clamped buckets)
+    left = [(1, 100, 0), (1, 200, 1)]
+    right = [(1, 5, "below"), (1, 900, "above")]
+    for d in ("backward", "forward"):
+        assert _run_salted(spark, left, right, d, buckets=4) == _brute(
+            left, right, d, None
+        ), d
+    # salt_buckets=1 and None take the unsalted path
+    assert _run_salted(spark, left, right, "backward", buckets=1) == _run(
+        spark, left, right, "backward"
+    )
+
+
+def test_asof_salted_window_partitions_by_bucket(spark):
+    ldf = spark.createDataFrame([(1, 10, 0)], "k long, lts long, lid long")
+    rdf = spark.createDataFrame([(1, 5, "a")], "k long, rts long, rv string")
+    plan = asof_join(
+        ldf, rdf, on="k", left_ts="lts", right_ts="rts", salt_buckets=8
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    main_windows = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "_is_left" in ln
+    ]
+    assert main_windows, plan
+    assert all(
+        re.search(r"partitionBy.*_b|_b#\d+\]", ln) or "_b" in ln
+        for ln in main_windows
+    ), main_windows
