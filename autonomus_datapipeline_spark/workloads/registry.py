@@ -438,7 +438,41 @@ _R10_PROVEN_ROWS: frozenset[str] = frozenset(
         "winnowing_match_pairs", "zorder_layout_audit",
     }
 )
-_DRIVER_PROVEN_ROWS = _DRIVER_PROVEN_ROWS | _R10_PROVEN_ROWS
+# CORRECTNESS_r11.json: hash_match == true (all 50 rows — the 10 r11-new
+# queries led the file, followed by the full _R11_TOUCHED re-proof set and
+# the stalest r02/r03-vintage tail). Separate frozenset for the same reason
+# as _R10_PROVEN_ROWS: these rows postdate every touch through r11, so
+# _DRIVER_VERIFIED unions them back AFTER the touched-name subtraction.
+_R11_PROVEN_ROWS: frozenset[str] = frozenset(
+    {
+        "adamic_adar_link_prediction", "ams_f2_sketch",
+        "asof_next_error_latency", "asof_view_purchase_attribution",
+        "brown_double_smoothing_forecast", "contamination_ngram_overlap",
+        "content_hash_split", "dbscan_grid_clusters",
+        "dedup_cluster_size_stats", "dedup_exact", "doc_fingerprints",
+        "edit_distance_pairs", "embedding_neardup_pairs",
+        "grid_epsilon_neighbors", "hll_portable_cardinality",
+        "incremental_agg_merge", "incremental_dedup_new_batch",
+        "jl_projection_distortion", "kcore_peeling_summary",
+        "kmv_set_intersection", "label_propagation_communities",
+        "lang_id_stopword_voting", "local_supplier_volume",
+        "logistic_ipw_ate", "lpa_modularity_score", "minhash_lsh_pairs",
+        "multimodal_decode_features", "multimodal_frame_sample",
+        "neyman_allocation_plan", "ngram_jaccard_capped",
+        "ngram_jaccard_top_pairs", "pagerank_copurchase", "pii_redaction",
+        "ppjoin_prefix_filter_pairs", "quality_filter_chain",
+        "quantile_normalize_deciles", "range_join_value_bands",
+        "repetition_scores", "sequence_packing_bins", "simhash_fingerprints",
+        "simhash_hamming_dedup_first", "simhash_hamming_pairs",
+        "stratified_sample", "text_cleaning", "text_quality_scores",
+        "tfidf_top_keywords", "token_count_regex", "token_rarity_scores",
+        "upsert_latest_wins", "winnowing_fingerprints",
+    }
+)
+
+_DRIVER_PROVEN_ROWS = (
+    _DRIVER_PROVEN_ROWS | _R10_PROVEN_ROWS | _R11_PROVEN_ROWS
+)
 
 
 # Registry names with no driver CORRECTNESS_r*.json proof yet. The r10
@@ -555,6 +589,20 @@ _R11_TOUCHED: tuple[str, ...] = (
     "quantile_normalize_deciles",
 )
 
+# Queries whose PLANS or VALUES changed in round 12 (re-proof needed before
+# re-entering _DRIVER_VERIFIED): the r11 ADVICE fixes — Neyman's squared
+# moment now accumulates in DECIMAL(38,0) (VALUES change at sf1 volumes:
+# the old LongType sum wrapped past 2^63; identical at sf0.01), KMV's exact
+# union/intersection counts moved from 48-bit hash prefixes to raw user_id
+# and Jaccard to integer floor division on both engines — and the two
+# asof_join-backed queries (the operator gained the salt_buckets branch;
+# their default path is plan-identical but the operator code changed, so
+# they re-queue per the touch discipline).
+_R12_TOUCHED: tuple[str, ...] = (
+    "neyman_allocation_plan", "kmv_set_intersection",
+    "asof_view_purchase_attribution", "asof_next_error_latency",
+)
+
 _DRIVER_VERIFIED: frozenset[str] = (
     (
         _DRIVER_PROVEN_ROWS
@@ -585,6 +633,11 @@ _DRIVER_VERIFIED: frozenset[str] = (
     # r10 rows postdate every r8/r9/r10 touch they sampled.
     | _R10_PROVEN_ROWS
 ) - frozenset(_R11_TOUCHED)
+# r11 rows postdate every touch through r11 (including every _R11_TOUCHED
+# name — all nine were sampled and re-proven green in CORRECTNESS_r11).
+_DRIVER_VERIFIED = (_DRIVER_VERIFIED | _R11_PROVEN_ROWS) - frozenset(
+    _R12_TOUCHED
+)
 
 
 def _latest_proof_round() -> dict[str, int]:
@@ -638,7 +691,8 @@ def _contract_order() -> list[str]:
         *(
             _n
             for _n in (
-                *_R11_TOUCHED, *_R10_TOUCHED, *_R9_TOUCHED, *_R8_TOUCHED
+                *_R12_TOUCHED, *_R11_TOUCHED, *_R10_TOUCHED, *_R9_TOUCHED,
+                *_R8_TOUCHED,
             )
             if _n in QUERY_REGISTRY and _n not in _DRIVER_VERIFIED
         ),
