@@ -623,3 +623,229 @@ def logistic_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(1e6)
         ).alias("ate_ipw"),
     ).select("n", "n_treated", F.col("b0q").alias("b0"), F.col("b1q").alias("b1"), "naive_diff", "ate_ipw")
+
+
+# ---------------------------------------------------------------------------
+# ALS rank-2 implicit-feedback matrix factorization (one closed-form round)
+# ---------------------------------------------------------------------------
+
+# λ·128² — the Tikhonov regularizer in the item-factor integer units
+# (item factors are k/128 with k an md5-derived byte in [-128, 127], so
+# every entry of V^T·V is an integer over denominator 128² = 16384 and
+# λ = 0.25 enters the INTEGER normal equations as exactly 4096).
+_ALS_LAM_NUM = 4096
+
+_ALS_UF_SQL = """
+    SELECT u,
+           CAST(FLOOR(128.0
+                      * (CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE)
+                         - CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE))
+                      / (CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
+                         - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))
+                      * 1e6) AS BIGINT) AS u1n,
+           CAST(FLOOR(128.0
+                      * (CAST(b2 AS DOUBLE) * CAST(a11 AS DOUBLE)
+                         - CAST(b1 AS DOUBLE) * CAST(a12 AS DOUBLE))
+                      / (CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
+                         - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))
+                      * 1e6) AS BIGINT) AS u2n
+    FROM nrm
+"""
+
+_ALS_ORACLE = f"""
+WITH r AS (
+    SELECT o.o_custkey AS u, l.l_partkey AS i,
+           CAST(COUNT(*) AS BIGINT) AS r
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+),
+v AS (
+    SELECT u, i, r,
+           CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 2))
+                AS BIGINT) - 128 AS k1,
+           CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 3, 2))
+                AS BIGINT) - 128 AS k2
+    FROM r
+),
+nrm AS (
+    SELECT u,
+           CAST(SUM(k1 * k1) + {_ALS_LAM_NUM} AS BIGINT) AS a11,
+           CAST(SUM(k1 * k2) AS BIGINT) AS a12,
+           CAST(SUM(k2 * k2) + {_ALS_LAM_NUM} AS BIGINT) AS a22,
+           CAST(SUM(r * k1) AS BIGINT) AS b1,
+           CAST(SUM(r * k2) AS BIGINT) AS b2
+    FROM v GROUP BY 1
+),
+uf AS ({_ALS_UF_SQL}),
+scored AS (
+    SELECT v.u, v.r,
+           (CAST(uf.u1n AS DOUBLE) / 1e6) * (CAST(v.k1 AS DOUBLE) / 128.0)
+         + (CAST(uf.u2n AS DOUBLE) / 1e6) * (CAST(v.k2 AS DOUBLE) / 128.0)
+               AS pred
+    FROM v JOIN uf ON uf.u = v.u
+),
+um AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(uf.u1n) AS DOUBLE) / COUNT(*) / 1e6 AS mean_u1,
+           CAST(SUM(uf.u2n) AS DOUBLE) / COUNT(*) / 1e6 AS mean_u2
+    FROM uf JOIN customer c ON c.c_custkey = uf.u
+    GROUP BY 1
+),
+em AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_ratings,
+           CAST(SUM(CAST(FLOOR((CAST(r AS DOUBLE) - pred)
+                               * (CAST(r AS DOUBLE) - pred) * 1e6)
+                         AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS sq_sum
+    FROM scored JOIN customer c ON c.c_custkey = scored.u
+    GROUP BY 1
+)
+SELECT um.segment, um.n_users, um.mean_u1, um.mean_u2,
+       em.n_ratings, em.sq_sum / em.n_ratings AS mse
+FROM um JOIN em ON em.segment = um.segment
+ORDER BY um.segment
+"""
+
+
+@query("als_rank2_implicit", oracle=_ALS_ORACLE)
+def als_rank2_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS latent-factor recommendation (Zhou et al. 2008; Hu, Koren &
+    Volinsky 2008 implicit feedback): factor the customer x part purchase-
+    count matrix at rank 2 with ONE closed-form alternating-least-squares
+    half-step — item factors fixed at a deterministic md5-derived init,
+    every user's factors solved exactly from its 2x2 regularized normal
+    equations. The query reports, per market segment, the mean learned
+    user factors and the reconstruction MSE of the factor model over the
+    observed ratings — the fit diagnostic an ALS tuning loop watches.
+
+    This is the distributed-MF shape (the canonical Spark MLlib ALS
+    workload) expressed as pure DataFrame algebra: no driver-side linear
+    algebra, no per-row UDF.
+
+    Determinism: item factors are integers k/128 (one md5 byte per
+    dimension), so V^T·V and V^T·r accumulate as exact INTEGER sums
+    (map-side combinable; λ = 0.25 enters as the integer 4096 over the
+    shared 128² denominator). The per-user 2x2 solve is one fixed IEEE
+    expression over those exact integers (all intermediates < 2^53 at
+    test scales — at larger per-user degree, move the two products to
+    decimal), floor-quantized to 1e-6 units; the MSE accumulates
+    floor-quantized squared errors (fsum discipline) with one final
+    division. Bit-identical across engines by construction.
+
+    Scale: ratings are one fact-fact equi-join + a (user, item) count
+    (both map-side combinable after the join shuffle); the normal
+    equations are a second map-side-combinable groupBy(user); scoring
+    re-joins factors to ratings on user; segment rollups broadcast the
+    customer dim. No cross join, no windows, no driver collect — state is
+    2 numbers per user, the ALS property that makes it THE distributed
+    factorization algorithm.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    )
+
+    def _kbyte(pos: int):
+        return (
+            F.conv(
+                F.substring(F.md5(F.col("i").cast("string")), pos, 2), 16, 10
+            ).cast("bigint")
+            - 128
+        )
+
+    v = ratings.select(
+        "u", "i", "r", _kbyte(1).alias("k1"), _kbyte(3).alias("k2")
+    )
+    nrm = v.groupBy("u").agg(
+        (F.sum(F.col("k1") * F.col("k1")) + F.lit(_ALS_LAM_NUM))
+        .cast("bigint")
+        .alias("a11"),
+        F.sum(F.col("k1") * F.col("k2")).cast("bigint").alias("a12"),
+        (F.sum(F.col("k2") * F.col("k2")) + F.lit(_ALS_LAM_NUM))
+        .cast("bigint")
+        .alias("a22"),
+        F.sum(F.col("r") * F.col("k1")).cast("bigint").alias("b1"),
+        F.sum(F.col("r") * F.col("k2")).cast("bigint").alias("b2"),
+    )
+    a11d, a12d, a22d = (
+        F.col("a11").cast("double"),
+        F.col("a12").cast("double"),
+        F.col("a22").cast("double"),
+    )
+    b1d, b2d = F.col("b1").cast("double"), F.col("b2").cast("double")
+    # det = (V^T V + λI) determinant numerator: ≥ 4096² > 0 always
+    # (Cauchy–Schwarz + the positive-definite regularizer) — no guard.
+    det = a11d * a22d - a12d * a12d
+    uf = nrm.select(
+        "u",
+        F.floor(F.lit(128.0) * (b1d * a22d - b2d * a12d) / det * 1e6)
+        .cast("bigint")
+        .alias("u1n"),
+        F.floor(F.lit(128.0) * (b2d * a11d - b1d * a12d) / det * 1e6)
+        .cast("bigint")
+        .alias("u2n"),
+    )
+    pred = (F.col("u1n").cast("double") / 1e6) * (
+        F.col("k1").cast("double") / 128.0
+    ) + (F.col("u2n").cast("double") / 1e6) * (
+        F.col("k2").cast("double") / 128.0
+    )
+    scored = v.join(uf, "u").select("u", "r", pred.alias("pred"))
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    um = (
+        uf.join(F.broadcast(cust), uf.u == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            (
+                F.sum("u1n").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6)
+            ).alias("mean_u1"),
+            (
+                F.sum("u2n").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6)
+            ).alias("mean_u2"),
+        )
+    )
+    sq = (F.col("r").cast("double") - F.col("pred")) * (
+        F.col("r").cast("double") - F.col("pred")
+    )
+    em = (
+        scored.join(F.broadcast(cust), scored.u == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ratings"),
+            (
+                F.sum(F.floor(sq * F.lit(1e6)).cast("decimal(38,0)"))
+                .cast("double")
+                / F.lit(1e6)
+            ).alias("sq_sum"),
+        )
+    )
+    return (
+        um.join(em, "segment")
+        .select(
+            "segment",
+            "n_users",
+            "mean_u1",
+            "mean_u2",
+            "n_ratings",
+            (F.col("sq_sum") / F.col("n_ratings")).alias("mse"),
+        )
+        .orderBy("segment")
+    )
