@@ -179,6 +179,7 @@ R12_SET = [
     "neyman_allocation_plan",
     "adamic_adar_link_prediction",
     "ppjoin_prefix_filter_pairs",
+    "als_rank2_implicit",
 ]
 
 
