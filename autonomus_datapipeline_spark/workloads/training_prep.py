@@ -595,7 +595,7 @@ def _uvt_oracle() -> str:
         FROM (
             SELECT word, wc, unnest(range(1, length(word) + 1)) AS i
             FROM vocab
-        ) p, unnest(range(2, {_UVT_MAXP + 1} + 1)) AS t(l)
+        ) p, unnest(range(2, {_UVT_MAXP + 1})) AS t(l)
         WHERE i + l - 1 <= length(word)
         GROUP BY 1
     ),
