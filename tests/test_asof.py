@@ -185,3 +185,48 @@ def test_asof_salted_window_partitions_by_bucket(spark):
         re.search(r"partitionBy.*_b|_b#\d+\]", ln) or "_b" in ln
         for ln in main_windows
     ), main_windows
+
+
+def test_asof_salted_negative_and_float_ts(spark):
+    # negative and fractional positions exercise the bucket arithmetic
+    # (floor of negative offsets, clamping below the left min)
+    rng = random.Random(29)
+    left = [(1, rng.uniform(-500.0, 500.0), i) for i in range(60)]
+    right = [
+        (1, t, f"v{t:.3f}")
+        for t in {round(rng.uniform(-600.0, 600.0), 3) for _ in range(25)}
+    ]
+    ldf = spark.createDataFrame(left, "k long, lts double, lid long")
+    rdf = spark.createDataFrame(right, "k long, rts double, rv string")
+
+    def run(buckets):
+        got = asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            direction="backward", salt_buckets=buckets,
+        ).collect()
+        return sorted((r.k, r.lts, r.lid, r.rts, r.rv) for r in got)
+
+    assert run(8) == run(None) == run(16)
+
+
+def test_asof_salted_timestamp_typed_ts(spark):
+    # timestamp columns cast to double as epoch seconds — the salted
+    # bucketing must work on them unchanged
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    left = [(1, base + dt.timedelta(minutes=m), m) for m in range(0, 600, 7)]
+    right = [
+        (1, base + dt.timedelta(minutes=m), f"r{m}") for m in range(0, 600, 95)
+    ]
+    ldf = spark.createDataFrame(left, "k long, lts timestamp, lid long")
+    rdf = spark.createDataFrame(right, "k long, rts timestamp, rv string")
+
+    def run(buckets):
+        got = asof_join(
+            ldf, rdf, on="k", left_ts="lts", right_ts="rts",
+            direction="forward", salt_buckets=buckets,
+        ).collect()
+        return sorted((r.k, r.lts, r.lid, r.rts, r.rv) for r in got)
+
+    assert run(6) == run(None)
