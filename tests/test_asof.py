@@ -181,8 +181,10 @@ def test_asof_salted_window_partitions_by_bucket(spark):
         if "Window" in ln and "_is_left" in ln
     ]
     assert main_windows, plan
+    # the running-last window's partition spec must include the bucket:
+    # windowspecdefinition(k#N, _b#M, ...) — _b before the ORDER BY cols
     assert all(
-        re.search(r"partitionBy.*_b|_b#\d+\]", ln) or "_b" in ln
+        re.search(r"windowspecdefinition\([^)]*_b#\d+", ln)
         for ln in main_windows
     ), main_windows
 
