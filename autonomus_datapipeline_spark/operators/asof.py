@@ -34,8 +34,12 @@ recovered by carrying ONE summary row per (key, bucket) — the latest
 (backward) / earliest (forward) right payload, a map-side-combinable
 ``max_by`` — through a per-key prefix window over at most 2N rows per key
 and seeding it into the next bucket. Value-identical to the unsalted plan
-(bucketing a monotone axis preserves the as-of order); the hot key's
-serial cost drops from O(rows) to O(rows/N + N).
+(bucketing a monotone axis preserves the as-of order) — PROVIDED both ts
+columns are non-null (a NULL ts has no bucket; see ``asof_join``); the
+hot key's serial cost drops from O(rows) to O(rows/N + N). Whether a key
+is hot enough to warrant salting is a one-aggregate question —
+``asof_skew_report`` answers it from a sample before you commit to the
+knob.
 
 Reference parity note: the reference engine has no as-of operator; this is
 one of the gap operators SURVEY.md §2.D demands as first-class.
@@ -75,7 +79,12 @@ def asof_join(
     whole partition (see module docstring). Value-identical to the
     default plan; worth it only when a single key holds a large share of
     the rows. Requires the ts columns to cast to double (numerics and
-    timestamps both do).
+    timestamps both do) and — PRECONDITION — to be NON-NULL on both
+    sides: a NULL ts has no position on the time axis, so the salted
+    plan cannot bucket it the way the unsalted window orders it (nulls
+    first ascending), and the two plans would silently disagree on
+    null-ts rows. Filter or impute null timestamps upstream before
+    opting into salting; the default (unsalted) path is unaffected.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
@@ -148,6 +157,61 @@ def asof_join(
             for c in payload_cols
         ],
         F.when(keep, gap).alias("_asof_gap"),
+    )
+
+
+def asof_skew_report(
+    df: DataFrame,
+    on: str | list[str],
+    top_n: int = 5,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """One-aggregate skew probe for the ``salt_buckets`` decision: the
+    top-``top_n`` join keys of ``df`` by row count, each with its share of
+    the total. A pipeline author runs this on the larger as-of side before
+    opting into salting instead of guessing — a top key holding more than
+    a few percent of all rows will serialize its shuffle partition in the
+    unsalted plan (the per-key window is sequential within a key), and
+    ``salt_buckets`` ≈ the executor-core count is the usual response.
+
+    Returns columns: the key column(s), ``n_rows`` (count within the
+    probed sample), ``share`` (fraction of all sampled rows), ``n_keys``
+    (distinct keys seen — context for whether the top share is skew or
+    just few keys). Deterministic order: descending ``n_rows``, then the
+    key columns as tiebreak.
+
+    ``sample_fraction`` bounds probe cost on very large inputs (shares
+    estimate the population within the usual Bernoulli-sampling error;
+    counts are sample counts). Cost envelope: one scan + one
+    map-side-combinable groupBy(key) + a scalar aggregate broadcast back
+    — no window, no collect; ``top_n`` rows out.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    s = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction is not None
+        else df
+    )
+    counts = s.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("n_rows").alias("_tot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        )
+    )
+    return (
+        counts.crossJoin(totals)
+        .select(
+            *keys,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("_tot")).alias("share"),
+            "n_keys",
+        )
+        .orderBy(F.col("n_rows").desc(), *keys)
+        .limit(int(top_n))
     )
 
 

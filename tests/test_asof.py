@@ -232,3 +232,44 @@ def test_asof_salted_timestamp_typed_ts(spark):
         return sorted((r.k, r.lts, r.lid, r.rts, r.rv) for r in got)
 
     assert run(6) == run(None)
+
+
+def test_asof_skew_report_shares_and_order(spark):
+    # 80 rows on key 1, 15 on key 2, 5 on key 3 — the report must surface
+    # key 1 first with share 0.8 and count every distinct key.
+    from autonomus_datapipeline_spark.operators.asof import asof_skew_report
+
+    rows = (
+        [(1, i) for i in range(80)]
+        + [(2, i) for i in range(15)]
+        + [(3, i) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "k long, ts long")
+    got = asof_skew_report(df, on="k", top_n=2).collect()
+    assert [(r.k, r.n_rows, r.n_keys) for r in got] == [
+        (1, 80, 3),
+        (2, 15, 3),
+    ]
+    assert got[0].share == pytest.approx(0.8)
+    assert got[1].share == pytest.approx(0.15)
+
+
+def test_asof_skew_report_sampled_and_multikey(spark):
+    from autonomus_datapipeline_spark.operators.asof import asof_skew_report
+
+    rows = [(i % 4, "a" if i % 10 else "b", i) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, g string, ts long")
+    # multi-key grouping: shares sum to 1 over the returned top-N when
+    # top_n covers every key pair
+    full = asof_skew_report(df, on=["k", "g"], top_n=100).collect()
+    assert sum(r.n_rows for r in full) == 400
+    assert sum(r.share for r in full) == pytest.approx(1.0)
+    # multiples of 10 are even, so (1,"b") and (3,"b") never occur
+    assert len(full) == 6
+    assert all(r.n_keys == 6 for r in full)
+    # sampling path returns the same schema and a plausible subset size
+    samp = asof_skew_report(df, on=["k", "g"], sample_fraction=0.5, seed=7)
+    cols = samp.columns
+    assert cols == ["k", "g", "n_rows", "share", "n_keys"]
+    got = samp.collect()
+    assert 0 < sum(r.n_rows for r in got) < 400

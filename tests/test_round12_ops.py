@@ -66,52 +66,11 @@ def test_als_spark_factors_match_numpy_solve(spark, als_inputs):
     """The Spark-side u1n/u2n must equal the numpy closed-form solution
     to within one 1e-6 quantum (the operator floor-quantizes; numpy's
     solve orders its flops differently, so allow the single-ulp seam)."""
-    from autonomus_datapipeline_spark.workloads import model_ops
+    from autonomus_datapipeline_spark.workloads.model_ops import _als_stages
 
-    # Rebuild the operator's internal uf stage on the real tables.
-    import pyspark.sql.functions as F
-
-    from autonomus_datapipeline_spark.workloads.registry import load_table
-
-    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
-    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
-    ratings = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("r"))
-    )
-    k = lambda pos: (  # noqa: E731
-        F.conv(
-            F.substring(F.md5(F.col("i").cast("string")), pos, 2), 16, 10
-        ).cast("bigint")
-        - 128
-    )
-    v = ratings.select("u", "r", k(1).alias("k1"), k(3).alias("k2"))
-    nrm = v.groupBy("u").agg(
-        (F.sum(F.col("k1") * F.col("k1")) + F.lit(model_ops._ALS_LAM_NUM))
-        .cast("bigint").alias("a11"),
-        F.sum(F.col("k1") * F.col("k2")).cast("bigint").alias("a12"),
-        (F.sum(F.col("k2") * F.col("k2")) + F.lit(model_ops._ALS_LAM_NUM))
-        .cast("bigint").alias("a22"),
-        F.sum(F.col("r") * F.col("k1")).cast("bigint").alias("b1"),
-        F.sum(F.col("r") * F.col("k2")).cast("bigint").alias("b2"),
-    )
-    a11d, a12d, a22d = (
-        F.col("a11").cast("double"),
-        F.col("a12").cast("double"),
-        F.col("a22").cast("double"),
-    )
-    b1d, b2d = F.col("b1").cast("double"), F.col("b2").cast("double")
-    det = a11d * a22d - a12d * a12d
     uf = {
         row.u: (row.u1n, row.u2n)
-        for row in nrm.select(
-            "u",
-            F.floor(F.lit(128.0) * (b1d * a22d - b2d * a12d) / det * 1e6)
-            .cast("bigint").alias("u1n"),
-            F.floor(F.lit(128.0) * (b2d * a11d - b1d * a12d) / det * 1e6)
-            .cast("bigint").alias("u2n"),
-        ).collect()
+        for row in _als_stages(spark, SF)["uf"].collect()
     }
 
     expect = _numpy_factors(als_inputs)
@@ -120,6 +79,57 @@ def test_als_spark_factors_match_numpy_solve(spark, als_inputs):
         e1, e2 = expect[u]
         assert abs(u1n - math.floor(e1 * 1e6)) <= 1, (u, u1n, e1)
         assert abs(u2n - math.floor(e2 * 1e6)) <= 1, (u, u2n, e2)
+
+
+def test_als_item_half_step_matches_numpy_solve(spark, als_inputs):
+    """Half-step 2 (users fixed → per-item 2x2 solve): the Spark-side
+    i1n/i2n must equal an independent numpy normal-equation solve built
+    from the SAME user factors, to within one 1e-6 quantum. User factors
+    are taken from the Spark uf stage (already numpy-pinned above), so
+    this isolates the item-step math."""
+    from autonomus_datapipeline_spark.workloads.model_ops import _als_stages
+
+    stages = _als_stages(spark, SF)
+    uf = {
+        row.u: (row.u1n, row.u2n) for row in stages["uf"].collect()
+    }
+    itf = {
+        row.i: (row.i1n, row.i2n) for row in stages["itf"].collect()
+    }
+
+    by_i: dict[int, list] = {}
+    for u, i, r, _k1, _k2 in als_inputs:
+        by_i.setdefault(i, []).append((r, *uf[u]))
+    assert set(itf) == set(by_i)
+    for i, users in by_i.items():
+        a = np.zeros((2, 2))
+        b = np.zeros(2)
+        for r, u1n, u2n in users:
+            p = np.array([u1n / 1e6, u2n / 1e6])
+            a += np.outer(p, p)
+            b += r * p
+        a += 0.25 * np.eye(2)
+        q = np.linalg.solve(a, b)
+        i1n, i2n = itf[i]
+        assert abs(i1n - math.floor(q[0] * 1e6)) <= 1, (i, i1n, q[0])
+        assert abs(i2n - math.floor(q[1] * 1e6)) <= 1, (i, i2n, q[1])
+
+
+def test_als_full_alternation_reduces_mse(spark):
+    """The item half-step re-fits the residual against the learned user
+    factors, so on this deterministic fixture the full-alternation MSE
+    drops strictly below the half-step MSE in every segment (measured
+    ~35% lower at sf0.001)."""
+    from autonomus_datapipeline_spark.workloads.model_ops import (
+        als_rank2_implicit,
+    )
+
+    rows = als_rank2_implicit(spark, SF).collect()
+    assert len(rows) == 5
+    for row in rows:
+        assert 0 < row.mse_full < row.mse_half, (
+            row.segment, row.mse_full, row.mse_half,
+        )
 
 
 def test_als_mse_beats_zero_factor_baseline(spark, als_inputs):
@@ -152,5 +162,6 @@ def test_als_mse_beats_zero_factor_baseline(spark, als_inputs):
         ).fetchall()
     )
     for seg, row in res.items():
-        assert 0 < row.mse < base[seg], (seg, row.mse, base[seg])
+        assert 0 < row.mse_half < base[seg], (seg, row.mse_half, base[seg])
+        assert 0 < row.mse_full < base[seg], (seg, row.mse_full, base[seg])
         assert row.n_ratings > 0 and row.n_users > 0

@@ -72,14 +72,25 @@ def build_sf1(spark) -> None:
             continue
         df = load_table(spark, BASE, table)
         n = df.count()
-        # ONE global shift for every id column in every table (all sf0.1
-        # ids are < 1.5e5): r12 found the old per-table shift (derived
-        # from each table's own row count) gave orders.o_custkey 1e7 but
-        # customer.c_custkey 1e6, so customer joins matched only in copy
-        # 0 and sf1 factors for customer-join queries measured a 10× scan
-        # over a 1× join. With a shared shift each copy is an internally
-        # consistent shard and join output scales 10× like the input.
+        # ONE global shift for every id column in every table: r12 found
+        # the old per-table shift (derived from each table's own row
+        # count) gave orders.o_custkey 1e7 but customer.c_custkey 1e6, so
+        # customer joins matched only in copy 0 and sf1 factors for
+        # customer-join queries measured a 10× scan over a 1× join. With
+        # a shared shift each copy is an internally consistent shard and
+        # join output scales 10× like the input. TPC-H keys are SPARSE —
+        # o_orderkey/l_orderkey reach 600,000 at sf0.1 (not the ~1.5e5
+        # dense row count) — so shard disjointness is asserted per column
+        # rather than assumed (r12 ADVICE).
         shift = GLOBAL_SHIFT
+        maxima = df.agg(
+            *[F.max(F.col(c)).alias(c) for c in id_cols]
+        ).collect()[0]
+        for col in id_cols:
+            assert maxima[col] < shift, (
+                f"{table}.{col} max {maxima[col]} >= GLOBAL_SHIFT {shift}: "
+                "copies would collide; raise GLOBAL_SHIFT"
+            )
         copies = []
         for i in range(COPIES):
             c = df
