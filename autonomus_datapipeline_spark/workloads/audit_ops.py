@@ -689,7 +689,8 @@ _TC_SV_BUCKET = 1000.0
     ),
     cum AS (
         SELECT nat, seg, n_g,
-               SUM(n_gj * t.n - n_j * n_g)
+               SUM(CAST(n_gj AS DECIMAL(18,0)) * CAST(t.n AS DECIMAL(18,0))
+                   - CAST(n_j AS DECIMAL(18,0)) * CAST(n_g AS DECIMAL(18,0)))
                    OVER (PARTITION BY nat, seg ORDER BY sv
                          ROWS UNBOUNDED PRECEDING) AS cd,
                t.n
@@ -769,9 +770,16 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("sv")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # DECIMAL(18,0) products: count·count reaches n² and wraps bigint past
+    # n ≈ 3e9 table rows (the r11 neyman class); 18-digit operands keep
+    # the difference within DECIMAL(37,0) on BOTH engines' width rules.
+    d18 = "decimal(18,0)"
     cum = grid.withColumn(
         "cd",
-        F.sum(F.col("n_gj") * F.col("n") - F.col("n_j") * F.col("n_g")).over(w),
+        F.sum(
+            F.col("n_gj").cast(d18) * F.col("n").cast(d18)
+            - F.col("n_j").cast(d18) * F.col("n_g").cast(d18)
+        ).over(w),
     )
     emd = cum.groupBy("nat", "seg", "n_g", "n").agg(
         F.sum(F.abs("cd")).cast("bigint").alias("sabs")

@@ -1539,12 +1539,16 @@ _IPF_ROUNDS = ("lang", "source", "lang", "source")  # 2 full IPF rounds
 
 def _ipf_adjust_sql(prev: str, out: str, key: str, tgt: str) -> str:
     """One unrolled IPF adjustment: per-margin weighted totals (exact
-    BIGINT picounit sums), then w' = FLOOR(w · target·10¹² / current) —
+    DECIMAL(38,0) picounit sums of decimal n·w products — a bigint
+    product wraps past ~9.2e6 docs per cell), then
+    w' = FLOOR(w · target·10¹² / current) —
     the pagerank picounit-floor pattern: FLOOR has no tie case and every
     float op is a single correctly-rounded IEEE op in pinned order."""
     return f"""
     {out}_m AS (
-        SELECT {key}, CAST(SUM(n * w) AS BIGINT) AS c
+        SELECT {key},
+               CAST(SUM(CAST(n AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0)))
+                    AS DECIMAL(38,0)) AS c
         FROM {prev} GROUP BY 1
     ),
     {out} AS (
@@ -1587,7 +1591,8 @@ def _ipf_oracle() -> str:
     ),{chain}
     SELECT lang, source, n AS n_kept, w AS w_pico,
            CAST(w AS DOUBLE) / {_IPF_PICO} AS weight,
-           CAST(n * w AS DOUBLE) / {_IPF_PICO} AS weighted_rows
+           CAST(CAST(n AS DECIMAL(19,0)) * CAST(w AS DECIMAL(19,0))
+                AS DOUBLE) / {_IPF_PICO} AS weighted_rows
     FROM {prev}
     ORDER BY lang, source
     """
@@ -1607,7 +1612,8 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: weights live as integer PICOUNITS; each adjustment is
     w' = FLOOR(w · target·10¹² / current) where the weighted margin
-    totals are exact BIGINT sums and the float expression is three
+    totals are exact DECIMAL(38,0) sums of decimal products (wrap-proof
+    at any corpus size) and the float expression is three
     correctly-rounded IEEE ops in pinned order — the pagerank
     picounit-floor pattern (FLOOR has no tie case, unlike decimal
     rounding).
@@ -1635,8 +1641,16 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = cells.withColumn("w", F.lit(int(pico)).cast("bigint"))
     cur = cur.join(F.broadcast(tl), "lang").join(F.broadcast(ts), "source")
     for key in _IPF_ROUNDS:
+        # DECIMAL product + sum: n·w is docs·picounits — the per-row
+        # product wraps bigint past ~9.2e6 docs in one cell and the
+        # margin total past the same corpus-wide (the r11 neyman class).
         m = cur.groupBy(key).agg(
-            F.sum(F.col("n") * F.col("w")).cast("bigint").alias("c")
+            F.sum(
+                F.col("n").cast("decimal(19,0)")
+                * F.col("w").cast("decimal(19,0)")
+            )
+            .cast("decimal(38,0)")
+            .alias("c")
         )
         tcol = "t_lang" if key == "lang" else "t_source"
         cur = (
@@ -1659,9 +1673,13 @@ def ipf_raking_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_kept"),
         F.col("w").alias("w_pico"),
         (F.col("w").cast("double") / F.lit(pico)).alias("weight"),
-        ((F.col("n") * F.col("w")).cast("double") / F.lit(pico)).alias(
-            "weighted_rows"
-        ),
+        (
+            (
+                F.col("n").cast("decimal(19,0)")
+                * F.col("w").cast("decimal(19,0)")
+            ).cast("double")
+            / F.lit(pico)
+        ).alias("weighted_rows"),
     ).orderBy("lang", "source")
 
 

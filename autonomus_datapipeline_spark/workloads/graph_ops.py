@@ -759,7 +759,8 @@ def _clustering_oracle() -> str:
         FROM e e1 JOIN e e2 ON e2.a = e1.b
                   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
     ),
-    wed AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+    wed AS (SELECT CAST(SUM(CAST(d * (d - 1) // 2 AS DECIMAL(38,0)))
+                        AS BIGINT) AS w FROM deg)
     SELECT tri.t AS n_triangles, wed.w AS n_wedges,
            CASE WHEN wed.w > 0
                 THEN 3.0 * tri.t / wed.w ELSE 0.0 END AS clustering_coeff
@@ -807,8 +808,14 @@ def neardup_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("n")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
+    # DECIMAL(38,0) accumulator: the corpus-wide wedge total Σ d(d-1)/2
+    # can pass 2^63 long before any single degree does — a bigint sum
+    # wraps silently there (the r11 neyman class); the final bigint cast
+    # saturates visibly (null) at the output type's own ceiling instead.
     wed = deg.agg(
-        F.sum(F.expr("(d * (d - 1)) div 2")).cast("bigint").alias("w")
+        F.sum(F.expr("(d * (d - 1)) div 2").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("w")
     )
     coeff = F.when(
         F.col("w") > 0, F.lit(3.0) * F.col("t") / F.col("w")

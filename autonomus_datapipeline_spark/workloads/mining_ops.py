@@ -1371,22 +1371,26 @@ WITH recs AS (
 ),
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM recs),
 u_name AS (
-    SELECT CAST(SUM(nv * (nv - 1)) AS BIGINT) AS num FROM (
+    SELECT CAST(SUM(CAST(nv AS DECIMAL(19,0)) * CAST(nv - 1 AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS num FROM (
         SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM recs GROUP BY f_name2
     )
 ),
 u_type AS (
-    SELECT CAST(SUM(nv * (nv - 1)) AS BIGINT) AS num FROM (
+    SELECT CAST(SUM(CAST(nv AS DECIMAL(19,0)) * CAST(nv - 1 AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS num FROM (
         SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM recs GROUP BY f_type
     )
 ),
 u_size AS (
-    SELECT CAST(SUM(nv * (nv - 1)) AS BIGINT) AS num FROM (
+    SELECT CAST(SUM(CAST(nv AS DECIMAL(19,0)) * CAST(nv - 1 AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS num FROM (
         SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM recs GROUP BY f_size
     )
 ),
 u_price AS (
-    SELECT CAST(SUM(nv * (nv - 1)) AS BIGINT) AS num FROM (
+    SELECT CAST(SUM(CAST(nv AS DECIMAL(19,0)) * CAST(nv - 1 AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS num FROM (
         SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM recs GROUP BY f_price
     )
 ),
@@ -1417,24 +1421,24 @@ scored AS (
             CASE WHEN agree_price THEN CAST(0.9 AS DOUBLE)
                  ELSE CAST(0.1 AS DOUBLE) END AS m4,
             CASE WHEN agree_name2
-                 THEN CAST(un.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                 THEN CAST(un.num AS DOUBLE) / CAST(CAST(t.n AS DECIMAL(19,0)) * CAST(t.n - 1 AS DECIMAL(19,0)) AS DOUBLE)
                  ELSE CAST(1 AS DOUBLE)
-                      - CAST(un.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                      - CAST(un.num AS DOUBLE) / CAST(CAST(t.n AS DECIMAL(19,0)) * CAST(t.n - 1 AS DECIMAL(19,0)) AS DOUBLE)
                  END AS t1,
             CASE WHEN agree_type
-                 THEN CAST(ut.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                 THEN CAST(ut.num AS DOUBLE) / CAST(CAST(t.n AS DECIMAL(19,0)) * CAST(t.n - 1 AS DECIMAL(19,0)) AS DOUBLE)
                  ELSE CAST(1 AS DOUBLE)
-                      - CAST(ut.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                      - CAST(ut.num AS DOUBLE) / CAST(CAST(t.n AS DECIMAL(19,0)) * CAST(t.n - 1 AS DECIMAL(19,0)) AS DOUBLE)
                  END AS t2,
             CASE WHEN agree_size
-                 THEN CAST(us.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                 THEN CAST(us.num AS DOUBLE) / CAST(CAST(t.n AS DECIMAL(19,0)) * CAST(t.n - 1 AS DECIMAL(19,0)) AS DOUBLE)
                  ELSE CAST(1 AS DOUBLE)
-                      - CAST(us.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                      - CAST(us.num AS DOUBLE) / CAST(CAST(t.n AS DECIMAL(19,0)) * CAST(t.n - 1 AS DECIMAL(19,0)) AS DOUBLE)
                  END AS t3,
             CASE WHEN agree_price
-                 THEN CAST(up.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                 THEN CAST(up.num AS DOUBLE) / CAST(CAST(t.n AS DECIMAL(19,0)) * CAST(t.n - 1 AS DECIMAL(19,0)) AS DOUBLE)
                  ELSE CAST(1 AS DOUBLE)
-                      - CAST(up.num AS DOUBLE) / CAST(t.n * (t.n - 1) AS DOUBLE)
+                      - CAST(up.num AS DOUBLE) / CAST(CAST(t.n AS DECIMAL(19,0)) * CAST(t.n - 1 AS DECIMAL(19,0)) AS DOUBLE)
                  END AS t4
         FROM pat p
         CROSS JOIN tot t
@@ -1503,12 +1507,18 @@ def fellegi_sunter_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = recs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
 
     def u_num(field: str, alias: str) -> DataFrame:
+        # DECIMAL product + sum: nv(nv-1) wraps bigint past nv ≈ 3e9 rows
+        # in one blocking value and the total past Σ ≈ 9.2e18 (the r11
+        # neyman class); num is consumed as a double ratio downstream.
         return (
             recs.groupBy(field)
             .agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
             .agg(
-                F.sum(F.col("nv") * (F.col("nv") - 1))
-                .cast("bigint")
+                F.sum(
+                    F.col("nv").cast("decimal(19,0)")
+                    * (F.col("nv") - 1).cast("decimal(19,0)")
+                )
+                .cast("decimal(38,0)")
                 .alias(alias)
             )
         )
@@ -1531,7 +1541,10 @@ def fellegi_sunter_part_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
 
-    den = (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    den = (
+        F.col("n").cast("decimal(19,0)")
+        * (F.col("n") - F.lit(1)).cast("decimal(19,0)")
+    ).cast("double")
 
     def u_term(agree: str, num: str) -> Column:
         u = F.col(num).cast("double") / den

@@ -93,7 +93,9 @@ tc_lq AS (
 scored AS (
     SELECT d.doc_id, d.lang AS lang_true, k.cls,
            k.lq_prior
-             + SUM(d.cnt * COALESCE(t.lq, k.lq_missing)) AS score_units
+             + SUM(CAST(d.cnt AS DECIMAL(19,0))
+                   * CAST(COALESCE(t.lq, k.lq_missing) AS DECIMAL(19,0)))
+               AS score_units
     FROM dtc d
     CROSS JOIN clsk k
     LEFT JOIN tc_lq t ON t.tok = d.tok AND t.cls = k.cls
@@ -212,8 +214,13 @@ def naive_bayes_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang_true", "cls", "lq_prior")
         .agg(
+            # DECIMAL(19,0) product: cnt·lq wraps bigint past a ~2e8-token
+            # doc (the r11 neyman class; same bound as char_entropy's fix)
             F.sum(
-                F.col("cnt") * F.coalesce(F.col("lq"), F.col("lq_missing"))
+                F.col("cnt").cast("decimal(19,0)")
+                * F.coalesce(F.col("lq"), F.col("lq_missing")).cast(
+                    "decimal(19,0)"
+                )
             ).alias("s")
         )
         .select(
@@ -386,8 +393,10 @@ def _logit_iter_sql(b0: str, b1: str) -> str:
     Per-row state is kept in exact integer units: pu = floor(σ(η)·1e6),
     tm6 = t·1e6 − pu (gradient units), wu6 = pu(1e6−pu) // 1e6 (Hessian
     weight units). Every per-row float op (exp, the x products) is
-    identical-input IEEE math floored immediately; every SUM is an exact
-    integer sum < 2^53 through sf100; the Newton update is a fixed IEEE
+    identical-input IEEE math floored immediately; every SUM accumulates
+    in DECIMAL(38,0) on both engines (wrap-proof at any row count — a
+    bigint sum of the worst unit approaches 2^63 around 3.7e11 rows);
+    the Newton update is a fixed IEEE
     expression over those sums, floor-quantized to 1e-9 so the next
     iteration's broadcast parameters are bit-identical across engines."""
     return f"""
@@ -402,11 +411,14 @@ def _logit_iter_sql(b0: str, b1: str) -> str:
                      * 1e9) AS BIGINT) / 1e9
                 ELSE ({b1}) END AS b1q
     FROM (
-        SELECT CAST(SUM(tm6) AS DOUBLE) / 1e6 AS g0,
-               CAST(SUM(CAST(FLOOR(tm6 * x) AS BIGINT)) AS DOUBLE) / 1e6 AS g1,
-               CAST(SUM(wu6) AS DOUBLE) / 1e6 AS h00,
-               CAST(SUM(CAST(FLOOR(wu6 * x) AS BIGINT)) AS DOUBLE) / 1e6 AS h01,
-               CAST(SUM(CAST(FLOOR(wu6 * x * x) AS BIGINT)) AS DOUBLE) / 1e6
+        SELECT CAST(CAST(SUM(tm6) AS DECIMAL(38,0)) AS DOUBLE) / 1e6 AS g0,
+               CAST(CAST(SUM(CAST(FLOOR(tm6 * x) AS BIGINT))
+                         AS DECIMAL(38,0)) AS DOUBLE) / 1e6 AS g1,
+               CAST(CAST(SUM(wu6) AS DECIMAL(38,0)) AS DOUBLE) / 1e6 AS h00,
+               CAST(CAST(SUM(CAST(FLOOR(wu6 * x) AS BIGINT))
+                         AS DECIMAL(38,0)) AS DOUBLE) / 1e6 AS h01,
+               CAST(CAST(SUM(CAST(FLOOR(wu6 * x * x) AS BIGINT))
+                         AS DECIMAL(38,0)) AS DOUBLE) / 1e6
                    AS h11
         FROM (
             SELECT t, x,
@@ -451,13 +463,16 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
            / SUM(t)
          - CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(38,6)) END)
                 AS DOUBLE) / SUM(1 - t) AS naive_diff,
-       CAST(SUM(CAST(FLOOR(t * y * 1000000.0 / pc) AS BIGINT)) AS DOUBLE)
-         / CAST(SUM(CAST(FLOOR(t * 1000000000000.0 / pc) AS BIGINT))
-                AS DOUBLE) * 1e6
-       - CAST(SUM(CAST(FLOOR((1 - t) * y * 1000000.0 / (1000000 - pc))
-                       AS BIGINT)) AS DOUBLE)
-         / CAST(SUM(CAST(FLOOR((1 - t) * 1000000000000.0 / (1000000 - pc))
-                         AS BIGINT)) AS DOUBLE) * 1e6 AS ate_ipw
+       CAST(CAST(SUM(CAST(FLOOR(t * y * 1000000.0 / pc) AS BIGINT))
+                 AS DECIMAL(38,0)) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(FLOOR(t * 1000000000000.0 / pc) AS BIGINT))
+                     AS DECIMAL(38,0)) AS DOUBLE) * 1e6
+       - CAST(CAST(SUM(CAST(FLOOR((1 - t) * y * 1000000.0 / (1000000 - pc))
+                            AS BIGINT)) AS DECIMAL(38,0)) AS DOUBLE)
+         / CAST(CAST(SUM(CAST(FLOOR((1 - t) * 1000000000000.0
+                                    / (1000000 - pc))
+                              AS BIGINT)) AS DECIMAL(38,0)) AS DOUBLE)
+         * 1e6 AS ate_ipw
 FROM scorebase
 """
 
@@ -488,24 +503,32 @@ def _logit_step(base: DataFrame, prev: DataFrame) -> DataFrame:
             F.expr("(pu * (1000000 - pu)) div 1000000").alias("wu6"),
         )
     )
+    # DECIMAL(38,0) accumulators over the exact per-row integer units:
+    # the worst unit (wu6·x² ≤ 2.5e7/row) puts a bigint sum within reach
+    # of 2^63 around 3.7e11 rows — 100 TB territory (the r11 neyman
+    # class). Values identical below the wrap; the oracle mirrors with
+    # SUM → DECIMAL(38,0) → DOUBLE.
+    dec0 = "decimal(38,0)"
     s = per.groupBy("b0q", "b1q").agg(
-        (F.sum("tm6").cast("double") / 1e6).alias("g0"),
+        (F.sum(F.col("tm6").cast(dec0)).cast("double") / 1e6).alias("g0"),
         (
-            F.sum(F.floor(F.col("tm6") * F.col("x")).cast("bigint")).cast(
-                "double"
-            )
+            F.sum(
+                F.floor(F.col("tm6") * F.col("x")).cast("bigint").cast(dec0)
+            ).cast("double")
             / 1e6
         ).alias("g1"),
-        (F.sum("wu6").cast("double") / 1e6).alias("h00"),
+        (F.sum(F.col("wu6").cast(dec0)).cast("double") / 1e6).alias("h00"),
         (
-            F.sum(F.floor(F.col("wu6") * F.col("x")).cast("bigint")).cast(
-                "double"
-            )
+            F.sum(
+                F.floor(F.col("wu6") * F.col("x")).cast("bigint").cast(dec0)
+            ).cast("double")
             / 1e6
         ).alias("h01"),
         (
             F.sum(
-                F.floor(F.col("wu6") * F.col("x") * F.col("x")).cast("bigint")
+                F.floor(F.col("wu6") * F.col("x") * F.col("x"))
+                .cast("bigint")
+                .cast(dec0)
             ).cast("double")
             / 1e6
         ).alias("h11"),
@@ -546,7 +569,8 @@ def logistic_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: each iteration is ONE aggregate of exact integer units
     (σ(η) floor-quantized to 1e-6 per row; gradient/Hessian unit sums
-    < 2^53 through sf100); the Newton update is a fixed IEEE expression
+    accumulate in DECIMAL(38,0) on both engines, wrap-proof at any row
+    count); the Newton update is a fixed IEEE expression
     over those sums, floor-quantized to 1e-9, so the parameters each
     iteration broadcasts are bit-identical across engines by
     construction. exp's last-ulp libm variance is absorbed by the per-row
@@ -594,15 +618,18 @@ def logistic_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(1 - F.col("t"))
         ).alias("naive_diff"),
         (
+            # Same decimal-accumulator discipline as the Newton sums: the
+            # worst IPW unit (t·1e12/pc ≤ 1e9/row at the 1e3 clip floor)
+            # puts a bigint sum past 2^63 around 9.2e9 rows.
             F.sum(
                 F.floor(
                     F.col("t") * F.col("y") * F.lit(1000000.0) / F.col("pc")
-                ).cast("bigint")
+                ).cast("bigint").cast("decimal(38,0)")
             ).cast("double")
             / F.sum(
                 F.floor(
                     F.col("t") * F.lit(1000000000000.0) / F.col("pc")
-                ).cast("bigint")
+                ).cast("bigint").cast("decimal(38,0)")
             ).cast("double")
             * F.lit(1e6)
             - F.sum(
@@ -611,14 +638,14 @@ def logistic_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * F.col("y")
                     * F.lit(1000000.0)
                     / (F.lit(1000000) - F.col("pc"))
-                ).cast("bigint")
+                ).cast("bigint").cast("decimal(38,0)")
             ).cast("double")
             / F.sum(
                 F.floor(
                     (1 - F.col("t"))
                     * F.lit(1000000000000.0)
                     / (F.lit(1000000) - F.col("pc"))
-                ).cast("bigint")
+                ).cast("bigint").cast("decimal(38,0)")
             ).cast("double")
             * F.lit(1e6)
         ).alias("ate_ipw"),

@@ -679,9 +679,18 @@ _DRIVER_VERIFIED: frozenset[str] = (
 # FULL alternation (new item half-step, new mse_half/mse_full output
 # columns — VALUES and SCHEMA changed) and its 2x2-solve products moved
 # from double·double to exact DECIMAL(19,0) products rounded once (the
-# in-code enforcement of the <2^53 caveat, r12 verdict tasks 1–3).
+# in-code enforcement of the <2^53 caveat, r12 verdict tasks 1–3); the
+# other eleven are the static accumulator audit's decimal hardening
+# (AUDIT_ACCUMULATORS.md — the r11 neyman overflow class): plan-only
+# touches, values identical at every tested scale, each re-proven
+# against its oracle at sf0.01 after the change.
 _R13_TOUCHED: tuple[str, ...] = (
     "als_rank2_implicit",
+    "logistic_ipw_ate", "naive_bayes_lang_classifier",
+    "char_entropy_buckets", "ipf_raking_weights", "voptimal_histogram",
+    "bh_fdr_segment_tests", "seq_ab_spending_monitor", "ams_f2_sketch",
+    "fellegi_sunter_part_linkage", "t_closeness_audit",
+    "neardup_clustering_coefficient",
 )
 
 _DRIVER_VERIFIED = (

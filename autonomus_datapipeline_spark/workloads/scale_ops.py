@@ -208,11 +208,11 @@ def _vopt_oracle() -> str:
     WITH b AS (
         SELECT CAST(FLOOR(o_totalprice / {_VOPT_BAND}) AS BIGINT) AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
-                   AS s,
+               CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT))
+                    AS DECIMAL(38,0)) AS s,
                CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)
-                        * CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT)
-                   AS ss
+                        * CAST(FLOOR(o_totalprice) AS BIGINT))
+                    AS DECIMAL(38,0)) AS ss
         FROM orders GROUP BY 1
     ),
     mn AS (SELECT MIN(bucket) AS mb FROM b),
@@ -225,8 +225,8 @@ def _vopt_oracle() -> str:
     spans AS (
         SELECT j.bucket AS j, i.bucket AS i,
                CAST(SUM(m.n) AS BIGINT) AS n,
-               CAST(SUM(m.s) AS BIGINT) AS s,
-               CAST(SUM(m.ss) AS BIGINT) AS ss
+               CAST(SUM(m.s) AS DECIMAL(38,0)) AS s,
+               CAST(SUM(m.ss) AS DECIMAL(38,0)) AS ss
         FROM b j
         JOIN b i ON i.bucket >= j.bucket
         JOIN b m ON m.bucket BETWEEN j.bucket AND i.bucket
@@ -261,7 +261,9 @@ def voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion).
 
     Determinism: per-bucket moments are EXACT integers over FLOOR-dollar
-    units (u and u² sums both < 2^63 through sf100; FLOOR has no tie
+    units, accumulated in DECIMAL(38,0) on BOTH engines — exact at any
+    reachable scale (the span-level Σu² re-aggregation passes 2^63 near
+    sf100, where a bigint sum would wrap silently; FLOOR has no tie
     case, unlike cent-rounding at half-grain); each segment SSE is the
     pinned-order expression ss − s²/n on exact-integer-valued doubles;
     each DP layer's argmin carries a (total, path) total order so equal-
@@ -287,8 +289,13 @@ def voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("c").cast("bigint").alias("s"),
-            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+            # DECIMAL(38,0) accumulators: the span-level re-aggregation
+            # below sums these over EVERY base bucket, and the total Σu²
+            # passes 2^63 near sf100 — a bigint sum would wrap silently
+            # (the r11 neyman class). Per-row u² ≤ 3.6e11 stays bigint.
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+            .alias("ss"),
         )
         .localCheckpoint(eager=True)
     )
@@ -314,8 +321,8 @@ def voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("j", "i")
         .agg(
             F.sum("n").cast("bigint").alias("n"),
-            F.sum("s").cast("bigint").alias("s"),
-            F.sum("ss").cast("bigint").alias("ss"),
+            F.sum("s").cast("decimal(38,0)").alias("s"),
+            F.sum("ss").cast("decimal(38,0)").alias("ss"),
         )
     )
     cost = spans.select(

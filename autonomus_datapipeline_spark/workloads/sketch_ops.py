@@ -368,11 +368,15 @@ x AS (
     SELECT e, CAST(SUM(s * c) AS BIGINT) AS z FROM sgn GROUP BY 1
 ),
 est AS (
-    SELECT e, z * z AS x2,
-           ROW_NUMBER() OVER (ORDER BY z * z, e) AS rk
+    SELECT e, CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0)) AS x2,
+           ROW_NUMBER() OVER (
+               ORDER BY CAST(z AS DECIMAL(19,0)) * CAST(z AS DECIMAL(19,0)),
+                        e
+           ) AS rk
     FROM x
 )
-SELECT CAST((SELECT SUM(c * c) FROM f) AS BIGINT) AS f2_exact,
+SELECT CAST((SELECT SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+             FROM f) AS BIGINT) AS f2_exact,
        CAST((SELECT CAST(SUM(x2) AS BIGINT) FROM est
              WHERE rk IN ({_AMS_EST // 2}, {_AMS_EST // 2 + 1})) // 2
            AS BIGINT) AS ams_median_est,
@@ -422,7 +426,15 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     x = sgn.groupBy("e").agg(F.sum(F.col("s") * F.col("c")).cast("bigint").alias("z"))
-    est = x.select("e", (F.col("z") * F.col("z")).alias("x2"))
+    # z² as an exact DECIMAL product: |z| is bounded by the stream length,
+    # so a bigint square wraps silently past |z| ≈ 3e9 (the r11 neyman
+    # class); the decimal product is exact for any bigint z.
+    est = x.select(
+        "e",
+        (
+            F.col("z").cast("decimal(19,0)") * F.col("z").cast("decimal(19,0)")
+        ).alias("x2"),
+    )
     # median of 16 = mean of ranks 8 and 9 under the (x2, e) total order —
     # ranked via the window-free triangular rank (ranked_head), keeping the
     # registry's no-unpartitioned-window invariant.
@@ -441,7 +453,16 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ams_mean_est"
         )
     )
-    f2 = f.agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact"))
+    # Same decimal-product discipline for the exact F2: a heavy-hitter key
+    # with c ≈ 3e9 orders wraps c·c in bigint; Σc² saturates visibly (null
+    # at the final bigint cast) instead of wrapping.
+    f2 = f.agg(
+        F.sum(
+            F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+        )
+        .cast("bigint")
+        .alias("f2_exact")
+    )
     return (
         f2.crossJoin(F.broadcast(med))
         .crossJoin(F.broadcast(mean))

@@ -3576,9 +3576,9 @@ WITH cellu AS (
     SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(FLOOR(o.o_totalprice * 1e2) AS BIGINT))
-                AS BIGINT) AS su,
+                AS DECIMAL(38,0)) AS su,
            CAST(SUM(CAST(FLOOR(o.o_totalprice * o.o_totalprice * 1e-3)
-                         AS BIGINT)) AS BIGINT) AS ssu
+                         AS BIGINT)) AS DECIMAL(38,0)) AS ssu
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY 1, 2
 ),
@@ -3591,8 +3591,8 @@ cell AS (
 ),
 gstat AS (
     SELECT CAST(SUM(n) AS BIGINT) AS ng,
-           CAST(CAST(SUM(su) AS BIGINT) AS DOUBLE) / 1e2 AS sg,
-           CAST(CAST(SUM(ssu) AS BIGINT) AS DOUBLE) / 1e-3 AS ssg
+           CAST(CAST(SUM(su) AS DECIMAL(38,0)) AS DOUBLE) / 1e2 AS sg,
+           CAST(CAST(SUM(ssu) AS DECIMAL(38,0)) AS DOUBLE) / 1e-3 AS ssg
     FROM cellu
 ),
 zt AS (
@@ -3666,11 +3666,15 @@ def bh_fdr_segment_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
+            # DECIMAL(38,0) accumulators: the global re-aggregation sums
+            # every cell's moments, and Σ of the ssu unit (≤3.6e8/row)
+            # approaches 2^63 around 2.5e10 rows — silent bigint wrap at
+            # 100 TB row counts (the r11 neyman class).
             F.sum(F.floor(y * F.lit(1e2)).cast("bigint"))
-            .cast("bigint")
+            .cast("decimal(38,0)")
             .alias("su"),
             F.sum(F.floor(y * y * F.lit(1e-3)).cast("bigint"))
-            .cast("bigint")
+            .cast("decimal(38,0)")
             .alias("ssu"),
         )
         # one fact scan feeds BOTH the cell and the global moments (the
@@ -3686,10 +3690,12 @@ def bh_fdr_segment_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     glob = cellu.agg(
         F.sum("n").cast("bigint").alias("ng"),
-        (F.sum("su").cast("bigint").cast("double") / F.lit(1e2)).alias("sg"),
-        (F.sum("ssu").cast("bigint").cast("double") / F.lit(1e-3)).alias(
-            "ssg"
-        ),
+        (
+            F.sum("su").cast("decimal(38,0)").cast("double") / F.lit(1e2)
+        ).alias("sg"),
+        (
+            F.sum("ssu").cast("decimal(38,0)").cast("double") / F.lit(1e-3)
+        ).alias("ssg"),
     )
     n, s, ss = F.col("n"), F.col("s"), F.col("ss")
     ng, sg, ssg = F.col("ng"), F.col("sg"), F.col("ssg")
@@ -3794,9 +3800,9 @@ WITH wk AS (
                AS arm,
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(FLOOR(o.o_totalprice * 1e2) AS BIGINT))
-                AS BIGINT) AS su,
+                AS DECIMAL(38,0)) AS su,
            CAST(SUM(CAST(FLOOR(o.o_totalprice * o.o_totalprice * 1e-3)
-                         AS BIGINT)) AS BIGINT) AS ssu
+                         AS BIGINT)) AS DECIMAL(38,0)) AS ssu
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     WHERE c.c_mktsegment IN ('{_KS_SEG_A}', '{_KS_SEG_B}')
     GROUP BY 1, 2
@@ -3804,8 +3810,8 @@ WITH wk AS (
 cum AS (
     SELECT week_idx, arm,
            CAST(SUM(n) OVER w AS BIGINT) AS cn,
-           CAST(SUM(su) OVER w AS BIGINT) AS csu,
-           CAST(SUM(ssu) OVER w AS BIGINT) AS cssu
+           CAST(SUM(su) OVER w AS DECIMAL(38,0)) AS csu,
+           CAST(SUM(ssu) OVER w AS DECIMAL(38,0)) AS cssu
     FROM wk
     WINDOW w AS (PARTITION BY arm ORDER BY week_idx
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -3884,9 +3890,14 @@ def seq_ab_spending_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.floor(y * 1e2).cast("bigint")).cast("bigint").alias("su"),
+            # DECIMAL(38,0): the running window below re-sums every
+            # week's moments — same wrap exposure as bh_fdr's global
+            # re-aggregation (the r11 neyman class).
+            F.sum(F.floor(y * 1e2).cast("bigint"))
+            .cast("decimal(38,0)")
+            .alias("su"),
             F.sum(F.floor(y * y * 1e-3).cast("bigint"))
-            .cast("bigint")
+            .cast("decimal(38,0)")
             .alias("ssu"),
         )
     )
@@ -3899,8 +3910,8 @@ def seq_ab_spending_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_idx",
         "arm",
         F.sum("n").over(w).cast("bigint").alias("cn"),
-        F.sum("su").over(w).cast("bigint").alias("csu"),
-        F.sum("ssu").over(w).cast("bigint").alias("cssu"),
+        F.sum("su").over(w).cast("decimal(38,0)").alias("csu"),
+        F.sum("ssu").over(w).cast("decimal(38,0)").alias("cssu"),
     )
     tot = wk.agg(F.sum("n").cast("bigint").alias("n_final"))
     a = cum.where(F.col("arm") == "a").select(

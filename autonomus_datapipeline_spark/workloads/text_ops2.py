@@ -645,14 +645,23 @@ docent AS (
     SELECT doc_id,
            CAST(SUM(c) AS BIGINT) AS n,
            CAST(COUNT(*) AS BIGINT) AS n_distinct,
-           -- H·(N·1e9) as an exact integer: N·lnq(N) − Σ c·lnq(c)
-           CAST(SUM(c) AS BIGINT)
-             * CAST(FLOOR(ln(CAST(SUM(c) AS DOUBLE)) * 1e9) AS BIGINT)
-             - SUM(c * CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT))
+           -- H·(N·1e9) as an exact integer: N·lnq(N) − Σ c·lnq(c), in
+           -- DECIMAL(38,0) (a bigint c·lnq(c) product wraps past a
+           -- ~2e8-char doc — the r11 neyman class)
+           CAST(SUM(c) AS DECIMAL(19,0))
+             * CAST(CAST(FLOOR(ln(CAST(SUM(c) AS DOUBLE)) * 1e9) AS BIGINT)
+                    AS DECIMAL(19,0))
+             - SUM(CAST(c AS DECIMAL(19,0))
+                   * CAST(CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)
+                          AS DECIMAL(19,0)))
                AS hnum
     FROM cc GROUP BY 1
 )
-SELECT CAST((hnum * 10) // (n * 1000000000) AS BIGINT) AS entropy_band,
+-- HUGEINT // mirrors Spark's decimal `div`: exact integer division on
+-- both engines (DuckDB's // on DECIMAL operands float-divides — probed)
+SELECT CAST(CAST(hnum * 10 AS HUGEINT)
+            // (CAST(n AS HUGEINT) * 1000000000) AS BIGINT)
+           AS entropy_band,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n) AS BIGINT) AS total_chars,
        CAST(MIN(n_distinct) AS BIGINT) AS min_distinct_chars,
@@ -707,14 +716,25 @@ def char_entropy_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
         (
-            F.sum("c").cast("bigint") * lnq(F.sum("c"))
-            - F.sum(F.col("c") * lnq(F.col("c")))
+            # DECIMAL(19,0) products: c·lnq(c) wraps bigint past a
+            # ~2e8-char doc (the r11 neyman class)
+            F.sum("c").cast("decimal(19,0)")
+            * lnq(F.sum("c")).cast("decimal(19,0)")
+            - F.sum(
+                F.col("c").cast("decimal(19,0)")
+                * lnq(F.col("c")).cast("decimal(19,0)")
+            )
         ).alias("hnum"),
     )
     ent = F.col("hnum").cast("double") / (F.col("n") * F.lit(1e9))
     return (
         docent.groupBy(
-            F.expr("(hnum * 10) div (n * 1000000000)").alias("entropy_band")
+            # decimal `div` = exact integer division (bigint out), the
+            # cross-engine twin of the oracle's HUGEINT //; the CAST on n
+            # keeps n·1e9 wrap-proof too
+            F.expr(
+                "(hnum * 10) div (CAST(n AS DECIMAL(19,0)) * 1000000000)"
+            ).alias("entropy_band")
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -48,7 +48,9 @@ from autonomus_datapipeline_spark.workloads import (  # noqa: E402
 )
 
 SF1_DEFAULT = "/tmp/sf1"
-OUT = "SF1_SWEEP.json"
+# Overridable so the sweep can run as parallel shards over disjoint query
+# lists (tools/merge_sf1_sweep.py merges the shard artifacts).
+OUT = os.environ.get("SF1_SWEEP_OUT", "SF1_SWEEP.json")
 
 
 def _aligned_rowset(cols, rows):
