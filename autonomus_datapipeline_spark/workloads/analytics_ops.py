@@ -28,6 +28,7 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
 )
 from autonomus_datapipeline_spark.workloads import graph_common
 from autonomus_datapipeline_spark.workloads.registry import (
+    descale6,
     ORDERDATE_EPOCH_DAY_BOUNDS,
     dsum,
     fsum,
@@ -1017,8 +1018,7 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count_distinct("o_custkey").cast("bigint").alias("active_customers"),
-            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-            .cast("double")
+            descale6(F.sum(F.col("o_totalprice").cast("decimal(38,6)")))
             .alias("revenue"),
         )
         .where(F.col("m_offset") <= 11)
@@ -1228,10 +1228,9 @@ _BT_SPLIT = "1997-01-01"
         WHERE d.day >= DATE '{_BT_SPLIT}'
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-           CAST(SUM(CAST(ABS(actual - pred) AS DECIMAL(38,6))) AS DOUBLE)
+           (CAST(CAST(SUM(CAST(ABS(actual - pred) AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
              / COUNT(*) AS mae,
-           CAST(SUM(CAST(ABS(actual - pred) / actual AS DECIMAL(38,6)))
-                AS DOUBLE) / COUNT(*) AS mape
+           (CAST(CAST(SUM(CAST(ABS(actual - pred) / actual AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) / COUNT(*) AS mape
     FROM test
     """,
 )
@@ -1267,11 +1266,11 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = F.abs(F.col("actual") - F.col("pred"))
     return test.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        (F.sum(err.cast("decimal(38,6)")).cast("double") / F.count(F.lit(1))).alias(
+        (descale6(F.sum(err.cast("decimal(38,6)"))) / F.count(F.lit(1))).alias(
             "mae"
         ),
         (
-            F.sum((err / F.col("actual")).cast("decimal(38,6)")).cast("double")
+            descale6(F.sum((err / F.col("actual")).cast("decimal(38,6)")))
             / F.count(F.lit(1))
         ).alias("mape"),
     )
@@ -1470,11 +1469,11 @@ def churn_label_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS t,
-               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+               (CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sx,
+               (CAST(CAST(SUM(CAST(y AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sy,
+               (CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxy,
+               (CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxx,
+               (CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS syy
         FROM ex
     )
     SELECT CAST(t AS BIGINT) AS n_directed_edges,
@@ -1518,11 +1517,11 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,6)"
     s = ex.agg(
         F.count(F.lit(1)).cast("double").alias("t"),
-        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+        descale6(F.sum(F.col("x").cast(dec))).alias("sx"),
+        descale6(F.sum(F.col("y").cast(dec))).alias("sy"),
+        descale6(F.sum((F.col("x") * F.col("y")).cast(dec))).alias("sxy"),
+        descale6(F.sum((F.col("x") * F.col("x")).cast(dec))).alias("sxx"),
+        descale6(F.sum((F.col("y") * F.col("y")).cast(dec))).alias("syy"),
     )
     t, sx, sy = F.col("t"), F.col("sx"), F.col("sy")
     sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
@@ -1840,14 +1839,12 @@ def reorder_interval_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(CASE WHEN CAST(date_trunc('month', o.o_orderdate)
                                      AS DATE) <> f.first_m THEN 1 END)
                 AS BIGINT) AS n_returning_orders,
-           CAST(SUM(CASE WHEN CAST(date_trunc('month', o.o_orderdate)
+           (CAST(CAST(SUM(CASE WHEN CAST(date_trunc('month', o.o_orderdate)
                                    AS DATE) = f.first_m
-                    THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END)
-                AS DOUBLE) AS new_revenue,
-           CAST(SUM(CASE WHEN CAST(date_trunc('month', o.o_orderdate)
+                    THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS new_revenue,
+           (CAST(CAST(SUM(CASE WHEN CAST(date_trunc('month', o.o_orderdate)
                                    AS DATE) <> f.first_m
-                    THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END)
-                AS DOUBLE) AS returning_revenue
+                    THEN CAST(o.o_totalprice AS DECIMAL(38,6)) END) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS returning_revenue
     FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
     GROUP BY 1 ORDER BY 1
     """,
@@ -1877,11 +1874,9 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.when(is_new, 1)).cast("bigint").alias("n_new_orders"),
             F.count(F.when(~is_new, 1)).cast("bigint").alias("n_returning_orders"),
-            F.sum(F.when(is_new, F.col("o_totalprice").cast(dec)))
-            .cast("double")
+            descale6(F.sum(F.when(is_new, F.col("o_totalprice").cast(dec))))
             .alias("new_revenue"),
-            F.sum(F.when(~is_new, F.col("o_totalprice").cast(dec)))
-            .cast("double")
+            descale6(F.sum(F.when(~is_new, F.col("o_totalprice").cast(dec))))
             .alias("returning_revenue"),
         )
         .orderBy("month")

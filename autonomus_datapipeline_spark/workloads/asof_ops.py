@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from autonomus_datapipeline_spark.operators.asof import asof_join
-from autonomus_datapipeline_spark.workloads.registry import load_table, query
+from autonomus_datapipeline_spark.workloads.registry import (
+    descale6,
+    load_table,
+    query,
+)
 
 # Epoch microseconds for an NTZ timestamp column named ts (exact: whole
 # seconds via timestampdiff + the DECIMAL(8,6) sub-second part).
@@ -66,8 +70,10 @@ g AS (
 )
 SELECT attributed_type,
        CAST(COUNT(*) AS BIGINT) AS n_purchases,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
-       CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1e6 AS avg_gap_seconds
+       (CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0))
+            AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS total_value,
+       CAST(CAST(SUM(gap_us) AS DECIMAL(38,0)) AS DOUBLE)
+         / COUNT(gap_us) / 1e6 AS avg_gap_seconds
 FROM g GROUP BY 1 ORDER BY 1
 """
 
@@ -132,11 +138,11 @@ def asof_view_purchase_attribution(
         g.groupBy("attributed_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
-            F.sum(F.col("value").cast("decimal(38,6)"))
-            .cast("double")
-            .alias("total_value"),
+            descale6(
+                F.sum(F.col("value").cast("decimal(38,6)"))
+            ).alias("total_value"),
             (
-                F.sum("gap_us").cast("double")
+                F.sum("gap_us").cast("decimal(38,0)").cast("double")
                 / F.count("gap_us")
                 / F.lit(1e6)
             ).alias("avg_gap_seconds"),
@@ -174,7 +180,8 @@ g AS (
 SELECT hh AS signup_hour,
        CAST(COUNT(*) AS BIGINT) AS n_signups,
        CAST(COUNT(gap_us) AS BIGINT) AS n_with_error_24h,
-       CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1e6
+       CAST(CAST(SUM(gap_us) AS DECIMAL(38,0)) AS DOUBLE)
+         / COUNT(gap_us) / 1e6
            AS avg_latency_seconds
 FROM g GROUP BY 1 ORDER BY 1
 """
@@ -223,7 +230,7 @@ def asof_next_error_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_signups"),
             F.count("_asof_gap").cast("bigint").alias("n_with_error_24h"),
             (
-                F.sum("_asof_gap").cast("double")
+                F.sum("_asof_gap").cast("decimal(38,0)").cast("double")
                 / F.count("_asof_gap")
                 / F.lit(1e6)
             ).alias("avg_latency_seconds"),

@@ -30,6 +30,7 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
     with_global_shift,
 )
 from autonomus_datapipeline_spark.workloads.registry import (
+    descale6,
     ORDERDATE_EPOCH_DAY_BOUNDS,
     load_table,
     query,
@@ -214,7 +215,7 @@ def trend_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_days"),
             (
-                F.sum(F.col("resid").cast("decimal(38,6)")).cast("double")
+                descale6(F.sum(F.col("resid").cast("decimal(38,6)")))
                 / F.count("resid")
             ).alias("seasonal_mean"),
         )
@@ -702,7 +703,7 @@ def bloom_filter_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT touch_type,
            CAST(COUNT(*) AS BIGINT) AS n_touch_events,
-           CAST(SUM(CAST(1.0 / n_touches AS DECIMAL(38,6))) AS DOUBLE)
+           (CAST(CAST(SUM(CAST(1.0 / n_touches AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
                AS credit
     FROM sized GROUP BY 1 ORDER BY 1
     """,

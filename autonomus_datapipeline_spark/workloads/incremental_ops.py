@@ -17,6 +17,7 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
     with_global_shift,
 )
 from autonomus_datapipeline_spark.workloads.registry import (
+    descale6,
     ORDER_YEAR_BOUNDS,
     load_table,
     query,
@@ -49,7 +50,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+            descale6(F.sum(F.col("value").cast("decimal(38,6)"))).alias("sum_value"),
         )
     )
 
@@ -101,7 +102,7 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
     cust_avg = (
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double")
+        descale6(F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w))
         / F.count(F.lit(1)).over(w)
     )
     return (
@@ -183,7 +184,7 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = e.select("event_type").distinct()
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
-    ).agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"))
+    ).agg(descale6(F.sum(F.col("value").cast("decimal(38,6)"))).alias("sum_value"))
     joined = (
         grid.crossJoin(F.broadcast(types))
         .join(hourly, ["event_type", "hour_ts"], "left")
@@ -229,11 +230,10 @@ def zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
     n = F.count(F.lit(1)).over(w)
-    sx = F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+    sx = descale6(F.sum(F.col("value").cast("decimal(38,6)")).over(w))
     sxx = (
-        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
-        .over(w)
-        .cast("double")
+        descale6(F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .over(w))
     )
     mu = sx / n
     sigma = F.sqrt((n * sxx - sx * sx) / (n.cast("double") * (n - 1)))
@@ -325,7 +325,7 @@ _IAGG_SPLIT = "2024-01-15 00:00:00"
     "incremental_agg_merge",
     oracle="""
     SELECT user_id,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           (CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS total_value,
            COUNT(*) AS n_events
     FROM events
     GROUP BY user_id
@@ -362,7 +362,7 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         state.unionByName(delta)
         .groupBy("user_id")
         .agg(
-            F.sum("psum").cast("double").alias("total_value"),
+            descale6(F.sum("psum")).alias("total_value"),
             F.sum("pcnt").alias("n_events"),
         )
     )

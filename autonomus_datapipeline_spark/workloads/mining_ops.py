@@ -34,6 +34,7 @@ from autonomus_datapipeline_spark.workloads.pipeline_ops import (
 )
 from autonomus_datapipeline_spark.operators.text import _e4_half_up
 from autonomus_datapipeline_spark.workloads.registry import (
+    descale6,
     dsum,
     load_table,
     query,
@@ -622,8 +623,7 @@ def _km_update(emb: DataFrame, assign: DataFrame) -> DataFrame:
     )
     means = dims.groupBy("cluster", "pos").agg(
         (
-            F.sum(F.col("x").cast("double").cast("decimal(38,6)"))
-            .cast("double")
+            descale6(F.sum(F.col("x").cast("double").cast("decimal(38,6)")))
             / F.count(F.lit(1))
         ).alias("v")
     )
@@ -659,8 +659,8 @@ def _km_update(emb: DataFrame, assign: DataFrame) -> DataFrame:
     ),
     cent1 AS (
         SELECT a1.cluster, t.p,
-               CAST(SUM(CAST(CAST(e.embedding[t.p] AS DOUBLE)
-                             AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS v
+               (CAST(CAST(SUM(CAST(CAST(e.embedding[t.p] AS DOUBLE)
+                             AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) / COUNT(*) AS v
         FROM a1 JOIN embeddings e USING (vec_id),
              range(1, {_KM_DIM + 1}) t(p)
         GROUP BY 1, 2
@@ -930,7 +930,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
              / COUNT(*) AS avg_price
     FROM scored GROUP BY 1 ORDER BY 1
     """,
@@ -959,8 +959,7 @@ def order_value_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
             (
-                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-                .cast("double")
+                descale6(F.sum(F.col("o_totalprice").cast("decimal(38,6)")))
                 / F.count(F.lit(1))
             ).alias("avg_price"),
         )

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from autonomus_datapipeline_spark.workloads.registry import (
+    descale6,
     load_table,
     query,
 )
@@ -411,14 +412,14 @@ def _logit_iter_sql(b0: str, b1: str) -> str:
                      * 1e9) AS BIGINT) / 1e9
                 ELSE ({b1}) END AS b1q
     FROM (
-        SELECT CAST(CAST(SUM(tm6) AS DECIMAL(38,0)) AS DOUBLE) / 1e6 AS g0,
-               CAST(CAST(SUM(CAST(FLOOR(tm6 * x) AS BIGINT))
-                         AS DECIMAL(38,0)) AS DOUBLE) / 1e6 AS g1,
-               CAST(CAST(SUM(wu6) AS DECIMAL(38,0)) AS DOUBLE) / 1e6 AS h00,
-               CAST(CAST(SUM(CAST(FLOOR(wu6 * x) AS BIGINT))
-                         AS DECIMAL(38,0)) AS DOUBLE) / 1e6 AS h01,
-               CAST(CAST(SUM(CAST(FLOOR(wu6 * x * x) AS BIGINT))
-                         AS DECIMAL(38,0)) AS DOUBLE) / 1e6
+        SELECT (CAST(CAST(SUM(tm6) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS g0,
+               (CAST(CAST(SUM(CAST(FLOOR(tm6 * x) AS BIGINT))
+                         AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS g1,
+               (CAST(CAST(SUM(wu6) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS h00,
+               (CAST(CAST(SUM(CAST(FLOOR(wu6 * x) AS BIGINT))
+                         AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS h01,
+               (CAST(CAST(SUM(CAST(FLOOR(wu6 * x * x) AS BIGINT))
+                         AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
                    AS h11
         FROM (
             SELECT t, x,
@@ -459,10 +460,9 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(t) AS BIGINT) AS n_treated,
        (SELECT b0q FROM it2) AS b0,
        (SELECT b1q FROM it2) AS b1,
-       CAST(SUM(CASE WHEN t = 1 THEN CAST(y AS DECIMAL(38,6)) END) AS DOUBLE)
+       (CAST(CAST(SUM(CASE WHEN t = 1 THEN CAST(y AS DECIMAL(38,6)) END) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
            / SUM(t)
-         - CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(38,6)) END)
-                AS DOUBLE) / SUM(1 - t) AS naive_diff,
+         - (CAST(CAST(SUM(CASE WHEN t = 0 THEN CAST(y AS DECIMAL(38,6)) END) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) / SUM(1 - t) AS naive_diff,
        CAST(CAST(SUM(CAST(FLOOR(t * y * 1000000.0 / pc) AS BIGINT))
                  AS DECIMAL(38,0)) AS DOUBLE)
          / CAST(CAST(SUM(CAST(FLOOR(t * 1000000000000.0 / pc) AS BIGINT))
@@ -610,11 +610,9 @@ def logistic_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("t").cast("bigint").alias("n_treated"),
         (
-            F.sum(F.when(F.col("t") == 1, F.col("y").cast(dec))).cast("double")
+            descale6(F.sum(F.when(F.col("t") == 1, F.col("y").cast(dec))))
             / F.sum("t")
-            - F.sum(F.when(F.col("t") == 0, F.col("y").cast(dec))).cast(
-                "double"
-            )
+            - descale6(F.sum(F.when(F.col("t") == 0, F.col("y").cast(dec))))
             / F.sum(1 - F.col("t"))
         ).alias("naive_diff"),
         (

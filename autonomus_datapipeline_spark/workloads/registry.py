@@ -164,18 +164,47 @@ ORDER_YEAR_BOUNDS = (1992.0, 1998.0)
 # ---------------------------------------------------------------------------
 
 _DEC = "decimal(38,6)"
+# Exact descale factor for the DECIMAL(38,6) sums below: multiplying the
+# sum by 10^6 inside decimal and casting to DECIMAL(38,0) recovers the
+# exact INTEGER unit count on both engines (probed: DECIMAL(38,6) ×
+# DECIMAL(7,0) → DECIMAL(38,6), exact). The final double is then
+# units→double (scale-0 cast, single-rounded identically on both engines)
+# followed by an explicit /1e6 — the SAME two roundings on both sides.
+# The old direct DECIMAL(38,6)→DOUBLE cast diverged by one ulp once the
+# unit count passed 2^53 (DuckDB descales in two steps, double-rounding;
+# Spark rounds once): first seen on q1's sum_charge in the r13 sf1 sweep
+# (bit-exact at sf0.1 where units ≈ 2.8e15 < 2^53, one ulp off at sf1's
+# 2.8e16). Below 2^53 units the new form is provably bit-identical to
+# the old on both engines, so every historical proof stands.
+# (Built lazily per call: creating a literal Column at import time would
+# require an active SparkContext.)
+
+
+def _dec_descale() -> Column:
+    return F.lit(1000000).cast("decimal(7,0)")
 
 
 def dsum(col: Column | str, alias: str) -> Column:
     """Order-independent exact sum of a double expression, returned as double."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(_DEC)).cast("double").alias(alias)
+    return (
+        (F.sum(c.cast(_DEC)) * _dec_descale())
+        .cast("decimal(38,0)")
+        .cast("double")
+        / F.lit(1e6)
+    ).alias(alias)
 
 
 def davg(col: Column | str, alias: str) -> Column:
     """avg = exact-decimal sum / count, evaluated in double (deterministic)."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(_DEC)).cast("double") / F.count(c)).alias(alias)
+    return (
+        (F.sum(c.cast(_DEC)) * _dec_descale())
+        .cast("decimal(38,0)")
+        .cast("double")
+        / F.lit(1e6)
+        / F.count(c)
+    ).alias(alias)
 
 
 # ---------------------------------------------------------------------------
@@ -212,13 +241,50 @@ def sql_fsum(expr: str, alias: str, grain: str = "1e6") -> str:
     )
 
 
+def descale(dec_sum: Column, scale: int = 6) -> Column:
+    """DECIMAL(*,scale) aggregate → double via the exact descale (see the
+    _dec_descale note): sum × 10^scale → DECIMAL(38,0) → double →
+    /10^scale, the same two roundings on both engines at any magnitude.
+    The multiplier's scale MUST match the decimal's actual scale or the
+    DECIMAL(38,0) cast rounds a fractional value (engine-divergent)."""
+    mult = F.lit(10 ** scale).cast(f"decimal({scale + 1},0)")
+    return (
+        (dec_sum * mult).cast("decimal(38,0)").cast("double")
+        / F.lit(float(10 ** scale))
+    )
+
+
+def descale6(dec_sum: Column) -> Column:
+    """:func:`descale` at the registry's standard scale 6 — for inline
+    decimal sums (incl. window sums) that can't go through dsum/davg."""
+    return descale(dec_sum, 6)
+
+
+def sql_descale(expr: str, scale: int = 6) -> str:
+    """Oracle-side mirror of :func:`descale` (expr = a decimal sum)."""
+    return (
+        f"(CAST(CAST(({expr}) * CAST({10 ** scale} AS DECIMAL({scale + 1},0))"
+        f" AS DECIMAL(38,0)) AS DOUBLE) / 1e{scale})"
+    )
+
+
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+    """Oracle-side mirror of :func:`dsum` — identical descale + roundings.
+    Parenthesized so callers may strip the alias and embed it in a larger
+    expression (q8 builds its ratio that way)."""
+    return (
+        f"(CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,6)))"
+        f" * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE)"
+        f" / 1e6) AS {alias}"
+    )
 
 
 def sql_davg(expr: str, alias: str) -> str:
+    """Oracle-side mirror of :func:`davg` — identical descale + roundings."""
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({expr}) AS {alias}"
+        f"(CAST(CAST(SUM(CAST({expr} AS DECIMAL(38,6)))"
+        f" * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE)"
+        f" / 1e6 / COUNT({expr})) AS {alias}"
     )
 
 

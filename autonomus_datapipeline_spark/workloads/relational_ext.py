@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from autonomus_datapipeline_spark.workloads.registry import (
+    descale6,
     dsum,
     fsum,
     load_table,
@@ -650,9 +651,8 @@ def rolling_1h_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(38,6)"))
-        .over(w)
-        .cast("double")
+        descale6(F.sum(F.col("value").cast("decimal(38,6)"))
+        .over(w))
         .alias("rolling_1h_value"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("rolling_1h_events"),
     )

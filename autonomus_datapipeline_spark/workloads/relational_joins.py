@@ -16,6 +16,8 @@ from pyspark.sql.window import Window
 
 from autonomus_datapipeline_spark.operators.prefix_sum import with_global_running
 from autonomus_datapipeline_spark.workloads.registry import (
+    descale,
+    descale6,
     davg,
     dsum,
     fsum,
@@ -144,9 +146,9 @@ def trade_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
            {sql_dsum(f"CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REVENUE} ELSE 0.0 END", "promo_revenue")},
            {sql_dsum(_REVENUE, "total_revenue")},
-           CAST(SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REVENUE} ELSE 0.0 END
-                    AS DECIMAL(38,6))) AS DOUBLE)
-             / CAST(SUM(CAST({_REVENUE} AS DECIMAL(38,6))) AS DOUBLE)
+           (CAST(CAST(SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%' THEN {_REVENUE} ELSE 0.0 END
+                    AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
+             / (CAST(CAST(SUM(CAST({_REVENUE} AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
              AS promo_share
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1
@@ -169,8 +171,8 @@ def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(promo, "promo_revenue"),
             dsum(revenue, "total_revenue"),
             (
-                F.sum(promo.cast(dec)).cast("double")
-                / F.sum(revenue.cast(dec)).cast("double")
+                descale6(F.sum(promo.cast(dec)))
+                / descale6(F.sum(revenue.cast(dec)))
             ).alias("promo_share"),
         )
     )
@@ -234,17 +236,26 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     label_cent AS (
         SELECT label, pos,
-               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS c
+               (CAST(CAST(SUM(CAST(x AS DECIMAL(38,12)))
+                          * CAST(1000000000000 AS DECIMAL(13,0))
+                          AS DECIMAL(38,0)) AS DOUBLE) / 1e12)
+                   / COUNT(*) AS c
         FROM dims GROUP BY label, pos
     ),
     global_cent AS (
         SELECT pos,
-               CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS g
+               (CAST(CAST(SUM(CAST(x AS DECIMAL(38,12)))
+                          * CAST(1000000000000 AS DECIMAL(13,0))
+                          AS DECIMAL(38,0)) AS DOUBLE) / 1e12)
+                   / COUNT(*) AS g
         FROM dims GROUP BY pos
     )
     SELECT l.label,
-           sqrt(CAST(SUM(CAST((l.c - g.g) * (l.c - g.g) AS DECIMAL(38,12)))
-                AS DOUBLE)) AS dist_to_global
+           sqrt(CAST(CAST(SUM(CAST((l.c - g.g) * (l.c - g.g)
+                                   AS DECIMAL(38,12)))
+                          * CAST(1000000000000 AS DECIMAL(13,0))
+                          AS DECIMAL(38,0)) AS DOUBLE) / 1e12)
+               AS dist_to_global
     FROM label_cent l JOIN global_cent g ON l.pos = g.pos
     GROUP BY l.label
     """,
@@ -264,17 +275,19 @@ def embedding_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("label", "pos", F.col("xf").cast("double").alias("x"))
     dec = "decimal(38,12)"
     label_cent = dims.groupBy("label", "pos").agg(
-        (F.sum(F.col("x").cast(dec)).cast("double") / F.count("*")).alias("c")
+        (descale(F.sum(F.col("x").cast(dec)), 12) / F.count("*")).alias("c")
     )
     global_cent = dims.groupBy("pos").agg(
-        (F.sum(F.col("x").cast(dec)).cast("double") / F.count("*")).alias("g")
+        (descale(F.sum(F.col("x").cast(dec)), 12) / F.count("*")).alias("g")
     )
     diff2 = (F.col("c") - F.col("g")) * (F.col("c") - F.col("g"))
     return (
         label_cent.join(F.broadcast(global_cent), "pos")
         .groupBy("label")
         .agg(
-            F.sqrt(F.sum(diff2.cast(dec)).cast("double")).alias("dist_to_global")
+            F.sqrt(descale(F.sum(diff2.cast(dec)), 12)).alias(
+                "dist_to_global"
+            )
         )
     )
 
@@ -847,12 +860,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
     )
-    num = F.sum(
+    num = descale6(F.sum(
         F.when(F.col("supp_nation") == _Q8_NATION, F.col("volume"))
         .otherwise(0.0)
         .cast("decimal(38,6)")
-    ).cast("double")
-    den = F.sum(F.col("volume").cast("decimal(38,6)")).cast("double")
+    ))
+    den = descale6(F.sum(F.col("volume").cast("decimal(38,6)")))
     return t.groupBy("o_year").agg(
         num.alias("nation_volume"),
         den.alias("total_volume"),

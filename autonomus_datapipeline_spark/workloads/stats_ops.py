@@ -35,6 +35,7 @@ from autonomus_datapipeline_spark.workloads import graph_common
 from autonomus_datapipeline_spark.workloads.analytics_ops import _PR_EDGES_CTE
 from autonomus_datapipeline_spark.workloads.pipeline_ops import _TOKS, _sql_shingles
 from autonomus_datapipeline_spark.workloads.registry import (
+    descale6,
     davg,
     fsum,
     load_table,
@@ -674,8 +675,7 @@ def flesch_reading_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum(F.col("score").cast("decimal(38,6)"))
-            .cast("double")
+            descale6(F.sum(F.col("score").cast("decimal(38,6)")))
             .alias("sum_score"),
             F.sum("w").cast("bigint").alias("total_words"),
         )
@@ -1177,15 +1177,13 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sx,
+               (CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
                    AS sy,
-               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
-                    AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
-                    AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_extendedprice * l_extendedprice
-                             AS DECIMAL(38,6))) AS DOUBLE) AS syy
+               (CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxy,
+               (CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxx,
+               (CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS syy
         FROM lineitem
     )
     SELECT CAST(n AS BIGINT) AS n_rows,
@@ -1213,7 +1211,7 @@ def ols_price_quantity_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def dsnap(c):
-        return F.sum(c.cast("decimal(38,6)")).cast("double")
+        return descale6(F.sum(c.cast("decimal(38,6)")))
 
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.agg(
@@ -1491,7 +1489,7 @@ _TRIM_PCT = 5  # percent trimmed from EACH tail
           AND cb * 100 < n * {100 - _TRIM_PCT}
     )
     SELECT CAST(SUM(w100) / 100.0 AS DOUBLE) AS n_kept,
-           CAST(SUM(CAST(v * w100 AS DECIMAL(38,6))) AS DOUBLE)
+           (CAST(CAST(SUM(CAST(v * w100 AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
              / CAST(SUM(w100) AS BIGINT) AS trimmed_mean
     FROM kept
     """,
@@ -1530,8 +1528,7 @@ def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.agg(
         (F.sum("w100") / F.lit(100.0)).cast("double").alias("n_kept"),
         (
-            F.sum((F.col("v") * F.col("w100")).cast("decimal(38,6)"))
-            .cast("double")
+            descale6(F.sum((F.col("v") * F.col("w100")).cast("decimal(38,6)")))
             / F.sum("w100").cast("bigint")
         ).alias("trimmed_mean"),
     )
@@ -1651,10 +1648,10 @@ def lpa_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
         SELECT CAST(SUM(g1) AS DOUBLE) AS n1,
                CAST(SUM(1 - g1) AS DOUBLE) AS n2,
-               CAST(SUM(g1 * CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx1,
-               CAST(SUM((1 - g1) * CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
-               CAST(SUM(g1 * CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx1,
-               CAST(SUM((1 - g1) * CAST(x * x AS DECIMAL(38,6))) AS DOUBLE)
+               (CAST(CAST(SUM(g1 * CAST(x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sx1,
+               (CAST(CAST(SUM((1 - g1) * CAST(x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sx2,
+               (CAST(CAST(SUM(g1 * CAST(x * x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxx1,
+               (CAST(CAST(SUM((1 - g1) * CAST(x * x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
                    AS sxx2
         FROM g
     )
@@ -1687,15 +1684,12 @@ def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = g.agg(
         F.sum("g1").cast("double").alias("n1"),
         F.sum(1 - F.col("g1")).cast("double").alias("n2"),
-        F.sum((F.col("g1") * F.col("x")).cast(dec)).cast("double").alias("sx1"),
-        F.sum(((1 - F.col("g1")) * F.col("x")).cast(dec))
-        .cast("double")
+        descale6(F.sum((F.col("g1") * F.col("x")).cast(dec))).alias("sx1"),
+        descale6(F.sum(((1 - F.col("g1")) * F.col("x")).cast(dec)))
         .alias("sx2"),
-        F.sum((F.col("g1") * F.col("x") * F.col("x")).cast(dec))
-        .cast("double")
+        descale6(F.sum((F.col("g1") * F.col("x") * F.col("x")).cast(dec)))
         .alias("sxx1"),
-        F.sum(((1 - F.col("g1")) * F.col("x") * F.col("x")).cast(dec))
-        .cast("double")
+        descale6(F.sum(((1 - F.col("g1")) * F.col("x") * F.col("x")).cast(dec)))
         .alias("sxx2"),
     )
     n1, n2 = F.col("n1"), F.col("n2")
@@ -1805,24 +1799,23 @@ def hazard_table_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     per AS (
         SELECT seg,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+               (CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sx,
+               (CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxx
         FROM g GROUP BY 1
     ),
     tot AS (
-        SELECT CAST(SUM(CAST(n AS DECIMAL(38,6))) AS DOUBLE) AS nt,
-               CAST(SUM(CAST(sx AS DECIMAL(38,6))) AS DOUBLE) AS sxt,
-               CAST(SUM(CAST(sxx AS DECIMAL(38,6))) AS DOUBLE) AS sxxt,
+        SELECT (CAST(CAST(SUM(CAST(n AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS nt,
+               (CAST(CAST(SUM(CAST(sx AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxt,
+               (CAST(CAST(SUM(CAST(sxx AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxxt,
                CAST(COUNT(*) AS DOUBLE) AS k
         FROM per
     ),
     parts AS (
         SELECT t.k, t.nt,
-               CAST(SUM(CAST(p.sx * p.sx / p.n AS DECIMAL(38,6))) AS DOUBLE)
+               (CAST(CAST(SUM(CAST(p.sx * p.sx / p.n AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
                  - t.sxt * t.sxt / t.nt AS ssb,
                t.sxxt
-                 - CAST(SUM(CAST(p.sx * p.sx / p.n AS DECIMAL(38,6)))
-                        AS DOUBLE) AS ssw
+                 - (CAST(CAST(SUM(CAST(p.sx * p.sx / p.n AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS ssw
         FROM per p CROSS JOIN tot t
         GROUP BY t.k, t.nt, t.sxt, t.sxxt
     )
@@ -1853,16 +1846,15 @@ def anova_f_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = g.groupBy("seg").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        descale6(F.sum(F.col("x").cast(dec))).alias("sx"),
+        descale6(F.sum((F.col("x") * F.col("x")).cast(dec))).alias("sxx"),
     )
     agg = per.agg(
         F.count(F.lit(1)).cast("double").alias("k"),
-        F.sum(F.col("n").cast(dec)).cast("double").alias("nt"),
-        F.sum(F.col("sx").cast(dec)).cast("double").alias("sxt"),
-        F.sum(F.col("sxx").cast(dec)).cast("double").alias("sxxt"),
-        F.sum((F.col("sx") * F.col("sx") / F.col("n")).cast(dec))
-        .cast("double")
+        descale6(F.sum(F.col("n").cast(dec))).alias("nt"),
+        descale6(F.sum(F.col("sx").cast(dec))).alias("sxt"),
+        descale6(F.sum(F.col("sxx").cast(dec))).alias("sxxt"),
+        descale6(F.sum((F.col("sx") * F.col("sx") / F.col("n")).cast(dec)))
         .alias("sq"),
     )
     k, nt = F.col("k"), F.col("nt")
@@ -1898,11 +1890,11 @@ def anova_f_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN (SELECT DISTINCT pri FROM raw) p
         LEFT JOIN raw r ON r.seg = s.seg AND r.pri = p.pri
     ),
-    rm AS (SELECT seg, CAST(SUM(CAST(obs AS DECIMAL(38,6))) AS DOUBLE) AS rt
+    rm AS (SELECT seg, (CAST(CAST(SUM(CAST(obs AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS rt
            FROM cells GROUP BY 1),
-    cm AS (SELECT pri, CAST(SUM(CAST(obs AS DECIMAL(38,6))) AS DOUBLE) AS ct
+    cm AS (SELECT pri, (CAST(CAST(SUM(CAST(obs AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS ct
            FROM cells GROUP BY 1),
-    tot AS (SELECT CAST(SUM(CAST(obs AS DECIMAL(38,6))) AS DOUBLE) AS n,
+    tot AS (SELECT (CAST(CAST(SUM(CAST(obs AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS n,
                    CAST(COUNT(DISTINCT seg) AS BIGINT) AS r,
                    CAST(COUNT(DISTINCT pri) AS BIGINT) AS c
             FROM cells),
@@ -1957,13 +1949,13 @@ def cramers_v_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = "decimal(38,6)"
     rm = cells.groupBy("seg").agg(
-        F.sum(F.col("obs").cast(dec)).cast("double").alias("rt")
+        descale6(F.sum(F.col("obs").cast(dec))).alias("rt")
     )
     cm = cells.groupBy("pri").agg(
-        F.sum(F.col("obs").cast(dec)).cast("double").alias("ct")
+        descale6(F.sum(F.col("obs").cast(dec))).alias("ct")
     )
     tot = cells.agg(
-        F.sum(F.col("obs").cast(dec)).cast("double").alias("n"),
+        descale6(F.sum(F.col("obs").cast(dec))).alias("n"),
         F.count_distinct("seg").cast("bigint").alias("r"),
         F.count_distinct("pri").cast("bigint").alias("c"),
     )
@@ -2260,22 +2252,17 @@ def kendall_tau_b_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sx,
+               (CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
                    AS sy,
-               CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sz,
-               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
-                    AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
-                    AS DOUBLE) AS sxz,
-               CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
-                    AS DOUBLE) AS syz,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
-                    AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_extendedprice * l_extendedprice
-                             AS DECIMAL(38,6))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6)))
-                    AS DOUBLE) AS szz
+               (CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sz,
+               (CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxy,
+               (CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxz,
+               (CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS syz,
+               (CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxx,
+               (CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                             AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS syy,
+               (CAST(CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS szz
         FROM lineitem
     ),
     r AS (
@@ -2313,7 +2300,7 @@ def partial_correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame
     x, y, z = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
 
     def ds(c, a):
-        return F.sum(c.cast(dec)).cast("double").alias(a)
+        return descale6(F.sum(c.cast(dec))).alias(a)
 
     s = li.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -2366,16 +2353,15 @@ def partial_correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame
     WITH daily AS (
         SELECT CAST(date_diff('day', DATE '1992-01-01',
                               CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+               (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS y
         FROM orders GROUP BY 1
     ),
     s AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,6)))
-                    AS DOUBLE) AS sxx
+               (CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sx,
+               (CAST(CAST(SUM(CAST(y AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sy,
+               (CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxy,
+               (CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxx
         FROM daily
     ),
     resid AS (
@@ -2390,8 +2376,8 @@ def partial_correlation_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT e, LAG(e) OVER (ORDER BY x) AS ep FROM resid
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
-           CAST(SUM(CAST((e - ep) * (e - ep) AS DECIMAL(38,6))) AS DOUBLE)
-             / CAST(SUM(CAST(e * e AS DECIMAL(38,6))) AS DOUBLE) AS dw_stat
+           (CAST(CAST(SUM(CAST((e - ep) * (e - ep) AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
+             / (CAST(CAST(SUM(CAST(e * e AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS dw_stat
     FROM lagged
     """,
 )
@@ -2416,14 +2402,13 @@ def durbin_watson_trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .cast("bigint")
         .alias("x")
-    ).agg(F.sum(F.col("o_totalprice").cast(dec)).cast("double").alias("y"))
+    ).agg(descale6(F.sum(F.col("o_totalprice").cast(dec))).alias("y"))
     s = daily.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
-        F.sum((F.col("x").cast("decimal(38,0)") * F.col("x")).cast(dec))
-        .cast("double")
+        descale6(F.sum(F.col("x").cast(dec))).alias("sx"),
+        descale6(F.sum(F.col("y").cast(dec))).alias("sy"),
+        descale6(F.sum((F.col("x") * F.col("y")).cast(dec))).alias("sxy"),
+        descale6(F.sum((F.col("x").cast("decimal(38,0)") * F.col("x")).cast(dec)))
         .alias("sxx"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
@@ -2446,7 +2431,7 @@ def durbin_watson_trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame
                     dec
                 )
             ).cast("double")
-            / F.sum((F.col("e") * F.col("e")).cast(dec)).cast("double")
+            / descale6(F.sum((F.col("e") * F.col("e")).cast(dec)))
         ).alias("dw_stat"),
     )
 
@@ -2595,12 +2580,11 @@ def _ols_ssr_sql(pred: str) -> str:
     SSR = Syy_c − slope·Sxy_c with centered moments from raw sums."""
     return f"""
         SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
-               CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,6)))
-                    AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+               (CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sx,
+               (CAST(CAST(SUM(CAST(y AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sy,
+               (CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxy,
+               (CAST(CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxx,
+               (CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS syy
         FROM daily WHERE {pred}
     """
 
@@ -2611,7 +2595,7 @@ def _ols_ssr_sql(pred: str) -> str:
     WITH daily AS (
         SELECT CAST(date_diff('day', DATE '1992-01-01',
                               CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y,
+               (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS y,
                CAST(o_orderdate AS DATE) < DATE '{_CHOW_SPLIT}' AS pre
         FROM orders GROUP BY 1, 3
     ),
@@ -2664,18 +2648,17 @@ def chow_test_revenue_break(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate").cast("date") < F.lit(_CHOW_SPLIT).cast("date")).alias(
             "pre"
         ),
-    ).agg(F.sum(F.col("o_totalprice").cast(dec)).cast("double").alias("y"))
+    ).agg(descale6(F.sum(F.col("o_totalprice").cast(dec))).alias("y"))
 
     def stats(df):
         return df.agg(
             F.count(F.lit(1)).cast("double").alias("n"),
-            F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
-            F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
-            F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
-            F.sum((F.col("x").cast("decimal(38,0)") * F.col("x")).cast(dec))
-            .cast("double")
+            descale6(F.sum(F.col("x").cast(dec))).alias("sx"),
+            descale6(F.sum(F.col("y").cast(dec))).alias("sy"),
+            descale6(F.sum((F.col("x") * F.col("y")).cast(dec))).alias("sxy"),
+            descale6(F.sum((F.col("x").cast("decimal(38,0)") * F.col("x")).cast(dec)))
             .alias("sxx"),
-            F.sum((F.col("y") * F.col("y")).cast(dec)).cast("double").alias("syy"),
+            descale6(F.sum((F.col("y") * F.col("y")).cast(dec))).alias("syy"),
         )
 
     def ssr(prefix):
@@ -2739,7 +2722,7 @@ _JK_GROUPS = 10
         FROM per_g p CROSS JOIN tot t
     ),
     tb AS (
-        SELECT CAST(SUM(CAST(theta_i AS DECIMAL(38,6))) AS DOUBLE)
+        SELECT (CAST(CAST(SUM(CAST(theta_i AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
                  / MAX(gn) AS theta_bar
         FROM loo
     )
@@ -2747,9 +2730,9 @@ _JK_GROUPS = 10
            CAST(MAX(l.nt) AS BIGINT) AS n_rows,
            MAX(l.theta_all) AS mean_estimate,
            sqrt((MAX(l.gn) - 1.0) / MAX(l.gn)
-                * CAST(SUM(CAST((l.theta_i - t.theta_bar)
+                * (CAST(CAST(SUM(CAST((l.theta_i - t.theta_bar)
                                 * (l.theta_i - t.theta_bar)
-                                AS DECIMAL(38,6))) AS DOUBLE))
+                                AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6))
                AS jackknife_se
     FROM loo l CROSS JOIN tb t
     GROUP BY t.theta_bar
@@ -2792,17 +2775,17 @@ def jackknife_mean_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tb = loo.agg(
         (
-            F.sum(F.col("theta_i").cast("decimal(38,6)")).cast("double")
+            descale6(F.sum(F.col("theta_i").cast("decimal(38,6)")))
             / F.max("gn")
         ).alias("theta_bar")
     )
     gn = F.max("gn")
-    dev2 = F.sum(
+    dev2 = descale6(F.sum(
         (
             (F.col("theta_i") - F.col("theta_bar"))
             * (F.col("theta_i") - F.col("theta_bar"))
         ).cast("decimal(38,6)")
-    ).cast("double")
+    ))
     return (
         loo.crossJoin(F.broadcast(tb))
         .groupBy("theta_bar")
@@ -2827,7 +2810,7 @@ def jackknife_mean_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH daily AS (
         SELECT CAST(date_diff('day', DATE '1992-01-01',
                               CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+               (CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS y
         FROM orders GROUP BY 1
     ),
     slopes AS (
@@ -2867,7 +2850,7 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("x")
     ).agg(
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("y")
+        descale6(F.sum(F.col("o_totalprice").cast("decimal(38,6)"))).alias("y")
     )
     a = daily.select(F.col("x").alias("ax"), F.col("y").alias("ay"))
     b = daily.select(F.col("x").alias("bx"), F.col("y").alias("by"))
@@ -2921,8 +2904,8 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(MAX(c.n) AS BIGINT) AS n_rows,
            MAX(b.lo) AS lo_bound,
            MAX(b.hi) AS hi_bound,
-           CAST(SUM(CAST(GREATEST(LEAST(c.v, b.hi), b.lo) * c.c
-                         AS DECIMAL(38,6))) AS DOUBLE)
+           (CAST(CAST(SUM(CAST(GREATEST(LEAST(c.v, b.hi), b.lo) * c.c
+                         AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
              / CAST(MAX(c.n) AS BIGINT) AS winsorized_mean
     FROM cum c CROSS JOIN bounds b
     """,
@@ -2964,7 +2947,7 @@ def winsorized_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("lo").alias("lo_bound"),
             F.max("hi").alias("hi_bound"),
             (
-                F.sum((clamped * F.col("c")).cast("decimal(38,6)")).cast("double")
+                descale6(F.sum((clamped * F.col("c")).cast("decimal(38,6)")))
                 / F.max("n").cast("bigint")
             ).alias("winsorized_mean"),
         )

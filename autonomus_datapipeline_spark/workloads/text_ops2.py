@@ -13,7 +13,7 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
     with_global_running,
 )
 from autonomus_datapipeline_spark.workloads.pipeline_ops import _sql_shingles
-from autonomus_datapipeline_spark.workloads.registry import load_table, query
+from autonomus_datapipeline_spark.workloads.registry import descale6, load_table, query
 
 # ---------------------------------------------------------------------------
 # Text cleaning / masking (regexp pipeline — codegen'd, scan-speed)
@@ -146,7 +146,7 @@ _TOK_CTE = f"""
     WITH {_TOK_CTE}
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           CAST(SUM(CAST(cnt AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           (CAST(CAST(SUM(CAST(cnt AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) / COUNT(*)
                AS mean_token_freq,
            MIN(cnt) AS rarest_token_freq,
            CAST(SUM(CASE WHEN cnt < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
@@ -175,7 +175,7 @@ def token_rarity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            (F.sum(F.col("cnt").cast("decimal(38,6)")).cast("double") / F.count("*"))
+            (descale6(F.sum(F.col("cnt").cast("decimal(38,6)"))) / F.count("*"))
             .alias("mean_token_freq"),
             F.min("cnt").alias("rarest_token_freq"),
             F.sum(F.when(F.col("cnt") < 3, 1).otherwise(0))
@@ -291,7 +291,7 @@ _BANDS = [(0.0, 100.0, "low"), (100.0, 250.0, "mid"), (250.0, 400.0, "high"),
         VALUES {", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in _BANDS)}
     )
     SELECT band, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+           (CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sum_value
     FROM events JOIN bands ON value >= lo AND value < hi
     GROUP BY band
     """,
@@ -311,7 +311,7 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+            descale6(F.sum(F.col("value").cast("decimal(38,6)"))).alias("sum_value"),
         )
     )
 

@@ -18,7 +18,7 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
     ranked_head,
     with_global_running,
 )
-from autonomus_datapipeline_spark.workloads.registry import load_table, query
+from autonomus_datapipeline_spark.workloads.registry import descale6, load_table, query
 
 _TOKS = "regexp_split_to_array(lower(text), '\\s+')"
 
@@ -839,7 +839,7 @@ cf AS (
 ),
 c AS (SELECT cat, SUM(s) AS s, SUM(n) AS n FROM cf GROUP BY 1),
 g AS (
-    SELECT CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS prior
+    SELECT (CAST(CAST(SUM(CAST(y AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) / COUNT(*) AS prior
     FROM base
 )
 SELECT cf.cat AS o_orderpriority, cf.fold,
@@ -895,7 +895,7 @@ def target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = base.agg(
         (
-            F.sum(F.col("y").cast("decimal(38,6)")).cast("double")
+            descale6(F.sum(F.col("y").cast("decimal(38,6)")))
             / F.count(F.lit(1))
         ).alias("prior")
     )

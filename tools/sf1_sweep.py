@@ -98,6 +98,10 @@ def main() -> int:
     spark = get_spark("sf1-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # Per-process spill dir: concurrent shards sharing the default cwd
+    # ".tmp" delete each other's temp files (observed: a shard died on
+    # duckdb::IOException removing another's duckdb_temp_storage file).
+    con.execute(f"SET temp_directory='/tmp/duckdb_tmp_{os.getpid()}'")
     for t in TABLES:
         # Spark writes each sf1 table as a DIRECTORY of part files; DuckDB
         # needs the explicit glob for that layout (a single-file path, as
