@@ -1799,23 +1799,24 @@ def hazard_table_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     per AS (
         SELECT seg,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               (CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sx,
-               (CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxx
+               CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx
         FROM g GROUP BY 1
     ),
     tot AS (
-        SELECT (CAST(CAST(SUM(CAST(n AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS nt,
-               (CAST(CAST(SUM(CAST(sx AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxt,
-               (CAST(CAST(SUM(CAST(sxx AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS sxxt,
+        SELECT CAST(SUM(CAST(n AS DECIMAL(38,6))) AS DOUBLE) AS nt,
+               CAST(SUM(CAST(sx AS DECIMAL(38,6))) AS DOUBLE) AS sxt,
+               CAST(SUM(CAST(sxx AS DECIMAL(38,6))) AS DOUBLE) AS sxxt,
                CAST(COUNT(*) AS DOUBLE) AS k
         FROM per
     ),
     parts AS (
         SELECT t.k, t.nt,
-               (CAST(CAST(SUM(CAST(p.sx * p.sx / p.n AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6)
+               CAST(SUM(CAST(p.sx * p.sx / p.n AS DECIMAL(38,6))) AS DOUBLE)
                  - t.sxt * t.sxt / t.nt AS ssb,
                t.sxxt
-                 - (CAST(CAST(SUM(CAST(p.sx * p.sx / p.n AS DECIMAL(38,6))) * CAST(1000000 AS DECIMAL(7,0)) AS DECIMAL(38,0)) AS DOUBLE) / 1e6) AS ssw
+                 - CAST(SUM(CAST(p.sx * p.sx / p.n AS DECIMAL(38,6)))
+                        AS DOUBLE) AS ssw
         FROM per p CROSS JOIN tot t
         GROUP BY t.k, t.nt, t.sxt, t.sxxt
     )
@@ -1846,15 +1847,16 @@ def anova_f_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per = g.groupBy("seg").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        descale6(F.sum(F.col("x").cast(dec))).alias("sx"),
-        descale6(F.sum((F.col("x") * F.col("x")).cast(dec))).alias("sxx"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
     )
     agg = per.agg(
         F.count(F.lit(1)).cast("double").alias("k"),
-        descale6(F.sum(F.col("n").cast(dec))).alias("nt"),
-        descale6(F.sum(F.col("sx").cast(dec))).alias("sxt"),
-        descale6(F.sum(F.col("sxx").cast(dec))).alias("sxxt"),
-        descale6(F.sum((F.col("sx") * F.col("sx") / F.col("n")).cast(dec)))
+        F.sum(F.col("n").cast(dec)).cast("double").alias("nt"),
+        F.sum(F.col("sx").cast(dec)).cast("double").alias("sxt"),
+        F.sum(F.col("sxx").cast(dec)).cast("double").alias("sxxt"),
+        F.sum((F.col("sx") * F.col("sx") / F.col("n")).cast(dec))
+        .cast("double")
         .alias("sq"),
     )
     k, nt = F.col("k"), F.col("nt")
