@@ -1166,16 +1166,12 @@ def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     production loop checkpoints per round and stops when the frontier
     empties.
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
-    e0 = (
-        a.join(b, (a.ok == b.ok2) & (F.col("src") != F.col("dst")))
-        .select("src", "dst")
-        .distinct()
-        .localCheckpoint()
-    )
+    # Edge list via the shared half-pair + explode builder (graph_common):
+    # the distinct sees HALF the ordered pairs and the symmetric closure is
+    # a narrow per-row explode — the AB_r11-measured fastest construction,
+    # identical to the oracle's e0 (r14; previously an inline full-pair
+    # distinct over 2x the rows).
+    e0 = graph_common.copurchase_edges(spark, sf_dir, load=load_table)
     deg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     hub = (
         deg.orderBy(F.desc("deg"), "src")
@@ -1184,6 +1180,13 @@ def bfs_hops_from_hub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = hub
     for _ in range(_BFS_HOPS):
+        # Per-round materialization (r14): `dist` feeds BOTH the frontier
+        # expansion join and the union, so without it the round-k subtree
+        # executes 2^(rounds-k) times — 7 joins and 8 hub aggregates for 3
+        # rounds instead of 3 and 1 (the docstring's "production loop
+        # checkpoints per round", now actually done). The vector is
+        # |nodes|-sized, so each checkpoint is small at any scale.
+        dist = dist.localCheckpoint(eager=True)
         expanded = e0.join(
             dist.select(F.col("node").alias("src"), "d"), "src"
         ).select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))

@@ -30,6 +30,8 @@ persisted table."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -39,8 +41,17 @@ from autonomus_datapipeline_spark.workloads.registry import load_table
 
 # Production form. tools/ab_bench.py flips this to False to re-measure the
 # r10 no-pre-distinct variant; values are identical either way (the
-# post-join (src, dst) distinct dedupes exactly).
+# post-join (src, dst) distinct dedupes exactly). Only consulted by the
+# legacy "join" builder (below).
 _EDGE_PRE_DISTINCT = True
+
+# r14 A/B switch: "collect" = per-order collect_set + array pair expansion
+# (2 exchanges, no join); "join" = the r11 self-join form (the distinct's
+# exchange + 2 join re-keys + SortMergeJoin). Same edge set either way —
+# proven by exceptAll in both directions at sf0.001/sf0.01 and by the
+# registry oracle gate on every consumer. Env override exists so
+# tools/ab_r14.py and plan dumps can pin the legacy form.
+_EDGE_BUILD = os.environ.get("SPARK_GRAFT_EDGE_BUILD", "collect")
 
 
 def copurchase_edges(
@@ -57,24 +68,58 @@ def copurchase_edges(
     through (tests monkeypatch that binding to inject synthetic graphs —
     resolving it here would silently bypass the patch)."""
     li = (load or load_table)(spark, sf_dir, "lineitem")
-    # Per-(order, part) pre-distinct RESTORED (r11): r10 dropped it on the
-    # "one fewer fact shuffle" argument, but the interleaved canary-
-    # normalized 2×2 A/B (tools/ab_bench.py, AB_r11.json) measured the
-    # drop as the real cause of the co-purchase family's r10 bench
-    # regression — full LPA 5.05 s without the pre-distinct vs 4.08 s
-    # with it at stable load. The pre-distinct's aggregate shrinks and
-    # ALREADY HASH-CLUSTERS the self-join input, which more than pays for
-    # its own exchange on this join's key distribution.
     op = li.select("l_orderkey", "l_partkey")
-    if _EDGE_PRE_DISTINCT:
-        op = op.distinct()
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src"))
-    b = op.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst"))
-    half = (
-        a.join(b, (a.ok == b.ok2) & (F.col("src") < F.col("dst")))
-        .select("src", "dst")
-        .distinct()
-    )
+    if _EDGE_BUILD == "collect":
+        # r14 (guide §2.4, remove shuffles outright): fold each order's
+        # distinct parts into ONE sorted array (collect_set dedups, so no
+        # pre-distinct pass), then emit the x < y half-pairs with a narrow
+        # array transform. One hash exchange on l_orderkey replaces the
+        # old shape's distinct exchange on (l_orderkey, l_partkey) PLUS
+        # both join re-keys on l_orderkey PLUS the SortMergeJoin itself:
+        # 3 Exchanges -> 2 for the whole builder (plan in
+        # plans/r14/pagerank_copurchase_*.txt), and the fact table's
+        # bytes cross the wire once instead of three times. Skew-safe at
+        # any scale: an order has at most a handful of parts (TPC-H <= 7),
+        # so arrays are tiny and the fan-out stays Sigma C(k,2).
+        half = (
+            op.groupBy("l_orderkey")
+            .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+            .where(F.size("ps") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ps, (x, i) -> "
+                        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                        "y -> struct(x as src, y as dst))))"
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .distinct()
+        )
+    else:
+        # Per-(order, part) pre-distinct RESTORED (r11): r10 dropped it on
+        # the "one fewer fact shuffle" argument, but the interleaved
+        # canary-normalized 2×2 A/B (tools/ab_bench.py, AB_r11.json)
+        # measured the drop as the real cause of the co-purchase family's
+        # r10 bench regression — full LPA 5.05 s without the pre-distinct
+        # vs 4.08 s with it at stable load. The pre-distinct's aggregate
+        # shrinks and ALREADY HASH-CLUSTERS the self-join input, which
+        # more than pays for its own exchange on this join's key
+        # distribution.
+        if _EDGE_PRE_DISTINCT:
+            op = op.distinct()
+        a = op.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("src")
+        )
+        b = op.select(
+            F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("dst")
+        )
+        half = (
+            a.join(b, (a.ok == b.ok2) & (F.col("src") < F.col("dst")))
+            .select("src", "dst")
+            .distinct()
+        )
     edges = half.select(
         F.explode(
             F.array(

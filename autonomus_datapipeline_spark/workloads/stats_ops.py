@@ -2425,14 +2425,23 @@ def durbin_watson_trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select(
         "e", "ep"
     )
+    # BOTH quadratic sums go through the exact descale: the oracle's
+    # numerator (line above: sql-descale form) and denominator both
+    # two-round, and the r13 q1 find proved the direct DECIMAL→DOUBLE cast
+    # diverges by one ulp past 2^53 units. Provably identical below 2^53
+    # (test_descale_matches_single_rounding_below_2_53), so no tested SF
+    # changes value. (r14, from ADVICE: the numerator had been left on the
+    # direct cast when the denominator was converted.)
     return lagged.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_days"),
         (
-            F.sum(
-                ((F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))).cast(
-                    dec
+            descale6(
+                F.sum(
+                    (
+                        (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep"))
+                    ).cast(dec)
                 )
-            ).cast("double")
+            )
             / descale6(F.sum((F.col("e") * F.col("e")).cast(dec)))
         ).alias("dw_stat"),
     )

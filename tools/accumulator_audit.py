@@ -19,8 +19,14 @@ Scans every F.sum(...) call in the package, classifies each accumulator:
 - PLAIN      plain column sum, no product — at risk only if per-row
              units are large; bounded sites are documented.
 
-Exit code 1 if a PRODUCT! site is not covered by AUDIT_ACCUMULATORS.md
-(matched by file:line prefix drift is tolerated via file+snippet match).
+Exit code 1 if a PRODUCT! site is not covered by AUDIT_ACCUMULATORS.md.
+Coverage is matched PER SITE — file basename + whitespace-normalized
+argument snippet against the doc's "Scanner coverage list" appendix — so
+a NEW unbounded product sum added to an already-documented file fails the
+gate until the doc names that exact site (r14, from ADVICE: the old
+per-file `basename in doc` check marked every site in a file covered once
+the filename appeared anywhere in the doc). Line numbers are deliberately
+not part of the key: they drift with every edit; the snippet is stable.
 
 Usage: python tools/accumulator_audit.py [--all]  (--all prints every
 site; default prints only the flagged classes)
@@ -76,10 +82,18 @@ def classify(arg: str, res_cast: str) -> str:
     return "PLAIN"
 
 
+def site_key(rel: str, arg: str) -> str:
+    """Stable per-site coverage key: basename + normalized snippet."""
+    return f"{os.path.basename(rel)} F.sum({' '.join(arg.split())[:120]}"
+
+
 def main() -> int:
     show_all = "--all" in sys.argv
+    emit_keys = "--emit-keys" in sys.argv
     doc = open(AUDIT_DOC).read() if os.path.exists(AUDIT_DOC) else ""
+    doc_norm = " ".join(doc.split())
     flagged_uncovered = []
+    keys = []
     for root, _, files in os.walk(PKG):
         for fn in sorted(files):
             if not fn.endswith(".py"):
@@ -89,15 +103,22 @@ def main() -> int:
             text = open(path).read()
             for line, arg, res_cast in _sum_calls(text):
                 cls = classify(arg, res_cast)
-                if cls == "PRODUCT!" and os.path.basename(rel) not in doc:
-                    flagged_uncovered.append((rel, line, arg))
-                if show_all or cls in ("PRODUCT!", "PLAIN"):
+                if cls == "PRODUCT!":
+                    key = site_key(rel, arg)
+                    keys.append(key)
+                    if key not in doc_norm:
+                        flagged_uncovered.append((rel, line, arg))
+                if not emit_keys and (show_all or cls in ("PRODUCT!", "PLAIN")):
                     print(f"{cls:9s} {rel}:{line}  F.sum({arg[:90]})"
                           f"{' -> ' + res_cast if res_cast else ''}")
+    if emit_keys:
+        for key in keys:
+            print(key + ")")
+        return 0
     if flagged_uncovered:
         print(
-            f"\n{len(flagged_uncovered)} PRODUCT! sites in files not "
-            f"covered by AUDIT_ACCUMULATORS.md:"
+            f"\n{len(flagged_uncovered)} PRODUCT! sites not covered by "
+            f"AUDIT_ACCUMULATORS.md (per-site file+snippet match):"
         )
         for rel, line, arg in flagged_uncovered:
             print(f"  {rel}:{line}  {arg[:90]}")
