@@ -49,9 +49,22 @@ _EDGE_PRE_DISTINCT = True
 # (2 exchanges, no join); "join" = the r11 self-join form (the distinct's
 # exchange + 2 join re-keys + SortMergeJoin). Same edge set either way —
 # proven by exceptAll in both directions at sf0.001/sf0.01 and by the
-# registry oracle gate on every consumer. Env override exists so
-# tools/ab_r14.py and plan dumps can pin the legacy form.
-_EDGE_BUILD = os.environ.get("SPARK_GRAFT_EDGE_BUILD", "collect")
+# registry oracle gate on every consumer.
+#
+# Default stays "join": two interleaved canary-bracketed A/Bs
+# (AB_r14_edges.json, 3+4 pairs) measured the collect form NET SLOWER
+# over the six consumer queries (sum of per-query minima 27.9 s join vs
+# 31.7 s collect; medians agree) despite its fewer exchanges — the
+# collect build concentrates the C(k,2) pair fan-out into the handful of
+# AQE-coalesced post-groupBy partitions (2-4 tasks on this 32-core box:
+# the fan-out stage is CPU-dense but its INPUT shuffle is only a few MB,
+# so size-based coalescing starves it), while the join form spreads pair
+# generation across the SortMergeJoin's wider partitioning. The guide
+# §1.1 gotcha in the flesh: the "ideal" fewer-shuffle plan loses to the
+# measured one. Kept selectable for re-measurement on real clusters
+# (where the fan-out shuffle is GBs and AQE would never coalesce below
+# core count) via SPARK_GRAFT_EDGE_BUILD=collect.
+_EDGE_BUILD = os.environ.get("SPARK_GRAFT_EDGE_BUILD", "join")
 
 
 def copurchase_edges(

@@ -797,6 +797,12 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
+    # NOT localCheckpoint-ed like ann_mrr_report's exact1: measured r14
+    # (profile_query, warm session) — executor time is unchanged with the
+    # checkpoint (12.5 vs 13.0 s), i.e. runtime exchange reuse already
+    # dedupes this subtree across the two union branches (both joins
+    # broadcast the tiny HITS side, so no broadcast-build job re-executes
+    # the exact pipeline here, unlike mrr's exact1 shape).
     exact = similarity.cosine_topk(q, emb, _ANN_K).select("query_id", "neighbor_id")
     reports = []
     for method, approx in (
