@@ -124,14 +124,19 @@ def _bucket_expr(
     # -2 non-castable sentinel (and, DESC-mirrored, lands past the NULL
     # bucket), corrupting offsets. With data-derived min/max the clamp is
     # a no-op.
+    # Clamp in BIGINT (floor's native type) BEFORE the int cast: a key far
+    # outside caller-supplied bounds= floors to a bucket index beyond int
+    # range, and under ANSI the unclamped cast would ERROR instead of
+    # clamping (F.floor(double) itself saturates silently at ±2^63, so the
+    # bigint clamp is safe at any distance). In-range keys are unaffected.
     raw = F.when(span <= 0, F.lit(0)).otherwise(
         F.greatest(
-            F.lit(0),
+            F.lit(0).cast("bigint"),
             F.least(
-                F.lit(n_buckets - 1),
-                F.floor((kd - mn) / span * n_buckets).cast("int"),
+                F.lit(n_buckets - 1).cast("bigint"),
+                F.floor((kd - mn) / span * n_buckets),
             ),
-        )
+        ).cast("int")
     )
     if not asc:
         raw = F.lit(n_buckets - 1) - raw

@@ -627,7 +627,13 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("mp")
     )
     sky = with_global_running(
-        grid, [("d", False)], maxes_excl={"later_max": "mp"}
+        grid, [("d", False)], maxes_excl={"later_max": "mp"},
+        # dbgen calendar envelope is fixed — skips the min/max scan job
+        # (which would re-run the orders scan + daily-max aggregate).
+        # d is the RAW TIMESTAMP o_orderdate, so the auto bucket key is
+        # unix_micros — the envelope must be in epoch-µs scale:
+        # 1992-01-01T00:00Z .. 1999-01-01T00:00Z.
+        bounds=(694224000e6, 915148800e6),
     ).where(
         F.col("later_max").isNull() | (F.col("mp") > F.col("later_max"))
     ).select("d", "mp", "later_max")
@@ -1804,7 +1810,13 @@ def reorder_interval_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     cum = with_global_running(
-        hist, [("v", True)], sums={"cum": "c"}, totals={"n": "c"}
+        hist, [("v", True)], sums={"cum": "c"}, totals={"n": "c"},
+        # A same-customer order gap cannot exceed the dbgen calendar span
+        # — skips the min/max scan (a full per-customer lag pass)
+        bounds=(
+            0.0,
+            ORDERDATE_EPOCH_DAY_BOUNDS[1] - ORDERDATE_EPOCH_DAY_BOUNDS[0],
+        ),
     ).select("v", "cum", "n")
     return cum.agg(
         F.max("n").cast("bigint").alias("n_intervals"),

@@ -1519,6 +1519,9 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("q", False), ("doc_id", True)],
         sums={"cum": "w"},
         totals={"tot": "w"},
+        # quality_score ∈ [0, 1] by operator spec — skips the min/max
+        # scan, which would re-run the corpus scan + feature extraction
+        bounds=(0.0, 1.0),
     )
     return c.where(F.col("cum") * _TB_BUDGET_FRAC <= F.col("tot")).select(
         "doc_id",

@@ -189,10 +189,16 @@ def trend_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums={"cs": "r"},
         row_number="rn",
         total_count="n_rows",
+        # dbgen calendar envelope is fixed — skips the min/max scan job
+        bounds=ORDERDATE_EPOCH_DAY_BOUNDS,
     )
     trended = with_global_shift(
         cum, [("day", True)], {"cs_lead3": ("cs", -3), "cs_lag4": ("cs", 4)},
         materialize="cache",
+        # Same envelope for the shift's internal row-numbering pass: its
+        # min/max scan would otherwise re-execute the WHOLE prefix-sum
+        # subtree above (cum is multi-branch and uncached at this point).
+        bounds=ORDERDATE_EPOCH_DAY_BOUNDS,
     ).select(
         "day",
         "r",

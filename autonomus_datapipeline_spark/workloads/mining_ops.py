@@ -34,6 +34,9 @@ from autonomus_datapipeline_spark.workloads.pipeline_ops import (
 )
 from autonomus_datapipeline_spark.operators.text import _e4_half_up
 from autonomus_datapipeline_spark.workloads.registry import (
+    EVENTS_SPAN_SECONDS_BOUNDS,
+    ORDER_TOTALPRICE_BOUNDS,
+    ORDERDATE_EPOCH_DAY_BOUNDS,
     descale6,
     dsum,
     load_table,
@@ -210,7 +213,11 @@ def funnel_time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c")
     )
     cum = with_global_running(
-        hist, [("v", True)], sums={"cum": "c"}, totals={"n": "c"}
+        hist, [("v", True)], sums={"cum": "c"}, totals={"n": "c"},
+        # a signup→purchase delta cannot exceed the events stream's fixed
+        # 31-day window — skips the min/max scan (a full two-pass events
+        # funnel re-execution)
+        bounds=EVENTS_SPAN_SECONDS_BOUNDS,
     ).select("v", "cum", "n")
     return cum.agg(
         F.max("n").cast("bigint").alias("n_converted"),
@@ -278,7 +285,17 @@ def interval_overlap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("delta").alias("delta"))
     )
     return (
-        with_global_running(merged, [("d", True)], sums={"n_open": "delta"})
+        with_global_running(
+            merged,
+            [("d", True)],
+            sums={"n_open": "delta"},
+            # dbgen calendar envelope (+ the fixed open-window length) —
+            # skips the min/max scan, which would re-run both daily aggs
+            bounds=(
+                ORDERDATE_EPOCH_DAY_BOUNDS[0],
+                ORDERDATE_EPOCH_DAY_BOUNDS[1] + _IOC_DAYS,
+            ),
+        )
         .select(
             F.col("d").alias("day"), F.col("n_open").cast("bigint").alias("n_open")
         )
@@ -883,17 +900,25 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # several subplans, so plan size and recompute compound per link:
     # measured 8.8 s; this shape runs sub-second and each quintile sort
     # shuffles only (custkey, metric)).
-    def tile(metric: str, asc: bool, out: str):
+    def tile(metric: str, asc: bool, out: str, bounds=None):
         return with_global_ntile(
             rfm.select("o_custkey", metric),
             [(metric, asc), ("o_custkey", True)],
             5,
             out,
+            bounds=bounds,
         ).select("o_custkey", out)
 
+    # recency is calendar-bounded (anchor − orderdate envelope), so its
+    # quintile skips the min/max scan — one fewer full orders rollup pass;
+    # frequency/monetary have no generator-spec envelope and keep theirs.
+    recency_bounds = (
+        11536.0 - ORDERDATE_EPOCH_DAY_BOUNDS[1],  # anchor 2001-08-02
+        11536.0 - ORDERDATE_EPOCH_DAY_BOUNDS[0],
+    )
     scored = (
         rfm.select("o_custkey", "monetary")
-        .join(tile("recency", True, "r"), "o_custkey")
+        .join(tile("recency", True, "r", recency_bounds), "o_custkey")
         .join(tile("frequency", False, "f"), "o_custkey")
         .join(tile("monetary", False, "m"), "o_custkey")
         .select("monetary", "r", "f", "m")
@@ -951,6 +976,9 @@ def order_value_decile_calibration(spark: SparkSession, sf_dir: str) -> DataFram
         [("o_totalprice", False), ("o_orderkey", True)],
         10,
         "decile",
+        # generator price envelope — skips the min/max scan (a second
+        # full orders pass)
+        bounds=ORDER_TOTALPRICE_BOUNDS,
     ).select("o_totalprice", "decile")
     return (
         scored.groupBy("decile")

@@ -1234,9 +1234,14 @@ def quality_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = scored.groupBy(F.col("quality_score").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    cum = with_global_running(hist, [("v", True)], sums={"cum": "c"}).select(
-        "v", "cum"
-    )
+    cum = with_global_running(
+        hist,
+        [("v", True)],
+        sums={"cum": "c"},
+        # quality_score ∈ [0, 1] by operator spec — skips the min/max
+        # scan, which would re-run the corpus scan + feature extraction
+        bounds=(0.0, 1.0),
+    ).select("v", "cum")
     total = scored.agg(F.count(F.lit(1)).alias("n"))
     thr = (
         cum.crossJoin(F.broadcast(total))

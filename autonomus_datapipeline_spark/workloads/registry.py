@@ -157,6 +157,17 @@ def load_table(
 # never values — out-of-range keys clamp into the edge buckets.
 ORDERDATE_EPOCH_DAY_BOUNDS = (8035.0, 10591.0)
 ORDER_YEAR_BOUNDS = (1992.0, 1998.0)
+# Generator value envelopes (driver generator, seed-fixed spec): order
+# totals are drawn in [1000, 500000], lineitem extended prices in
+# [900, 105000], quantities in [1, 50], and the events stream covers one
+# fixed 31-day window (so any intra-stream time delta fits in 31 days of
+# seconds). Same contract as the calendar bounds above: deliberately
+# loose, used only as prefix-sum `bounds=` to skip the min/max scan —
+# out-of-range keys clamp into edge buckets (load balance, never values).
+ORDER_TOTALPRICE_BOUNDS = (0.0, 500000.0)
+LINEITEM_EXTPRICE_BOUNDS = (0.0, 105000.0)
+LINEITEM_QUANTITY_BOUNDS = (0.0, 51.0)
+EVENTS_SPAN_SECONDS_BOUNDS = (0.0, 31.0 * 86400.0)
 
 
 # ---------------------------------------------------------------------------

@@ -35,6 +35,10 @@ from autonomus_datapipeline_spark.workloads import graph_common
 from autonomus_datapipeline_spark.workloads.analytics_ops import _PR_EDGES_CTE
 from autonomus_datapipeline_spark.workloads.pipeline_ops import _TOKS, _sql_shingles
 from autonomus_datapipeline_spark.workloads.registry import (
+    LINEITEM_EXTPRICE_BOUNDS,
+    LINEITEM_QUANTITY_BOUNDS,
+    ORDER_TOTALPRICE_BOUNDS,
+    ORDERDATE_EPOCH_DAY_BOUNDS,
     descale6,
     davg,
     fsum,
@@ -125,6 +129,9 @@ def ks_two_sample_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("v", True)],
         sums={"cum1": "c1", "cum2": "c2"},
         totals={"n1": "c1", "n2": "c2"},
+        # generator price envelope — skips the min/max scan, which would
+        # re-run the orders⋈customer join + histogram aggregate
+        bounds=ORDER_TOTALPRICE_BOUNDS,
     ).select("cum1", "cum2", "n1", "n2")
     dn = F.abs(
         F.col("cum1").cast("decimal(38,0)") * F.col("n2")
@@ -218,6 +225,9 @@ def mann_whitney_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("v", True)],
         sums={"ce": "c"},
         totals={"n1": "c1", "n2": F.col("c") - F.col("c1")},
+        # generator price envelope — skips the min/max scan, which would
+        # re-run the orders⋈customer join + histogram aggregate
+        bounds=ORDER_TOTALPRICE_BOUNDS,
     ).select(
         "c1",
         "c",
@@ -1512,7 +1522,10 @@ def trimmed_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     cum = with_global_running(
-        hist, [("v", True)], sums={"ce": "c"}, totals={"n": "c"}
+        hist, [("v", True)], sums={"ce": "c"}, totals={"n": "c"},
+        # generator price envelope — skips the min/max scan (a second
+        # full orders pass)
+        bounds=ORDER_TOTALPRICE_BOUNDS,
     ).select("v", (F.col("ce") - F.col("c")).alias("cb"), "ce", "n")
     lo, hi = _TRIM_PCT, 100 - _TRIM_PCT
     kept = cum.where(
@@ -1774,7 +1787,10 @@ def hazard_table_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_ended")
     )
     cum = with_global_running(
-        hist, [("lifetime_m", False)], sums={"n_at_risk": "n_ended"}
+        hist, [("lifetime_m", False)], sums={"n_at_risk": "n_ended"},
+        # dbgen calendar spans 1992-01..1998-08 → lifetimes ≤ 79 months;
+        # skips the min/max scan (a full per-customer first/last pass)
+        bounds=(0.0, 80.0),
     ).select(F.col("lifetime_m").alias("k"), "n_ended", "n_at_risk")
     return cum.select(
         F.col("k").cast("int").alias("month_offset"),
@@ -2048,7 +2064,7 @@ def spearman_rho_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rows_ = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
 
-    def rank_map(df, col):
+    def rank_map(df, col, bounds):
         hist = df.groupBy(F.col(col).alias("v")).agg(
             F.count(F.lit(1)).cast("bigint").alias("c")
         )
@@ -2058,8 +2074,10 @@ def spearman_rho_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         # recomputed branches are map-side-combinable scan+aggs, and the
         # r6 cache here measured ~0.4 s SLOWER cold (the InMemoryRelation
         # pin blocks AQE replanning downstream — see NOTES_BUILD r7b).
+        # bounds = the generator value envelope — skips the min/max scan
+        # (a THIRD lineitem pass per rank map without it).
         return with_global_running(
-            hist, [("v", True)], sums={"ce": "c"}
+            hist, [("v", True)], sums={"ce": "c"}, bounds=bounds
         ).select(
             F.col("v").alias(col),
             (2 * (F.col("ce") - F.col("c")) + F.col("c") + 1)
@@ -2068,8 +2086,8 @@ def spearman_rho_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     paired = (
-        rows_.join(rank_map(rows_, "x"), "x")
-        .join(rank_map(rows_, "y"), "y")
+        rows_.join(rank_map(rows_, "x", LINEITEM_QUANTITY_BOUNDS), "x")
+        .join(rank_map(rows_, "y", LINEITEM_EXTPRICE_BOUNDS), "y")
         .select(F.col("r2_x").alias("u"), F.col("r2_y").alias("v"))
     )
     s = paired.agg(
@@ -2168,6 +2186,9 @@ def kendall_tau_b_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("l_extendedprice", True), ("l_orderkey", True), ("l_linenumber", True)],
         10,
         "yb",
+        # generator price envelope — skips the min/max scan (a second
+        # full lineitem pass)
+        bounds=LINEITEM_EXTPRICE_BOUNDS,
     ).select(F.col("l_quantity").alias("x"), "yb")
     cells = rows_.groupBy("x", "yb").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
@@ -2421,7 +2442,13 @@ def durbin_watson_trend_residuals(spark: SparkSession, sf_dir: str) -> DataFrame
         "x", (F.col("y") - (intercept + slope * F.col("x"))).alias("e")
     )
     lagged = with_global_shift(
-        resid, [("x", True)], {"ep": ("e", 1)}, materialize="cache"
+        resid, [("x", True)], {"ep": ("e", 1)}, materialize="cache",
+        # x = days since 1992-01-01 over the fixed dbgen calendar — skips
+        # the min/max scan (a full orders scan + daily rollup pass)
+        bounds=(
+            0.0,
+            ORDERDATE_EPOCH_DAY_BOUNDS[1] - ORDERDATE_EPOCH_DAY_BOUNDS[0],
+        ),
     ).select(
         "e", "ep"
     )
@@ -2938,7 +2965,10 @@ def winsorized_mean_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
     cum = with_global_running(
-        hist, [("v", True)], sums={"ce": "c"}, totals={"n": "c"}
+        hist, [("v", True)], sums={"ce": "c"}, totals={"n": "c"},
+        # generator price envelope — skips the min/max scan (a second
+        # full orders pass)
+        bounds=ORDER_TOTALPRICE_BOUNDS,
     ).select("v", "c", "ce", "n")
     bounds = cum.agg(
         F.min(

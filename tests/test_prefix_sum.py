@@ -440,6 +440,35 @@ def test_bounds_with_out_of_range_and_null_keys(spark, asc):
     assert got == ref
 
 
+def test_bounds_far_out_of_range_key_clamps_not_ansi_errors(spark):
+    """A key astronomically far outside caller bounds= (e.g. an epoch-µs
+    timestamp proxy against an epoch-day envelope — the exact r14
+    pareto_frontier_orders mis-scale) floors to a bucket index beyond int
+    range; the clamp must happen in BIGINT before the int cast or ANSI
+    raises CAST_OVERFLOW instead of clamping into the edge bucket."""
+    rows = [(0, 1.0), (1, 2.0), (2, 9.15e14), (3, -9.15e14)]
+    nl = spark.createDataFrame(rows, "id long, x double")
+    w = Window.orderBy(F.col("x").asc(), "id")
+    ref = {
+        r["id"]: (r["rn"], r["cum"])
+        for r in nl.select(
+            "id",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.sum("x").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("cum"),
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["rn"], r["cum"])
+        for r in ps.with_global_running(
+            nl, [("x", True), ("id", True)], sums={"cum": "x"},
+            row_number="rn", n_buckets=8, bounds=(0.0, 2556.0),
+        ).collect()
+    }
+    assert got == ref
+
+
 def test_bounds_rejected_with_partition_by(frame):
     with pytest.raises(ValueError):
         ps.with_global_running(

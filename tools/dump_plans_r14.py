@@ -20,6 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from autonomus_datapipeline_spark.session import get_spark  # noqa: E402
 from autonomus_datapipeline_spark.workloads import QUERY_REGISTRY  # noqa: E402
 
+# PLANS_STRIP_BOUNDS=1 reproduces the pre-bounds= "before" plans exactly
+# (the only code diff at those call sites is the bounds kwarg) — used when
+# a before-dump was missed prior to editing a call site.
+if os.environ.get("PLANS_STRIP_BOUNDS") == "1":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ab_r14_bounds import set_variant
+
+    set_variant(True)
+
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
 )
