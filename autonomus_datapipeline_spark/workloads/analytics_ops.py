@@ -33,6 +33,7 @@ from autonomus_datapipeline_spark.workloads.registry import (
     dsum,
     fsum,
     load_table,
+    materialize_input,
     query,
     sql_dsum,
     sql_fsum,
@@ -1713,6 +1714,10 @@ def trending_users_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("ts") < split, 1)).cast("bigint").alias("n_first"),
         F.count(F.when(F.col("ts") >= split, 1)).cast("bigint").alias("n_second"),
     )
+    # per-user counts have no spec envelope, so the rank's min/max scan
+    # cannot be skipped — materialize the |users|-sized rollup once; the
+    # prefix-sum branches AND ranked_head's head/probe sides all re-read it.
+    counts = materialize_input(counts)
     # rk_first is the FULL |users| rank (the report shows where a trending
     # user came from), so it rides the distributed prefix-sum row number;
     # rk_second only matters for the top rows, so it is a TakeOrdered

@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from autonomus_datapipeline_spark.operators.prefix_sum import with_global_running
-from autonomus_datapipeline_spark.workloads.registry import load_table, query
+from autonomus_datapipeline_spark.workloads.registry import (
+    load_table,
+    materialize_input,
+    query,
+)
 
 _TOKS = "regexp_split_to_array(lower(text), '\\s+')"
 
@@ -992,6 +996,10 @@ def key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load_table(spark, sf_dir, "events")
     kc = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    # key counts have no spec envelope (skew is the point), so the min/max
+    # scan cannot be skipped — materialize the |keys|-sized rollup once
+    # instead of re-running the events rollup per prefix-sum branch.
+    kc = materialize_input(kc)
     ranked = with_global_running(
         kc,
         [("x", True), ("user_id", True)],

@@ -29,7 +29,11 @@ from autonomus_datapipeline_spark.workloads.pipeline_ops import (
     _quality_score_sql,
     _sql_shingles,
 )
-from autonomus_datapipeline_spark.workloads.registry import load_table, query
+from autonomus_datapipeline_spark.workloads.registry import (
+    load_table,
+    materialize_input,
+    query,
+)
 
 # ---------------------------------------------------------------------------
 # PII redaction (regexp scrub — the compliance pass every corpus needs)
@@ -1443,6 +1447,10 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias("w"),
     )
+    # doc_id has no generator-spec envelope, so the min/max scan cannot be
+    # skipped — materialize the slim corpus projection once instead of
+    # re-running the scan + split per prefix-sum branch (3× without this).
+    t = materialize_input(t)
     c = with_global_running(
         t, [("doc_id", True)], sums={"cum": "w"}, totals={"tot": "w"}
     )
@@ -1519,6 +1527,10 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("q", False), ("doc_id", True)],
         sums={"cum": "w"},
         totals={"tot": "w"},
+        # NOT materialize="cache"-d: measured in three interleaved A/Bs
+        # (r14, AB_r14_bounds_inputs*.json) — the cache build + AQE pin
+        # costs slightly more than the one branch re-scan it dedups
+        # (consistent ~+0.05 s med over 3 runs; the r6/r7b lesson again).
         # quality_score ∈ [0, 1] by operator spec — skips the min/max
         # scan, which would re-run the corpus scan + feature extraction
         bounds=(0.0, 1.0),

@@ -33,6 +33,7 @@ from autonomus_datapipeline_spark.workloads.registry import (
     descale6,
     ORDERDATE_EPOCH_DAY_BOUNDS,
     load_table,
+    materialize_input,
     query,
     sql_davg,
 )
@@ -355,6 +356,10 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("x")
     )
+    # revenue sums have no spec envelope, so the rank's min/max scan cannot
+    # be skipped — materialize the |customers|-sized rollup once instead of
+    # re-running the orders rollup per prefix-sum branch.
+    rev = materialize_input(rev)
     ranked = with_global_running(
         rev,
         [("x", True), ("o_custkey", True)],

@@ -20,6 +20,7 @@ from autonomus_datapipeline_spark.workloads.registry import (
     descale6,
     ORDER_YEAR_BOUNDS,
     load_table,
+    materialize_input,
     query,
     sql_dsum,
 )
@@ -263,8 +264,12 @@ def categorical_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dense_rank over DISTINCT values == row_number — computed as a
     # distributed prefix-sum rank (string leading key buckets on its
     # order-preserving 7-byte prefix proxy), never an unpartitioned window.
+    # The distinct value set has no spec envelope (string key), so the
+    # rank's min/max proxy scan cannot be skipped — materialize the tiny
+    # distinct rollup once instead of re-running the events distinct per
+    # prefix-sum branch.
     ids = with_global_running(
-        e.select("event_type").distinct(),
+        materialize_input(e.select("event_type").distinct()),
         [("event_type", True)],
         row_number="_rn",
     ).select("event_type", (F.col("_rn") - 1).cast("int").alias("type_id"))

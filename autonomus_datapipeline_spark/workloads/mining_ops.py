@@ -40,6 +40,7 @@ from autonomus_datapipeline_spark.workloads.registry import (
     descale6,
     dsum,
     load_table,
+    materialize_input,
     query,
     sql_dsum,
 )
@@ -442,6 +443,10 @@ def cumulative_share_pareto80(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r")
     )
+    # revenue sums have no spec envelope, so the rank's min/max scan cannot
+    # be skipped — materialize the |customers|-sized rollup once instead of
+    # re-running the orders rollup per prefix-sum branch.
+    rev = materialize_input(rev)
     ranked = with_global_running(
         rev,
         [("r", False), ("o_custkey", True)],

@@ -1238,13 +1238,17 @@ def quality_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist,
         [("v", True)],
         sums={"cum": "c"},
+        # The grand count rides the prefix-sum's own per-bucket rollup
+        # (totals=) instead of a separate scored.agg(count) branch — that
+        # branch was a THIRD corpus scan + feature pass (the final
+        # projection and the histogram are the other two).
+        totals={"n": "c"},
         # quality_score ∈ [0, 1] by operator spec — skips the min/max
         # scan, which would re-run the corpus scan + feature extraction
         bounds=(0.0, 1.0),
-    ).select("v", "cum")
-    total = scored.agg(F.count(F.lit(1)).alias("n"))
+    ).select("v", "cum", "n")
     thr = (
-        cum.crossJoin(F.broadcast(total))
+        cum
         .filter(F.col("cum") * _QF_DEN >= F.col("n") * _QF_NUM)
         .agg(F.min("v").alias("t"))
     )

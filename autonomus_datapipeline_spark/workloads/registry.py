@@ -170,6 +170,23 @@ LINEITEM_QUANTITY_BOUNDS = (0.0, 51.0)
 EVENTS_SPAN_SECONDS_BOUNDS = (0.0, 31.0 * 86400.0)
 
 
+def materialize_input(df):
+    """Materialize an EXPENSIVE prefix-sum input whose leading key has no
+    generator-spec envelope (so `bounds=` cannot skip the min/max scan).
+
+    The prefix-sum operator reads its input from several subplans (min/max
+    scan, the bucketed window, the per-bucket rollup) and column pruning
+    specializes each branch, so exchange reuse cannot dedup them — an
+    uncached corpus scan or fact rollup re-executes up to 3×. A lazy
+    localCheckpoint computes the input once (first job blocks, the rest
+    read the materialized blocks) without pinning an InMemoryRelation for
+    the session (the r6/r7b cache()-blocks-AQE lesson — blocks are freed by
+    GC with the result DataFrame). Use ONLY on inputs that are aggregates /
+    slim projections: the checkpoint stores |rows|×|cols| on the executors.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic aggregation helpers (Spark side)
 # ---------------------------------------------------------------------------

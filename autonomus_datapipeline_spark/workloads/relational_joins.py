@@ -22,6 +22,7 @@ from autonomus_datapipeline_spark.workloads.registry import (
     dsum,
     fsum,
     load_table,
+    materialize_input,
     query,
     sql_davg,
     sql_dsum,
@@ -1338,6 +1339,10 @@ def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("r")
     )
+    # per-part revenue has no spec envelope, so the rank's min/max scan
+    # cannot be skipped — materialize the |parts|-sized rollup once instead
+    # of re-running the lineitem rollup per prefix-sum branch.
+    rev = materialize_input(rev)
     ranked = with_global_running(
         rev,
         [("r", False), ("l_partkey", True)],

@@ -13,7 +13,11 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
     with_global_running,
 )
 from autonomus_datapipeline_spark.workloads.pipeline_ops import _sql_shingles
-from autonomus_datapipeline_spark.workloads.registry import descale6, load_table, query
+from autonomus_datapipeline_spark.workloads.registry import (
+    descale6,
+    load_table,
+    query,
+)
 
 # ---------------------------------------------------------------------------
 # Text cleaning / masking (regexp pipeline — codegen'd, scan-speed)
@@ -367,6 +371,11 @@ def vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("doc_id").alias("doc_freq"),
     )
+    # NOT materialize_input()-ed: measured in three interleaved A/Bs (r14,
+    # AB_r14_bounds_inputs*.json) — checkpointing the |vocab|-sized rollup
+    # (token strings + counts) costs MORE than the corpus-explode re-scan
+    # it saves here (net −0.2 s over 3 runs); the two-level countDistinct
+    # aggregate re-executions are map-side-combinable and cheap.
     ranked = with_global_running(
         counts,
         [("n", False), ("token", True)],

@@ -41,16 +41,29 @@ BOUNDS_QUERIES = [
     "durbin_watson_trend_residuals",
 ]
 
+from autonomus_datapipeline_spark.workloads import registry  # noqa: E402
+
 _ORIG = {
     "with_global_running": ps.with_global_running,
     "with_global_shift": ps.with_global_shift,
     "with_global_ntile": ps.with_global_ntile,
 }
+_ORIG_MATERIALIZE_INPUT = registry.materialize_input
+
+# AB_STRIP selects WHICH optimization the "scan" variant reverts:
+#   bounds (default) — strip the bounds= kwarg (re-enable min/max scans)
+#   inputs           — make materialize_input identity AND strip the
+#                      materialize= kwarg (revert the input-checkpoint
+#                      batch; bounds stay, matching the committed baseline)
+_STRIP_MODE = os.environ.get("AB_STRIP", "bounds")
 
 
 def _stripped(fn):
     def wrapper(*a, **kw):
-        kw.pop("bounds", None)
+        if _STRIP_MODE == "bounds":
+            kw.pop("bounds", None)
+        else:
+            kw.pop("materialize", None)
         return fn(*a, **kw)
 
     return wrapper
@@ -71,6 +84,11 @@ def set_variant(strip: bool) -> None:
         for m in mods:
             if hasattr(m, name):
                 setattr(m, name, repl)
+    if _STRIP_MODE == "inputs":
+        repl_mi = (lambda df: df) if strip else _ORIG_MATERIALIZE_INPUT
+        for m in mods:
+            if hasattr(m, "materialize_input"):
+                setattr(m, "materialize_input", repl_mi)
 
 
 def cpu_canary() -> float:
