@@ -26,6 +26,15 @@ from r6 and earlier are warm-biased for the caching queries and their
 subtree-sharing neighbors — suite walls are not directly comparable across
 that boundary (measured ~+12% honest-cold vs the old methodology).
 
+Methodology (r15): per-query stall gate. The r14 driver runs were
+contaminated by host-level burst stalls that inflate one query's runs
+(7.1/13.9/32.6 s) without moving any canary checkpoint; a query whose runs
+show that signature (see SPREAD_GATE) is re-timed once immediately and the
+smaller median wins. The sidecar additionally surfaces every per-query MIN
+(`queries_min`) and their sum (`min_sum`, also on the stdout line) as the
+noise-robust secondary wall. Additions only: `value` remains the
+median-of-n_runs sum, and no existing key changed meaning.
+
 The stdout JSON line is kept under ~1900 chars (the driver records a
 2000-char stdout tail) by listing only the slowest queries; the COMPLETE
 per-run data — every query, all run times, median and spread — is written to
@@ -79,6 +88,26 @@ BENCH_EXCLUDE = frozenset({
 # judge sees sub-threshold weather too.
 CANARY_EVERY = 40
 CANARY_DRIFT = 1.25
+
+# Intra-query spread gate (r15 verdict item 1): the r14 driver runs showed
+# burst stalls that land BETWEEN canary checkpoints — identical back-to-back
+# runs of one query spreading 7.1/13.9/32.6 s while every checkpoint canary
+# stays flat, so the segment-level gate above fires zero reruns while the
+# median silently doubles. The stall signature is an inflated MEDIAN
+# relative to the run's own min (13.9/7.1 = 1.96); the benign look-alike is
+# the first-run codegen spike (2.5/0.9/0.85 — max/min 2.9 but median/min
+# 1.06), which median-of-3 already absorbs and which a rerun would only
+# re-measure. A query whose runs show max/min > SPREAD_GATE *and* an
+# inflated median (median/min > SPREAD_MEDIAN, absolute inflation >
+# SPREAD_MIN_ABS seconds — tail queries' 0.1 s jitter is not weather) is
+# re-timed ONCE immediately and the smaller median wins (stalls only ever
+# inflate). Per-query `min` is additionally surfaced in the sidecar
+# (`queries_min`) and summed as `min_sum` on the stdout line — the
+# noise-robust secondary wall every r14 A/B already used. Additions only:
+# `value` stays the median sum, methodology and JSON contract unchanged.
+SPREAD_GATE = 2.0
+SPREAD_MEDIAN = 1.3
+SPREAD_MIN_ABS = 0.2
 
 
 def _run_medallion(spark, sf_dir: str, warehouse: str) -> int:
@@ -179,7 +208,40 @@ def _mp_canary(nproc: int = 8) -> float:
 
 
 def _time_query(spark, name: str, sf_dir: str, n_runs: int) -> dict:
-    """Median-of-n_runs timing for one query (cache-cold per run; see the
+    """Median-of-n_runs timing for one query, stall-gated (r15): when the
+    runs show the burst-stall signature (see the SPREAD_GATE comment), the
+    query is re-timed once immediately and the smaller median is kept; the
+    reported `min` spans ALL runs of both passes (every run is a complete
+    cache-cold execution, so more samples only sharpen the min)."""
+    first = _time_runs(spark, name, sf_dir, n_runs)
+    ok = [t for t in first["runs"] if t >= 0]
+    stalled = (
+        len(ok) == n_runs
+        and n_runs > 1
+        and min(ok) > 0
+        and max(ok) > SPREAD_GATE * min(ok)
+        and first["median"] > SPREAD_MEDIAN * min(ok)
+        and first["median"] - min(ok) > SPREAD_MIN_ABS
+    )
+    if not stalled:
+        return first
+    redo = _time_runs(spark, name, sf_dir, n_runs)
+    kept = redo if 0 <= redo["median"] < first["median"] else first
+    out = dict(kept)
+    mins = [d["min"] for d in (first, redo) if d["min"] >= 0]
+    out["min"] = min(mins) if mins else -1.0
+    out["spread_rerun"] = {
+        "first_runs": first["runs"],
+        "first_median": first["median"],
+        "rerun_runs": redo["runs"],
+        "rerun_median": redo["median"],
+        "kept": out["median"],
+    }
+    return out
+
+
+def _time_runs(spark, name: str, sf_dir: str, n_runs: int) -> dict:
+    """One timing pass: median-of-n_runs (cache-cold per run; see the
     comment in main for why clearCache and why no gc.collect)."""
     import shutil
     import tempfile
@@ -315,6 +377,11 @@ def main() -> None:
 
     medians = {n: d["median"] for n, d in detail.items()}
     total = round(sum(t for t in medians.values() if t >= 0), 3)
+    mins = {n: d["min"] for n, d in detail.items()}
+    min_sum = round(sum(t for t in mins.values() if t >= 0), 3)
+    spread_reran = {
+        n: d["spread_rerun"] for n, d in detail.items() if "spread_rerun" in d
+    }
     try:
         load_after = [round(x, 2) for x in os.getloadavg()]
     except OSError:  # pragma: no cover
@@ -339,8 +406,16 @@ def main() -> None:
             "checkpoints": checkpoints,
             "reran": reran,
         },
+        "spread_gate": {
+            "max_over_min": SPREAD_GATE,
+            "median_over_min": SPREAD_MEDIAN,
+            "min_abs_sec": SPREAD_MIN_ABS,
+            "reran": spread_reran,
+        },
         "aggregation": "median over n_runs (per-run times in 'detail')",
         "queries": medians,
+        "queries_min": mins,
+        "min_sum": min_sum,
         "detail": detail,
     }
     with open(SIDECAR, "w") as fh:
@@ -361,6 +436,8 @@ def main() -> None:
         "sf": sf,
         "n_runs": n_runs,
         "n_queries": len(medians),
+        "min_sum": min_sum,
+        "n_spread_reruns": len(spread_reran),
         "sidecar": "BENCH_SIDECAR.json",
         "queries": line_queries,
     }
