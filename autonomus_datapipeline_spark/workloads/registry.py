@@ -168,6 +168,17 @@ ORDER_TOTALPRICE_BOUNDS = (0.0, 500000.0)
 LINEITEM_EXTPRICE_BOUNDS = (0.0, 105000.0)
 LINEITEM_QUANTITY_BOUNDS = (0.0, 51.0)
 EVENTS_SPAN_SECONDS_BOUNDS = (0.0, 31.0 * 86400.0)
+# Structural envelopes (properties of the key's CONSTRUCTION, not of any
+# data draw — valid on every deployment, r15):
+# - an md5 hex digest is lowercase [0-9a-f], so its string_order_proxy
+#   (first 7 bytes big-endian) lies in [int(b"0000000"), int(b"fffffff")];
+# - unit-normalized embedding components lie in [-1, 1] by definition of
+#   the L2 norm. Both rounded outward where float precision matters.
+MD5_HEX7_PROXY_BOUNDS = (
+    float(int.from_bytes(b"0000000", "big")),
+    float(int.from_bytes(b"fffffff", "big")),
+)
+UNIT_EMBED_COMPONENT_BOUNDS = (-1.0, 1.0)
 
 
 def materialize_input(df):

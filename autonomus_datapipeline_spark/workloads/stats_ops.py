@@ -3112,6 +3112,10 @@ def brown_forsythe_variance_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         sums={"ce": "cc"},
         totals={"n": "cc"},
         partition_by=["seg"],
+        # r15: v is o_totalprice — the generator-spec envelope replaces the
+        # per-segment min/max groupBy + broadcast join-back (bounds= now
+        # composes with partition_by; load balance only, never values).
+        bounds=ORDER_TOTALPRICE_BOUNDS,
     ).select("seg", "v", "ce", "n")
     med = cum.groupBy("seg").agg(
         F.min(F.when(2 * F.col("ce") >= F.col("n"), F.col("v"))).alias("m")

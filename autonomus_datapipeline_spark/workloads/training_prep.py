@@ -18,7 +18,13 @@ from autonomus_datapipeline_spark.operators.prefix_sum import (
     ranked_head,
     with_global_running,
 )
-from autonomus_datapipeline_spark.workloads.registry import descale6, load_table, query
+from autonomus_datapipeline_spark.workloads.registry import (
+    MD5_HEX7_PROXY_BOUNDS,
+    UNIT_EMBED_COMPONENT_BOUNDS,
+    descale6,
+    load_table,
+    query,
+)
 
 _TOKS = "regexp_split_to_array(lower(text), '\\s+')"
 
@@ -127,6 +133,10 @@ def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             [("_h", True), ("doc_id", True)],
             row_number="rk",
             partition_by=["source"],
+            # r15: _h is an md5 hex digest, so its bucket proxy has a
+            # STRUCTURAL envelope (alphabet [0-9a-f]) — skips the
+            # per-domain min/max scan + broadcast join-back.
+            bounds=MD5_HEX7_PROXY_BOUNDS,
         )
         .groupBy("source")
         .agg(
@@ -263,6 +273,9 @@ def embedding_dim_clip_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_running(
         v, [("x", True)], row_number="rk", total_count="n",
         partition_by=["dim"],
+        # r15: x is a unit-vector component, |x| <= 1 by construction —
+        # skips the per-dim min/max scan + broadcast join-back.
+        bounds=UNIT_EMBED_COMPONENT_BOUNDS,
     )
     thr = ranked.groupBy("dim").agg(
         F.min(

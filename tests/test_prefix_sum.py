@@ -469,9 +469,13 @@ def test_bounds_far_out_of_range_key_clamps_not_ansi_errors(spark):
     assert got == ref
 
 
-def test_bounds_rejected_with_partition_by(frame):
-    with pytest.raises(ValueError):
-        ps.with_global_running(
-            frame, [("x", True)], sums={"cum": "k"},
-            partition_by=["k"], bounds=(0.0, 1.0),
-        )
+def test_bounds_composes_with_partition_by(frame):
+    # r15: bounds+partition_by is SUPPORTED (the envelope is a property of
+    # the key, identical in every partition). Value parity is pinned by
+    # tests/test_round15_ops.py::TestBoundsWithPartitionBy; here just assert
+    # the combination no longer raises and returns the full frame.
+    out = ps.with_global_running(
+        frame, [("x", True), ("id", True)], sums={"cum": "k"},
+        partition_by=["k"], bounds=(0.0, 100.0),
+    )
+    assert out.count() == frame.count()
