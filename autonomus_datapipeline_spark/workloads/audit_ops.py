@@ -413,11 +413,91 @@ def robust_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Selection is rank-based (lower median = the STORED value at rank
     ceil(n/2)) on both engines — an actual element, so no interpolation
-    float to drift. Two windowed passes partitioned by event_type (the
-    natural key; each type's sort is independent), the per-type
-    median/MAD tables are |types|-sized broadcasts back onto the data.
-    Both rank passes are per-type distributed prefix-sums, so no single
-    task ever sorts a whole event type."""
+    float to drift.
+
+    r15 (guide §2.3 — aggregate before you shuffle): both rank passes run
+    over a COUNT-WEIGHTED (event_type, value) histogram instead of raw
+    rows — `min value where 2·cum_count ≥ n+1` selects the identical
+    element as `min value carrying a raw rank with 2·rk ≥ n+1` (the
+    value's inclusive cumulative count IS its max raw rank), the raw
+    events scan happens exactly once (the histogram is a lazy
+    localCheckpoint; the old shape re-scanned events from every
+    prefix-sum branch of both passes — its static plan was 246 K chars),
+    and every downstream shuffle moves |distinct values| rows instead of
+    |events|. The outlier/row accounting re-weights by the histogram
+    count, so all four output columns are exactly the raw-row numbers
+    (oracle-pinned). The pre-r15 raw-rank form is kept below for the
+    interleaved A/B (tools/ab_r15.py)."""
+    if _MAD_FORM == "rawrank":
+        return _robust_outlier_mad_rawrank(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    hist = materialize_input(
+        ev.groupBy("event_type", "value").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cc")
+        )
+    )
+    r = with_global_running(
+        hist,
+        [("value", True)],
+        sums={"ce": "cc"},
+        totals={"n": "cc"},
+        partition_by=["event_type"],
+    )
+    med = r.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("ce") >= F.col("n") + 1, F.col("value"))).alias(
+            "med"
+        )
+    )
+    # dh is re-read by the MAD prefix-sum's branches (per-type min/max,
+    # window, rollup) AND the final accounting agg — without the checkpoint
+    # each branch re-runs med's whole prefix-sum pipeline (~4×). |hist|-
+    # sized, so the checkpoint is cheap at any scale.
+    dh = materialize_input(
+        hist.join(F.broadcast(med), "event_type").withColumn(
+            "adev", F.abs(F.col("value") - F.col("med"))
+        )
+    )
+    # adev ties across two source values (med−x / med+x) are broken by
+    # `value` — a total order over histogram rows; the selected MAD element
+    # is tie-invariant anyway (min-when picks by adev value).
+    d2 = with_global_running(
+        dh,
+        [("adev", True), ("value", True)],
+        sums={"ace": "cc"},
+        totals={"n": "cc"},
+        partition_by=["event_type"],
+    )
+    mad = d2.groupBy("event_type").agg(
+        F.min(F.when(2 * F.col("ace") >= F.col("n") + 1, F.col("adev"))).alias(
+            "mad"
+        )
+    )
+    return (
+        dh.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum("cc").cast("bigint").alias("n_events"),
+            F.min("med").alias("median_value"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > _MAD_K * F.col("mad"), F.col("cc")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+
+
+# r15 A/B switch: "hist" (default) = count-weighted histogram form above;
+# tools/ab_r15.py flips to "rawrank" in-session to re-measure the pre-r15
+# shape under identical weather.
+_MAD_FORM = "hist"
+
+
+def _robust_outlier_mad_rawrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r15 raw-row rank form (kept for the interleaved A/B)."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     # Per-type distributed rank (bucket-parallel within each of the few
     # event types — a type-partitioned window would sort |events|/|types|
