@@ -735,7 +735,11 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # defeats AQE on every consumer join; both shapes measured slower
     # cold: 5.6/6.4 vs 4.1 s at sf0.1).
     edges = graph_common.copurchase_edges(
-        spark, sf_dir, with_degrees=True, load=load_table
+        # build="collect": this consumer is consistently ~10% faster on the
+        # 2-exchange collect_set build across four interleaved A/Bs (r14+r15,
+        # see copurchase_edges docstring); the loop-heavy consumers keep
+        # "join".
+        spark, sf_dir, with_degrees=True, load=load_table, build="collect"
     )
     deg = edges.select("src", "deg").distinct()
     nn = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))

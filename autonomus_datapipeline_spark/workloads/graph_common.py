@@ -72,6 +72,7 @@ def copurchase_edges(
     sf_dir: str,
     with_degrees: bool = False,
     load: Callable[[SparkSession, str, str], DataFrame] | None = None,
+    build: str | None = None,
 ) -> DataFrame:
     """Symmetric distinct part-part co-purchase edge list (src, dst[, deg]),
     eagerly materialized. ``deg`` is the degree of ``src`` (= distinct
@@ -79,10 +80,20 @@ def copurchase_edges(
 
     ``load`` lets a caller thread its OWN module's ``load_table`` binding
     through (tests monkeypatch that binding to inject synthetic graphs —
-    resolving it here would silently bypass the patch)."""
+    resolving it here would silently bypass the patch).
+
+    ``build`` pins the construction form for ONE call site ("join" /
+    "collect"); None falls back to the module default (_EDGE_BUILD). r15:
+    kcore_peeling_summary and pagerank_copurchase pin "collect" — across
+    four independent interleaved A/Bs (AB_r14_edges.json, AB_r15_edges.json,
+    AB_r15_edges_kcore_pr.json) those two consumers are consistently
+    20-25% / 10% faster on the collect build while lpa/label_prop/bfs
+    consistently prefer "join"; the per-query pattern is stable under
+    different box weather, so the choice is pinned per consumer rather
+    than globally."""
     li = (load or load_table)(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey")
-    if _EDGE_BUILD == "collect":
+    if (build or _EDGE_BUILD) == "collect":
         # r14 (guide §2.4, remove shuffles outright): fold each order's
         # distinct parts into ONE sorted array (collect_set dedups, so no
         # pre-distinct pass), then emit the x < y half-pairs with a narrow
@@ -94,6 +105,27 @@ def copurchase_edges(
         # bytes cross the wire once instead of three times. Skew-safe at
         # any scale: an order has at most a handful of parts (TPC-H <= 7),
         # so arrays are tiny and the fan-out stays Sigma C(k,2).
+        # r15 re-measured the verdict-item-2 "starvation fix" (an explicit
+        # width repartition between the groupBy agg and the explode, so the
+        # C(k,2) fan-out cannot run in the 2-4 AQE-coalesced post-groupBy
+        # tasks) and REVERTED it. Findings, in order (artifacts committed):
+        # 1. repartition(n, l_orderkey) is ELIDED by EnsureRequirements —
+        #    the agg output is already hashpartitioning(l_orderkey, n), so
+        #    the plan silently reverts to the coalescible exchange
+        #    (discovered via the builder plan dump; an A/B of this variant
+        #    measures plain collect).
+        # 2. The effective form — round-robin repartition(n),
+        #    REPARTITION_BY_NUM, never elided/coalesced — made collect
+        #    SLOWER or tied at every consumer (AB_r15_edges_fix2.json:
+        #    summed min 31.3 vs join 27.3; AB_r15_edges_kcore_pr_fix2.json:
+        #    kcore 2.84 vs 2.65, pagerank 3.50 vs 3.53): the extra
+        #    exchange + sort-before-repartition over the grouped rows
+        #    costs more than the coalesced fan-out at this scale, where
+        #    C(k,2) ≤ 21 per order keeps per-task fan-out work tiny.
+        # At 100 TB the repartition is ALSO unnecessary: the fan-out's
+        # input shuffle is GBs there and AQE never coalesces below core
+        # count (r14 note). So the lean 2-exchange collect build stays
+        # repartition-free at every scale.
         half = (
             op.groupBy("l_orderkey")
             .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))

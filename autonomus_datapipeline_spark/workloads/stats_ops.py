@@ -875,7 +875,12 @@ def kcore_peeling_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components loop (operators/graph.py), which also documents
     the checkpoint cadence the production loop uses.
     """
-    edges = graph_common.copurchase_edges(spark, sf_dir, load=load_table).select(
+    edges = graph_common.copurchase_edges(
+        # build="collect": consistently 20-25% faster for THIS consumer
+        # across four interleaved A/Bs (r14+r15; see copurchase_edges
+        # docstring) — the loop-heavy consumers keep "join".
+        spark, sf_dir, load=load_table, build="collect"
+    ).select(
         F.col("src").alias("u"), F.col("dst").alias("v")
     )
     for _ in range(_KCORE_ROUNDS):
