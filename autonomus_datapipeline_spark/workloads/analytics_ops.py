@@ -632,9 +632,14 @@ def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         # dbgen calendar envelope is fixed — skips the min/max scan job
         # (which would re-run the orders scan + daily-max aggregate).
         # d is the RAW TIMESTAMP o_orderdate, so the auto bucket key is
-        # unix_micros — the envelope must be in epoch-µs scale:
-        # 1992-01-01T00:00Z .. 1999-01-01T00:00Z.
-        bounds=(694224000e6, 915148800e6),
+        # unix_micros — the envelope must be in epoch-µs scale. Derived
+        # from the shared epoch-DAY constant (r15 ADVICE: the previous
+        # µs literals could drift from it independently): day bound × 86400e6,
+        # upper bound widened one day so the whole last day fits.
+        bounds=(
+            ORDERDATE_EPOCH_DAY_BOUNDS[0] * 86400e6,
+            (ORDERDATE_EPOCH_DAY_BOUNDS[1] + 1) * 86400e6,
+        ),
     ).where(
         F.col("later_max").isNull() | (F.col("mp") > F.col("later_max"))
     ).select("d", "mp", "later_max")

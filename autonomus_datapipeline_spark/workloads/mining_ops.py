@@ -17,6 +17,8 @@ tiebreak orders on every ranking.
 
 from __future__ import annotations
 
+import datetime as _dt
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -839,6 +841,12 @@ def source_distinctive_terms_chi2(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 _RFM_ANCHOR = "2001-08-02"
+# Epoch-day number of the anchor, derived from the SAME string constant so
+# the recency envelope below can never drift from the anchor (r15 ADVICE:
+# the magic 11536.0 duplicated the anchor date).
+_RFM_ANCHOR_EPOCH_DAY = float(
+    (_dt.date.fromisoformat(_RFM_ANCHOR) - _dt.date(1970, 1, 1)).days
+)
 
 
 @query(
@@ -918,8 +926,8 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quintile skips the min/max scan — one fewer full orders rollup pass;
     # frequency/monetary have no generator-spec envelope and keep theirs.
     recency_bounds = (
-        11536.0 - ORDERDATE_EPOCH_DAY_BOUNDS[1],  # anchor 2001-08-02
-        11536.0 - ORDERDATE_EPOCH_DAY_BOUNDS[0],
+        _RFM_ANCHOR_EPOCH_DAY - ORDERDATE_EPOCH_DAY_BOUNDS[1],
+        _RFM_ANCHOR_EPOCH_DAY - ORDERDATE_EPOCH_DAY_BOUNDS[0],
     )
     scored = (
         rfm.select("o_custkey", "monetary")

@@ -62,8 +62,11 @@ def _stripped(fn):
     def wrapper(*a, **kw):
         if _STRIP_MODE == "bounds":
             kw.pop("bounds", None)
-        else:
-            kw.pop("materialize", None)
+        # inputs mode: the strip is registry.materialize_input ONLY (see
+        # set_variant) — popping materialize= here would also revert
+        # pre-existing r13 materialize="cache" baselines (e.g.
+        # trend_seasonal_decompose) and misattribute their delta to the
+        # r14 input-checkpoint batch (r15 ADVICE item 4).
         return fn(*a, **kw)
 
     return wrapper
