@@ -2847,6 +2847,19 @@ def jackknife_mean_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# r15 A/B switch (tools/ab_r15.py): "fold" (default, shipped) = prefix-sum
+# directly over raw slopes with unit weights; "hist" = the r13/r14 slope
+# value-histogram + cache shape, kept for the A/B. Interleaved A/Bs at
+# BOTH sf1 and sf0.1 picked fold decisively (AB_r15_theilsen_sf1.json:
+# med 3.14 vs 4.50, min 2.76 vs 4.27; AB_r15_theilsen_sf01.json: med 6.26
+# vs 8.88, min 3.37 vs 7.70): the histogram barely dedups (2.9M -> 2.4M
+# slope values), so its extra groupBy exchange + the cache's
+# InMemoryRelation AQE pin cost more than the 17% window-row reduction
+# they buy. Values identical (running count crosses n/2 at the same slope
+# value; proven by collect-equality and the oracle).
+_THEIL_SEN_FORM = "fold"
+
+
 @query(
     "theil_sen_daily_trend",
     oracle="""
@@ -2900,18 +2913,33 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     slopes = a.join(b, F.col("bx") > F.col("ax")).select(
         ((F.col("by") - F.col("ay")) / (F.col("bx") - F.col("ax"))).alias("m")
     )
-    hist = slopes.groupBy(F.col("m").alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    # materialize="cache": the histogram sits on a days²-bounded pair join
-    # — cheap to hold, expensive to recompute per prefix-sum branch.
-    cum = with_global_running(
-        hist,
-        [("v", True)],
-        sums={"cum": "c"},
-        totals={"n": "c"},
-        materialize="cache",
-    ).select("v", "cum", "n")
+    if _THEIL_SEN_FORM == "fold":
+        # r15 (shipped): skip the slope histogram and run the prefix-sum
+        # over raw slopes with unit weights — one fewer exchange, ~17%
+        # more window rows (2.9M vs 2.4M), no session-pinned cache. The
+        # running count crosses n/2 at the same slope VALUE either way,
+        # so the selected median element is identical.
+        cum = with_global_running(
+            slopes.select(F.col("m").alias("v")),
+            [("v", True)],
+            sums={"cum": F.lit(1)},
+            totals={"n": F.lit(1)},
+            materialize="localCheckpoint",
+        ).select("v", "cum", "n")
+    else:
+        hist = slopes.groupBy(F.col("m").alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        # materialize="cache": the histogram sits on a days²-bounded pair
+        # join — cheap to hold, expensive to recompute per prefix-sum
+        # branch.
+        cum = with_global_running(
+            hist,
+            [("v", True)],
+            sums={"cum": "c"},
+            totals={"n": "c"},
+            materialize="cache",
+        ).select("v", "cum", "n")
     return cum.agg(
         F.max("n").cast("bigint").alias("n_pairs"),
         F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("v"))).alias(

@@ -34,6 +34,7 @@ from autonomus_datapipeline_spark.workloads import (  # noqa: E402
     QUERY_REGISTRY,
     audit_ops,
     graph_common,
+    stats_ops,
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,6 +59,12 @@ EXPERIMENTS = {
         "rawrank",
         lambda b: setattr(audit_ops, "_MAD_FORM", "rawrank" if b else "hist"),
         ["robust_outlier_mad"],
+    ),
+    "theilsen": (
+        "hist",
+        "fold",
+        lambda b: setattr(stats_ops, "_THEIL_SEN_FORM", "fold" if b else "hist"),
+        ["theil_sen_daily_trend"],
     ),
 }
 
