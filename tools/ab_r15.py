@@ -9,12 +9,16 @@ reported alongside.
 
 Usage: python tools/ab_r15.py <experiment> [n_pairs] [query ...]
 
-Experiments (variant A = committed tree, variant B = monkeypatched revert):
-  edges    — graph_common._EDGE_BUILD "collect" (r15: width-repartitioned
-             pair fan-out) vs "join" (the r11/r14 default) over the six
-             co-purchase consumers
+Experiments (variant A = the candidate, variant B = the alternative):
+  edges    — graph_common._EDGE_BUILD "collect" vs "join" over the six
+             co-purchase consumers (NOTE: flips the MODULE default, so it
+             measures the default-form consumers; the two call sites that
+             pin build="collect" per the r15 A/Bs are unaffected by the
+             flip)
   madhist  — audit_ops._MAD_FORM "hist" (r15 count-weighted histogram) vs
              "rawrank" (pre-r15 raw-row ranks) on robust_outlier_mad
+  theilsen — stats_ops._THEIL_SEN_FORM "hist" (r13/r14 histogram+cache)
+             vs "fold" (r15 shipped raw-slope form) on theil_sen
 
 Writes AB_r15_<experiment>[_$AB_TAG].json.
 """
@@ -60,10 +64,12 @@ EXPERIMENTS = {
         lambda b: setattr(audit_ops, "_MAD_FORM", "rawrank" if b else "hist"),
         ["robust_outlier_mad"],
     ),
+    # A = "fold" (the shipped r15 default); the committed sf1/sf0.1
+    # artifacts predate the flip and carry A = "hist" labels.
     "theilsen": (
-        "hist",
         "fold",
-        lambda b: setattr(stats_ops, "_THEIL_SEN_FORM", "fold" if b else "hist"),
+        "hist",
+        lambda b: setattr(stats_ops, "_THEIL_SEN_FORM", "hist" if b else "fold"),
         ["theil_sen_daily_trend"],
     ),
 }
